@@ -1,0 +1,59 @@
+"""Mirror of the driver's correctness check: run the Spark query and the
+DuckDB oracle SQL over the same parquet tables, then compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from ontario_spark.data import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        canon_row = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                canon_row.append(None)
+            elif isinstance(v, float):
+                canon_row.append(repr(float(v)))
+            elif isinstance(v, pd.Timestamp):
+                canon_row.append(v.isoformat())
+            elif hasattr(v, "isoformat"):
+                canon_row.append(v.isoformat())
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                canon_row.append(tuple(repr(float(x)) for x in v))
+            else:
+                canon_row.append(repr(v))
+        rows.append(tuple(canon_row))
+    return sorted(rows)
+
+
+def assert_match(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:
+    sp = spark_df.toPandas()
+    assert len(sp) == len(oracle_df), (
+        f"{name}: row count {len(sp)} (spark) != {len(oracle_df)} (oracle)"
+    )
+    assert sorted(sp.columns) == sorted(oracle_df.columns), (
+        f"{name}: columns {sorted(sp.columns)} != {sorted(oracle_df.columns)}"
+    )
+    a, b = _canon(sp), _canon(oracle_df)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
