@@ -1,0 +1,161 @@
+"""RDF mapping of the driver's TPC-H-ish parquet tables.
+
+Plays the role of the reference's demo RML mappings
+(``/root/reference/demo/mappings/*``): each table becomes a TripleMap
+with a subject URI template and predicate→column maps, giving the
+SPARQL engine a federated-shape lake to query. Object properties
+(customer→nation, order→customer, …) use URI TEMPLATE object maps so
+star-to-star joins exercise the template-aware key-join path.
+"""
+
+from __future__ import annotations
+
+from ontario_spark.catalog.model import (
+    Catalog,
+    DataSource,
+    LogicalSource,
+    TripleMap,
+    ref,
+    tpl,
+)
+
+EX = "http://ex.org/tpch/"
+
+
+def tpch_catalog(sf_dir: str) -> Catalog:
+    cat = Catalog()
+    lake = DataSource(name="tpch_lake", dstype="parquet", base_path=sf_dir)
+
+    def t(name: str) -> LogicalSource:
+        return LogicalSource(table=name)
+
+    cat.add(
+        lake,
+        TripleMap(
+            name="RegionMap",
+            source=t("region"),
+            subject=tpl(EX + "region/{r_regionkey}"),
+            subject_class=EX + "Region",
+            predicates=((EX + "name", ref("r_name")),),
+        ),
+        TripleMap(
+            name="NationMap",
+            source=t("nation"),
+            subject=tpl(EX + "nation/{n_nationkey}"),
+            subject_class=EX + "Nation",
+            predicates=(
+                (EX + "name", ref("n_name")),
+                (EX + "region", tpl(EX + "region/{n_regionkey}")),
+            ),
+        ),
+        TripleMap(
+            name="CustomerMap",
+            source=t("customer"),
+            subject=tpl(EX + "customer/{c_custkey}"),
+            subject_class=EX + "Customer",
+            predicates=(
+                (EX + "name", ref("c_name")),
+                (EX + "acctbal", ref("c_acctbal")),
+                (EX + "mktsegment", ref("c_mktsegment")),
+                (EX + "nation", tpl(EX + "nation/{c_nationkey}")),
+            ),
+        ),
+        TripleMap(
+            name="SupplierMap",
+            source=t("supplier"),
+            subject=tpl(EX + "supplier/{s_suppkey}"),
+            subject_class=EX + "Supplier",
+            predicates=(
+                (EX + "name", ref("s_name")),
+                (EX + "acctbal", ref("s_acctbal")),
+                (EX + "nation", tpl(EX + "nation/{s_nationkey}")),
+            ),
+        ),
+        TripleMap(
+            name="PartMap",
+            source=t("part"),
+            subject=tpl(EX + "part/{p_partkey}"),
+            subject_class=EX + "Part",
+            predicates=(
+                (EX + "name", ref("p_name")),
+                (EX + "brand", ref("p_brand")),
+                (EX + "type", ref("p_type")),
+                (EX + "size", ref("p_size")),
+                (EX + "retailprice", ref("p_retailprice")),
+            ),
+        ),
+        TripleMap(
+            name="OrderMap",
+            source=t("orders"),
+            subject=tpl(EX + "order/{o_orderkey}"),
+            subject_class=EX + "Order",
+            predicates=(
+                (EX + "customer", tpl(EX + "customer/{o_custkey}")),
+                (EX + "orderstatus", ref("o_orderstatus")),
+                (EX + "totalprice", ref("o_totalprice")),
+                (EX + "orderdate", ref("o_orderdate")),
+                (EX + "orderpriority", ref("o_orderpriority")),
+            ),
+        ),
+        TripleMap(
+            name="LineitemMap",
+            source=t("lineitem"),
+            subject=tpl(EX + "lineitem/{l_orderkey}-{l_linenumber}"),
+            subject_class=EX + "Lineitem",
+            predicates=(
+                (EX + "order", tpl(EX + "order/{l_orderkey}")),
+                (EX + "part", tpl(EX + "part/{l_partkey}")),
+                (EX + "supplier", tpl(EX + "supplier/{l_suppkey}")),
+                (EX + "quantity", ref("l_quantity")),
+                (EX + "extendedprice", ref("l_extendedprice")),
+                (EX + "discount", ref("l_discount")),
+                (EX + "shipdate", ref("l_shipdate")),
+                (EX + "returnflag", ref("l_returnflag")),
+            ),
+        ),
+        TripleMap(
+            name="DocumentMap",
+            source=t("documents"),
+            subject=tpl(EX + "doc/{doc_id}"),
+            subject_class=EX + "Document",
+            predicates=(
+                (EX + "text", ref("text")),
+                (EX + "lang", ref("lang")),
+                (EX + "docsource", ref("source")),
+                (EX + "nchars", ref("n_chars")),
+            ),
+        ),
+    )
+    return cat
+
+
+def tpch_split_catalog(sf_dir: str) -> Catalog:
+    """ChEBI-style variant: Customer predicates split across TWO triple
+    maps sharing one subject template — exercises the multi-map star
+    self-join path (reference: ``sparqltosql.join_condition:446-481``)."""
+    cat = tpch_catalog(sf_dir)
+    base = cat.triple_maps.pop("CustomerMap")
+    for p in list(cat.predicate_index):
+        cat.predicate_index[p].discard("CustomerMap")
+    cat.class_index[EX + "Customer"].discard("CustomerMap")
+    del cat.map_source["CustomerMap"]
+    a = TripleMap(
+        name="CustomerNameMap",
+        source=base.source,
+        subject=base.subject,
+        subject_class=base.subject_class,
+        predicates=((EX + "name", ref("c_name")),),
+    )
+    b = TripleMap(
+        name="CustomerFinMap",
+        source=base.source,
+        subject=base.subject,
+        subject_class=base.subject_class,
+        predicates=(
+            (EX + "acctbal", ref("c_acctbal")),
+            (EX + "mktsegment", ref("c_mktsegment")),
+            (EX + "nation", tpl(EX + "nation/{c_nationkey}")),
+        ),
+    )
+    cat.add(cat.sources["tpch_lake"], a, b)
+    return cat

@@ -1,0 +1,241 @@
+"""SPARQL expression → Spark Column compiler.
+
+Replaces the reference's tuple-at-a-time FILTER interpreter
+(``ontario/operators/nonblocking/Xfilter.py``: operator tables :14-41,
+``evaluateComplexExpression`` :123-193, EBV rules ``evaluateEBV``
+:203-242, coercion ``extractValue`` :326-353) with Column expressions
+that stay inside whole-stage codegen.
+
+Semantics notes:
+- Unbound (NULL) operands make comparisons NULL; a NULL filter drops
+  the row — matching SPARQL's "error → row eliminated".
+- EBV (Effective Boolean Value) is applied to bare terms in logical
+  positions: booleans pass through, numerics test != 0, strings test
+  length > 0 (per SPARQL 1.1 §17.2.2).
+- xsd:date/dateTime literals are cast to timestamp so they compare
+  against parquet timestamp columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ontario_spark.sparql.ast import Expr, Term
+
+_CMP = {"=", "!=", "<", ">", "<=", ">="}
+_ARITH = {"+", "-", "*", "/"}
+
+
+class FilterCompileError(Exception):
+    pass
+
+
+def unwrap(e):
+    """Strip parser 'ident' wrappers to reach a bare Term (or None)."""
+    while isinstance(e, Expr) and e.op == "ident":
+        e = e.args[0]
+    return e if isinstance(e, Term) else None
+
+
+class ExprCompiler:
+    """Compiles Expr trees against a variable-resolution function
+    ``resolve(var) -> Column`` (the BFrame provides it, handling keyed
+    vars) and a ``dtype(var) -> str|None`` probe for EBV decisions."""
+
+    def __init__(self, resolve, dtype=lambda v: None):
+        self.resolve = resolve
+        self.dtype = dtype
+
+    # --- public ---------------------------------------------------------
+
+    def boolean(self, e) -> Column:
+        """Compile in boolean context (FILTER/HAVING root)."""
+        return self._ebv(e)
+
+    def value(self, e) -> Column:
+        """Compile in value context (BIND, ORDER BY, comparisons)."""
+        if isinstance(e, Term):
+            return self._term(e)
+        return self._expr(e)
+
+    # --- internals ------------------------------------------------------
+
+    def _term(self, t: Term) -> Column:
+        if t.is_var:
+            return self.resolve(t.value)
+        if t.is_iri:
+            return F.lit(t.value)
+        # literal
+        if t.datatype and t.datatype.rsplit("#", 1)[-1] in ("date", "dateTime"):
+            return F.lit(t.value).cast("timestamp")
+        return F.lit(t.py if t.py is not None else t.value)
+
+    def _ebv(self, e) -> Column:
+        if isinstance(e, Term):
+            if e.is_var:
+                dt = self.dtype(e.value)
+                col = self.resolve(e.value)
+                if dt == "boolean":
+                    return col
+                if dt in ("string", None):
+                    return F.length(col) > 0
+                return col != F.lit(0)
+            if e.kind == "literal":
+                if isinstance(e.py, bool):
+                    return F.lit(e.py)
+                if isinstance(e.py, (int, float)):
+                    return F.lit(e.py != 0)
+                return F.lit(len(e.value) > 0)
+            raise FilterCompileError(f"no EBV for IRI {e.value}")
+        op = e.op
+        if op == "ident":
+            return self._ebv(e.args[0])
+        if op == "&&":
+            return self._ebv(e.args[0]) & self._ebv(e.args[1])
+        if op == "||":
+            return self._ebv(e.args[0]) | self._ebv(e.args[1])
+        if op == "!":
+            return ~self._ebv(e.args[0])
+        if op in _CMP or op in (
+            "regex", "contains", "strstarts", "strends", "bound", "isiri",
+            "isuri", "isblank", "isliteral", "sameterm", "langmatches", "in",
+        ):
+            return self._expr(e)
+        # numeric-valued expression in boolean position
+        return self._expr(e) != F.lit(0)
+
+    def _expr(self, e) -> Column:
+        if isinstance(e, Term):
+            return self._term(e)
+        op = e.op
+        a = e.args
+        if op == "ident":
+            return self._expr(a[0])
+        if op in ("&&", "||", "!"):
+            return self._ebv(e)
+        if op in _CMP:
+            l, r = self.value(a[0]), self.value(a[1])
+            # date/dateTime literal on either side → cast the var side too
+            return {
+                "=": l == r, "!=": l != r, "<": l < r,
+                ">": l > r, "<=": l <= r, ">=": l >= r,
+            }[op]
+        if op in _ARITH:
+            l, r = self.value(a[0]), self.value(a[1])
+            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+        if op == "neg":
+            return -self.value(a[0])
+        if op == "in":
+            return self.value(a[0]).isin([self.value(x) for x in a[1:]])
+        # --- builtin functions (reference set: services.py:1259-1325) ---
+        if op == "bound":
+            return self.value(a[0]).isNotNull()
+        if op == "str":
+            return self.value(a[0]).cast("string")
+        if op == "ucase":
+            return F.upper(self.value(a[0]))
+        if op == "lcase":
+            return F.lower(self.value(a[0]))
+        if op == "strlen":
+            return F.length(self.value(a[0]))
+        if op == "contains":
+            return self.value(a[0]).contains(self.value(a[1]))
+        if op == "strstarts":
+            return self.value(a[0]).startswith(self.value(a[1]))
+        if op == "strends":
+            return self.value(a[0]).endswith(self.value(a[1]))
+        if op == "regex":
+            pattern = unwrap(a[1])
+            flags = unwrap(a[2]) if len(a) > 2 else None
+            if pattern is None:
+                raise FilterCompileError("REGEX pattern must be a literal")
+            pat = pattern.value
+            if flags is not None and "i" in flags.value:
+                pat = "(?i)" + pat
+            return self.value(a[0]).rlike(pat)
+        if op == "replace":
+            return F.regexp_replace(
+                self.value(a[0]), unwrap(a[1]).value, unwrap(a[2]).value
+            )
+        if op == "substr":
+            start = self.value(a[1])
+            length = self.value(a[2]) if len(a) > 2 else F.lit(1 << 30)
+            return self.value(a[0]).substr(start, length)
+        if op == "concat":
+            return F.concat(*[self.value(x).cast("string") for x in a])
+        if op == "abs":
+            return F.abs(self.value(a[0]))
+        if op in ("ceil", "floor", "round"):
+            return getattr(F, op)(self.value(a[0]))
+        if op in ("year", "month", "day"):
+            return getattr(F, op)(self.value(a[0]))
+        if op == "if":
+            return F.when(self._ebv(a[0]), self.value(a[1])).otherwise(self.value(a[2]))
+        if op == "coalesce":
+            return F.coalesce(*[self.value(x) for x in a])
+        if op == "sameterm":
+            return self.value(a[0]) == self.value(a[1])
+        if op == "langmatches":
+            # lang metadata is not carried per-cell in this engine; a
+            # dedicated lang column (ex:lang predicate) is the supported
+            # pattern. LANGMATCHES(x, "*") → x != ''.
+            tag = unwrap(a[1])
+            if tag is not None and tag.value == "*":
+                return F.length(self.value(a[0])) > 0
+            return F.lower(self.value(a[0])) == F.lit(tag.value.lower())
+        if op == "lang":
+            return self.value(a[0])  # see langmatches note
+        if op in ("isiri", "isuri"):
+            return self.value(a[0]).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+        if op == "isblank":
+            return self.value(a[0]).startswith("_:")
+        if op == "isliteral":
+            return ~self.value(a[0]).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+        if op == "datatype":
+            raise FilterCompileError("DATATYPE() not supported on native columns")
+        raise FilterCompileError(f"unsupported operator {op!r}")
+
+
+_AGG_FUNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
+
+
+def is_aggregate(e) -> bool:
+    if isinstance(e, Term):
+        return False
+    if e.op.startswith("agg_"):
+        return True
+    return any(is_aggregate(a) for a in e.args if isinstance(a, Expr))
+
+
+def compile_aggregate(e: Expr, vc: ExprCompiler) -> Column:
+    """SPARQL aggregate → Spark aggregate Column. SUM/AVG use the
+    decimal-cast pattern for deterministic distributed addition."""
+    DEC = "decimal(18,6)"
+    name = e.op[len("agg_"):]
+    distinct = name.endswith("_distinct")
+    if distinct:
+        name = name[: -len("_distinct")]
+    arg = e.args[0]
+    star = isinstance(arg, Term) and arg.is_iri and arg.value == "*"
+    col = None if star else vc.value(arg)
+    if name == "count":
+        if star:
+            return F.count(F.lit(1))
+        return F.countDistinct(col) if distinct else F.count(col)
+    if distinct:
+        col = None  # handled below per-fn
+        raise FilterCompileError("DISTINCT only supported with COUNT")
+    if name == "sum":
+        return F.sum(col.cast(DEC)).cast("double")
+    if name == "avg":
+        return (F.sum(col.cast(DEC)).cast("double") / F.count(col))
+    if name == "min":
+        return F.min(col)
+    if name == "max":
+        return F.max(col)
+    if name == "sample":
+        return F.first(col)
+    if name == "group_concat":
+        return F.concat_ws(" ", F.sort_array(F.collect_list(col.cast("string"))))
+    raise FilterCompileError(f"unsupported aggregate {name}")

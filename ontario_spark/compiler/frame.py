@@ -1,0 +1,159 @@
+"""BindingsFrame: a DataFrame of SPARQL solution mappings + per-variable
+term metadata.
+
+The reference streams Python dicts between operator processes
+(SURVEY.md §1.1); here a binding set is a DataFrame whose columns are
+the SPARQL variables. The twist that matters at 100 TB: variables bound
+from URI TEMPLATES are kept as their underlying NATIVE KEY COLUMNS
+(``var__k0..kN``) instead of formatted URI strings. Joins between stars
+whose templates share the same literal skeleton run directly on the
+integer keys — no string materialization, smaller shuffle payloads, and
+parquet min/max stats stay usable. Lexical URIs are only produced at
+projection time (reference contrast: tuple-level Python URI building in
+``ontario/wrappers/spark/sparql2spark.py:189-229``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ontario_spark.catalog.model import Template
+
+LEXICAL = "lexical"
+KEYED = "keyed"
+
+
+@dataclass(frozen=True)
+class TermMeta:
+    kind: str  # LEXICAL | KEYED
+    template: Template | None = None
+
+    @property
+    def nkeys(self) -> int:
+        return len(self.template.columns) if self.template else 0
+
+
+def key_cols(var: str, n: int) -> list[str]:
+    return [f"{var}__k{i}" for i in range(n)]
+
+
+@dataclass
+class BFrame:
+    df: DataFrame
+    meta: dict[str, TermMeta]
+
+    @property
+    def variables(self) -> set[str]:
+        return set(self.meta)
+
+    def cols_for(self, var: str) -> list[str]:
+        m = self.meta[var]
+        return key_cols(var, m.nkeys) if m.kind == KEYED else [var]
+
+    def lexical_expr(self, var: str) -> Column:
+        """Column producing the lexical form of ``var`` (formats keyed
+        vars through their template; null keys → null, so OPTIONAL-
+        produced unbound stays unbound)."""
+        m = self.meta[var]
+        if m.kind == LEXICAL:
+            return F.col(var)
+        kcols = key_cols(var, m.nkeys)
+        formatted = m.template.format(
+            col=lambda name: F.col(kcols[list(m.template.columns).index(name)])
+        )
+        notnull = F.lit(True)
+        for k in kcols:
+            notnull = notnull & F.col(k).isNotNull()
+        return F.when(notnull, formatted)
+
+    def materialize(self, var: str) -> "BFrame":
+        """Convert a keyed var to its lexical string column."""
+        m = self.meta[var]
+        if m.kind == LEXICAL:
+            return self
+        df = self.df.withColumn(var, self.lexical_expr(var)).drop(
+            *key_cols(var, m.nkeys)
+        )
+        meta = dict(self.meta)
+        meta[var] = TermMeta(LEXICAL)
+        return BFrame(df, meta)
+
+    def ensure_var(self, var: str) -> "BFrame":
+        """Add ``var`` as an unbound (null string) column if missing —
+        union alignment (reference: Xunion.differentVariables pads with
+        '', ``Xunion.py:83-133``; we use NULL = SPARQL unbound)."""
+        if var in self.meta:
+            return self
+        df = self.df.withColumn(var, F.lit(None).cast("string"))
+        meta = dict(self.meta)
+        meta[var] = TermMeta(LEXICAL)
+        return BFrame(df, meta)
+
+    def join(self, other: "BFrame", how: str = "inner") -> "BFrame":
+        """Join on shared variables. Keyed⋈keyed with same template
+        shape joins on raw keys (replaces Xgjoin/SymmetricHashJoin —
+        Spark's shuffled-hash/sort-merge with AQE already provides the
+        adaptive, spilling behavior the reference hand-built,
+        ``Xgjoin.py:51-266``). how='left_outer' replaces Xgoptional."""
+        left, right = self, other
+        shared = sorted(left.variables & right.variables)
+        if not shared:
+            if how != "inner":
+                raise ValueError("OPTIONAL without shared variables unsupported")
+            return BFrame(left.df.crossJoin(right.df), {**left.meta, **right.meta})
+        on: list[str] = []
+        for v in shared:
+            lm, rm = left.meta[v], right.meta[v]
+            if (
+                lm.kind == KEYED
+                and rm.kind == KEYED
+                and lm.template.same_shape(rm.template)
+            ):
+                on.extend(key_cols(v, lm.nkeys))
+            else:
+                left = left.materialize(v)
+                right = right.materialize(v)
+                on.append(v)
+        df = left.df.join(right.df, on=on, how=how)
+        meta = {**right.meta, **left.meta}  # left rep wins for shared vars
+        return BFrame(df, meta)
+
+    def union(self, other: "BFrame") -> "BFrame":
+        """Bag union (replaces Xunion). Variables are aligned by name;
+        missing vars pad with NULL; keyed vars with mismatched templates
+        are materialized first."""
+        left, right = self, other
+        for v in sorted(left.variables | right.variables):
+            lin, rin = v in left.meta, v in right.meta
+            if lin and rin:
+                lm, rm = left.meta[v], right.meta[v]
+                compatible = (
+                    lm.kind == KEYED
+                    and rm.kind == KEYED
+                    and lm.template.same_shape(rm.template)
+                ) or (lm.kind == LEXICAL and rm.kind == LEXICAL)
+                if not compatible:
+                    left = left.materialize(v)
+                    right = right.materialize(v)
+            else:
+                if lin:
+                    left = left.materialize(v)
+                if rin:
+                    right = right.materialize(v)
+                left = left.ensure_var(v)
+                right = right.ensure_var(v)
+        cols = sorted(c for v in left.meta for c in left.cols_for(v))
+        ldf = left.df.select(*cols)
+        rdf = right.df.select(*cols)
+        return BFrame(ldf.unionByName(rdf), dict(left.meta))
+
+    def project(self, variables: list[str]) -> "BFrame":
+        out = self
+        for v in variables:
+            if v not in out.meta:
+                out = out.ensure_var(v)
+            out = out.materialize(v)
+        return BFrame(out.df.select(*variables), {v: out.meta[v] for v in variables})

@@ -1,0 +1,219 @@
+"""Full SPARQL query → DataFrame compiler.
+
+Replaces the reference's mediator pipeline (SURVEY.md §3.1): Decomposer
+→ Planner → process-per-operator execution becomes decompose → per-star
+DataFrame construction → Catalyst. The physical operator mapping:
+
+- BGP join       → ``BFrame.join`` (Xgjoin/SymmetricHashJoin/XJoin)
+- OPTIONAL       → left_outer join (Xgoptional/NestedHashOptional)
+- UNION          → ``BFrame.union`` (Xunion)
+- FILTER         → Column predicate (Xfilter)
+- projection     → select (Xproject)
+- DISTINCT       → dropDuplicates (Xdistinct)
+- OFFSET/LIMIT   → offset/limit (Xoffset/Xlimit — Spark short-circuits
+                   limits natively; no PID-killing needed)
+- ORDER BY       → orderBy (the reference parses but silently DROPS
+                   ordering, ``mediator/Planner.py:70-100`` — fixed here)
+- ASK            → limit(1) count (Xask)
+- CONSTRUCT      → per-template projection + union (Xconstruct)
+- GROUP BY/aggs  → groupBy().agg() (beyond the reference entirely)
+
+Join ordering: frames are combined greedily preferring var-sharing
+pairs (reference: ``Tree.makeBushyTree:466-501``); the exact join
+algorithm/order is then Catalyst + AQE's problem, which subsumes the
+reference's selectivity heuristics (``Planner.py:102-259``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontario_spark.catalog.model import Catalog
+from ontario_spark.compiler.filters import (
+    ExprCompiler,
+    compile_aggregate,
+    is_aggregate,
+)
+from ontario_spark.compiler.frame import BFrame, LEXICAL, TermMeta
+from ontario_spark.compiler.star import compile_star
+from ontario_spark.planner.decomposer import bgp_stars, select_sources
+from ontario_spark.sparql.ast import (
+    Bind,
+    Expr,
+    Filter,
+    Group,
+    OptionalBlock,
+    Query,
+    Term,
+    Triple,
+    UnionBlock,
+)
+from ontario_spark.sparql.parser import parse
+
+
+class QueryCompileError(Exception):
+    pass
+
+
+class SparqlEngine:
+    """Entry point: ``SparqlEngine(spark, catalog).query(text)``."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    def query(self, text: str) -> DataFrame:
+        return self.compile(parse(text))
+
+    def compile(self, q: Query) -> DataFrame:
+        bf = self._group(q.where)
+        if q.query_type == "ask":
+            probe = bf.df.limit(1).select(F.lit(1).alias("__x"))
+            return probe.agg((F.count("__x") > 0).alias("ask"))
+        if q.query_type == "construct":
+            return self._construct(q, bf)
+        return self._select(q, bf)
+
+    # --- graph pattern assembly ----------------------------------------
+
+    def _group(self, g: Group) -> BFrame:
+        triples = [e for e in g.elements if isinstance(e, Triple)]
+        frames: list[BFrame] = []
+        for star in bgp_stars(triples):
+            frames.append(
+                compile_star(self.spark, self.catalog, select_sources(self.catalog, star))
+            )
+        for e in g.elements:
+            if isinstance(e, Group):
+                frames.append(self._group(e))
+            elif isinstance(e, UnionBlock):
+                branches = [self._group(b) for b in e.branches]
+                u = branches[0]
+                for b in branches[1:]:
+                    u = u.union(b)
+                frames.append(u)
+
+        if not frames:
+            bf = BFrame(self.spark.range(1).select(), {})
+        else:
+            bf = self._join_greedy(frames)
+
+        for e in g.elements:
+            if isinstance(e, OptionalBlock):
+                bf = bf.join(self._group(e.block), "left_outer")
+        for e in g.elements:
+            if isinstance(e, Bind):
+                vc = self._compiler(bf)
+                bf = BFrame(
+                    bf.df.withColumn(e.var, vc.value(e.expr)),
+                    {**bf.meta, e.var: TermMeta(LEXICAL)},
+                )
+        for e in g.elements:
+            if isinstance(e, Filter):
+                vc = self._compiler(bf)
+                bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
+        return bf
+
+    def _join_greedy(self, frames: list[BFrame]) -> BFrame:
+        """Greedy bushy combination preferring var-sharing joins
+        (semantics of ``Tree.makeBushyTree``; cross joins only as a
+        last resort)."""
+        acc = frames[0]
+        rest = frames[1:]
+        while rest:
+            idx = next(
+                (i for i, f in enumerate(rest) if f.variables & acc.variables),
+                0,
+            )
+            acc = acc.join(rest.pop(idx), "inner")
+        return acc
+
+    # --- heads ----------------------------------------------------------
+
+    def _compiler(self, bf: BFrame) -> ExprCompiler:
+        dtypes = dict(bf.df.dtypes)
+
+        def resolve(var: str):
+            if var not in bf.meta:
+                raise QueryCompileError(f"unbound variable ?{var}")
+            return bf.lexical_expr(var) if bf.meta[var].kind != LEXICAL else F.col(var)
+
+        def dtype(var: str):
+            return dtypes.get(var)
+
+        return ExprCompiler(resolve, dtype)
+
+    def _select(self, q: Query, bf: BFrame) -> DataFrame:
+        sel = q.select
+        if sel is None:
+            proj_vars = sorted(bf.variables)
+            plain = proj_vars
+            computed: list = []
+        else:
+            plain = [s.var for s in sel if s.expr is None]
+            computed = [s for s in sel if s.expr is not None]
+            proj_vars = [s.var for s in sel]
+
+        has_agg = bool(q.group_by) or any(is_aggregate(s.expr) for s in computed)
+
+        if has_agg:
+            vc = self._compiler(bf)
+            keys = [
+                bf.lexical_expr(v).alias(v) if bf.meta[v].kind != LEXICAL else F.col(v)
+                for v in q.group_by
+            ]
+            aggs = [compile_aggregate(s.expr, vc).alias(s.var) for s in computed]
+            if not aggs:
+                raise QueryCompileError("GROUP BY without aggregates")
+            grouped = bf.df.groupBy(*keys).agg(*aggs)
+            out_meta = {v: TermMeta(LEXICAL) for v in q.group_by + [s.var for s in computed]}
+            bf = BFrame(grouped, out_meta)
+            if q.having is not None:
+                hvc = ExprCompiler(lambda v: F.col(v), lambda v: dict(bf.df.dtypes).get(v))
+                bf = BFrame(bf.df.filter(hvc.boolean(q.having)), bf.meta)
+            df = bf.df.select(*proj_vars)
+        else:
+            if computed:
+                vc = self._compiler(bf)
+                newmeta = dict(bf.meta)
+                ndf = bf.df
+                for s in computed:
+                    ndf = ndf.withColumn(s.var, vc.value(s.expr))
+                    newmeta[s.var] = TermMeta(LEXICAL)
+                bf = BFrame(ndf, newmeta)
+            bf = bf.project(proj_vars)
+            df = bf.df
+
+        if q.distinct:
+            df = df.dropDuplicates()
+        if q.order_by:
+            dtypes = dict(df.dtypes)
+            oc = ExprCompiler(lambda v: F.col(v), lambda v: dtypes.get(v))
+            sort_cols = []
+            for item, asc in q.order_by:
+                col = oc.value(item)
+                sort_cols.append(col.asc() if asc else col.desc())
+            df = df.orderBy(*sort_cols)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def _construct(self, q: Query, bf: BFrame) -> DataFrame:
+        outs: list[DataFrame] = []
+        for t in q.construct_template:
+            cols = []
+            for slot, term in (("s", t.s), ("p", t.p), ("o", t.o)):
+                if term.is_var:
+                    if term.value not in bf.meta:
+                        raise QueryCompileError(f"unbound construct var ?{term.value}")
+                    cols.append(bf.lexical_expr(term.value).cast("string").alias(slot))
+                else:
+                    cols.append(F.lit(term.value).alias(slot))
+            outs.append(bf.df.select(*cols))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out.dropDuplicates()

@@ -1,0 +1,186 @@
+"""Star → BindingsFrame compiler.
+
+Replaces the reference's per-source wrappers + SPARQL→SQL translator
+(``ontario/wrappers/sparqltosql.py``: predicate→column ``extract_cols``
+:368-403, constant objects → equality predicates ``get_cond_sql``
+:411-444, NOT NULL guards, multi-map self-joins ``join_condition``
+:446-481, multi-MT unions ``make_union`` :123-153) with direct
+DataFrame construction against the shared session. Catalyst then does
+the projection/filter pushdown the reference implemented by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontario_spark.catalog.model import (
+    CONSTANT,
+    REFERENCE,
+    TEMPLATE,
+    Catalog,
+    TripleMap,
+)
+from ontario_spark.compiler.frame import KEYED, LEXICAL, BFrame, TermMeta, key_cols
+from ontario_spark.planner.decomposer import StarPlan, SourceSelectionError
+from ontario_spark.sparql.ast import Term, Triple
+from ontario_spark.sparql.parser import RDF_TYPE
+
+
+class StarCompileError(Exception):
+    pass
+
+
+def _lit_for(term: Term) -> Column:
+    if term.datatype and term.datatype.rsplit("#", 1)[-1] in ("date", "dateTime"):
+        return F.lit(term.value).cast("timestamp")
+    return F.lit(term.py if term.py is not None else term.value)
+
+
+def compile_star(spark: SparkSession, cat: Catalog, plan: StarPlan) -> BFrame:
+    if not plan.alternatives:
+        raise SourceSelectionError(
+            f"no data source answers star over {plan.star.subject.value!r} "
+            f"(predicates: {plan.star.predicates})"
+        )
+    frames = [
+        _compile_alternative(spark, cat, plan, alt) for alt in plan.alternatives
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out
+
+
+def _compile_alternative(
+    spark: SparkSession, cat: Catalog, plan: StarPlan, maps: list[TripleMap]
+) -> BFrame:
+    # Assign each triple to the first map providing its predicate.
+    per_map: dict[str, list[Triple]] = {tm.name: [] for tm in maps}
+    by_name = {tm.name: tm for tm in maps}
+    for t in plan.star.triples:
+        if not t.p.is_iri:
+            raise StarCompileError("variable predicates not supported yet")
+        if t.p.value == RDF_TYPE:
+            per_map[maps[0].name].append(t)
+            continue
+        for tm in maps:
+            if t.p.value in tm.pom:
+                per_map[tm.name].append(t)
+                break
+        else:
+            raise SourceSelectionError(f"predicate {t.p.value} not in selected maps")
+
+    out: BFrame | None = None
+    for name, triples in per_map.items():
+        if out is not None and not triples:
+            continue  # extra map contributed nothing
+        bf = _compile_map(spark, cat, by_name[name], plan.star.subject, triples)
+        out = bf if out is None else out.join(bf, "inner")
+    assert out is not None
+    return out
+
+
+def _compile_map(
+    spark: SparkSession,
+    cat: Catalog,
+    tm: TripleMap,
+    subject: Term,
+    triples: list[Triple],
+) -> BFrame:
+    df = cat.load_source_df(spark, tm)
+    select: list[Column] = []
+    meta: dict[str, TermMeta] = {}
+    conds: list[Column] = []
+    bound_exprs: dict[str, Column] = {}  # var → source-side expression
+
+    def bind_var(var: str, cols: list[str] | None, expr: Column, tmeta: TermMeta):
+        """Bind var to column(s); repeated var in the same star becomes
+        an equality condition (e.g. ?x ex:p ?v . ?x ex:q ?v)."""
+        if var in meta:
+            conds.append(bound_exprs[var] == expr)
+            return
+        meta[var] = tmeta
+        bound_exprs[var] = expr
+        if tmeta.kind == KEYED:
+            for i, c in enumerate(cols or []):
+                select.append(F.col(c).alias(f"{var}__k{i}"))
+        else:
+            select.append(expr.alias(var))
+
+    # subject
+    if subject.is_var:
+        if tm.subject.kind == TEMPLATE:
+            scols = list(tm.subject.template.columns)
+            bind_var(
+                subject.value,
+                scols,
+                tm.subject.template.format(),
+                TermMeta(KEYED, tm.subject.template),
+            )
+            for c in scols:
+                conds.append(F.col(c).isNotNull())
+        elif tm.subject.kind == REFERENCE:
+            bind_var(subject.value, None, F.col(tm.subject.value), TermMeta(LEXICAL))
+            conds.append(F.col(tm.subject.value).isNotNull())
+        else:
+            bind_var(subject.value, None, F.lit(tm.subject.value), TermMeta(LEXICAL))
+    else:
+        # constant subject: invert the template into key equalities
+        if tm.subject.kind == TEMPLATE:
+            keys = tm.subject.template.extract(subject.value)
+            if keys is None:
+                conds.append(F.lit(False))
+            else:
+                for c, v in zip(tm.subject.template.columns, keys):
+                    conds.append(F.col(c).cast("string") == F.lit(v))
+        else:
+            conds.append(F.col(tm.subject.value) == F.lit(subject.value))
+
+    # predicate-object patterns
+    for t in triples:
+        pred = t.p.value
+        if pred == RDF_TYPE:
+            if t.o.is_var:
+                bind_var(t.o.value, None, F.lit(tm.subject_class), TermMeta(LEXICAL))
+            elif tm.subject_class != t.o.value:
+                conds.append(F.lit(False))
+            continue
+        om = tm.pom[pred]
+        if om.kind == REFERENCE:
+            col = F.col(om.value)
+            if t.o.is_var:
+                bind_var(t.o.value, None, col, TermMeta(LEXICAL))
+                conds.append(col.isNotNull())
+            elif t.o.is_iri:
+                conds.append(col == F.lit(t.o.value))
+            else:
+                conds.append(col == _lit_for(t.o))
+        elif om.kind == TEMPLATE:
+            tcols = list(om.template.columns)
+            if t.o.is_var:
+                bind_var(t.o.value, tcols, om.template.format(), TermMeta(KEYED, om.template))
+                for c in tcols:
+                    conds.append(F.col(c).isNotNull())
+            else:
+                uri = t.o.value
+                keys = om.template.extract(uri)
+                if keys is None:
+                    conds.append(F.lit(False))
+                else:
+                    for c, v in zip(tcols, keys):
+                        conds.append(F.col(c).cast("string") == F.lit(v))
+        else:  # CONSTANT
+            if t.o.is_var:
+                bind_var(t.o.value, None, F.lit(om.value), TermMeta(LEXICAL))
+            else:
+                if om.value != t.o.value:
+                    conds.append(F.lit(False))
+
+    for c in conds:
+        df = df.filter(c)
+    if not select:
+        select = [F.lit(1).alias("__one")]
+        df = df.select(*select).drop("__one")
+        return BFrame(df, meta)
+    return BFrame(df.select(*select), meta)

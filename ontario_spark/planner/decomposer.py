@@ -1,0 +1,140 @@
+"""Star decomposition + source selection.
+
+Ports the reference mediator's planning semantics (not its code):
+
+- ``bgp_stars`` (``ontario/mediator/Decomposer.py:120-136``): group the
+  triples of a basic graph pattern by subject — a "star" is the unit of
+  per-source pushdown.
+- ``checkRDFTypeStatemnt`` / ``find_rdfmt_by_preds``
+  (``Decomposer.py:184``, ``config/__init__.py:89-107``): candidate
+  molecule selection by rdf:type constant, else by intersecting the
+  predicate→MT index over the star's constant predicates.
+- Multi-map stars: maps grouped per class; a class answers a star if
+  the union of its maps' predicates covers the star (self-join across
+  maps sharing the subject template — semantics of
+  ``sparqltosql.join_condition:446-481``); several answering classes →
+  UNION of alternatives (``sparqltosql.make_union:123-153``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ontario_spark.catalog.model import Catalog, TripleMap
+from ontario_spark.sparql.ast import Term, Triple
+from ontario_spark.sparql.parser import RDF_TYPE
+
+
+class SourceSelectionError(Exception):
+    pass
+
+
+@dataclass
+class Star:
+    subject: Term
+    triples: list[Triple] = field(default_factory=list)
+
+    @property
+    def predicates(self) -> list[str]:
+        return [t.p.value for t in self.triples if t.p.is_iri and t.p.value != RDF_TYPE]
+
+    @property
+    def type_constraints(self) -> list[str]:
+        return [
+            t.o.value
+            for t in self.triples
+            if t.p.is_iri and t.p.value == RDF_TYPE and t.o.is_iri
+        ]
+
+    def variables(self) -> set[str]:
+        out: set[str] = set()
+        for t in self.triples:
+            out |= t.variables()
+        return out
+
+
+def bgp_stars(triples: list[Triple]) -> list[Star]:
+    """Group triples by subject term (var name or constant IRI)."""
+    stars: dict[tuple, Star] = {}
+    for t in triples:
+        key = (t.s.kind, t.s.value)
+        if key not in stars:
+            stars[key] = Star(subject=t.s)
+        stars[key].triples.append(t)
+    return list(stars.values())
+
+
+@dataclass
+class StarPlan:
+    """One way to answer a star: a UNION over alternatives, each
+    alternative a list of TripleMaps self-joined on the shared subject
+    template. ``assignment`` maps each triple to the map (within the
+    alternative) that provides its predicate."""
+
+    star: Star
+    alternatives: list[list[TripleMap]]
+
+
+def select_sources(cat: Catalog, star: Star) -> StarPlan:
+    preds = star.predicates
+    classes = star.type_constraints
+
+    # Gather candidate maps: by class if constrained, else all maps
+    # touching any star predicate (or every map when the star is only a
+    # type scan / all-variable).
+    if classes:
+        cand_names: set[str] = set()
+        for cls in classes:
+            cand_names |= cat.maps_for_class(cls)
+    elif preds:
+        cand_names = set()
+        for p in preds:
+            cand_names |= cat.predicate_index.get(p, set())
+    else:
+        cand_names = set(cat.triple_maps)
+
+    # Group candidates by molecule (= subject class, falling back to
+    # subject template skeleton for classless maps).
+    groups: dict[str, list[TripleMap]] = {}
+    for name in sorted(cand_names):
+        tm = cat.triple_maps[name]
+        key = tm.subject_class or tm.subject.value
+        groups.setdefault(key, []).append(tm)
+
+    alternatives: list[list[TripleMap]] = []
+    for _, maps in sorted(groups.items()):
+        if classes and not all(
+            any(tm.subject_class == cls for tm in maps) for cls in classes
+        ):
+            continue
+        covered: set[str] = set()
+        for tm in maps:
+            covered |= set(tm.pom)
+        if not set(preds) <= covered:
+            continue
+        # greedy cover: biggest contributors first, all sharing the
+        # subject template shape
+        chosen: list[TripleMap] = []
+        need = set(preds)
+        for tm in sorted(maps, key=lambda m: -len(set(m.pom) & set(preds))):
+            gain = set(tm.pom) & need
+            if gain or (not chosen and not preds):
+                chosen.append(tm)
+                need -= gain
+            if not need and chosen:
+                break
+        if need:
+            continue
+        if not chosen and maps:
+            chosen = [maps[0]]
+        base_tpl = chosen[0].subject
+        if any(
+            not (tm.subject.kind == base_tpl.kind == "template"
+                 and tm.subject.template.same_shape(base_tpl.template))
+            and tm.subject != base_tpl
+            for tm in chosen[1:]
+        ):
+            continue  # can't self-join maps with unrelated subjects
+        alternatives.append(chosen)
+
+    return StarPlan(star=star, alternatives=alternatives)

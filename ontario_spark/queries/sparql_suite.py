@@ -1,0 +1,163 @@
+"""SPARQL queries registered on the driver correctness surface.
+
+Each entry runs a SPARQL text through the full engine (parse →
+decompose → source-select → compile) against the TPC-H RDF catalog and
+is validated against handwritten ANSI SQL on DuckDB — proving Ontario
+parity end-to-end: star decomposition, RDF-MT-style source selection,
+RML template materialization/inversion, template-keyed joins, OPTIONAL,
+UNION, FILTER semantics, modifiers, ASK, CONSTRUCT, and the
+beyond-reference SPARQL 1.1 aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog, tpch_split_catalog
+from ontario_spark.compiler.query import SparqlEngine
+
+PFX = f"PREFIX ex: <{EX}>\n"
+
+URI_C = "'http://ex.org/tpch/customer/' || CAST(c_custkey AS VARCHAR)"
+URI_O = "'http://ex.org/tpch/order/' || CAST(o_orderkey AS VARCHAR)"
+
+
+def _runner(sparql: str, split: bool = False):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cat = tpch_split_catalog(sf_dir) if split else tpch_catalog(sf_dir)
+        return SparqlEngine(spark, cat).query(PFX + sparql)
+
+    return run
+
+
+_DEFS: dict[str, tuple[str, str | None, bool]] = {
+    # name: (sparql, oracle_sql, use_split_catalog)
+    "sparql_star_filter": (
+        """SELECT ?c ?name ?acctbal WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?acctbal .
+             FILTER (?acctbal > 5000.0) }""",
+        f"""SELECT {URI_C} AS c, c_name AS name, c_acctbal AS acctbal
+            FROM customer WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+              AND c_acctbal > 5000.0""",
+        False,
+    ),
+    "sparql_star_join": (
+        """SELECT ?cname ?nname ?rname WHERE {
+             ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n .
+             ?n ex:name ?nname ; ex:region ?r .
+             ?r ex:name ?rname .
+             FILTER (?rname = "ASIA") }""",
+        """SELECT c_name AS cname, n_name AS nname, r_name AS rname
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL
+             AND r_name IS NOT NULL AND r_name = 'ASIA'""",
+        False,
+    ),
+    "sparql_optional": (
+        """SELECT ?c ?name ?ostatus WHERE {
+             ?c a ex:Customer ; ex:name ?name .
+             OPTIONAL { ?o a ex:Order ; ex:customer ?c ; ex:orderstatus ?ostatus } }""",
+        f"""SELECT {URI_C} AS c, c_name AS name, o_orderstatus AS ostatus
+            FROM customer LEFT OUTER JOIN orders
+              ON o_custkey = c_custkey AND o_orderstatus IS NOT NULL
+            WHERE c_name IS NOT NULL""",
+        False,
+    ),
+    "sparql_union": (
+        """SELECT ?name WHERE {
+             { ?c a ex:Customer ; ex:name ?name }
+             UNION { ?s a ex:Supplier ; ex:name ?name } }""",
+        """SELECT c_name AS name FROM customer WHERE c_name IS NOT NULL
+           UNION ALL
+           SELECT s_name AS name FROM supplier WHERE s_name IS NOT NULL""",
+        False,
+    ),
+    "sparql_source_union": (
+        # predicate-index source selection with NO type constraint:
+        # ex:name lives on five molecules → automatic 5-way union
+        "SELECT ?name WHERE { ?s ex:name ?name }",
+        """SELECT c_name AS name FROM customer WHERE c_name IS NOT NULL
+           UNION ALL SELECT n_name FROM nation WHERE n_name IS NOT NULL
+           UNION ALL SELECT p_name FROM part WHERE p_name IS NOT NULL
+           UNION ALL SELECT r_name FROM region WHERE r_name IS NOT NULL
+           UNION ALL SELECT s_name FROM supplier WHERE s_name IS NOT NULL""",
+        False,
+    ),
+    "sparql_distinct_orderby_page": (
+        """SELECT ?o ?price WHERE { ?o a ex:Order ; ex:totalprice ?price }
+           ORDER BY DESC(?price) ?o LIMIT 10 OFFSET 10""",
+        f"""SELECT {URI_O} AS o, o_totalprice AS price FROM orders
+            WHERE o_totalprice IS NOT NULL
+            ORDER BY price DESC, o ASC LIMIT 10 OFFSET 10""",
+        False,
+    ),
+    "sparql_filter_functions": (
+        """SELECT ?name ?type WHERE {
+             ?p a ex:Part ; ex:name ?name ; ex:type ?type .
+             FILTER (CONTAINS(?type, "BRASS") || REGEX(?name, "a.*e")) }""",
+        """SELECT p_name AS name, p_type AS type FROM part
+           WHERE p_name IS NOT NULL AND p_type IS NOT NULL
+             AND (p_type LIKE '%BRASS%' OR regexp_matches(p_name, 'a.*e'))""",
+        False,
+    ),
+    "sparql_date_filter_bind": (
+        """SELECT ?o ?d ?rounded WHERE {
+             ?o a ex:Order ; ex:orderdate ?d ; ex:totalprice ?p .
+             BIND (ROUND(?p) AS ?rounded)
+             FILTER (?d >= "1999-01-01"^^<http://www.w3.org/2001/XMLSchema#date>) }""",
+        f"""SELECT {URI_O} AS o, o_orderdate AS d, ROUND(o_totalprice) AS rounded
+            FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_orderdate >= TIMESTAMP '1999-01-01'""",
+        False,
+    ),
+    "sparql_construct": (
+        """CONSTRUCT { ?c ex:label ?name } WHERE { ?c a ex:Customer ; ex:name ?name }""",
+        f"""SELECT DISTINCT {URI_C} AS s, 'http://ex.org/tpch/label' AS p, c_name AS o
+            FROM customer WHERE c_name IS NOT NULL""",
+        False,
+    ),
+    "sparql_ask": (
+        """ASK { ?c a ex:Customer ; ex:acctbal ?b . FILTER (?b > 1000.0) }""",
+        """SELECT EXISTS(SELECT 1 FROM customer
+                         WHERE c_acctbal IS NOT NULL AND c_acctbal > 1000.0) AS ask""",
+        False,
+    ),
+    "sparql_aggregate": (
+        """SELECT ?seg (COUNT(?c) AS ?n) (SUM(?bal) AS ?total) WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg ; ex:acctbal ?bal }
+           GROUP BY ?seg""",
+        """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+           GROUP BY c_mktsegment""",
+        False,
+    ),
+    "sparql_multimap_selfjoin": (
+        """SELECT ?name ?seg WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:mktsegment ?seg . }""",
+        """SELECT t1.c_name AS name, t2.c_mktsegment AS seg
+           FROM customer t1 JOIN customer t2 ON t1.c_custkey = t2.c_custkey
+           WHERE t1.c_name IS NOT NULL AND t2.c_mktsegment IS NOT NULL""",
+        True,
+    ),
+    "sparql_lineitem_star": (
+        # multi-column subject template + three object-property joins
+        """SELECT ?li ?pname ?qty WHERE {
+             ?li a ex:Lineitem ; ex:part ?p ; ex:quantity ?qty .
+             ?p ex:name ?pname .
+             FILTER (?qty >= 45.0) }""",
+        """SELECT 'http://ex.org/tpch/lineitem/' || CAST(l_orderkey AS VARCHAR)
+                  || '-' || CAST(l_linenumber AS VARCHAR) AS li,
+                  p_name AS pname, l_quantity AS qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_quantity >= 45.0""",
+        False,
+    ),
+}
+
+QUERIES = {name: _runner(sparql, split) for name, (sparql, _, split) in _DEFS.items()}
+ORACLE = {name: sql for name, (_, sql, _) in _DEFS.items() if sql is not None}

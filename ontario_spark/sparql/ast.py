@@ -1,0 +1,118 @@
+"""SPARQL AST.
+
+Mirrors the semantic roles of the reference AST
+(``ontario/sparql/parser/services.py``: Query :7-138, UnionBlock
+:374-491, JoinBlock :494-686, Optional :689-740, Triple :743-879,
+Filter/Expression :882-1011, Argument :1014-1081) as plain dataclasses,
+extended beyond the reference with GROUP BY / aggregates (SPARQL 1.1 —
+the reference's grammar has none, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Term:
+    """A variable, IRI, or literal (reference: Argument)."""
+
+    kind: str  # 'var' | 'iri' | 'literal'
+    value: str  # var name (no '?'), absolute IRI, or lexical form
+    datatype: str | None = None
+    lang: str | None = None
+    py: object = None  # parsed python value for typed literals
+
+    @property
+    def is_var(self) -> bool:
+        return self.kind == "var"
+
+    @property
+    def is_iri(self) -> bool:
+        return self.kind == "iri"
+
+
+@dataclass(frozen=True)
+class Triple:
+    s: Term
+    p: Term
+    o: Term
+
+    def variables(self) -> set[str]:
+        return {t.value for t in (self.s, self.p, self.o) if t.is_var}
+
+
+@dataclass
+class Expr:
+    """Operator application. ``op`` is a lowercase operator/function
+    name ('&&','||','!','=','<','+','regex','contains','bound',...);
+    args are Expr or Term."""
+
+    op: str
+    args: list  # list[Expr | Term]
+
+    def variables(self) -> set[str]:
+        out: set[str] = set()
+        for a in self.args:
+            if isinstance(a, Term):
+                if a.is_var:
+                    out.add(a.value)
+            else:
+                out |= a.variables()
+        return out
+
+
+@dataclass
+class Filter:
+    expr: Expr
+
+    def variables(self) -> set[str]:
+        return self.expr.variables()
+
+
+@dataclass
+class Bind:
+    expr: Expr
+    var: str
+
+
+@dataclass
+class OptionalBlock:
+    block: "Group"
+
+
+@dataclass
+class UnionBlock:
+    branches: list["Group"]
+
+
+@dataclass
+class Group:
+    """A group graph pattern `{ ... }` (reference: JoinBlock)."""
+
+    elements: list = field(default_factory=list)
+    # Triple | Filter | Bind | OptionalBlock | UnionBlock | Group
+
+
+@dataclass
+class SelectExpr:
+    """Projection item: plain var, or (expr AS ?var) with optional
+    aggregate."""
+
+    var: str
+    expr: Expr | None = None  # None → plain variable
+
+
+@dataclass
+class Query:
+    query_type: str  # 'select' | 'ask' | 'construct'
+    prefixes: dict[str, str] = field(default_factory=dict)
+    select: list[SelectExpr] | None = None  # None → SELECT *
+    distinct: bool = False
+    where: Group = field(default_factory=Group)
+    group_by: list[str] = field(default_factory=list)
+    having: Expr | None = None
+    order_by: list[tuple[object, bool]] = field(default_factory=list)  # (var|Expr, asc)
+    limit: int | None = None
+    offset: int | None = None
+    construct_template: list[Triple] = field(default_factory=list)

@@ -1,0 +1,510 @@
+"""Hand-written SPARQL tokenizer + recursive-descent parser.
+
+Covers the reference grammar (``ontario/sparql/parser/queryParser.py``
+PLY lex/yacc: SELECT/ASK/CONSTRUCT, DISTINCT, prefixed names, predicate-
+object lists, OPTIONAL, UNION, FILTER with the operator set of
+``Xfilter.py:14-41``, ORDER BY/LIMIT/OFFSET) plus the SPARQL 1.1 pieces
+the reference lacks entirely (SURVEY.md §2.5): GROUP BY + aggregates
+(COUNT/SUM/AVG/MIN/MAX), HAVING, BIND, VALUES.
+
+No PLY dependency — a compact regex tokenizer feeding an LL(1)-ish
+parser. Unsupported syntax raises ``SparqlSyntaxError`` with position.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ontario_spark.sparql.ast import (
+    Bind,
+    Expr,
+    Filter,
+    Group,
+    OptionalBlock,
+    Query,
+    SelectExpr,
+    Term,
+    Triple,
+    UnionBlock,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(Exception):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<DTYPE>\^\^)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<PLOCAL>[A-Za-z0-9_][A-Za-z0-9_.-]*)?
+  | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-=<>!])
+""",
+    re.VERBOSE,
+)
+
+
+class Token:
+    __slots__ = ("type", "value", "pos")
+
+    def __init__(self, type_: str, value: str, pos: int):
+        self.type = type_
+        self.value = value
+        self.pos = pos
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Token({self.type},{self.value!r})"
+
+
+def tokenize(text: str) -> list[Token]:
+    tokens: list[Token] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SparqlSyntaxError(f"unexpected character {text[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        if kind in ("PNAME", "PLOCAL") or ":" in m.group(0) and kind == "KEYWORD":
+            kind = "PNAME"
+        tokens.append(Token(kind or "PNAME", m.group(0), m.start()))
+    tokens.append(Token("EOF", "", len(text)))
+    return tokens
+
+
+_AGGS = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
+_BUILTINS = {
+    "bound", "isiri", "isuri", "isblank", "isliteral", "str", "ucase",
+    "lcase", "lang", "datatype", "regex", "sameterm", "langmatches",
+    "contains", "strstarts", "strends", "strlen", "abs", "ceil", "floor",
+    "round", "concat", "replace", "substr", "year", "month", "day", "if",
+    "coalesce",
+}
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # --- token plumbing -------------------------------------------------
+
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.type == "KEYWORD" and t.value.lower() in kws
+
+    def eat_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            raise SparqlSyntaxError(f"expected {kw.upper()} at {self.peek().pos}, got {self.peek().value!r}")
+        self.next()
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t.type == "OP" and t.value in ops
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            raise SparqlSyntaxError(f"expected {op!r} at {self.peek().pos}, got {self.peek().value!r}")
+        self.next()
+
+    # --- entry ----------------------------------------------------------
+
+    def parse(self) -> Query:
+        while self.at_kw("prefix", "base"):
+            if self.at_kw("base"):
+                self.next()
+                self.next()  # ignore BASE <iri>
+                continue
+            self.next()
+            pname = self.next()
+            iri = self.next()
+            if not (pname.value.endswith(":") and iri.value.startswith("<")):
+                raise SparqlSyntaxError(f"bad PREFIX at {pname.pos}")
+            self.prefixes[pname.value[:-1]] = iri.value[1:-1]
+
+        if self.at_kw("select"):
+            q = self._select()
+        elif self.at_kw("ask"):
+            q = self._ask()
+        elif self.at_kw("construct"):
+            q = self._construct()
+        else:
+            raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT at {self.peek().pos}")
+        q.prefixes = self.prefixes
+        if self.peek().type != "EOF":
+            raise SparqlSyntaxError(f"trailing input at {self.peek().pos}: {self.peek().value!r}")
+        return q
+
+    def _select(self) -> Query:
+        self.eat_kw("select")
+        q = Query(query_type="select")
+        if self.at_kw("distinct"):
+            self.next()
+            q.distinct = True
+        elif self.at_kw("reduced"):
+            self.next()
+        if self.at_op("*"):
+            self.next()
+            q.select = None
+        else:
+            sel: list[SelectExpr] = []
+            while True:
+                t = self.peek()
+                if t.type == "VAR":
+                    self.next()
+                    sel.append(SelectExpr(var=t.value[1:]))
+                elif self.at_op("("):
+                    self.next()
+                    expr = self._expression()
+                    self.eat_kw("as")
+                    v = self.next()
+                    if v.type != "VAR":
+                        raise SparqlSyntaxError(f"expected var after AS at {v.pos}")
+                    self.eat_op(")")
+                    sel.append(SelectExpr(var=v.value[1:], expr=expr))
+                else:
+                    break
+            if not sel:
+                raise SparqlSyntaxError(f"empty SELECT list at {self.peek().pos}")
+            q.select = sel
+        self.eat_kw("where")
+        q.where = self._group()
+        self._solution_modifiers(q)
+        return q
+
+    def _ask(self) -> Query:
+        self.eat_kw("ask")
+        q = Query(query_type="ask")
+        if self.at_kw("where"):
+            self.next()
+        q.where = self._group()
+        return q
+
+    def _construct(self) -> Query:
+        self.eat_kw("construct")
+        q = Query(query_type="construct")
+        self.eat_op("{")
+        q.construct_template = self._triples_block(stop_on_keywords=False)
+        self.eat_op("}")
+        self.eat_kw("where")
+        q.where = self._group()
+        self._solution_modifiers(q)
+        return q
+
+    def _solution_modifiers(self, q: Query) -> None:
+        if self.at_kw("group"):
+            self.next()
+            self.eat_kw("by")
+            while self.peek().type == "VAR":
+                q.group_by.append(self.next().value[1:])
+            if not q.group_by:
+                raise SparqlSyntaxError(f"empty GROUP BY at {self.peek().pos}")
+        if self.at_kw("having"):
+            self.next()
+            self.eat_op("(")
+            q.having = self._expression()
+            self.eat_op(")")
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            while True:
+                asc = True
+                if self.at_kw("asc", "desc"):
+                    asc = self.next().value.lower() == "asc"
+                    self.eat_op("(")
+                    item = self._expression()
+                    self.eat_op(")")
+                elif self.peek().type == "VAR":
+                    item = Term("var", self.next().value[1:])
+                elif self.at_op("("):
+                    self.next()
+                    item = self._expression()
+                    self.eat_op(")")
+                else:
+                    break
+                q.order_by.append((item, asc))
+            if not q.order_by:
+                raise SparqlSyntaxError(f"empty ORDER BY at {self.peek().pos}")
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.at_kw("limit"):
+                self.next()
+                q.limit = int(self.next().value)
+            elif self.at_kw("offset"):
+                self.next()
+                q.offset = int(self.next().value)
+
+    # --- graph patterns -------------------------------------------------
+
+    def _group(self) -> Group:
+        self.eat_op("{")
+        g = Group()
+        while not self.at_op("}"):
+            if self.at_kw("optional"):
+                self.next()
+                g.elements.append(OptionalBlock(self._group()))
+            elif self.at_kw("filter"):
+                self.next()
+                g.elements.append(Filter(self._bracketted_or_builtin()))
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat_op("(")
+                expr = self._expression()
+                self.eat_kw("as")
+                v = self.next()
+                self.eat_op(")")
+                g.elements.append(Bind(expr, v.value[1:]))
+            elif self.at_op("{"):
+                sub = self._group()
+                branches = [sub]
+                while self.at_kw("union"):
+                    self.next()
+                    branches.append(self._group())
+                g.elements.append(UnionBlock(branches) if len(branches) > 1 else sub)
+            else:
+                g.elements.extend(self._triples_block())
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        return g
+
+    def _triples_block(self, stop_on_keywords: bool = True) -> list[Triple]:
+        out: list[Triple] = []
+        while True:
+            t = self.peek()
+            if t.type == "EOF" or self.at_op("}", "{"):
+                break
+            if stop_on_keywords and self.at_kw("optional", "filter", "bind", "union", "values"):
+                break
+            s = self._term()
+            while True:
+                p = self._verb()
+                while True:
+                    o = self._term()
+                    out.append(Triple(s, p, o))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op(".", "}") or self.at_kw("optional", "filter", "bind"):
+                        break
+                    continue
+                break
+            if self.at_op("."):
+                self.next()
+                continue
+            break
+        return out
+
+    def _verb(self) -> Term:
+        t = self.peek()
+        if t.type == "KEYWORD" and t.value == "a":
+            self.next()
+            return Term("iri", RDF_TYPE)
+        return self._term()
+
+    def _term(self) -> Term:
+        t = self.next()
+        if t.type == "VAR":
+            return Term("var", t.value[1:])
+        if t.type == "IRIREF":
+            return Term("iri", t.value[1:-1])
+        if t.type == "PNAME":
+            return Term("iri", self._expand_pname(t))
+        if t.type == "NUMBER":
+            return _number_term(t.value)
+        if t.type == "STRING":
+            lex = _unescape(t.value[1:-1])
+            lang = None
+            dt = None
+            if self.peek().type == "LANGTAG":
+                lang = self.next().value[1:]
+            elif self.peek().type == "DTYPE":
+                self.next()
+                dt_tok = self.next()
+                dt = dt_tok.value[1:-1] if dt_tok.type == "IRIREF" else self._expand_pname(dt_tok)
+            return Term("literal", lex, datatype=dt, lang=lang, py=_coerce(lex, dt))
+        if t.type == "KEYWORD" and t.value.lower() in ("true", "false"):
+            b = t.value.lower() == "true"
+            return Term("literal", t.value.lower(), datatype=XSD + "boolean", py=b)
+        raise SparqlSyntaxError(f"unexpected term {t.value!r} at {t.pos}")
+
+    def _expand_pname(self, t: Token) -> str:
+        if ":" not in t.value:
+            raise SparqlSyntaxError(f"expected prefixed name at {t.pos}: {t.value!r}")
+        pfx, local = t.value.split(":", 1)
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(f"unknown prefix {pfx!r} at {t.pos}")
+        return self.prefixes[pfx] + local
+
+    # --- expressions (precedence: || < && < cmp < add < mul < unary) ----
+
+    def _bracketted_or_builtin(self) -> Expr:
+        if self.at_op("("):
+            self.next()
+            e = self._expression()
+            self.eat_op(")")
+            return e
+        e = self._unary()
+        if isinstance(e, Term):
+            e = Expr("ident", [e])
+        return e
+
+    def _expression(self) -> Expr:
+        return self._or_expr()
+
+    def _or_expr(self) -> Expr:
+        left = self._and_expr()
+        while self.at_op("||"):
+            self.next()
+            left = Expr("||", [left, self._and_expr()])
+        return left
+
+    def _and_expr(self) -> Expr:
+        left = self._cmp_expr()
+        while self.at_op("&&"):
+            self.next()
+            left = Expr("&&", [left, self._cmp_expr()])
+        return left
+
+    def _cmp_expr(self) -> Expr:
+        left = self._add_expr()
+        if self.at_op("=", "!=", "<", ">", "<=", ">="):
+            op = self.next().value
+            return Expr(op, [left, self._add_expr()])
+        if self.at_kw("in"):
+            self.next()
+            self.eat_op("(")
+            items = [self._expression()]
+            while self.at_op(","):
+                self.next()
+                items.append(self._expression())
+            self.eat_op(")")
+            return Expr("in", [left] + items)
+        return left if isinstance(left, Expr) else Expr("ident", [left])
+
+    def _add_expr(self):
+        left = self._mul_expr()
+        while self.at_op("+", "-"):
+            op = self.next().value
+            left = Expr(op, [left, self._mul_expr()])
+        return left
+
+    def _mul_expr(self):
+        left = self._unary()
+        while self.at_op("*", "/"):
+            op = self.next().value
+            left = Expr(op, [left, self._unary()])
+        return left
+
+    def _unary(self):
+        if self.at_op("!"):
+            self.next()
+            return Expr("!", [self._unary()])
+        if self.at_op("-"):
+            self.next()
+            return Expr("neg", [self._unary()])
+        if self.at_op("+"):
+            self.next()
+            return self._unary()
+        return self._primary()
+
+    def _primary(self):
+        t = self.peek()
+        if self.at_op("("):
+            self.next()
+            e = self._expression()
+            self.eat_op(")")
+            return e
+        if t.type == "KEYWORD":
+            name = t.value.lower()
+            if name in _AGGS:
+                self.next()
+                self.eat_op("(")
+                distinct = False
+                if self.at_kw("distinct"):
+                    self.next()
+                    distinct = True
+                if self.at_op("*"):
+                    self.next()
+                    arg: object = Term("iri", "*")
+                else:
+                    arg = self._expression()
+                self.eat_op(")")
+                op = f"agg_{name}" + ("_distinct" if distinct else "")
+                return Expr(op, [arg])
+            if name in _BUILTINS:
+                self.next()
+                self.eat_op("(")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self._expression())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self._expression())
+                self.eat_op(")")
+                return Expr(name, args)
+            if name in ("true", "false"):
+                return self._term()
+            raise SparqlSyntaxError(f"unexpected keyword {t.value!r} at {t.pos}")
+        return self._term()
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace('\\"', '"')
+        .replace("\\'", "'")
+        .replace("\\\\", "\\")
+    )
+
+
+def _number_term(lex: str) -> Term:
+    if re.fullmatch(r"[+-]?\d+", lex):
+        return Term("literal", lex, datatype=XSD + "integer", py=int(lex))
+    return Term("literal", lex, datatype=XSD + "double", py=float(lex))
+
+
+def _coerce(lex: str, dt: str | None):
+    """Typed-literal coercion (reference: Xfilter.py data_types :43-63,
+    queryParser.py :714-731)."""
+    if dt is None:
+        return lex
+    local = dt.rsplit("#", 1)[-1]
+    if local in ("integer", "int", "long", "short", "byte", "nonNegativeInteger",
+                 "positiveInteger", "negativeInteger", "unsignedInt", "unsignedLong"):
+        return int(lex)
+    if local in ("decimal", "float", "double"):
+        return float(lex)
+    if local == "boolean":
+        return lex.lower() == "true"
+    if local in ("dateTime", "date"):
+        return lex  # compared lexically / via cast in the compiler
+    return lex
+
+
+def parse(text: str) -> Query:
+    return Parser(text).parse()

@@ -1,0 +1,284 @@
+"""End-to-end SPARQL engine tests: each query runs through parse →
+decompose → compile → DataFrame and must match a handwritten DuckDB SQL
+oracle on the same tables (the reference's correctness story, SURVEY.md
+§5, but automated)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog, tpch_split_catalog
+from ontario_spark.compiler.query import SparqlEngine
+from tests.oracle import assert_match, run_oracle
+
+PFX = f"PREFIX ex: <{EX}>\n"
+
+URI_C = "'http://ex.org/tpch/customer/' || CAST(c_custkey AS VARCHAR)"
+URI_N = "'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR)"
+URI_O = "'http://ex.org/tpch/order/' || CAST(o_orderkey AS VARCHAR)"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_small):
+    return SparqlEngine(spark, tpch_catalog(sf_small))
+
+
+def check(engine, sf, sparql, sql, name):
+    assert_match(engine.query(PFX + sparql), run_oracle(sql, sf), name)
+
+
+def test_single_star_filter(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?c ?name ?acctbal WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?acctbal .
+             FILTER (?acctbal > 5000.0) }""",
+        f"""SELECT {URI_C} AS c, c_name AS name, c_acctbal AS acctbal
+            FROM customer WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+              AND c_acctbal > 5000.0""",
+        "single_star_filter",
+    )
+
+
+def test_two_star_template_join(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?cname ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname . }""",
+        """SELECT c_name AS cname, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL""",
+        "two_star_template_join",
+    )
+
+
+def test_predicate_index_source_selection(engine, sf_small):
+    # no rdf:type — ex:mktsegment exists only on CustomerMap
+    check(
+        engine,
+        sf_small,
+        "SELECT DISTINCT ?seg WHERE { ?c ex:mktsegment ?seg }",
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer WHERE c_mktsegment IS NOT NULL",
+        "predicate_index",
+    )
+
+
+def test_union_over_classes(engine, sf_small):
+    # ex:name is ambiguous between Customer/Nation/Region/Supplier/Part
+    # molecules → the engine must UNION all five (reference: make_union)
+    check(
+        engine,
+        sf_small,
+        "SELECT ?name WHERE { ?s ex:name ?name }",
+        """SELECT c_name AS name FROM customer WHERE c_name IS NOT NULL
+           UNION ALL SELECT n_name FROM nation WHERE n_name IS NOT NULL
+           UNION ALL SELECT p_name FROM part WHERE p_name IS NOT NULL
+           UNION ALL SELECT r_name FROM region WHERE r_name IS NOT NULL
+           UNION ALL SELECT s_name FROM supplier WHERE s_name IS NOT NULL""",
+        "union_over_classes",
+    )
+
+
+def test_explicit_union(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name WHERE {
+             { ?c a ex:Customer ; ex:name ?name }
+             UNION { ?s a ex:Supplier ; ex:name ?name } }""",
+        """SELECT c_name AS name FROM customer WHERE c_name IS NOT NULL
+           UNION ALL
+           SELECT s_name AS name FROM supplier WHERE s_name IS NOT NULL""",
+        "explicit_union",
+    )
+
+
+def test_optional(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?c ?name ?ostatus WHERE {
+             ?c a ex:Customer ; ex:name ?name .
+             OPTIONAL { ?o a ex:Order ; ex:customer ?c ; ex:orderstatus ?ostatus } }""",
+        f"""SELECT {URI_C} AS c, c_name AS name, o_orderstatus AS ostatus
+            FROM customer LEFT OUTER JOIN orders
+              ON o_custkey = c_custkey AND o_orderstatus IS NOT NULL
+            WHERE c_name IS NOT NULL""",
+        "optional",
+    )
+
+
+def test_three_star_chain_order_limit(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?cname ?nname ?rname WHERE {
+             ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n .
+             ?n ex:name ?nname ; ex:region ?r .
+             ?r ex:name ?rname .
+             FILTER (?rname = "ASIA") }
+           ORDER BY ?cname LIMIT 20""",
+        """SELECT c_name AS cname, n_name AS nname, r_name AS rname
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL
+             AND r_name IS NOT NULL AND r_name = 'ASIA'
+           ORDER BY cname LIMIT 20""",
+        "three_star_chain",
+    )
+
+
+def test_constant_object_and_uri_subject(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:mktsegment "BUILDING" . }""",
+        """SELECT c_name AS name FROM customer
+           WHERE c_name IS NOT NULL AND c_mktsegment = 'BUILDING'""",
+        "constant_object",
+    )
+    # constant SUBJECT: template inversion → key equality
+    check(
+        engine,
+        sf_small,
+        f"SELECT ?name WHERE {{ <{EX}customer/7> ex:name ?name }}",
+        """SELECT c_name AS name FROM customer
+           WHERE c_name IS NOT NULL AND CAST(c_custkey AS VARCHAR) = '7'""",
+        "constant_subject",
+    )
+
+
+def test_constant_object_uri_inversion(engine, sf_small):
+    # object URI constant hits a TEMPLATE object map → key equality
+    check(
+        engine,
+        sf_small,
+        f"""SELECT ?o WHERE {{ ?o a ex:Order ; ex:customer <{EX}customer/3> }}""",
+        f"""SELECT {URI_O} AS o FROM orders
+            WHERE CAST(o_custkey AS VARCHAR) = '3'""",
+        "object_uri_inversion",
+    )
+
+
+def test_filter_functions(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?type WHERE {
+             ?p a ex:Part ; ex:name ?name ; ex:type ?type .
+             FILTER (CONTAINS(?type, "BRASS") || REGEX(?name, "a.*e")) }""",
+        """SELECT p_name AS name, p_type AS type FROM part
+           WHERE p_name IS NOT NULL AND p_type IS NOT NULL
+             AND (p_type LIKE '%BRASS%' OR regexp_matches(p_name, 'a.*e'))""",
+        "filter_functions",
+    )
+
+
+def test_repeated_object_var_same_star(engine, sf_small):
+    # ?x ex:name ?v twice through different predicates → equality
+    check(
+        engine,
+        sf_small,
+        """SELECT ?n ?v WHERE {
+             ?n a ex:Nation ; ex:name ?v .
+             ?r a ex:Region ; ex:name ?v . }""",
+        f"""SELECT {URI_N} AS n, n_name AS v
+            FROM nation JOIN region ON n_name = r_name
+            WHERE n_name IS NOT NULL AND r_name IS NOT NULL""",
+        "repeated_object_var",
+    )
+
+
+def test_bind_and_select_expr(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?doubled WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?b .
+             BIND (?b * 2 AS ?doubled) }""",
+        """SELECT c_name AS name, c_acctbal * 2 AS doubled FROM customer
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL""",
+        "bind",
+    )
+
+
+def test_ask(engine, sf_small):
+    df = engine.query(PFX + "ASK { ?c a ex:Customer ; ex:acctbal ?b . FILTER(?b > 1000.0) }")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["ask"] is True
+    df2 = engine.query(PFX + 'ASK { ?c a ex:Customer ; ex:name "no_such_name_xyz" }')
+    assert df2.collect()[0]["ask"] is False
+
+
+def test_construct(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """CONSTRUCT { ?c ex:label ?name } WHERE { ?c a ex:Customer ; ex:name ?name }""",
+        f"""SELECT DISTINCT {URI_C} AS s, 'http://ex.org/tpch/label' AS p, c_name AS o
+            FROM customer WHERE c_name IS NOT NULL""",
+        "construct",
+    )
+
+
+def test_aggregates_group_by(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg (COUNT(?c) AS ?n) (SUM(?bal) AS ?total) WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg ; ex:acctbal ?bal }
+           GROUP BY ?seg""",
+        """SELECT c_mktsegment AS seg, COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+           GROUP BY c_mktsegment""",
+        "aggregates",
+    )
+
+
+def test_multimap_selfjoin(spark, sf_small):
+    # split catalog: Customer predicates spread over two triple maps →
+    # self-join on subject keys (ChEBI-style narrow tables)
+    eng = SparqlEngine(spark, tpch_split_catalog(sf_small))
+    check(
+        eng,
+        sf_small,
+        """SELECT ?name ?seg WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:mktsegment ?seg . }""",
+        """SELECT t1.c_name AS name, t2.c_mktsegment AS seg
+           FROM customer t1 JOIN customer t2 ON t1.c_custkey = t2.c_custkey
+           WHERE t1.c_name IS NOT NULL AND t2.c_mktsegment IS NOT NULL""",
+        "multimap_selfjoin",
+    )
+
+
+def test_offset_pagination(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?o ?price WHERE { ?o a ex:Order ; ex:totalprice ?price }
+           ORDER BY DESC(?price) ?o LIMIT 5 OFFSET 5""",
+        f"""SELECT {URI_O} AS o, o_totalprice AS price FROM orders
+            WHERE o_totalprice IS NOT NULL
+            ORDER BY price DESC, o ASC LIMIT 5 OFFSET 5""",
+        "offset_pagination",
+    )
+
+
+def test_date_filter(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?o ?d WHERE {
+             ?o a ex:Order ; ex:orderdate ?d .
+             FILTER (?d >= "1999-01-01"^^<http://www.w3.org/2001/XMLSchema#date>) }""",
+        f"""SELECT {URI_O} AS o, o_orderdate AS d FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_orderdate >= TIMESTAMP '1999-01-01'""",
+        "date_filter",
+    )

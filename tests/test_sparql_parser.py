@@ -1,0 +1,109 @@
+from __future__ import annotations
+
+import pytest
+
+from ontario_spark.sparql.ast import Filter, OptionalBlock, Term, Triple, UnionBlock
+from ontario_spark.sparql.parser import RDF_TYPE, SparqlSyntaxError, parse
+
+EX = "http://ex.org/tpch/"
+PFX = f"PREFIX ex: <{EX}>\n"
+
+
+def test_basic_select():
+    q = parse(PFX + "SELECT ?c ?name WHERE { ?c ex:name ?name . }")
+    assert q.query_type == "select"
+    assert [s.var for s in q.select] == ["c", "name"]
+    (t,) = q.where.elements
+    assert t == Triple(Term("var", "c"), Term("iri", EX + "name"), Term("var", "name"))
+
+
+def test_predicate_object_list_and_type():
+    q = parse(PFX + "SELECT * WHERE { ?c a ex:Customer ; ex:name ?n, ?n2 . }")
+    trips = q.where.elements
+    assert len(trips) == 3
+    assert trips[0].p.value == RDF_TYPE
+    assert trips[0].o.value == EX + "Customer"
+    assert trips[1].o.value == "n" and trips[2].o.value == "n2"
+    assert q.select is None  # SELECT *
+
+
+def test_filter_expression_precedence():
+    q = parse(PFX + 'SELECT ?x WHERE { ?x ex:v ?v . FILTER (?v > 5 && ?v < 10 || ?v = 42) }')
+    (_, f) = q.where.elements
+    assert isinstance(f, Filter)
+    assert f.expr.op == "||"
+    assert f.expr.args[0].op == "&&"
+    assert f.expr.variables() == {"v"}
+
+
+def test_typed_literals():
+    q = parse(PFX + 'SELECT ?x WHERE { ?x ex:p "hi"@en . ?x ex:q "3.5"^^<http://www.w3.org/2001/XMLSchema#double> . ?x ex:r 7 . ?x ex:s true . }')
+    os = [t.o for t in q.where.elements]
+    assert os[0].lang == "en"
+    assert os[1].py == 3.5
+    assert os[2].py == 7
+    assert os[3].py is True
+
+
+def test_optional_union():
+    q = parse(
+        PFX
+        + "SELECT ?a WHERE { { ?a ex:p ?b } UNION { ?a ex:q ?b } OPTIONAL { ?a ex:r ?c } }"
+    )
+    u, o = q.where.elements
+    assert isinstance(u, UnionBlock) and len(u.branches) == 2
+    assert isinstance(o, OptionalBlock)
+
+
+def test_modifiers():
+    q = parse(
+        PFX
+        + "SELECT DISTINCT ?x WHERE { ?x ex:p ?v } ORDER BY DESC(?v) ?x LIMIT 5 OFFSET 10"
+    )
+    assert q.distinct and q.limit == 5 and q.offset == 10
+    assert len(q.order_by) == 2
+    assert q.order_by[0][1] is False and q.order_by[1][1] is True
+
+
+def test_aggregates_group_by():
+    q = parse(
+        PFX
+        + "SELECT ?seg (COUNT(?c) AS ?n) (SUM(?bal) AS ?total) WHERE "
+        + "{ ?c ex:mktsegment ?seg ; ex:acctbal ?bal } GROUP BY ?seg"
+    )
+    assert q.group_by == ["seg"]
+    assert q.select[1].expr.op == "agg_count"
+    assert q.select[2].expr.op == "agg_sum"
+
+
+def test_ask_and_construct():
+    a = parse(PFX + "ASK { ?c a ex:Customer }")
+    assert a.query_type == "ask"
+    c = parse(PFX + "CONSTRUCT { ?c ex:label ?n } WHERE { ?c ex:name ?n }")
+    assert c.query_type == "construct"
+    assert len(c.construct_template) == 1
+
+
+def test_builtin_functions():
+    q = parse(PFX + 'SELECT ?x WHERE { ?x ex:name ?n FILTER (CONTAINS(?n, "abc") || REGEX(?n, "^z", "i")) }')
+    f = [e for e in q.where.elements if isinstance(e, Filter)][0]
+    assert f.expr.op == "||"
+    assert f.expr.args[0].op == "contains"
+    assert f.expr.args[1].op == "regex"
+
+
+def test_bind():
+    q = parse(PFX + "SELECT ?y WHERE { ?x ex:v ?v BIND(?v * 2 AS ?y) }")
+    from ontario_spark.sparql.ast import Bind
+
+    b = [e for e in q.where.elements if isinstance(e, Bind)][0]
+    assert b.var == "y" and b.expr.op == "*"
+
+
+def test_syntax_errors():
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT ?x WHERE { ?x unknown:p ?y }")
+    with pytest.raises(SparqlSyntaxError):
+        parse("SELECT WHERE { }")
+    with pytest.raises(SparqlSyntaxError):
+        parse(PFX + "SELECT ?x WHERE { ?x ex:p ?y } garbage")
