@@ -1,0 +1,161 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (the design target is ~100 TB of documents on a 1000-
+executor cluster):
+
+- Exact dedup is one hash-shuffle on the content hash (md5 of the
+  text), not the text itself — shuffle payload stays small.
+- MinHash+LSH is the classic shingle → minhash → band → bucket-join
+  pipeline: only documents sharing a band bucket are ever paired, so
+  the quadratic all-pairs step never materializes. Band buckets are
+  computed with md5 (engine-independent, deterministic across runs —
+  required for resumable pipelines and cross-engine validation).
+- SimHash packs a document into one 32-bit integer; near-dup candidates
+  share band bytes. Everything is Column expressions — no Python UDFs.
+- n-gram Jaccard is exact verification: explode distinct shingles,
+  self-join per shingle, count intersections. Used standalone for
+  small/medium corpora or as the verify stage after LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ontario_spark.operators.textops import shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content: one row per distinct text,
+    keeping the smallest id as canonical + the duplicate count."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _pair_cols(id_col: str):
+    return (F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| >= threshold over distinct word n-gram shingles."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(*_pair_cols(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    md5(i || '|' || shingle). md5-based so signatures are reproducible
+    across engines and runs."""
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash LSH near-dup join: band the signature, bucket-join per
+    band, then filter candidates by estimated Jaccard (= fraction of
+    matching minhashes) >= threshold.
+
+    With r = num_hashes/bands rows per band, the usual S-curve
+    guarantees apply; candidate generation is linear in corpus size ×
+    band count, never quadratic."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(c) for c in mh_cols[b * r : (b + 1) * r]]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.withColumn("bk", band_keys).select(
+        id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(*_pair_cols(id_col), *[
+            (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int").alias(f"eq{i}")
+            for i, c in enumerate(mh_cols)
+        ])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(float(num_hashes))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: md5-derived per-token hash; bit i of the
+    fingerprint is the sign of the sum over tokens of ±1 per token-bit.
+    One integer per document; hamming-close fingerprints ≈ similar
+    token multisets."""
+    from ontario_spark.operators.textops import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    # low 8 hex chars of md5 → 32-bit unsigned token hash
+    th = F.conv(F.substring(F.md5(F.col("tok")), 25, 8), 16, 10).cast("long")
+    tok = tok.select(id_col, th.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    fp = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
+    )
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring how a 100 TB pipeline would tier them:
+
+- ``brute_force_topk`` — exact cosine top-k. The query set is
+  broadcast; the corpus is scanned once, fully parallel; a window
+  takes top-k per query. Baseline/verification path.
+- ``sign_lsh`` bucketing — random-hyperplane-style LSH using the
+  axis-aligned sign pattern of the leading dimensions as the bucket
+  key (deterministic, no RNG state to ship). Candidates only pair
+  within a bucket, so the all-pairs product never materializes; the
+  scale path for ANN joins and near-dup detection.
+
+Dot products run as ``zip_with`` + ``aggregate`` Column expressions in
+double precision — JVM-side, deterministic left-to-right summation
+(bit-reproducible against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _dvec(a), _dvec(b)
+    return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus scan; rank per query with a deterministic tiebreak."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def sign_lsh_bucket(vec_col: Column, bits: int = 16) -> Column:
+    """Bucket key: '1'/'0' sign pattern of the first ``bits`` dims."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ],
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bits: int = 8,
+) -> DataFrame:
+    """ANN top-k: score only within the query's sign-LSH bucket. Trades
+    recall for a bucket-local join instead of a full cross product."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) with score >=
+    threshold, candidate-limited to shared sign-LSH buckets."""
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

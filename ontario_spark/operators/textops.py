@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines (beyond the
+reference — BASELINE.json north star).
+
+All hot-path logic is built-in Column expressions (JVM-side, inside
+whole-stage codegen): tokenization via ``split``, shingling via
+``transform``/``sequence``, hashing via ``md5`` (engine-independent, so
+DuckDB oracles can replicate results bit-for-bit — unlike
+``xxhash64``/``hash`` whose seeds are Spark-specific). No Python UDFs
+anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/marker language-ID
+# heuristic. Deterministic and tiny by design — the point is the
+# Spark-side shape (scoring + argmax over languages), not model quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "la", "les", "et", "un"),
+    "es": ("el", "los", "las", "y", "una"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; trim first so no empty edge tokens."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (empty array when
+    the text has fewer than n tokens)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (word-chunks of ≤4 chars — ceil(len/4) per word)."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    subwords = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        subwords.alias("n_subword_est"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: mean word length, stopword ratio,
+    alpha ratio, and a composite score. Single-division doubles so a
+    SQL oracle reproduces values exactly."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    mean_word_len = (F.length(text) - (n_tokens - 1)).cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    alpha_ratio = n_alpha.cast("double") / F.length(text)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: score = #tokens in each language's
+    marker set; predict argmax (ties broken by language code order),
+    'und' when all scores are zero."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: F.lower(w).isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)  # deterministic tiebreak
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # reversed so earlier codes win ties
+        best = F.when(scores[lang] >= F.greatest(best_score, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_score = F.greatest(best_score, scores[lang])
+    out = df.select(
+        F.col(id_col),
+        best.alias("pred_lang"),
+        best_score.alias("marker_hits"),
+    )
+    return out
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Document fingerprinting: full-content md5 plus a winnowing-style
+    anchor = min md5 over word n-gram shingles (stable under
+    append/prepend edits, unlike the full hash)."""
+    text = F.col(text_col)
+    sh = shingles(text, n)
+    return df.select(
+        F.col(id_col),
+        F.md5(text).alias("content_hash"),
+        F.array_min(F.transform(sh, F.md5)).alias("shingle_anchor"),
+    )

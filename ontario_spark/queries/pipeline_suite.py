@@ -1,0 +1,299 @@
+"""Training-data pipeline queries on the driver correctness surface:
+dedup, similarity search, text analysis, multimodal plumbing — all over
+the ``documents`` / ``embeddings`` tables.
+
+Oracles: every operator that can be expressed in ANSI SQL gets a DuckDB
+oracle reproducing it bit-for-bit (md5-based hashing + double
+arithmetic with deterministic summation order makes this possible).
+``minhash_``/``simhash_`` entries are checked rows-only by the driver
+(banding layout is engine-specific); their semantics are covered by
+dedicated pytest invariants instead (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.operators import dedup, similarity, textops
+from ontario_spark.operators.multimodal import decode_stats, media_from_text
+
+# --- dedup --------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.35
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), ex AS (
+  SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+         ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=8,
+        threshold=0.4,
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- similarity search --------------------------------------------------
+
+
+def _queries_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+
+
+ANN_ORACLE_CTE = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+           AS score
+  FROM c, q WHERE c.vec_id != q.query_id {extra}
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _queries_subset(spark, sf_dir), k=3)
+
+
+ANN_BRUTEFORCE_SQL = ANN_ORACLE_CTE.format(extra="")
+
+
+def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.bucketed_topk(
+        emb, _queries_subset(spark, sf_dir), k=3, bits=4
+    )
+
+
+ANN_BUCKETED_SQL = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         array_to_string(list_transform(embedding[1:4],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+           AS score
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.2, bits=4
+    )
+
+
+EMB_NEARDUP_SQL = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         array_to_string(list_transform(embedding[1:4],
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS score
+FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+"""
+
+
+# --- text analysis ------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                     w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT) AS n_subword_est,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       array_length(toks) AS n_tokens,
+       CAST(length(text) - (array_length(toks) - 1) AS DOUBLE)
+         / array_length(toks) AS mean_word_len,
+       CAST(len(list_filter(toks,
+              w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         / array_length(toks) AS stopword_ratio,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / length(text) AS alpha_ratio
+FROM t
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, w -> lower(w) IN ('the','a','of','and','to'))) AS s_en,
+    len(list_filter(toks, w -> lower(w) IN ('der','die','das','und','ein'))) AS s_de,
+    len(list_filter(toks, w -> lower(w) IN ('le','la','les','et','un'))) AS s_fr,
+    len(list_filter(toks, w -> lower(w) IN ('el','los','las','y','una'))) AS s_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  GREATEST(s_en, s_de, s_fr, s_es) AS marker_hits
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_FINGERPRINT_SQL = """
+WITH sh AS (
+  SELECT doc_id, text,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+)
+SELECT doc_id, md5(text) AS content_hash,
+       list_min(list_transform(shingles, s -> md5(s))) AS shingle_anchor
+FROM sh
+"""
+
+
+# --- multimodal plumbing ------------------------------------------------
+
+
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_text(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return decode_stats(media)
+
+
+MM_DECODE_STATS_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       CAST(list_sum(list_transform(
+              range(1, octet_length(encode(text)) + 1),
+              i -> ascii(substr(text, i, 1)))) AS BIGINT) % 1000003 AS byte_sum_mod
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_bucketed": ann_topk_bucketed,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "mm_decode_stats": mm_decode_stats,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
+    "ann_topk_bucketed": ANN_BUCKETED_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "mm_decode_stats": MM_DECODE_STATS_SQL,
+}

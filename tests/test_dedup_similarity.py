@@ -1,0 +1,99 @@
+"""Semantic invariants for the non-SQL-expressible operators (the ones
+the driver checks rows-only): MinHash-LSH and SimHash, plus recall
+cross-checks between approximate and exact paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return table(spark, sf_small, "documents")
+
+
+def _planted(spark):
+    """Corpus with planted near-duplicates (the synthetic docs are all
+    distinct, so plant our own)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup of 1
+        (4, "completely different words about spark queries and shuffles here"),
+        (5, "another unrelated document mentioning joins aggregates and scans"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    df = _planted(spark)
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # exact dup must be found at est=1.0
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in pairs}
+    assert est[(1, 2)] == 1.0
+    # near dup (one word changed) should bucket together with 8 bands
+    assert (1, 3) in found and (2, 3) in found
+    # unrelated docs must not pair
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_lsh_candidates_subset_of_exact_jaccard(spark, docs):
+    """Every LSH pair at high threshold must also appear in the exact
+    n-gram Jaccard join at a lower threshold (LSH estimates the same
+    quantity)."""
+    lsh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.75
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert lsh_pairs <= exact_pairs
+
+
+def test_simhash_similar_docs_close(spark):
+    df = _planted(spark)
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text").collect()}
+    assert fp[1] == fp[2]  # identical text → identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fp[1], fp[3]) < hamming(fp[1], fp[4])
+
+
+def test_simhash_deterministic(spark, docs):
+    a = dedup.simhash(docs.limit(50), "doc_id", "text").collect()
+    b = dedup.simhash(docs.limit(50), "doc_id", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bucketed_topk_recall_vs_bruteforce(spark, sf_small):
+    emb = table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(emb, queries, k=3).collect()
+    bk = similarity.bucketed_topk(emb, queries, k=3, bits=4).collect()
+    # bucketed is ANN: per query it can only do as well as exact search,
+    # never better, and must answer every query (a query always shares
+    # its own bucket)
+    assert {r.query_id for r in bk} == {r.query_id for r in bf}
+    bf_best = {r.query_id: r.score for r in bf if r.rank == 1}
+    bk_best = {r.query_id: r.score for r in bk if r.rank == 1}
+    for qid, s in bk_best.items():
+        assert s <= bf_best[qid] + 1e-12
+    assert all(1 <= r.rank <= 3 for r in bk)
+
+
+def test_multimodal_stub_raises(spark, sf_small):
+    from ontario_spark.operators.multimodal import media_from_text, resize_images
+
+    media = media_from_text(table(spark, sf_small, "documents").limit(2), "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|image codecs"):
+        resize_images(media, 64, 64).collect()
