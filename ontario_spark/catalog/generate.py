@@ -1,0 +1,107 @@
+"""Catalog generation: probe a data lake and emit TripleMaps + indexes.
+
+Plays the role of the reference's RDF-MT manager
+(``ontario/rdfmt/__init__.py`` ``RDFMTMgr``: source probing
+``get_typed_concepts`` :518, mapping-driven generation
+``create_from_mapping`` :1055-1171; CLI ``scripts/create_rdfmts.py``) —
+but probes Spark-readable tables instead of SPARQL endpoints: each
+table becomes one molecule; the primary key column drives the subject
+template; columns named like another table's key become object-property
+TEMPLATE maps (the cross-molecule links the reference stores as
+``RDFMT.linkedTo``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ontario_spark.catalog.model import (
+    Catalog,
+    DataSource,
+    LogicalSource,
+    TripleMap,
+    ref,
+    tpl,
+)
+
+
+def _class_name(table: str) -> str:
+    return table[:-1].capitalize() if table.endswith("s") else table.capitalize()
+
+
+def generate_catalog(
+    spark: SparkSession,
+    base_path: str,
+    tables: list[str],
+    namespace: str,
+    keys: dict[str, str] | None = None,
+    fmt: str = "parquet",
+) -> Catalog:
+    """Probe each table's schema and build a catalog.
+
+    ``keys``: table → primary key column; defaults to the first column.
+    A column equal to another table's key (ignoring the one-letter
+    TPC-H-style prefix, e.g. ``c_nationkey`` vs ``n_nationkey``) becomes
+    an object-property link to that molecule.
+    """
+    keys = dict(keys or {})
+    schemas: dict[str, list[str]] = {}
+    for t in tables:
+        from ontario_spark.data import table as load
+
+        schemas[t] = load(spark, base_path, t).columns if fmt == "parquet" else (
+            spark.read.format(fmt).load(f"{base_path}/{t}").columns
+        )
+        keys.setdefault(t, schemas[t][0])
+
+    def stem(col: str) -> str:
+        return col.split("_", 1)[1] if "_" in col else col
+
+    key_owner = {stem(keys[t]): t for t in tables}
+
+    cat = Catalog()
+    src = DataSource(name="generated_lake", dstype=fmt, base_path=base_path)
+    maps = []
+    for t in tables:
+        pk = keys[t]
+        preds = []
+        for col in schemas[t]:
+            if col == pk:
+                continue
+            owner = key_owner.get(stem(col))
+            pname = namespace + stem(col)
+            if owner and owner != t:
+                preds.append(
+                    (namespace + owner, tpl(f"{namespace}{owner}/{{{col}}}"))
+                )
+            else:
+                preds.append((pname, ref(col)))
+        maps.append(
+            TripleMap(
+                name=f"{_class_name(t)}Gen",
+                source=LogicalSource(table=t),
+                subject=tpl(f"{namespace}{t}/{{{pk}}}"),
+                subject_class=namespace + _class_name(t),
+                predicates=tuple(preds),
+            )
+        )
+    cat.add(src, *maps)
+    return cat
+
+
+def describe(cat: Catalog) -> dict:
+    """JSON-able molecule summary (the RDF-MT view: per-class
+    predicates + cross-links), for persistence or inspection."""
+    out = {}
+    for name, tm in sorted(cat.triple_maps.items()):
+        links = [
+            p for p, om in tm.predicates if om.kind == "template"
+        ]
+        out[name] = {
+            "class": tm.subject_class,
+            "table": tm.source.table,
+            "subject": tm.subject.value,
+            "predicates": [p for p, _ in tm.predicates],
+            "linked_to": links,
+        }
+    return out

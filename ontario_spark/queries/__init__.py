@@ -16,6 +16,7 @@ _MODULES = [
     "ontario_spark.queries.tpch",
     "ontario_spark.queries.sparql_suite",
     "ontario_spark.queries.pipeline_suite",
+    "ontario_spark.queries.streaming_suite",
 ]
 
 

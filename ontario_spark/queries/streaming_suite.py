@@ -1,0 +1,70 @@
+"""Streaming queries on the driver surface. Each runs through the real
+Structured Streaming engine (AvailableNow replay of the events parquet,
+state store + watermark active) and returns the final result table —
+then hash-checked against a batch ANSI-SQL oracle, proving the
+streaming path computes exactly what batch does over the same rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ontario_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    user_sessions,
+    windowed_counts,
+)
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(windowed_counts(stream), "stream_events_hourly_sink")
+
+
+STREAM_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    df = run_available_now(
+        user_sessions(stream, gap_minutes=30), "stream_user_sessions_sink"
+    )
+    # session_end = last event + gap is engine-layout-specific; project
+    # the oracle-comparable columns
+    return df.select("user_id", "session_start", "n_events", "session_value")
+
+
+STREAM_USER_SESSIONS_SQL = """
+WITH x AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), y AS (
+  SELECT user_id, ts, value,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM x
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM y GROUP BY user_id, sess_id
+"""
+
+
+QUERIES = {
+    "stream_events_hourly": stream_events_hourly,
+    "stream_user_sessions": stream_user_sessions,
+}
+
+ORACLE = {
+    "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
+    "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
+}

@@ -1,0 +1,99 @@
+"""Remote SPARQL endpoint bridge.
+
+The one genuinely custom runtime piece of the federation (SURVEY.md
+§4.3): no JVM connector exists for SPARQL endpoints, so bindings are
+pulled driver-side and handed to Spark. Semantics ported from the
+reference's ``RDFStore`` wrapper (``ontario/wrappers/triplestore/
+__init__.py``): HTTP GET with ``application/sparql-results+json``
+(:52-118) and paged pulls re-issuing the query with ``LIMIT k OFFSET
+n*k`` until a short page (:28-46).
+
+Scale path: a single OFFSET-paged pull is inherently serial and served
+by one endpoint worker; ``sharded_queries`` splits a query into N
+disjoint FILTER shards (hash-mod over a shard variable) that can be
+fetched by parallel driver threads or mapped over executors, which is
+how the 100 TB federation ambition stays bounded by the remote store,
+not this bridge.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from urllib.parse import urlencode
+
+from pyspark.sql import DataFrame, SparkSession
+
+# fetcher: (endpoint_url, query_text) -> SPARQL-JSON result dict
+Fetcher = Callable[[str, str], dict]
+
+
+def http_fetcher(endpoint: str, query: str) -> dict:
+    """Default fetcher over stdlib urllib (kept import-light; tests
+    inject fakes instead of hitting the network)."""
+    from urllib.request import Request, urlopen
+
+    url = f"{endpoint}?{urlencode({'query': query, 'format': 'json'})}"
+    req = Request(url, headers={"Accept": "application/sparql-results+json"})
+    with urlopen(req, timeout=60) as resp:  # pragma: no cover - network
+        return json.loads(resp.read().decode("utf-8"))
+
+
+def _simple_value(term: dict) -> str | None:
+    return term.get("value") if term else None
+
+
+def paged_bindings(
+    endpoint: str,
+    query: str,
+    page_size: int = 10000,
+    fetcher: Fetcher = http_fetcher,
+    max_pages: int = 10000,
+) -> Iterator[dict[str, str | None]]:
+    """Yield solution mappings, re-issuing with LIMIT/OFFSET until a
+    short page (reference :28-46). The input query must not already
+    carry LIMIT/OFFSET."""
+    offset = 0
+    for _ in range(max_pages):
+        paged = f"{query}\nLIMIT {page_size} OFFSET {offset}"
+        result = fetcher(endpoint, paged)
+        rows = result.get("results", {}).get("bindings", [])
+        for row in rows:
+            yield {var: _simple_value(term) for var, term in row.items()}
+        if len(rows) < page_size:
+            return
+        offset += page_size
+
+
+def endpoint_df(
+    spark: SparkSession,
+    endpoint: str,
+    query: str,
+    variables: list[str],
+    page_size: int = 10000,
+    fetcher: Fetcher = http_fetcher,
+) -> DataFrame:
+    """Paged fetch → DataFrame with one string column per variable."""
+    rows = [
+        tuple(b.get(v) for v in variables)
+        for b in paged_bindings(endpoint, query, page_size, fetcher)
+    ]
+    schema = ", ".join(f"{v} string" for v in variables)
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def sharded_queries(query: str, shard_var: str, n_shards: int) -> list[str]:
+    """Split a SPARQL query into N disjoint shards via a deterministic
+    hash-mod filter on one variable — each shard is independently
+    pageable and fetchable in parallel."""
+    out = []
+    marker = "}"
+    idx = query.rstrip().rfind(marker)
+    if idx < 0:
+        raise ValueError("query has no group graph pattern to shard")
+    for s in range(n_shards):
+        shard_filter = (
+            f" FILTER (MOD(ABS(HASH(STR(?{shard_var}))), {n_shards}) = {s}) "
+        )
+        out.append(query[:idx] + shard_filter + query[idx:])
+    return out

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from ontario_spark.catalog.generate import describe, generate_catalog
+from ontario_spark.compiler.query import SparqlEngine
+from tests.oracle import assert_match, run_oracle
+
+NS = "http://gen.org/"
+
+
+def test_generated_catalog_answers_queries(spark, sf_small):
+    cat = generate_catalog(
+        spark,
+        sf_small,
+        ["customer", "nation", "orders"],
+        NS,
+        keys={"customer": "c_custkey", "nation": "n_nationkey", "orders": "o_orderkey"},
+    )
+    # FK inference: c_nationkey → nation link, o_custkey → customer link
+    d = describe(cat)
+    assert NS + "nation" in d["CustomerGen"]["predicates"]
+    assert NS + "customer" in d["OrderGen"]["predicates"]
+
+    eng = SparqlEngine(spark, cat)
+    df = eng.query(
+        f"PREFIX g: <{NS}>\n"
+        "SELECT ?cname ?nname WHERE { ?c a g:Customer ; g:name ?cname ; g:nation ?n . "
+        "?n g:name ?nname }"
+    )
+    oracle = run_oracle(
+        """SELECT c_name AS cname, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL""",
+        sf_small,
+    )
+    assert_match(df, oracle, "generated_catalog")
+
+
+def test_generated_catalog_order_join(spark, sf_small):
+    cat = generate_catalog(
+        spark, sf_small, ["customer", "orders"], NS,
+        keys={"customer": "c_custkey", "orders": "o_orderkey"},
+    )
+    eng = SparqlEngine(spark, cat)
+    df = eng.query(
+        f"PREFIX g: <{NS}>\n"
+        "SELECT ?cname ?tp WHERE { ?o a g:Order ; g:customer ?c ; g:totalprice ?tp . "
+        "?c g:name ?cname }"
+    )
+    oracle = run_oracle(
+        """SELECT c_name AS cname, o_totalprice AS tp
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_name IS NOT NULL AND o_totalprice IS NOT NULL""",
+        sf_small,
+    )
+    assert_match(df, oracle, "generated_order_join")
