@@ -51,20 +51,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with
-    |A∩B| / |A∪B| >= threshold over distinct word n-gram shingles."""
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
-    a, b = exploded.alias("a"), exploded.alias("b")
+    |A∩B| / |A∪B| >= threshold over distinct word n-gram shingles.
+
+    Shuffle hygiene for scale: the self-join key is a 64-bit hash of
+    the shingle (not the string), the join payload is just (id, key),
+    and the per-doc set sizes rejoin AFTER pair aggregation from a
+    small broadcast side — so the quadratic candidate stream carries 16
+    bytes/row instead of the shingle text + counters."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    exploded = sh.select("id", F.xxhash64("shingle").alias("k"))
+    a = exploded.select(F.col("id").alias("id_a"), "k")
+    b = exploded.select(F.col("id").alias("id_b"), "k")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(*_pair_cols(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = F.broadcast(sizes)
+    inter = (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
@@ -74,16 +84,44 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# Universal-hash family over a Mersenne prime: h_i(x) = (a_i·x + b_i)
+# mod p. One md5 per shingle provides the base integer; the k seeded
+# hashes are then pure arithmetic (vs. k md5 calls per shingle).
+# Operands stay < 2^31 so a·x + b < 2^62 never overflows a Spark long.
+_MERSENNE = (1 << 31) - 1
+
+
+def _seed_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from md5 of the seed index
+    — no RNG state, reproducible everywhere."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-seed-{i}".encode()).hexdigest()
+        a = (int(d[:8], 16) | 1) % _MERSENNE or 1  # odd, nonzero
+        b = int(d[8:16], 16) % _MERSENNE
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    md5(i || '|' || shingle). md5-based so signatures are reproducible
-    across engines and runs."""
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+    """MinHash signature per document (num_hashes bigint columns
+    ``mh0..``): base hash = low 60 bits of md5(shingle), then k
+    universal hashes, min-aggregated per document."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, n).withColumnRenamed("id", id_col)
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+        % F.lit(_MERSENNE)
+    )
+    sh = sh.select(id_col, base.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_seed_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -142,9 +180,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     fingerprint is the sign of the sum over tokens of ±1 per token-bit.
     One integer per document; hamming-close fingerprints ≈ similar
     token multisets."""
-    from ontario_spark.operators.textops import tokens
+    from ontario_spark.operators.textops import spread, tokens
 
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     # low 8 hex chars of md5 → 32-bit unsigned token hash
     th = F.conv(F.substring(F.md5(F.col("tok")), 25, 8), 16, 10).cast("long")
     tok = tok.select(id_col, th.alias("th"))

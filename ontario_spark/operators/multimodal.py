@@ -70,6 +70,8 @@ def decode_stats(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     batch regardless of partition size."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -80,12 +82,17 @@ def decode_stats(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
                         lambda b: b[0] if len(b) else -1
                     ).astype("int32"),
                     "byte_sum_mod": payloads.map(
-                        lambda b: sum(b) % 1_000_003
+                        lambda b: int(
+                            np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64)
+                        )
+                        % 1_000_003
                     ).astype("int64"),
                 }
             )
 
-    return media.mapInPandas(kernel, DECODE_STATS_SCHEMA)
+    from ontario_spark.operators.textops import spread
+
+    return spread(media).mapInPandas(kernel, DECODE_STATS_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -47,10 +47,14 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus scan; rank per query with a deterministic tiebreak."""
+    from ontario_spark.operators.textops import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -89,12 +93,14 @@ def bucketed_topk(
 ) -> DataFrame:
     """ANN top-k: score only within the query's sign-LSH bucket. Trades
     recall for a bucket-local join instead of a full cross product."""
+    from ontario_spark.operators.textops import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
@@ -125,7 +131,9 @@ def neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) with score >=
     threshold, candidate-limited to shared sign-LSH buckets."""
-    c = corpus.select(
+    from ontario_spark.operators.textops import spread
+
+    c = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
