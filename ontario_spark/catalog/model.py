@@ -118,11 +118,15 @@ def const(value: str) -> TermMap:
 class LogicalSource:
     """Where a triple map's rows come from (reference:
     rml_model.py:38-55). ``table`` is resolved against the DataSource
-    at query time; ``fmt`` overrides the source default."""
+    at query time; ``fmt`` overrides the source default; ``iterator``
+    is an RML ``rml:iterator`` / XML rowTag path (e.g.
+    ``customers[*]``) — reference paths in term maps resolve relative
+    to it (see ``ontario_spark.sources.nested``)."""
 
     table: str
     fmt: str | None = None  # parquet | csv | json | view | jdbc ...
     options: tuple[tuple[str, str], ...] = ()
+    iterator: str | None = None
 
 
 @dataclass(frozen=True)

@@ -129,6 +129,71 @@ def tpch_catalog(sf_dir: str) -> Catalog:
     return cat
 
 
+def nested_fixture_path(spark, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per sf_dir) a nested-JSON mirror of the lake:
+    one document per nation with an embedded ``customers`` array —
+    the fixture for the nested/XML-style source path (the reference's
+    SPARKXMLWrapper scenario). Returns (base_dir, table_name)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ontario_spark.data import table
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".cache", "nested")
+    key = "nc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(base, key)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        cust = table(spark, sf_dir, "customer")
+        nat = table(spark, sf_dir, "nation")
+        nested = (
+            cust.groupBy("c_nationkey")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("c_custkey", "c_name", "c_acctbal"))
+                ).alias("customers")
+            )
+            .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_nationkey", "n_name", "customers")
+        )
+        nested.coalesce(1).write.mode("overwrite").json(out)
+    return base, key
+
+
+def tpch_nested_catalog(spark, sf_dir: str) -> Catalog:
+    """Catalog over the nested-JSON mirror: the Customer molecule lives
+    INSIDE the nation document (RML iterator ``customers[*]``), with
+    parent (``../``) references for the enclosing nation fields."""
+    base, tbl = nested_fixture_path(spark, sf_dir)
+    cat = Catalog()
+    src = DataSource(name="nested_lake", dstype="json", base_path=base)
+    doc = LogicalSource(table=tbl, fmt="json")
+    cat.add(
+        src,
+        TripleMap(
+            name="NationNestedMap",
+            source=doc,
+            subject=tpl(EX + "nation/{n_nationkey}"),
+            subject_class=EX + "Nation",
+            predicates=((EX + "name", ref("n_name")),),
+        ),
+        TripleMap(
+            name="CustomerNestedMap",
+            source=LogicalSource(table=tbl, fmt="json", iterator="customers[*]"),
+            subject=tpl(EX + "customer/{c_custkey}"),
+            subject_class=EX + "Customer",
+            predicates=(
+                (EX + "name", ref("c_name")),
+                (EX + "acctbal", ref("c_acctbal")),
+                (EX + "nationname", ref("../n_name")),
+                (EX + "nation", tpl(EX + "nation/{../n_nationkey}")),
+            ),
+        ),
+    )
+    return cat
+
+
 def tpch_split_catalog(sf_dir: str) -> Catalog:
     """ChEBI-style variant: Customer predicates split across TWO triple
     maps sharing one subject template — exercises the multi-map star

@@ -23,6 +23,7 @@ from ontario_spark.catalog.model import (
 )
 from ontario_spark.compiler.frame import KEYED, LEXICAL, BFrame, TermMeta, key_cols
 from ontario_spark.planner.decomposer import StarPlan, SourceSelectionError
+from ontario_spark.sources.nested import PathResolver, is_nested
 from ontario_spark.sparql.ast import Term, Triple
 from ontario_spark.sparql.parser import RDF_TYPE
 
@@ -89,6 +90,22 @@ def _compile_map(
     triples: list[Triple],
 ) -> BFrame:
     df = cat.load_source_df(spark, tm)
+
+    # Nested sources: resolve a/b struct paths + a[*] array iteration +
+    # the logical-source iterator (reference: LATERAL VIEW explode SQL,
+    # ontario/wrappers/spark/utils.py:460-583) BEFORE term compilation,
+    # so everything below sees plain Column refs.
+    paths = list(tm.subject.columns)
+    for t in triples:
+        if t.p.is_iri and t.p.value != RDF_TYPE and t.p.value in tm.pom:
+            paths.extend(tm.pom[t.p.value].columns)
+    if tm.source.iterator or any(is_nested(p) for p in paths):
+        pr = PathResolver(df, tm.source.iterator)
+        df = pr.prepare(paths)
+        cref = pr.col
+    else:
+        cref = F.col
+
     select: list[Column] = []
     meta: dict[str, TermMeta] = {}
     conds: list[Column] = []
@@ -104,7 +121,7 @@ def _compile_map(
         bound_exprs[var] = expr
         if tmeta.kind == KEYED:
             for i, c in enumerate(cols or []):
-                select.append(F.col(c).alias(f"{var}__k{i}"))
+                select.append(cref(c).alias(f"{var}__k{i}"))
         else:
             select.append(expr.alias(var))
 
@@ -115,14 +132,14 @@ def _compile_map(
             bind_var(
                 subject.value,
                 scols,
-                tm.subject.template.format(),
+                tm.subject.template.format(col=cref),
                 TermMeta(KEYED, tm.subject.template),
             )
             for c in scols:
-                conds.append(F.col(c).isNotNull())
+                conds.append(cref(c).isNotNull())
         elif tm.subject.kind == REFERENCE:
-            bind_var(subject.value, None, F.col(tm.subject.value), TermMeta(LEXICAL))
-            conds.append(F.col(tm.subject.value).isNotNull())
+            bind_var(subject.value, None, cref(tm.subject.value), TermMeta(LEXICAL))
+            conds.append(cref(tm.subject.value).isNotNull())
         else:
             bind_var(subject.value, None, F.lit(tm.subject.value), TermMeta(LEXICAL))
     else:
@@ -133,9 +150,9 @@ def _compile_map(
                 conds.append(F.lit(False))
             else:
                 for c, v in zip(tm.subject.template.columns, keys):
-                    conds.append(F.col(c).cast("string") == F.lit(v))
+                    conds.append(cref(c).cast("string") == F.lit(v))
         else:
-            conds.append(F.col(tm.subject.value) == F.lit(subject.value))
+            conds.append(cref(tm.subject.value) == F.lit(subject.value))
 
     # predicate-object patterns
     for t in triples:
@@ -148,7 +165,7 @@ def _compile_map(
             continue
         om = tm.pom[pred]
         if om.kind == REFERENCE:
-            col = F.col(om.value)
+            col = cref(om.value)
             if t.o.is_var:
                 bind_var(t.o.value, None, col, TermMeta(LEXICAL))
                 conds.append(col.isNotNull())
@@ -159,9 +176,9 @@ def _compile_map(
         elif om.kind == TEMPLATE:
             tcols = list(om.template.columns)
             if t.o.is_var:
-                bind_var(t.o.value, tcols, om.template.format(), TermMeta(KEYED, om.template))
+                bind_var(t.o.value, tcols, om.template.format(col=cref), TermMeta(KEYED, om.template))
                 for c in tcols:
-                    conds.append(F.col(c).isNotNull())
+                    conds.append(cref(c).isNotNull())
             else:
                 uri = t.o.value
                 keys = om.template.extract(uri)
@@ -169,7 +186,7 @@ def _compile_map(
                     conds.append(F.lit(False))
                 else:
                     for c, v in zip(tcols, keys):
-                        conds.append(F.col(c).cast("string") == F.lit(v))
+                        conds.append(cref(c).cast("string") == F.lit(v))
         else:  # CONSTANT
             if t.o.is_var:
                 bind_var(t.o.value, None, F.lit(om.value), TermMeta(LEXICAL))

@@ -13,7 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog, tpch_split_catalog
+from ontario_spark.catalog.tpch_rdf import (
+    EX,
+    tpch_catalog,
+    tpch_nested_catalog,
+    tpch_split_catalog,
+)
 from ontario_spark.compiler.query import SparqlEngine
 
 PFX = f"PREFIX ex: <{EX}>\n"
@@ -21,17 +26,28 @@ PFX = f"PREFIX ex: <{EX}>\n"
 URI_C = "'http://ex.org/tpch/customer/' || CAST(c_custkey AS VARCHAR)"
 URI_O = "'http://ex.org/tpch/order/' || CAST(o_orderkey AS VARCHAR)"
 
+_CATALOGS = {
+    "base": lambda spark, sf: tpch_catalog(sf),
+    "split": lambda spark, sf: tpch_split_catalog(sf),
+    "nested": tpch_nested_catalog,
+}
 
-def _runner(sparql: str, split: bool = False):
+
+def _runner(sparql: str, catalog: str | bool = "base"):
+    if catalog is True:
+        catalog = "split"
+    if catalog is False:
+        catalog = "base"
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        cat = tpch_split_catalog(sf_dir) if split else tpch_catalog(sf_dir)
+        cat = _CATALOGS[catalog](spark, sf_dir)
         return SparqlEngine(spark, cat).query(PFX + sparql)
 
     return run
 
 
-_DEFS: dict[str, tuple[str, str | None, bool]] = {
-    # name: (sparql, oracle_sql, use_split_catalog)
+_DEFS: dict[str, tuple[str, str | None, bool | str]] = {
+    # name: (sparql, oracle_sql, catalog kind)
     "sparql_star_filter": (
         """SELECT ?c ?name ?acctbal WHERE {
              ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?acctbal .
@@ -157,7 +173,30 @@ _DEFS: dict[str, tuple[str, str | None, bool]] = {
              AND l_quantity >= 45.0""",
         False,
     ),
+    "sparql_nested_iterator": (
+        # nested-JSON source: Customer molecule embedded in nation docs
+        # (RML iterator customers[*]) with a parent (../) reference
+        """SELECT ?name ?acctbal ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?acctbal ;
+                ex:nationname ?nname .
+             FILTER (?acctbal > 9000.0) }""",
+        """SELECT c_name AS name, c_acctbal AS acctbal, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+             AND n_name IS NOT NULL AND c_acctbal > 9000.0""",
+        "nested",
+    ),
+    "sparql_nested_star_join": (
+        # exploded nested star ⋈ root-document star on template keys
+        """SELECT ?cname ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname . }""",
+        """SELECT c_name AS cname, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL""",
+        "nested",
+    ),
 }
 
-QUERIES = {name: _runner(sparql, split) for name, (sparql, _, split) in _DEFS.items()}
+QUERIES = {name: _runner(sparql, kind) for name, (sparql, _, kind) in _DEFS.items()}
 ORACLE = {name: sql for name, (_, sql, _) in _DEFS.items() if sql is not None}
