@@ -1,0 +1,479 @@
+"""Star → native remote-query translators: SQL dialects, MongoDB
+aggregation pipelines, Cypher.
+
+Re-expresses the reference's per-source pushdown wrappers — semantics,
+not code:
+
+- SQL: ``ontario/wrappers/sparqltosql.py`` (predicate→column
+  ``extract_cols`` :368-403, constant objects → equality predicates
+  ``get_cond_sql`` :411-444, ``IS NOT NULL`` guards, multi-map
+  self-joins ``join_condition`` :446-481) and its MySQL/Drill
+  specializations (``wrappers/mysql/sparql2sql.py``,
+  ``wrappers/drill/sparql2drill.py`` — dialects differ mainly in
+  identifier quoting).
+- MongoDB: ``ontario/wrappers/mongodb/sparql2mongo.py`` ($match for
+  constants/not-null :209-241, $project :194-207, array fields →
+  $unwind :144-180, LIMIT/OFFSET → $limit/$skip :59-64).
+- Cypher: ``ontario/wrappers/neo4j/sparql2cypher.py``
+  (``translate_4_col`` :285-343 — MATCH on the class label, WHERE on
+  constants, RETURN property aliases).
+
+The translated query projects RAW key columns for template-valued
+terms (aliased ``var__k0..``), mirroring the engine-internal KEYED
+representation (``ontario_spark.compiler.frame``): URI strings are
+never shipped over the wire, and the fetched DataFrame joins other
+stars on native keys. FILTER pushdown into the remote dialect is
+intentionally not replicated — filters run Spark-side after the
+(already column- and row-pruned) fetch.
+
+Executors are injected callables (``query → list[row dict]``), so the
+translators are testable without any database server; Spark's own JDBC
+connector remains the production path for SQL sources.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ontario_spark.catalog.model import (
+    CONSTANT,
+    REFERENCE,
+    TEMPLATE,
+    TripleMap,
+)
+from ontario_spark.planner.decomposer import Star
+from ontario_spark.sparql.ast import Term, Triple
+from ontario_spark.sparql.parser import RDF_TYPE
+
+
+class TranslateError(Exception):
+    pass
+
+
+# --- output contract -----------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ColSpec:
+    """One projected output column of a translated query."""
+
+    out: str  # column name in the result rows (var or var__kN)
+    var: str  # SPARQL variable it (partially) binds
+    kind: str  # REFERENCE | TEMPLATE | CONSTANT
+    template: str | None = None  # raw template when kind == TEMPLATE
+    key_index: int = 0
+
+
+# --- SQL dialects --------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+    quote: str  # identifier quote char
+    str_cast: str  # type name for CAST(col AS ...)
+
+    def ident(self, name: str) -> str:
+        q = self.quote
+        return f"{q}{name.replace(q, q + q)}{q}"
+
+    def lit(self, value) -> str:
+        if isinstance(value, bool):
+            return "TRUE" if value else "FALSE"
+        if isinstance(value, (int, float)):
+            return repr(value)
+        return "'" + str(value).replace("'", "''") + "'"
+
+
+MYSQL = Dialect("mysql", "`", "CHAR")
+ANSI = Dialect("ansi", '"', "VARCHAR")  # DuckDB, Postgres, ...
+DRILL = Dialect("drill", "`", "VARCHAR")
+
+DIALECTS = {d.name: d for d in (MYSQL, ANSI, DRILL)}
+
+
+def _star_triples(tm: TripleMap, star: Star) -> list[Triple]:
+    """Triples of the star this map can answer (class checks resolved
+    statically)."""
+    out = []
+    for t in star.triples:
+        if not t.p.is_iri:
+            raise TranslateError("variable predicates not translatable")
+        if t.p.value == RDF_TYPE:
+            continue
+        if t.p.value in tm.pom:
+            out.append(t)
+    return out
+
+
+def star_sql(
+    maps: list[TripleMap],
+    star: Star,
+    dialect: Dialect = ANSI,
+    distinct: bool = False,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> tuple[str, list[ColSpec]]:
+    """One star (one alternative: maps self-joined on the shared subject
+    template) → a single SQL statement + the output column contract.
+
+    Reference behaviors reproduced: table alias per map, subject keys
+    joined across maps (``join_condition``), constant objects →
+    equality predicates (``get_cond_sql``), NOT NULL guards on every
+    projected/joined column, DISTINCT passthrough.
+    """
+    d = dialect
+    alias = {tm.name: f"t{i}" for i, tm in enumerate(maps)}
+    select: list[str] = []
+    where: list[str] = []
+    specs: list[ColSpec] = []
+    bound: dict[str, str] = {}  # var → SQL expr already binding it
+
+    def qcol(tm: TripleMap, col: str) -> str:
+        return f"{alias[tm.name]}.{d.ident(col)}"
+
+    def bind(var: str, expr_cols: list[tuple[str, str]], kind: str, tpl: str | None):
+        """expr_cols: [(sql_expr, out_name)]"""
+        if var in bound:
+            where.append(f"{bound[var]} = {expr_cols[0][0]}")
+            return
+        bound[var] = expr_cols[0][0]
+        for i, (expr, out) in enumerate(expr_cols):
+            select.append(f"{expr} AS {d.ident(out)}")
+            specs.append(ColSpec(out, var, kind, tpl, i))
+
+    # subject: keys from the first map; others join on key equality
+    base = maps[0]
+    if base.subject.kind == TEMPLATE:
+        scols = list(base.subject.template.columns)
+        if star.subject.is_var:
+            v = star.subject.value
+            bind(
+                v,
+                [(qcol(base, c), f"{v}__k{i}") for i, c in enumerate(scols)],
+                TEMPLATE,
+                base.subject.value,
+            )
+            for c in scols:
+                where.append(f"{qcol(base, c)} IS NOT NULL")
+        else:
+            keys = base.subject.template.extract(star.subject.value)
+            if keys is None:
+                where.append("1 = 0")
+            else:
+                for c, v in zip(scols, keys):
+                    where.append(
+                        f"CAST({qcol(base, c)} AS {d.str_cast}) = {d.lit(v)}"
+                    )
+        for tm in maps[1:]:
+            if tm.subject.kind != TEMPLATE:
+                raise TranslateError("self-join maps must share a subject template")
+            for c0, c1 in zip(scols, tm.subject.template.columns):
+                where.append(f"{qcol(base, c0)} = {qcol(tm, c1)}")
+    else:  # REFERENCE subject
+        if star.subject.is_var:
+            v = star.subject.value
+            bind(v, [(qcol(base, base.subject.value), v)], REFERENCE, None)
+            where.append(f"{qcol(base, base.subject.value)} IS NOT NULL")
+        else:
+            where.append(
+                f"{qcol(base, base.subject.value)} = {d.lit(star.subject.value)}"
+            )
+
+    # predicate-object patterns, each against the first map providing it
+    for t in star.triples:
+        if not t.p.is_iri:
+            raise TranslateError("variable predicates not translatable")
+        if t.p.value == RDF_TYPE:
+            continue
+        tm = next((m for m in maps if t.p.value in m.pom), None)
+        if tm is None:
+            raise TranslateError(f"predicate {t.p.value} not in maps")
+        om = tm.pom[t.p.value]
+        if om.kind == REFERENCE:
+            expr = qcol(tm, om.value)
+            if t.o.is_var:
+                bind(t.o.value, [(expr, t.o.value)], REFERENCE, None)
+                where.append(f"{expr} IS NOT NULL")
+            else:
+                val = t.o.py if (not t.o.is_iri and t.o.py is not None) else t.o.value
+                where.append(f"{expr} = {d.lit(val)}")
+        elif om.kind == TEMPLATE:
+            tcols = list(om.template.columns)
+            if t.o.is_var:
+                v = t.o.value
+                bind(
+                    v,
+                    [(qcol(tm, c), f"{v}__k{i}") for i, c in enumerate(tcols)],
+                    TEMPLATE,
+                    om.value,
+                )
+                for c in tcols:
+                    where.append(f"{qcol(tm, c)} IS NOT NULL")
+            else:
+                keys = om.template.extract(t.o.value)
+                if keys is None:
+                    where.append("1 = 0")
+                else:
+                    for c, v in zip(tcols, keys):
+                        where.append(
+                            f"CAST({qcol(tm, c)} AS {d.str_cast}) = {d.lit(v)}"
+                        )
+        else:  # CONSTANT object map
+            if t.o.is_var:
+                specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
+            elif om.value != t.o.value:
+                where.append("1 = 0")
+
+    tables = ", ".join(
+        f"{d.ident(tm.source.table)} {alias[tm.name]}" for tm in maps
+    )
+    sql = "SELECT "
+    if distinct:
+        sql += "DISTINCT "
+    sql += ", ".join(select) if select else "1"
+    sql += f" FROM {tables}"
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+    if offset:
+        sql += f" OFFSET {offset}"
+    return sql, specs
+
+
+# --- MongoDB aggregation pipeline ---------------------------------------
+
+
+def _mongo_field(path: str) -> str:
+    """Reference path → Mongo dotted field (array markers dropped —
+    $unwind stages handle iteration)."""
+    return path.replace("[*]", "")
+
+
+def _coerce(lex: str):
+    """Template-extracted lexical → likely stored type (reference
+    compares against the stored value; documents store numbers as
+    numbers)."""
+    if lex.lstrip("+-").isdigit():
+        return int(lex)
+    return lex
+
+
+def star_mongo(
+    tm: TripleMap,
+    star: Star,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> tuple[list[dict], list[ColSpec]]:
+    """One star over one collection → aggregation pipeline + column
+    contract. Stage order: $match (non-array predicates) → $unwind per
+    array prefix → $match (array-element predicates) → $project →
+    $skip/$limit (reference :59-64,144-241)."""
+    triples = _star_triples(tm, star)
+    pre: dict[str, dict | object] = {}
+    post: dict[str, dict | object] = {}
+    unwinds: list[str] = []
+    project: dict[str, str] = {}
+    specs: list[ColSpec] = []
+    bound: dict[str, str] = {}
+
+    def match_into(path: str, cond):
+        tgt = post if "[*]" in path else pre
+        f = _mongo_field(path).replace("/", ".")
+        if f in tgt and isinstance(tgt[f], dict) and isinstance(cond, dict):
+            tgt[f].update(cond)
+        else:
+            tgt[f] = cond
+
+    def want_unwind(path: str):
+        cur = []
+        for seg in path.split("/"):
+            cur.append(seg)
+            if seg.endswith("[*]"):
+                p = _mongo_field("/".join(cur)).replace("/", ".")
+                if p not in unwinds:
+                    unwinds.append(p)
+
+    def bind(var: str, path: str, out: str, kind: str, tpl: str | None, ki: int = 0):
+        f = _mongo_field(path).replace("/", ".")
+        if var in bound and ki == 0:
+            # repeated var: equality via $expr is out of scope; reference
+            # also restricts to distinct vars per star
+            raise TranslateError("repeated object variable not supported for mongo")
+        bound[var] = f
+        project[out] = "$" + f
+        specs.append(ColSpec(out, var, kind, tpl, ki))
+
+    # subject
+    if tm.subject.kind == TEMPLATE:
+        scols = list(tm.subject.template.columns)
+        if star.subject.is_var:
+            v = star.subject.value
+            for i, c in enumerate(scols):
+                want_unwind(c)
+                bind(v, c, f"{v}__k{i}", TEMPLATE, tm.subject.value, i)
+                match_into(c, {"$exists": True, "$ne": None})
+        else:
+            keys = tm.subject.template.extract(star.subject.value)
+            if keys is None:
+                pre["__none__"] = {"$exists": True}
+            else:
+                for c, val in zip(scols, keys):
+                    match_into(c, _coerce(val))
+    else:
+        if star.subject.is_var:
+            want_unwind(tm.subject.value)
+            bind(star.subject.value, tm.subject.value, star.subject.value, REFERENCE, None)
+            match_into(tm.subject.value, {"$exists": True, "$ne": None})
+        else:
+            match_into(tm.subject.value, star.subject.value)
+
+    for t in triples:
+        om = tm.pom[t.p.value]
+        if om.kind == REFERENCE:
+            want_unwind(om.value)
+            if t.o.is_var:
+                bind(t.o.value, om.value, t.o.value, REFERENCE, None)
+                match_into(om.value, {"$exists": True, "$ne": None})
+            else:
+                val = t.o.py if (not t.o.is_iri and t.o.py is not None) else t.o.value
+                match_into(om.value, val)
+        elif om.kind == TEMPLATE:
+            tcols = list(om.template.columns)
+            if t.o.is_var:
+                for i, c in enumerate(tcols):
+                    want_unwind(c)
+                    bind(t.o.value, c, f"{t.o.value}__k{i}", TEMPLATE, om.value, i)
+                    match_into(c, {"$exists": True, "$ne": None})
+            else:
+                keys = om.template.extract(t.o.value)
+                if keys is None:
+                    pre["__none__"] = {"$exists": True}
+                else:
+                    for c, val in zip(tcols, keys):
+                        match_into(c, _coerce(val))
+        else:
+            if t.o.is_var:
+                specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
+            elif om.value != t.o.value:
+                pre["__none__"] = {"$exists": True}
+
+    pipeline: list[dict] = []
+    if pre:
+        pipeline.append({"$match": pre})
+    for u in unwinds:
+        pipeline.append({"$unwind": "$" + u})
+    if post:
+        pipeline.append({"$match": post})
+    if project:
+        pipeline.append({"$project": {**project, "_id": 0}})
+    if offset:
+        pipeline.append({"$skip": offset})
+    if limit is not None:
+        pipeline.append({"$limit": limit})
+    return pipeline, specs
+
+
+# --- Cypher --------------------------------------------------------------
+
+
+def star_cypher(
+    tm: TripleMap,
+    star: Star,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> tuple[str, list[ColSpec]]:
+    """One star over one node label → Cypher. Properties come from
+    REFERENCE maps; TEMPLATE key columns are projected as properties
+    (relationship traversal — the reference's ``relationprops`` — is
+    modeled as key-property projection here; cross-star joins happen
+    Spark-side on those keys)."""
+    label = (tm.subject_class or tm.name).rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+    where: list[str] = []
+    ret: list[str] = []
+    specs: list[ColSpec] = []
+
+    def prop(col: str) -> str:
+        return f"n.{col}"
+
+    def bind(var: str, cols: list[str], kind: str, tpl: str | None):
+        for i, c in enumerate(cols):
+            out = f"{var}__k{i}" if kind == TEMPLATE else var
+            ret.append(f"{prop(c)} AS {out}")
+            specs.append(ColSpec(out, var, kind, tpl, i))
+            where.append(f"{prop(c)} IS NOT NULL")
+
+    if tm.subject.kind == TEMPLATE:
+        if star.subject.is_var:
+            bind(star.subject.value, list(tm.subject.template.columns), TEMPLATE, tm.subject.value)
+        else:
+            keys = tm.subject.template.extract(star.subject.value)
+            for c, v in zip(tm.subject.template.columns, keys or ()):
+                where.append(f"toString({prop(c)}) = '{v}'")
+    else:
+        if star.subject.is_var:
+            bind(star.subject.value, [tm.subject.value], REFERENCE, None)
+        else:
+            where.append(f"{prop(tm.subject.value)} = '{star.subject.value}'")
+
+    for t in _star_triples(tm, star):
+        om = tm.pom[t.p.value]
+        if om.kind == REFERENCE:
+            if t.o.is_var:
+                bind(t.o.value, [om.value], REFERENCE, None)
+            else:
+                val = t.o.py if (not t.o.is_iri and t.o.py is not None) else t.o.value
+                lit = repr(val) if isinstance(val, (int, float)) else f"'{val}'"
+                where.append(f"{prop(om.value)} = {lit}")
+        elif om.kind == TEMPLATE:
+            if t.o.is_var:
+                bind(t.o.value, list(om.template.columns), TEMPLATE, om.value)
+            else:
+                keys = om.template.extract(t.o.value)
+                for c, v in zip(om.template.columns, keys or ()):
+                    where.append(f"toString({prop(c)}) = '{v}'")
+        else:
+            if t.o.is_var:
+                specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
+
+    q = f"MATCH (n:{label})"
+    if where:
+        q += " WHERE " + " AND ".join(dict.fromkeys(where))
+    q += " RETURN " + (", ".join(ret) if ret else "1")
+    if offset:
+        q += f" SKIP {offset}"
+    if limit is not None:
+        q += f" LIMIT {limit}"
+    return q, specs
+
+
+# --- fetched rows → BindingsFrame ---------------------------------------
+
+
+def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
+    """Build a BFrame from remote rows according to the column contract
+    (KEYED vars keep their template metadata so downstream joins still
+    run on raw keys)."""
+    from pyspark.sql import functions as F
+
+    from ontario_spark.catalog.model import Template
+    from ontario_spark.compiler.frame import KEYED, LEXICAL, BFrame, TermMeta
+
+    real = [s for s in specs if s.out]
+    consts = [s for s in specs if not s.out]
+    cols = [s.out for s in real]
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    schema = ", ".join(f"{c} string" for c in cols)
+    df = spark.createDataFrame(data, schema=schema) if cols else spark.range(1).select()
+    meta: dict[str, TermMeta] = {}
+    for s in real:
+        if s.kind == TEMPLATE:
+            if s.var not in meta:
+                meta[s.var] = TermMeta(KEYED, Template(s.template))
+        else:
+            meta[s.var] = TermMeta(LEXICAL)
+    for s in consts:
+        df = df.withColumn(s.var, F.lit(s.template))
+        meta[s.var] = TermMeta(LEXICAL)
+    return BFrame(df, meta)
