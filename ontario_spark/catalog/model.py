@@ -167,6 +167,25 @@ class Catalog:
     map_source: dict[str, str] = field(default_factory=dict)  # map name → source name
     predicate_index: dict[str, set[str]] = field(default_factory=dict)
     class_index: dict[str, set[str]] = field(default_factory=dict)
+    # Remote-source executors (source name → callable taking the
+    # translated native query and returning row dicts). Injected, so
+    # the engine stays testable without DB servers; production wiring
+    # would pass pymysql/pymongo/neo4j-driver/HTTP closures here.
+    executors: dict[str, object] = field(default_factory=dict)
+
+    REMOTE_TYPES = ("mysql", "ansi", "drill", "mongodb", "neo4j", "sparql")
+
+    def source_of(self, tm: TripleMap) -> DataSource:
+        return self.sources[self.map_source[tm.name]]
+
+    def executor_for(self, tm: TripleMap):
+        src = self.source_of(tm)
+        try:
+            return self.executors[src.name]
+        except KeyError:
+            raise ValueError(
+                f"remote source {src.name!r} ({src.dstype}) has no executor"
+            ) from None
 
     def add(self, source: DataSource, *maps: TripleMap) -> None:
         self.sources[source.name] = source

@@ -194,6 +194,52 @@ def tpch_nested_catalog(spark, sf_dir: str) -> Catalog:
     return cat
 
 
+def _move_map(cat: Catalog, name: str) -> TripleMap:
+    """Detach a triple map from its source (so it can be re-added under
+    another one)."""
+    tm = cat.triple_maps.pop(name)
+    for p in list(cat.predicate_index):
+        cat.predicate_index[p].discard(name)
+    if tm.subject_class:
+        cat.class_index[tm.subject_class].discard(name)
+    del cat.map_source[name]
+    return tm
+
+
+def duckdb_sql_executor(sf_dir: str, tables: tuple[str, ...] = ("customer",)):
+    """SQL executor backed by DuckDB over the lake's parquet — stands in
+    for a remote MySQL in tests/demos (same row-dict contract a
+    pymysql-backed executor would have)."""
+
+    def run(sql: str) -> list[dict]:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        cur = con.execute(sql)
+        cols = [d[0] for d in cur.description]
+        return [dict(zip(cols, r)) for r in cur.fetchall()]
+
+    return run
+
+
+def tpch_federated_catalog(sf_dir: str) -> Catalog:
+    """Federation-shaped catalog: the Customer molecule is served by a
+    remote SQL source (DuckDB executor standing in for the reference's
+    MySQL drugbank), every other molecule stays Spark-resident parquet
+    — the reference's demo topology (MySQL + SPARQL + TSV lake)."""
+    cat = tpch_catalog(sf_dir)
+    base = _move_map(cat, "CustomerMap")
+    remote = DataSource(name="remote_sql", dstype="ansi", base_path="")
+    cat.add(remote, base)
+    cat.executors["remote_sql"] = duckdb_sql_executor(sf_dir)
+    return cat
+
+
 def tpch_split_catalog(sf_dir: str) -> Catalog:
     """ChEBI-style variant: Customer predicates split across TWO triple
     maps sharing one subject template — exercises the multi-map star

@@ -82,6 +82,64 @@ def _compile_alternative(
     return out
 
 
+def _compile_remote(
+    spark: SparkSession,
+    cat: Catalog,
+    tm: TripleMap,
+    subject: Term,
+    triples: list[Triple],
+) -> BFrame:
+    """Remote-source leaf: translate the star slice to the source's
+    native query language, run it through the injected executor, and
+    lift the rows into a BFrame (reference: LeafOperator.execute
+    spawning wrapper.executeQuery, ``mediator/PlanOperators.py:257-267``
+    — here a driver-side fetch followed by distributed processing).
+
+    Executor call conventions per dstype:
+    - mysql/ansi/drill: ``executor(sql_text) -> [row dict]``
+    - mongodb:          ``executor(collection, pipeline) -> [row dict]``
+    - neo4j:            ``executor(cypher_text) -> [row dict]``
+    - sparql:           ``executor(query_text) -> [binding dict]``
+      (e.g. a ``functools.partial`` over
+      ``ontario_spark.sources.sparql_endpoint.paged_bindings``)
+    """
+    from ontario_spark.planner.decomposer import Star
+    from ontario_spark.sources.translate import (
+        DIALECTS,
+        rows_to_bframe,
+        star_cypher,
+        star_mongo,
+        star_sparql_text,
+        star_sql,
+    )
+
+    src = cat.source_of(tm)
+    execr = cat.executor_for(tm)
+    star = Star(subject=subject, triples=triples)
+    if src.dstype in ("mysql", "ansi", "drill"):
+        sql, specs = star_sql([tm], star, DIALECTS[src.dstype])
+        rows = execr(sql)
+    elif src.dstype == "mongodb":
+        pipeline, specs = star_mongo(tm, star)
+        rows = execr(tm.source.table, pipeline)
+    elif src.dstype == "neo4j":
+        cypher, specs = star_cypher(tm, star)
+        rows = execr(cypher)
+    else:  # sparql endpoint: ship the star verbatim
+        text, specs = star_sparql_text(star)
+        rows = execr(text)
+    bf = rows_to_bframe(spark, list(rows), specs)
+    # bind a type variable (?s a ?t) the translators skip
+    if src.dstype != "sparql":
+        for t in triples:
+            if t.p.is_iri and t.p.value == RDF_TYPE and t.o.is_var:
+                bf = BFrame(
+                    bf.df.withColumn(t.o.value, F.lit(tm.subject_class)),
+                    {**bf.meta, t.o.value: TermMeta(LEXICAL)},
+                )
+    return bf
+
+
 def _compile_map(
     spark: SparkSession,
     cat: Catalog,
@@ -89,6 +147,8 @@ def _compile_map(
     subject: Term,
     triples: list[Triple],
 ) -> BFrame:
+    if cat.source_of(tm).dstype in Catalog.REMOTE_TYPES:
+        return _compile_remote(spark, cat, tm, subject, triples)
     df = cat.load_source_df(spark, tm)
 
     # Nested sources: resolve a/b struct paths + a[*] array iteration +

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ontario_spark.catalog.tpch_rdf import (
     EX,
     tpch_catalog,
+    tpch_federated_catalog,
     tpch_nested_catalog,
     tpch_split_catalog,
 )
@@ -30,6 +31,7 @@ _CATALOGS = {
     "base": lambda spark, sf: tpch_catalog(sf),
     "split": lambda spark, sf: tpch_split_catalog(sf),
     "nested": tpch_nested_catalog,
+    "federated": lambda spark, sf: tpch_federated_catalog(sf),
 }
 
 
@@ -195,6 +197,20 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            WHERE c_name IS NOT NULL AND n_name IS NOT NULL""",
         "nested",
+    ),
+    "sparql_federated_join": (
+        # cross-engine federation: Customer star answered by a remote
+        # SQL executor (DuckDB as stand-in MySQL), Nation star by the
+        # parquet lake; joined on template keys Spark-side
+        """SELECT ?name ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (?nname = "GERMANY") }""",
+        """SELECT c_name AS name, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL
+             AND n_name = 'GERMANY'""",
+        "federated",
     ),
 }
 

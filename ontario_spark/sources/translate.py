@@ -448,6 +448,50 @@ def star_cypher(
     return q, specs
 
 
+# --- remote SPARQL -------------------------------------------------------
+
+
+def _sparql_term(t: Term) -> str:
+    if t.is_var:
+        return f"?{t.value}"
+    if t.is_iri:
+        return f"<{t.value}>"
+    lex = t.value.replace("\\", "\\\\").replace('"', '\\"')
+    if t.datatype:
+        return f'"{lex}"^^<{t.datatype}>'
+    if t.lang:
+        return f'"{lex}"@{t.lang}'
+    if isinstance(t.py, bool):
+        return "true" if t.py else "false"
+    if isinstance(t.py, (int, float)):
+        return str(t.py)
+    return f'"{lex}"'
+
+
+def star_sparql_text(
+    star: Star,
+    distinct: bool = False,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> tuple[str, list[ColSpec]]:
+    """Re-serialize a star as SPARQL text for a remote endpoint
+    (reference: each LeafOperator re-serializes its subquery,
+    ``mediator/Tree.getInfoIO:219-257``). All bindings come back
+    lexical (SPARQL-JSON), so every var is a LEXICAL column."""
+    variables = sorted(star.variables())
+    patterns = " ".join(
+        f"{_sparql_term(t.s)} {_sparql_term(t.p)} {_sparql_term(t.o)} ."
+        for t in star.triples
+    )
+    head = " ".join(f"?{v}" for v in variables) if variables else "*"
+    q = f"SELECT {'DISTINCT ' if distinct else ''}{head} WHERE {{ {patterns} }}"
+    if limit is not None:
+        q += f" LIMIT {limit}"
+    if offset:
+        q += f" OFFSET {offset}"
+    return q, [ColSpec(v, v, REFERENCE, None) for v in variables]
+
+
 # --- fetched rows → BindingsFrame ---------------------------------------
 
 

@@ -1,0 +1,151 @@
+"""End-to-end federation: SPARQL queries whose stars are answered by
+different engines (remote SQL / MongoDB / SPARQL endpoint / parquet
+lake), joined Spark-side — the reference's core value proposition
+(``demo/docker-compose.yml``: MySQL drugbank + Virtuoso KEGG + TSV
+ChEBI) with injected executors instead of servers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontario_spark.catalog.model import (
+    Catalog,
+    DataSource,
+    LogicalSource,
+    TripleMap,
+    ref,
+    tpl,
+)
+from ontario_spark.catalog.tpch_rdf import (
+    EX,
+    tpch_catalog,
+    tpch_federated_catalog,
+)
+from ontario_spark.compiler.query import SparqlEngine
+from ontario_spark.data import table
+
+PFX = f"PREFIX ex: <{EX}>\n"
+
+
+def test_remote_sql_star(spark, sf_small):
+    cat = tpch_federated_catalog(sf_small)
+    df = SparqlEngine(spark, cat).query(
+        PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+    )
+    exp = table(spark, sf_small, "customer").where(F.col("c_name").isNotNull()).count()
+    assert df.count() == exp > 0
+
+
+def test_remote_sql_joins_parquet_star(spark, sf_small):
+    cat = tpch_federated_catalog(sf_small)
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name ?nname WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+              ?n a ex:Nation ; ex:name ?nname . }"""
+    )
+    cust = table(spark, sf_small, "customer")
+    nat = table(spark, sf_small, "nation")
+    exp = {
+        (r["c_name"], r["n_name"])
+        for r in cust.join(nat, cust.c_nationkey == nat.n_nationkey).collect()
+    }
+    got = {(r["name"], r["nname"]) for r in df.collect()}
+    assert got == exp and len(got) > 0
+
+
+def _mongo_catalog(sf_small, docs):
+    """Nation molecule served by a fake-Mongo source."""
+    cat = tpch_catalog(sf_small)
+    from ontario_spark.catalog.tpch_rdf import _move_map
+
+    _move_map(cat, "NationMap")
+    mongo = DataSource(name="mongo_src", dstype="mongodb")
+    cat.add(
+        mongo,
+        TripleMap(
+            name="NationMongo",
+            source=LogicalSource(table="nations"),
+            subject=tpl(EX + "nation/{nid}"),
+            subject_class=EX + "Nation",
+            predicates=((EX + "name", ref("nname")),),
+        ),
+    )
+    from tests.test_translate import run_pipeline
+
+    cat.executors["mongo_src"] = lambda coll, pipe: run_pipeline(docs[coll], pipe)
+    return cat
+
+
+def test_mongo_star_federated_join(spark, sf_small):
+    nat = [
+        {"nid": int(r["n_nationkey"]), "nname": r["n_name"]}
+        for r in table(spark, sf_small, "nation").collect()
+    ]
+    cat = _mongo_catalog(sf_small, {"nations": nat})
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name ?nname WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+              ?n a ex:Nation ; ex:name ?nname . }"""
+    )
+    cust = table(spark, sf_small, "customer")
+    natdf = table(spark, sf_small, "nation")
+    exp = cust.join(natdf, cust.c_nationkey == natdf.n_nationkey).count()
+    assert df.count() == exp > 0
+
+
+def test_sparql_endpoint_star(spark, sf_small):
+    """Region molecule behind a fake SPARQL endpoint (binding dicts),
+    joined with the parquet nation star."""
+    cat = tpch_catalog(sf_small)
+    from ontario_spark.catalog.tpch_rdf import _move_map
+
+    _move_map(cat, "RegionMap")
+    ep = DataSource(name="kegg_like", dstype="sparql")
+    cat.add(
+        ep,
+        TripleMap(
+            name="RegionRemote",
+            source=LogicalSource(table="-"),
+            subject=tpl(EX + "region/{r_regionkey}"),
+            subject_class=EX + "Region",
+            predicates=((EX + "name", ref("r_name")),),
+        ),
+    )
+    reg = table(spark, sf_small, "region").collect()
+
+    captured = {}
+
+    def endpoint(query: str):
+        captured["q"] = query
+        assert query.startswith("SELECT")
+        return [
+            {"r": f"{EX}region/{row['r_regionkey']}", "rname": row["r_name"]}
+            for row in reg
+        ]
+
+    cat.executors["kegg_like"] = endpoint
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?nname ?rname WHERE {
+              ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+              ?r a ex:Region ; ex:name ?rname . }"""
+    )
+    natdf = table(spark, sf_small, "nation")
+    regdf = table(spark, sf_small, "region")
+    exp = natdf.join(regdf, natdf.n_regionkey == regdf.r_regionkey).count()
+    assert df.count() == exp > 0
+    # the star was shipped verbatim as SPARQL text
+    assert "ex.org" in captured["q"] and "?rname" in captured["q"]
+
+
+def test_missing_executor_raises(spark, sf_small):
+    cat = tpch_federated_catalog(sf_small)
+    cat.executors.clear()
+    with pytest.raises(Exception, match="no executor"):
+        SparqlEngine(spark, cat).query(
+            PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+        ).collect()
