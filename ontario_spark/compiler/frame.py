@@ -121,6 +121,44 @@ class BFrame:
         meta = {**right.meta, **left.meta}  # left rep wins for shared vars
         return BFrame(df, meta)
 
+    def restrict(self, other: "BFrame", how: str) -> "BFrame":
+        """Semi/anti join on shared variables: EXISTS → 'left_semi',
+        NOT EXISTS / MINUS → 'left_anti' (SPARQL 1.1, beyond the
+        reference). Keyed vars with matching templates compare on raw
+        keys, like ``join``. With no shared variables the right side
+        acts as a global emptiness probe (EXISTS of a disjoint pattern).
+
+        Note: a left row whose shared var is unbound (NULL) never
+        matches — the common-case approximation of SPARQL compatibility
+        (a fully unbound shared var is spec-compatible with anything).
+        """
+        assert how in ("left_semi", "left_anti")
+        left, right = self, other
+        shared = sorted(left.variables & right.variables)
+        if not shared:
+            probe = right.df.limit(1).select(F.lit(1).alias("__exists"))
+            return BFrame(
+                left.df.join(F.broadcast(probe), F.lit(True), how), left.meta
+            )
+        on: list[str] = []
+        for v in shared:
+            lm, rm = left.meta[v], right.meta[v]
+            if (
+                lm.kind == KEYED
+                and rm.kind == KEYED
+                and lm.template.same_shape(rm.template)
+            ):
+                on.extend(key_cols(v, lm.nkeys))
+            else:
+                left = left.materialize(v)
+                right = right.materialize(v)
+                on.append(v)
+        # no dedup on the right: semi/anti joins never multiply rows,
+        # so Spark needs only the join columns (column-pruned scan)
+        rcols = [c for v in shared for c in right.cols_for(v)]
+        df = left.df.join(right.df.select(*rcols), on=on, how=how)
+        return BFrame(df, left.meta)
+
     def union(self, other: "BFrame") -> "BFrame":
         """Bag union (replaces Xunion). Variables are aligned by name;
         missing vars pad with NULL; keyed vars with mismatched templates

@@ -40,14 +40,17 @@ from ontario_spark.compiler.star import compile_star
 from ontario_spark.planner.decomposer import bgp_stars, select_sources
 from ontario_spark.sparql.ast import (
     Bind,
+    ExistsFilter,
     Expr,
     Filter,
     Group,
+    MinusBlock,
     OptionalBlock,
     Query,
     Term,
     Triple,
     UnionBlock,
+    ValuesBlock,
 )
 from ontario_spark.sparql.parser import parse
 
@@ -93,6 +96,8 @@ class SparqlEngine:
                 for b in branches[1:]:
                     u = u.union(b)
                 frames.append(u)
+            elif isinstance(e, ValuesBlock):
+                frames.append(self._values(e))
 
         if not frames:
             bf = BFrame(self.spark.range(1).select(), {})
@@ -102,6 +107,16 @@ class SparqlEngine:
         for e in g.elements:
             if isinstance(e, OptionalBlock):
                 bf = bf.join(self._group(e.block), "left_outer")
+            elif isinstance(e, MinusBlock):
+                other = self._group(e.block)
+                if other.variables & bf.variables:
+                    bf = bf.restrict(other, "left_anti")
+                # disjoint domains → MINUS removes nothing (SPARQL §8.3)
+            elif isinstance(e, ExistsFilter):
+                bf = bf.restrict(
+                    self._group(e.block),
+                    "left_anti" if e.negated else "left_semi",
+                )
         for e in g.elements:
             if isinstance(e, Bind):
                 vc = self._compiler(bf)
@@ -114,6 +129,21 @@ class SparqlEngine:
                 vc = self._compiler(bf)
                 bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
         return bf
+
+    def _values(self, v: ValuesBlock) -> BFrame:
+        """Inline data → a (tiny, broadcast-able) BFrame joined into the
+        group like any star (SPARQL 1.1 VALUES; beyond the reference)."""
+
+        def pyval(t):
+            if t is None:
+                return None
+            if t.is_iri:
+                return t.value
+            return t.py if t.py is not None else t.value
+
+        rows = [tuple(pyval(t) for t in row) for row in v.rows]
+        df = self.spark.createDataFrame(rows, schema=v.variables)
+        return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
 
     def _join_greedy(self, frames: list[BFrame]) -> BFrame:
         """Greedy bushy combination preferring var-sharing joins

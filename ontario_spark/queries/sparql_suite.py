@@ -198,6 +198,38 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
            WHERE c_name IS NOT NULL AND n_name IS NOT NULL""",
         "nested",
     ),
+    "sparql_values_inline": (
+        """SELECT ?name ?price WHERE {
+             ?o a ex:Order ; ex:orderpriority ?name ; ex:totalprice ?price .
+             VALUES ?name { "1-URGENT" "2-HIGH" }
+             FILTER (?price > 400000.0) }""",
+        """SELECT o_orderpriority AS name, o_totalprice AS price
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             AND o_totalprice IS NOT NULL AND o_totalprice > 400000.0""",
+        "base",
+    ),
+    "sparql_minus_setop": (
+        """SELECT ?c WHERE {
+             ?c a ex:Customer .
+             MINUS { ?o a ex:Order ; ex:customer ?c ;
+                     ex:orderpriority "1-URGENT" } }""",
+        f"""SELECT {URI_C} AS c FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')""",
+        "base",
+    ),
+    "sparql_exists_filter": (
+        """SELECT ?c ?name WHERE {
+             ?c a ex:Customer ; ex:name ?name .
+             FILTER EXISTS { ?o a ex:Order ; ex:customer ?c ;
+                             ex:orderpriority "1-URGENT" } }""",
+        f"""SELECT {URI_C} AS c, c_name AS name FROM customer
+            WHERE c_name IS NOT NULL AND EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')""",
+        "base",
+    ),
     "sparql_federated_join": (
         # cross-engine federation: Customer star answered by a remote
         # SQL executor (DuckDB as stand-in MySQL), Nation star by the
@@ -205,11 +237,11 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
         """SELECT ?name ?nname WHERE {
              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
              ?n a ex:Nation ; ex:name ?nname .
-             FILTER (?nname = "GERMANY") }""",
+             FILTER (STRSTARTS(?nname, "NATION_1")) }""",
         """SELECT c_name AS name, n_name AS nname
            FROM customer JOIN nation ON c_nationkey = n_nationkey
            WHERE c_name IS NOT NULL AND n_name IS NOT NULL
-             AND n_name = 'GERMANY'""",
+             AND starts_with(n_name, 'NATION_1')""",
         "federated",
     ),
 }

@@ -87,11 +87,37 @@ class UnionBlock:
 
 
 @dataclass
+class MinusBlock:
+    """SPARQL 1.1 MINUS (beyond the reference, which has no set ops
+    besides UNION — SURVEY.md §2.5)."""
+
+    block: "Group"
+
+
+@dataclass
+class ExistsFilter:
+    """FILTER [NOT] EXISTS { ... } (SPARQL 1.1; beyond the reference)."""
+
+    block: "Group"
+    negated: bool = False
+
+
+@dataclass
+class ValuesBlock:
+    """Inline data: VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) }.
+    Each row is a tuple of Term or None (UNDEF)."""
+
+    variables: list[str]
+    rows: list[tuple]
+
+
+@dataclass
 class Group:
     """A group graph pattern `{ ... }` (reference: JoinBlock)."""
 
     elements: list = field(default_factory=list)
     # Triple | Filter | Bind | OptionalBlock | UnionBlock | Group
+    # | MinusBlock | ExistsFilter | ValuesBlock
 
 
 @dataclass

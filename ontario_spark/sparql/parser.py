@@ -17,15 +17,18 @@ import re
 
 from ontario_spark.sparql.ast import (
     Bind,
+    ExistsFilter,
     Expr,
     Filter,
     Group,
+    MinusBlock,
     OptionalBlock,
     Query,
     SelectExpr,
     Term,
     Triple,
     UnionBlock,
+    ValuesBlock,
 )
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -260,9 +263,22 @@ class Parser:
         self.eat_op("{")
         g = Group()
         while not self.at_op("}"):
+            mark = self.i
             if self.at_kw("optional"):
                 self.next()
                 g.elements.append(OptionalBlock(self._group()))
+            elif self.at_kw("minus"):
+                self.next()
+                g.elements.append(MinusBlock(self._group()))
+            elif self.at_kw("values"):
+                self.next()
+                g.elements.append(self._values())
+            elif self.at_kw("filter") and self._kw_ahead(1, "exists"):
+                self.next(); self.next()
+                g.elements.append(ExistsFilter(self._group(), negated=False))
+            elif self.at_kw("filter") and self._kw_ahead(1, "not") and self._kw_ahead(2, "exists"):
+                self.next(); self.next(); self.next()
+                g.elements.append(ExistsFilter(self._group(), negated=True))
             elif self.at_kw("filter"):
                 self.next()
                 g.elements.append(Filter(self._bracketted_or_builtin()))
@@ -285,8 +301,50 @@ class Parser:
                 g.elements.extend(self._triples_block())
             if self.at_op("."):
                 self.next()
+            if self.i == mark:
+                t = self.peek()
+                raise SparqlSyntaxError(
+                    f"unexpected {t.value!r} in group pattern at {t.pos}"
+                )
         self.eat_op("}")
         return g
+
+    def _kw_ahead(self, n: int, kw: str) -> bool:
+        j = self.i + n
+        if j >= len(self.toks):
+            return False
+        t = self.toks[j]
+        return t.type == "KEYWORD" and t.value.lower() == kw
+
+    def _values(self) -> ValuesBlock:
+        """VALUES ?v { t* }  |  VALUES (?a ?b) { (t t) (t t) }"""
+        rows: list[tuple] = []
+        if self.peek().type == "VAR":
+            var = self.next().value[1:]
+            self.eat_op("{")
+            while not self.at_op("}"):
+                rows.append((self._values_term(),))
+            self.eat_op("}")
+            return ValuesBlock([var], rows)
+        self.eat_op("(")
+        variables = []
+        while self.peek().type == "VAR":
+            variables.append(self.next().value[1:])
+        self.eat_op(")")
+        self.eat_op("{")
+        while not self.at_op("}"):
+            self.eat_op("(")
+            row = tuple(self._values_term() for _ in variables)
+            self.eat_op(")")
+            rows.append(row)
+        self.eat_op("}")
+        return ValuesBlock(variables, rows)
+
+    def _values_term(self):
+        if self.at_kw("undef"):
+            self.next()
+            return None
+        return self._term()
 
     def _triples_block(self, stop_on_keywords: bool = True) -> list[Triple]:
         out: list[Triple] = []
@@ -294,7 +352,7 @@ class Parser:
             t = self.peek()
             if t.type == "EOF" or self.at_op("}", "{"):
                 break
-            if stop_on_keywords and self.at_kw("optional", "filter", "bind", "union", "values"):
+            if stop_on_keywords and self.at_kw("optional", "filter", "bind", "union", "values", "minus"):
                 break
             s = self._term()
             while True:

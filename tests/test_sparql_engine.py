@@ -282,3 +282,88 @@ def test_date_filter(engine, sf_small):
             WHERE o_orderdate IS NOT NULL AND o_orderdate >= TIMESTAMP '1999-01-01'""",
         "date_filter",
     )
+
+
+# --- SPARQL 1.1 set ops & inline data (beyond the reference) ------------
+
+
+def test_values_single_var(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        'SELECT ?name WHERE { ?r a ex:Region ; ex:name ?name . '
+        'VALUES ?name { "AMERICA" "ASIA" } }'
+    )
+    assert sorted(r["name"] for r in df.collect()) == ["AMERICA", "ASIA"]
+
+
+def test_values_multi_var_undef(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name ?tag WHERE { ?r a ex:Region ; ex:name ?name . "
+        'VALUES (?name ?tag) { ("ASIA" "east") (UNDEF "any") } }'
+    )
+    got = sorted((r["name"], r["tag"]) for r in df.collect())
+    # UNDEF row joins nothing (null key) under the join approximation
+    assert got == [("ASIA", "east")]
+
+
+def test_minus(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+    from ontario_spark.data import table
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?c WHERE { ?c a ex:Customer . "
+        "MINUS { ?o a ex:Order ; ex:customer ?c } }"
+    )
+    cust = table(spark, sf_small, "customer")
+    orders = table(spark, sf_small, "orders")
+    exp = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).count()
+    assert df.count() == exp
+
+
+def test_not_exists_equals_minus_here(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    minus = eng.query(
+        f"PREFIX ex: <{EX}>\nSELECT ?c WHERE {{ ?c a ex:Customer . "
+        "MINUS { ?o a ex:Order ; ex:customer ?c } }"
+    ).count()
+    ne = eng.query(
+        f"PREFIX ex: <{EX}>\nSELECT ?c WHERE {{ ?c a ex:Customer . "
+        "FILTER NOT EXISTS { ?o a ex:Order ; ex:customer ?c } }"
+    ).count()
+    assert minus == ne
+
+
+def test_exists(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+    from ontario_spark.data import table
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?c WHERE { ?c a ex:Customer . "
+        "FILTER EXISTS { ?o a ex:Order ; ex:customer ?c } }"
+    )
+    cust = table(spark, sf_small, "customer")
+    orders = table(spark, sf_small, "orders")
+    exp = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).count()
+    assert df.count() == exp > 0
