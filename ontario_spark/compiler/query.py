@@ -37,7 +37,7 @@ from ontario_spark.compiler.filters import (
 )
 from ontario_spark.compiler.frame import BFrame, LEXICAL, TermMeta
 from ontario_spark.compiler.star import compile_star
-from ontario_spark.planner.decomposer import bgp_stars, select_sources
+from ontario_spark.planner.decomposer import bgp_stars, prune_connected, select_sources
 from ontario_spark.sparql.ast import (
     Bind,
     ExistsFilter,
@@ -83,10 +83,11 @@ class SparqlEngine:
     def _group(self, g: Group) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         frames: list[BFrame] = []
-        for star in bgp_stars(triples):
-            frames.append(
-                compile_star(self.spark, self.catalog, select_sources(self.catalog, star))
-            )
+        plans = [
+            select_sources(self.catalog, star) for star in bgp_stars(triples)
+        ]
+        for plan in prune_connected(plans):
+            frames.append(compile_star(self.spark, self.catalog, plan))
         for e in g.elements:
             if isinstance(e, Group):
                 frames.append(self._group(e))

@@ -75,6 +75,70 @@ class StarPlan:
     alternatives: list[list[TripleMap]]
 
 
+def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
+    """MT-connectivity pruning (reference: ``Decomposer.prune``,
+    ``mediator/Decomposer.py:209-287``): when star A links to star B via
+    ``?a <p> ?b`` and B is the subject star of ``?b``, B's alternatives
+    must have a subject template shape matching one of A's object-map
+    templates for ``p`` — and vice versa. Alternatives that can't
+    connect produce provably-empty join branches, so dropping them cuts
+    scans; like the reference (:283-286), fall back to the unpruned set
+    when pruning would leave nothing (recall over speed)."""
+    by_subj: dict[str, StarPlan] = {
+        p.star.subject.value: p for p in plans if p.star.subject.is_var
+    }
+    for plan in plans:
+        for t in plan.star.triples:
+            if not (t.p.is_iri and t.p.value != RDF_TYPE and t.o.is_var):
+                continue
+            target = by_subj.get(t.o.value)
+            if target is None or target is plan:
+                continue
+            # shapes A can emit for this predicate
+            shapes = [
+                tm.pom[t.p.value].template
+                for alt in plan.alternatives
+                for tm in alt
+                if tm.pom.get(t.p.value) is not None
+                and tm.pom[t.p.value].kind == "template"
+            ]
+            if shapes:
+                kept = [
+                    alt
+                    for alt in target.alternatives
+                    if alt[0].subject.kind == "template"
+                    and any(alt[0].subject.template.same_shape(s) for s in shapes)
+                ]
+                if kept:
+                    target.alternatives = kept
+            # reverse: A alternatives whose emitted shape can't reach B
+            tshapes = [
+                alt[0].subject.template
+                for alt in target.alternatives
+                if alt[0].subject.kind == "template"
+            ]
+            if tshapes:
+
+                def connects(alt: list[TripleMap]) -> bool:
+                    oms = [
+                        tm.pom[t.p.value]
+                        for tm in alt
+                        if tm.pom.get(t.p.value) is not None
+                    ]
+                    if not any(om.kind == "template" for om in oms):
+                        return True  # lexical link: can't reason, keep
+                    return any(
+                        om.kind == "template"
+                        and any(om.template.same_shape(s) for s in tshapes)
+                        for om in oms
+                    )
+
+                kept = [alt for alt in plan.alternatives if connects(alt)]
+                if kept:
+                    plan.alternatives = kept
+    return plans
+
+
 def select_sources(cat: Catalog, star: Star) -> StarPlan:
     preds = star.predicates
     classes = star.type_constraints
