@@ -53,3 +53,44 @@ def test_generated_catalog_order_join(spark, sf_small):
         sf_small,
     )
     assert_match(df, oracle, "generated_order_join")
+
+
+def test_catalog_json_roundtrip(tmp_path, spark, sf_small):
+    """Save → load preserves sources, maps, templates, indexes — and the
+    loaded catalog answers queries identically."""
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    cat = tpch_catalog(sf_small)
+    p = str(tmp_path / "catalog.json")
+    serde.save(cat, p)
+    back = serde.load(p)
+    assert set(back.triple_maps) == set(cat.triple_maps)
+    assert back.predicate_index == cat.predicate_index
+    assert back.class_index == cat.class_index
+    for name, tm in cat.triple_maps.items():
+        assert back.triple_maps[name] == tm
+
+    q = (
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name WHERE { ?r a ex:Region ; ex:name ?name }"
+    )
+    a = {r["name"] for r in SparqlEngine(spark, cat).query(q).collect()}
+    b = {r["name"] for r in SparqlEngine(spark, back).query(q).collect()}
+    assert a == b and len(a) == 5
+
+
+def test_generated_catalog_roundtrip(tmp_path, spark, sf_small):
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.generate import generate_catalog
+
+    cat = generate_catalog(
+        spark, sf_small, ["nation", "region"], "http://g.ex/",
+        keys={"nation": "n_nationkey", "region": "r_regionkey"},
+    )
+    p = str(tmp_path / "gen.json")
+    serde.save(cat, p)
+    back = serde.load(p)
+    assert set(back.triple_maps) == set(cat.triple_maps)
+    assert back.triple_maps["NationGen"].predicates == cat.triple_maps["NationGen"].predicates
