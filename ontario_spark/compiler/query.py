@@ -178,7 +178,8 @@ class SparqlEngine:
     def _select(self, q: Query, bf: BFrame) -> DataFrame:
         sel = q.select
         if sel is None:
-            proj_vars = sorted(bf.variables)
+            # SELECT *: internal path-join variables (__pp*) stay hidden
+            proj_vars = sorted(v for v in bf.variables if not v.startswith("__"))
             plain = proj_vars
             computed: list = []
         else:

@@ -198,6 +198,20 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
            WHERE c_name IS NOT NULL AND n_name IS NOT NULL""",
         "nested",
     ),
+    "sparql_property_path": (
+        # sequence path = chained joins through fresh variables
+        """SELECT ?name ?rname WHERE {
+             ?c a ex:Customer ; ex:name ?name ;
+                ex:nation/ex:region/ex:name ?rname .
+             FILTER (?rname = "ASIA") }""",
+        """SELECT c_name AS name, r_name AS rname
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE c_name IS NOT NULL
+             AND r_name IS NOT NULL AND r_name = 'ASIA'""",
+        "base",
+    ),
     "sparql_values_inline": (
         """SELECT ?name ?price WHERE {
              ?o a ex:Order ; ex:orderpriority ?name ; ex:totalprice ?price .

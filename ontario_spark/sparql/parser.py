@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(
   | (?P<DTYPE>\^\^)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<PLOCAL>[A-Za-z0-9_][A-Za-z0-9_.-]*)?
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-=<>!])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-=<>!|^])
 """,
     re.VERBOSE,
 )
@@ -208,6 +208,8 @@ class Parser:
         q = Query(query_type="construct")
         self.eat_op("{")
         q.construct_template = self._triples_block(stop_on_keywords=False)
+        if any(not isinstance(t, Triple) for t in q.construct_template):
+            raise SparqlSyntaxError("property paths not allowed in CONSTRUCT template")
         self.eat_op("}")
         self.eat_kw("where")
         q.where = self._group()
@@ -359,7 +361,7 @@ class Parser:
                 p = self._verb()
                 while True:
                     o = self._term()
-                    out.append(Triple(s, p, o))
+                    out.extend(self._expand_path(s, p, o))
                     if self.at_op(","):
                         self.next()
                         continue
@@ -376,12 +378,80 @@ class Parser:
             break
         return out
 
-    def _verb(self) -> Term:
+    def _verb(self):
+        """Predicate position: a plain term, or a SPARQL 1.1 property
+        path over IRIs (sequence ``/``, alternation ``|``, inverse
+        ``^`` — beyond the reference, which has no paths at all,
+        SURVEY.md §2.5). Paths are expanded to plain BGP elements by
+        ``_expand_path`` (fresh ``__pp*`` join variables, UNION blocks
+        for alternation), so the compiler never sees them."""
+        return self._path_alt()
+
+    def _path_alt(self):
+        first = self._path_seq()
+        if not self.at_op("|"):
+            return first
+        branches = [first]
+        while self.at_op("|"):
+            self.next()
+            branches.append(self._path_seq())
+        return ("alt", branches)
+
+    def _path_seq(self):
+        first = self._path_elt()
+        if not self.at_op("/"):
+            return first
+        steps = [first]
+        while self.at_op("/"):
+            self.next()
+            steps.append(self._path_elt())
+        return ("seq", steps)
+
+    def _path_elt(self):
+        if self.at_op("^"):
+            self.next()
+            return ("inv", self._path_primary())
+        return self._path_primary()
+
+    def _path_primary(self):
         t = self.peek()
         if t.type == "KEYWORD" and t.value == "a":
             self.next()
             return Term("iri", RDF_TYPE)
+        if self.at_op("("):
+            self.next()
+            inner = self._path_alt()
+            self.eat_op(")")
+            return inner
         return self._term()
+
+    def _expand_path(self, s: Term, path, o: Term) -> list:
+        """Path triple → plain elements. Sequence chains fresh
+        variables; alternation becomes a UnionBlock; inverse swaps
+        subject/object."""
+        if isinstance(path, Term):
+            return [Triple(s, path, o)]
+        kind, arg = path
+        if kind == "inv":
+            return self._expand_path(o, arg, s)
+        if kind == "seq":
+            out: list = []
+            cur = s
+            for i, step in enumerate(arg):
+                last = i == len(arg) - 1
+                nxt = o if last else Term("var", self._fresh_var())
+                out.extend(self._expand_path(cur, step, nxt))
+                cur = nxt
+            return out
+        if kind == "alt":
+            return [
+                UnionBlock([Group(self._expand_path(s, b, o)) for b in arg])
+            ]
+        raise SparqlSyntaxError(f"unsupported path kind {kind!r}")
+
+    def _fresh_var(self) -> str:
+        self._ppn = getattr(self, "_ppn", 0) + 1
+        return f"__pp{self._ppn}"
 
     def _term(self) -> Term:
         t = self.next()

@@ -367,3 +367,79 @@ def test_exists(spark, sf_small):
         orders, cust.c_custkey == orders.o_custkey, "left_semi"
     ).count()
     assert df.count() == exp > 0
+
+
+# --- property paths (SPARQL 1.1; beyond the reference) -------------------
+
+
+def test_path_sequence(spark, sf_small):
+    """?c ex:nation/ex:region/ex:name ?rname ≡ 3-hop join chain."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+    from ontario_spark.data import table
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name ?rname WHERE { ?c a ex:Customer ; ex:name ?name ; "
+        "ex:nation/ex:region/ex:name ?rname }"
+    )
+    cust = table(spark, sf_small, "customer")
+    nat = table(spark, sf_small, "nation")
+    reg = table(spark, sf_small, "region")
+    exp = {
+        (r["c_name"], r["r_name"])
+        for r in cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .collect()
+    }
+    got = {(r["name"], r["rname"]) for r in df.collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_path_alternation(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+    from ontario_spark.data import table
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?x WHERE { ?s (ex:mktsegment|ex:brand) ?x }"
+    )
+    cust = table(spark, sf_small, "customer")
+    part = table(spark, sf_small, "part")
+    exp = cust.where("c_mktsegment is not null").count() + part.where(
+        "p_brand is not null"
+    ).count()
+    assert df.count() == exp
+
+
+def test_path_inverse(spark, sf_small):
+    """?n ^ex:nation ?c ≡ ?c ex:nation ?n."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    a = eng.query(
+        f"PREFIX ex: <{EX}>\nSELECT ?c WHERE {{ ?n a ex:Nation . "
+        "?n ^ex:nation ?c . ?c a ex:Customer }"
+    ).count()
+    b = eng.query(
+        f"PREFIX ex: <{EX}>\nSELECT ?c WHERE {{ ?c a ex:Customer ; ex:nation ?n . "
+        "?n a ex:Nation }"
+    ).count()
+    assert a == b > 0
+
+
+def test_path_star_select_hides_internal_vars(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT * WHERE { ?c a ex:Customer ; ex:nation/ex:name ?nname }"
+    )
+    assert all(not c.startswith("__") for c in df.columns)
+    assert df.count() > 0
