@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ontario_spark.streaming.events import (
     read_event_stream,
     run_available_now,
+    user_event_gaps,
     user_sessions,
     windowed_counts,
 )
@@ -59,12 +60,35 @@ FROM y GROUP BY user_id, sess_id
 """
 
 
+def stream_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user max
+    inter-event gap. The events fixture is one file → one batch, so the
+    update-mode sink holds exactly one row per user."""
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        user_event_gaps(stream), "stream_user_gaps_sink", output_mode="update"
+    )
+
+
+STREAM_USER_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events, MAX(gap_us) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_user_sessions": stream_user_sessions,
+    "stream_user_gaps": stream_user_gaps,
 }
 
 ORACLE = {
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
+    "stream_user_gaps": STREAM_USER_GAPS_SQL,
 }

@@ -101,16 +101,88 @@ def user_sessions(
     )
 
 
-def run_available_now(result: DataFrame, name: str) -> DataFrame:
+GAPS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_gap_us", LongType()),
+    ]
+)
+
+GAPS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("last_us", LongType()),
+        StructField("maxgap_us", LongType()),
+    ]
+)
+
+
+def user_event_gaps(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    event count + maximum inter-event gap (µs). The gap spans batch
+    boundaries, so it genuinely needs keyed state (last seen timestamp)
+    — not expressible with built-in windowed aggregates alone.
+
+    Events are ordered per batch (arrival order across batches assumed
+    in-order, as with replayed files; production would buffer on the
+    watermark before gap computation). Gaps stay integer microseconds
+    end-to-end so the batch oracle (``epoch_us`` diffs) matches
+    bit-for-bit."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, last_us, maxgap_us = state.get
+        else:
+            n, last_us, maxgap_us = 0, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                .sort_values()
+                // 1000
+            )
+            gaps = us.diff()
+            if last_us is not None:
+                gaps.iloc[0] = us.iloc[0] - last_us
+            batch_max = gaps.max()
+            if pd.notna(batch_max):
+                batch_max = int(batch_max)
+                maxgap_us = batch_max if maxgap_us is None else max(maxgap_us, batch_max)
+            n += len(us)
+            last_us = int(us.iloc[-1])
+        state.update((n, last_us, maxgap_us))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "max_gap_us": maxgap_us}]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=GAPS_OUT_SCHEMA,
+        stateStructType=GAPS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming DataFrame to completion with AvailableNow
     into an in-memory sink and return the final table (complete mode so
-    windows closed by the watermark still surface)."""
+    windows closed by the watermark still surface; stateful
+    ``applyInPandasWithState`` operators require ``update``, where the
+    sink accumulates one row per key per batch — last write wins)."""
     spark = result.sparkSession
     with tempfile.TemporaryDirectory(prefix="osk-ckpt-") as ckpt:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

@@ -59,3 +59,63 @@ def test_sessionization_matches_batch_gaps(spark, sf_small):
     a = sorted(map(tuple, got_simple.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+def test_user_event_gaps_state_spans_batches(spark, tmp_path):
+    """Two files replayed as two micro-batches; user 7's largest gap
+    spans the file boundary, so it is only computable with keyed state
+    carried across batches."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ontario_spark.streaming.events import (
+        EVENT_SCHEMA,
+        run_available_now,
+        user_event_gaps,
+    )
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        path = f"{d}/{name}"
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    us = 1_000  # ns per µs
+    base = 1_700_000_000_000_000_000  # ns epoch
+    # batch 1: events at t=0s and t=10s; batch 2: t=3600s (gap 3590s) and t=3605s
+    write("b1.parquet", [
+        (1, base, 7, "a", 1.0, ""),
+        (2, base + 10_000_000 * us, 7, "a", 1.0, ""),
+    ], mtime=time.time() - 100)
+    write("b2.parquet", [
+        (3, base + 3_600_000_000 * us, 7, "a", 1.0, ""),
+        (4, base + 3_605_000_000 * us, 7, "a", 1.0, ""),
+    ], mtime=time.time())
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = run_available_now(
+        user_event_gaps(raw), "gaps_span_sink", output_mode="update"
+    )
+    # update-mode sink holds one row per batch; the final state is the
+    # row with the highest event count
+    final = max(
+        (r for r in out.collect() if r["user_id"] == 7),
+        key=lambda r: r["n_events"],
+    )
+    assert final["n_events"] == 4
+    # 3600s - 10s = 3590s boundary-spanning gap, in µs
+    assert final["max_gap_us"] == 3_590_000_000_000 // 1000
