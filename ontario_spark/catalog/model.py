@@ -225,6 +225,25 @@ class Catalog:
                 return reader.json(path)
             sep = "\t" if fmt == "tsv" else ","
             return reader.option("sep", sep).option("header", "true").csv(path)
+        if fmt == "xml":
+            # the reference reads XML via com.databricks.spark.xml with
+            # the RML iterator as rowTag (sparql2sparksql.py:79-95);
+            # Spark 4 ships spark-xml in-box. Gated: absent in minimal
+            # builds, and the nested-JSON path (sources/nested.py)
+            # covers the same reference-path semantics.
+            try:
+                reader = spark.read.format("xml").options(**dict(tm.source.options))
+                if tm.source.iterator:
+                    reader = reader.option(
+                        "rowTag", tm.source.iterator.replace("[*]", "")
+                    )
+                return reader.load(f"{src.base_path}/{tm.source.table}")
+            except Exception as exc:  # pragma: no cover - depends on build
+                raise ValueError(
+                    "XML source requires the spark-xml data source; "
+                    "re-materialize as JSON and use the nested-path "
+                    "catalog instead"
+                ) from exc
         if fmt == "jdbc":
             return (
                 spark.read.format("jdbc")

@@ -159,8 +159,12 @@ def _compile_map(
     for t in triples:
         if t.p.is_iri and t.p.value != RDF_TYPE and t.p.value in tm.pom:
             paths.extend(tm.pom[t.p.value].columns)
-    if tm.source.iterator or any(is_nested(p) for p in paths):
-        pr = PathResolver(df, tm.source.iterator)
+    # XML sources consume the iterator as rowTag at read time
+    # (catalog.load_source_df), so references are already row-relative.
+    fmt = tm.source.fmt or cat.source_of(tm).dstype
+    iterator = None if fmt == "xml" else tm.source.iterator
+    if iterator or any(is_nested(p) for p in paths):
+        pr = PathResolver(df, iterator)
         df = pr.prepare(paths)
         cref = pr.col
     else:

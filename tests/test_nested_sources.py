@@ -126,3 +126,52 @@ def test_nested_keyed_template_join(spark, sf_small):
     # the join must run on key columns, not formatted URI strings
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "concat" not in plan.lower().split("project")[0]
+
+
+def test_xml_source_end_to_end(spark, tmp_path):
+    """XML logical source: iterator → rowTag (reference:
+    sparql2sparksql.py rowTag from RML iterator), nested element access
+    through the same reference-path machinery."""
+    from ontario_spark.catalog.model import (
+        Catalog,
+        DataSource,
+        LogicalSource,
+        TripleMap,
+        ref,
+        tpl,
+    )
+    from ontario_spark.compiler.query import SparqlEngine
+
+    xml = (
+        "<lake>"
+        "<cust><cid>1</cid><name>alice</name><addr><city>bonn</city></addr></cust>"
+        "<cust><cid>2</cid><name>bob</name><addr><city>lyon</city></addr></cust>"
+        "<cust><cid>3</cid><name>eve</name></cust>"
+        "</lake>"
+    )
+    d = tmp_path / "xmlsrc"
+    d.mkdir()
+    (d / "cust.xml").write_text(xml)
+
+    cat = Catalog()
+    cat.add(
+        DataSource(name="xml_lake", dstype="xml", base_path=str(d)),
+        TripleMap(
+            name="XmlCustomer",
+            source=LogicalSource(table="cust.xml", fmt="xml", iterator="cust[*]"),
+            subject=tpl("http://x.ex/c/{cid}"),
+            subject_class="http://x.ex/Customer",
+            predicates=(
+                ("http://x.ex/name", ref("name")),
+                ("http://x.ex/city", ref("addr/city")),
+            ),
+        ),
+    )
+    eng = SparqlEngine(spark, cat)
+    df = eng.query(
+        "PREFIX x: <http://x.ex/>\n"
+        "SELECT ?name ?city WHERE { ?c a x:Customer ; x:name ?name ; x:city ?city }"
+    )
+    got = sorted((r["name"], r["city"]) for r in df.collect())
+    # eve has no addr → city unbound → excluded by NOT NULL guard
+    assert got == [("alice", "bonn"), ("bob", "lyon")]
