@@ -170,22 +170,40 @@ def user_event_gaps(stream: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    result: DataFrame, name: str, output_mode: str = "complete"
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with AvailableNow
     into an in-memory sink and return the final table (complete mode so
     windows closed by the watermark still surface; stateful
     ``applyInPandasWithState`` operators require ``update``, where the
-    sink accumulates one row per key per batch — last write wins)."""
+    sink accumulates one row per key per batch — last write wins).
+
+    ``shuffle_partitions`` pins the state-store partition count for THIS
+    query (AQE never coalesces streaming shuffles, and each state
+    partition carries fixed checkpoint/provider overhead per batch —
+    measured 5× wall-clock at 32 vs 8 partitions on the sf0.1 fixture).
+    It is frozen into the checkpoint at first start, exactly how a
+    production pipeline sizes state partitioning to key cardinality;
+    None keeps the session default (e.g. a 1000-executor deployment
+    sizing for millions of session keys)."""
     spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="osk-ckpt-") as ckpt:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
