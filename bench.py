@@ -28,8 +28,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
+    # Warm the JVM, codegen, and every table's parquet footer once so
+    # per-query numbers measure the query, not session startup or
+    # first-file-open (otherwise the first query to touch the largest
+    # table absorbs a multi-second one-off cost).
+    from ontario_spark.data import TABLES, table
+
+    for t in TABLES:
+        try:
+            table(spark, sf_dir, t).limit(1).collect()
+        except Exception:
+            pass
     queries[names[0]](spark, sf_dir).limit(1).collect()
 
     for name in names:

@@ -1,0 +1,69 @@
+"""Physical-layout utilities for shuffle avoidance at scale.
+
+The reference has no storage layer at all — every leaf re-reads raw
+files per query (``ontario/wrappers/spark/sparql2spark.py:120-138``).
+At 100 TB the dominant costs are join/agg shuffles, so this module
+provides the two standard layout levers:
+
+- ``write_bucketed`` / ``read_bucketed``: persist a table hash-bucketed
+  (and sorted) by its join key. Two tables bucketed the same way join
+  with ZERO exchange — the sort-merge join reads co-located buckets
+  directly. This is how a lake would store lineitem/orders for repeated
+  key joins.
+- ``salted_join``: explicit skew mitigation for the cases AQE's runtime
+  skew splitting can't fix (e.g. a single hot key on the build side of
+  a shuffled join): the left side scatters each hot key across
+  ``salt`` sub-keys, the right side replicates matching rows to all
+  sub-keys, restoring balance at the cost of replicating only the
+  right-side rows of hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (+sorted) managed parquet table. Bucket
+    count should match downstream ``shuffle.partitions`` scale — at
+    100 TB think thousands of buckets, sized so one bucket fits an
+    executor core's memory."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join on ``key``: left rows get a
+    deterministic pseudo-random salt in [0, salt); right rows are
+    replicated to every salt value. Result is row-identical to
+    ``left.join(right, key, how)`` for inner/left joins.
+
+    Use when one key's row count dwarfs the rest; plain AQE skew-join
+    only splits map-side partitions and cannot help when a single key
+    exceeds one task's capacity on BOTH sides."""
+    salt_col = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt))
+    l = left.withColumn("__salt", salt_col.cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+    )
+    out = l.join(r, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

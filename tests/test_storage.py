@@ -1,0 +1,59 @@
+"""Physical-layout utilities: bucketed co-located joins, skew salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.storage import read_bucketed, salted_join, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small):
+    """Same-bucketed tables sort-merge-join with zero shuffle."""
+    orders = table(spark, sf_small, "orders")
+    cust = table(spark, sf_small, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "k"), "t_orders_b", ["k"], 4)
+    write_bucketed(cust.withColumnRenamed("c_custkey", "k"), "t_cust_b", ["k"], 4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "t_orders_b").join(
+                read_bucketed(spark, "t_cust_b"), "k"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() == orders.join(
+                cust, orders.o_custkey == cust.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_salted_join_matches_plain_join(spark, sf_small):
+    orders = table(spark, sf_small, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_small, "customer").select("c_custkey", "c_name")
+    l = orders.withColumnRenamed("o_custkey", "k")
+    r = cust.withColumnRenamed("c_custkey", "k")
+    got = salted_join(l, r, "k", salt=8)
+    exp = l.join(r, "k")
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_salted_left_join(spark, sf_small):
+    """Left join keeps unmatched left rows exactly once."""
+    nat = table(spark, sf_small, "nation").select(
+        F.col("n_nationkey").alias("k"), "n_name"
+    )
+    reg = table(spark, sf_small, "region").select(
+        F.col("r_regionkey").alias("k"), "r_name"
+    )
+    got = salted_join(nat, reg, "k", salt=4, how="left")
+    exp = nat.join(reg, "k", "left")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0
