@@ -113,7 +113,7 @@ def minhash_signatures(
     universal hashes, min-aggregated per document."""
     from ontario_spark.operators.textops import exploded_shingles
 
-    sh = exploded_shingles(df, id_col, text_col, n).withColumnRenamed("id", id_col)
+    sh = exploded_shingles(df, id_col, text_col, n, distinct=False).withColumnRenamed("id", id_col)
     base = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
         % F.lit(_MERSENNE)

@@ -82,33 +82,32 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingle) rows — one per DISTINCT word n-gram per document.
+    """(id, shingle) rows — one word n-gram per row.
 
-    This is the hot-path shingler: posexplode + lead windows, fully
-    whole-stage-codegen relational ops. The array-building
-    ``transform`` lambda alternative is evaluated INTERPRETED per
-    element (higher-order functions don't codegen) and measured ~12×
-    slower at sf0.1."""
-    from pyspark.sql.window import Window
+    Hot-path shingler: n shifted ``slice``s of the token array zipped
+    with ``arrays_zip`` and exploded — all regular codegen expressions,
+    ZERO shuffle (a ``transform`` lambda runs interpreted, ~12× slower;
+    a posexplode+lead-window variant costs a partitionBy shuffle —
+    measured 2× slower at sf0.1).
 
+    ``distinct=True`` (per-document shingle SET, one extra shuffle) is
+    required by set-based consumers (n-gram Jaccard); min-aggregating
+    consumers (MinHash, fingerprint anchors) pass False —
+    min(multiset) == min(set), so dedup would be pure overhead."""
     base = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    m = F.size("toks") - (n - 1)
+    slices = [F.slice("toks", i + 1, m) for i in range(n)]
+    out = base.select("id", F.explode(F.arrays_zip(*slices)).alias("z")).select(
+        "id",
+        F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)]).alias(
+            "shingle"
+        ),
     )
-    tok = base.select("id", F.posexplode("toks").alias("pos", "w0"))
-    win = Window.partitionBy("id").orderBy("pos")
-    out = tok
-    for j in range(1, n):
-        out = out.withColumn(f"w{j}", F.lead("w0", j).over(win))
-    return (
-        out.filter(F.col(f"w{n-1}").isNotNull())
-        .select(
-            "id",
-            F.concat_ws(" ", *[f"w{j}" for j in range(n)]).alias("shingle"),
-        )
-        .distinct()
-    )
+    return out.distinct() if distinct else out
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -189,7 +188,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     anchor = min md5 over word n-gram shingles (stable under
     append/prepend edits, unlike the full hash)."""
     anchors = (
-        exploded_shingles(df, id_col, text_col, n)
+        exploded_shingles(df, id_col, text_col, n, distinct=False)
         .groupBy("id")
         .agg(F.min(F.md5(F.col("shingle"))).alias("shingle_anchor"))
     )
