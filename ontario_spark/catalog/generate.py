@@ -25,6 +25,23 @@ from ontario_spark.catalog.model import (
 )
 
 
+def discover_tables(base_path: str) -> dict[str, str]:
+    """Probe a lake directory for readable tables (reference:
+    ``LocalFlatFileClient``, ``ontario/wrappers/flatfile/__init__.py:10``
+    — lists csv/tsv/json/xml files for RDF-MT generation). Returns
+    table name → format."""
+    import os
+
+    exts = {".parquet": "parquet", ".csv": "csv", ".tsv": "tsv",
+            ".json": "json", ".xml": "xml"}
+    out: dict[str, str] = {}
+    for entry in sorted(os.listdir(base_path)):
+        stem, ext = os.path.splitext(entry)
+        if ext in exts:
+            out[stem] = exts[ext]
+    return out
+
+
 def _class_name(table: str) -> str:
     return table[:-1].capitalize() if table.endswith("s") else table.capitalize()
 

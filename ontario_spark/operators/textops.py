@@ -28,14 +28,22 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism before CPU-heavy per-row work.
+    """Ensure at least full-core parallelism before CPU-heavy per-row
+    work.
 
     Small corpora often arrive as ONE parquet file = one partition, so
-    hashing/shingling would run on a single core; at real scale the
-    input is already many splits and AQE coalescing takes over, but the
-    round-trip here is cheap insurance either way (rows are a few KB)."""
+    hashing/shingling would run on a single core. Only repartitions when
+    the input has FEWER partitions than cores — at real scale the input
+    is already thousands of splits and a forced repartition would be a
+    full-corpus shuffle for nothing."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
 
 
 def tokens(col: Column) -> Column:

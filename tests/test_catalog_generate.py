@@ -94,3 +94,14 @@ def test_generated_catalog_roundtrip(tmp_path, spark, sf_small):
     back = serde.load(p)
     assert set(back.triple_maps) == set(cat.triple_maps)
     assert back.triple_maps["NationGen"].predicates == cat.triple_maps["NationGen"].predicates
+
+
+def test_discover_tables(sf_small):
+    from ontario_spark.catalog.generate import discover_tables
+
+    found = discover_tables(sf_small)
+    assert found["customer"] == "parquet"
+    assert set(found) >= {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
