@@ -252,8 +252,14 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join. The predicate on the right side keeps the result
+    non-empty at every scale factor (every customer has SOME order in
+    the fixture, but not every customer has a big urgent one)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000.0)
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -262,7 +268,8 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_ANTI_SQL = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
 """
 
 
