@@ -1,0 +1,99 @@
+"""Command-line one-shot query runner + SPARQL-JSON results.
+
+Parity with the reference's entry points: the CLI (``run_query.py:4-63``
+— parse, plan, execute, print rows + timings) and the HTTP endpoint's
+response shape (``app/query.py:83-145`` / ``README.md:205-219``:
+``{vars, result[], execTime, firstResult, totalRows}``). The W3C
+``application/sparql-results+json`` encoder doubles as the sink for
+anything that wants standard SPARQL output.
+
+Usage::
+
+    python -m ontario_spark.cli --catalog catalog.json \
+        --query query.sparql [--limit-print 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def sparql_json_term(value) -> dict | None:
+    """Lexical value → SPARQL-JSON term dict (the reference builds the
+    same dicts in its wrappers, e.g. ``sparql2spark.py:189-229``)."""
+    if value is None:
+        return None
+    s = str(value)
+    if s.startswith("http://") or s.startswith("https://") or s.startswith("urn:"):
+        return {"type": "uri", "value": s}
+    if s.startswith("_:"):
+        return {"type": "bnode", "value": s[2:]}
+    return {"type": "literal", "value": s}
+
+
+def to_sparql_json(rows: list, columns: list[str]) -> dict:
+    bindings = []
+    for row in rows:
+        b = {}
+        for c in columns:
+            t = sparql_json_term(row[c])
+            if t is not None:
+                b[c] = t
+        bindings.append(b)
+    return {"head": {"vars": columns}, "results": {"bindings": bindings}}
+
+
+def run(catalog_path: str, query_text: str, spark=None) -> dict:
+    """Execute one query; returns the reference's response shape with
+    the bindings in W3C SPARQL-JSON."""
+    from ontario_spark.catalog.serde import load
+    from ontario_spark.compiler.query import SparqlEngine
+
+    own_session = spark is None
+    if own_session:
+        from ontario_spark.session import get_spark
+
+        spark = get_spark("ontario-spark-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cat = load(catalog_path)
+        t0 = time.perf_counter()
+        df = SparqlEngine(spark, cat).query(query_text)
+        first = df.limit(1).collect()
+        t_first = time.perf_counter() - t0
+        rows = df.collect()
+        t_all = time.perf_counter() - t0
+        payload = to_sparql_json(rows, df.columns)
+        return {
+            "vars": df.columns,
+            "result": payload["results"]["bindings"],
+            "execTime": round(t_all, 4),
+            "firstResult": round(t_first, 4) if first else round(t_all, 4),
+            "totalRows": len(rows),
+        }
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--catalog", required=True, help="catalog JSON (serde.save)")
+    ap.add_argument("--query", required=True, help="file with SPARQL text, or '-' for stdin")
+    ap.add_argument("--limit-print", type=int, default=None,
+                    help="print at most N bindings (full count still reported)")
+    args = ap.parse_args(argv)
+    text = sys.stdin.read() if args.query == "-" else open(args.query).read()
+    out = run(args.catalog, text)
+    if args.limit_print is not None:
+        out["result"] = out["result"][: args.limit_print]
+    json.dump(out, sys.stdout, indent=1)
+    print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

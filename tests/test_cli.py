@@ -1,0 +1,34 @@
+"""CLI runner + SPARQL-JSON encoding (reference: run_query.py response
+shape, README.md:205-219)."""
+
+from __future__ import annotations
+
+from ontario_spark.cli import run, sparql_json_term, to_sparql_json
+
+
+def test_sparql_json_terms():
+    assert sparql_json_term("http://x.ex/a") == {"type": "uri", "value": "http://x.ex/a"}
+    assert sparql_json_term("plain") == {"type": "literal", "value": "plain"}
+    assert sparql_json_term("_:b0") == {"type": "bnode", "value": "b0"}
+    assert sparql_json_term(None) is None
+
+
+def test_cli_run_end_to_end(spark, sf_small, tmp_path):
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+
+    p = str(tmp_path / "cat.json")
+    serde.save(tpch_catalog(sf_small), p)
+    out = run(
+        p,
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?r ?name WHERE { ?r a ex:Region ; ex:name ?name } ORDER BY ?name",
+        spark=spark,
+    )
+    assert out["vars"] == ["r", "name"]
+    assert out["totalRows"] == 5
+    assert out["execTime"] > 0 and out["firstResult"] > 0
+    b0 = out["result"][0]
+    assert b0["r"]["type"] == "uri" and b0["name"]["type"] == "literal"
+    names = [b["name"]["value"] for b in out["result"]]
+    assert names == sorted(names)
