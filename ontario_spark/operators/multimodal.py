@@ -18,7 +18,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -93,6 +95,84 @@ def decode_stats(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     from ontario_spark.operators.textops import spread
 
     return spread(media).mapInPandas(kernel, DECODE_STATS_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling shape: each media row fans out to up to
+    ``n_frames`` rows. The deterministic fake slices the payload into
+    equal byte ranges (standing in for decoded frames at evenly spaced
+    timestamps); a real kernel would seek/decode with libav. The fan-out
+    inside ``mapInPandas`` is the scale-relevant contract — output
+    batches larger than input batches, constant memory."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                k = min(n_frames, len(payload)) if len(payload) else 0
+                for i in range(k):
+                    lo = len(payload) * i // k
+                    hi = len(payload) * (i + 1) // k
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[lo:hi]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    from ontario_spark.operators.textops import spread
+
+    return spread(media).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+N_FEATURES = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction shape: media → fixed-size float vector
+    (deterministic fake: normalized 8-bucket byte histogram; a real
+    kernel would be a vision/audio model). Output composes directly
+    with ``operators.similarity`` ANN search — the media→embedding→ANN
+    path a multimodal dedup pipeline runs."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append([0.0] * N_FEATURES)
+                    continue
+                hist = np.bincount(arr >> 5, minlength=N_FEATURES).astype("float64")
+                feats.append((hist / hist.sum()).astype("float32").tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": pd.Series(feats, dtype="object")}
+            )
+
+    from ontario_spark.operators.textops import spread
+
+    return spread(media).mapInPandas(kernel, FEATURES_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -122,6 +122,73 @@ def bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a k-means coarse quantizer
+    (Spark ML, fixed seed → deterministic) partitions the corpus into
+    ``n_lists`` cells; each query scores only its ``n_probe`` nearest
+    cells. The classic FAISS-style tiering: centroids are tiny and
+    broadcast, the corpus is scanned once to assign cells (at scale this
+    assignment is precomputed and stored partitioned-by-cell), and the
+    probe join touches n_probe/n_lists of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_dvec(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    cdf = corpus.sparkSession.createDataFrame(
+        centers, schema="cell int, center array<double>"
+    )
+
+    def nearest_cells(side: DataFrame, n: int, out: str) -> DataFrame:
+        """Assign each vector its n closest centroids (rank ≤ n) via a
+        broadcast centroid join — O(n_lists) comparisons per row."""
+        scored = side.crossJoin(F.broadcast(cdf)).withColumn(
+            "__d", cosine(F.col("center"), _dvec(F.col(vec_col)))
+        )
+        w = Window.partitionBy(side[id_col]).orderBy(F.desc("__d"), F.asc("cell"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .drop("center", "__d", "__r")
+            .withColumnRenamed("cell", out)
+        )
+
+    c = nearest_cells(corpus, 1, "cell").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    q = nearest_cells(queries, n_probe, "cell").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ontario_spark.data import table
 from ontario_spark.operators import dedup, similarity, textops
-from ontario_spark.operators.multimodal import decode_stats, media_from_text
+from ontario_spark.operators.multimodal import (
+    decode_stats,
+    extract_features,
+    frame_sample,
+    media_from_text,
+)
 
 # --- dedup --------------------------------------------------------------
 
@@ -142,6 +147,16 @@ SELECT query_id, neighbor_id, rank, score FROM (
   FROM scored) t
 WHERE rank <= 3
 """
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer). No SQL oracle — DuckDB has no
+    k-means; recall-vs-bruteforce and determinism are pytest-covered
+    (tests/test_dedup_similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _queries_subset(spark, sf_dir), k=3, n_lists=8, n_probe=3
+    )
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,6 +285,60 @@ FROM documents
 """
 
 
+def mm_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame byte counts from the frame_sample fan-out — the
+    SQL-checkable projection of the video-frame-sampling plumbing."""
+    media = media_from_text(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return frame_sample(media, n_frames=4).select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").cast("int").alias("frame_bytes"),
+    )
+
+
+MM_FRAME_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents
+), f AS (
+  SELECT media_id, n, LEAST(4, n) AS k,
+         CAST(unnest(range(LEAST(4, n))) AS INT) AS frame_idx
+  FROM m WHERE n > 0
+)
+SELECT media_id, frame_idx,
+       CAST((n * (frame_idx + 1)) // k - (n * frame_idx) // k AS INT) AS frame_bytes
+FROM f
+"""
+
+
+def mm_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_features output exploded to (bucket, weight) scalars so
+    the float32 histogram is hash-comparable against DuckDB."""
+    media = media_from_text(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return (
+        extract_features(media)
+        .select("media_id", F.posexplode("features").alias("bucket", "weight"))
+        .select("media_id", "bucket", F.col("weight").cast("double").alias("weight"))
+    )
+
+
+MM_FEATURE_HIST_SQL = """
+WITH tot AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents
+), byt AS (
+  SELECT media_id, ascii(substr(text, CAST(i AS INT), 1)) // 32 AS bucket
+  FROM tot, unnest(range(1, n + 1)) AS u(i)
+), cnt AS (
+  SELECT media_id, bucket, COUNT(*) AS c FROM byt GROUP BY media_id, bucket
+)
+SELECT t.media_id, CAST(g.bucket AS INT) AS bucket,
+       CASE WHEN t.n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(CAST(COALESCE(c.c, 0) / t.n AS REAL) AS DOUBLE) END AS weight
+FROM tot t
+CROSS JOIN (SELECT unnest(range(8)) AS bucket) g
+LEFT JOIN cnt c ON c.media_id = t.media_id AND c.bucket = g.bucket
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -277,12 +346,15 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
+    "ann_topk_ivf": ann_topk_ivf,
     "emb_neardup_pairs": emb_neardup_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "mm_decode_stats": mm_decode_stats,
+    "mm_frame_stats": mm_frame_stats,
+    "mm_feature_hist": mm_feature_hist,
 }
 
 ORACLE = {
@@ -296,4 +368,6 @@ ORACLE = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
+    "mm_frame_stats": MM_FRAME_STATS_SQL,
+    "mm_feature_hist": MM_FEATURE_HIST_SQL,
 }

@@ -97,3 +97,75 @@ def test_multimodal_stub_raises(spark, sf_small):
     media = media_from_text(table(spark, sf_small, "documents").limit(2), "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|image codecs"):
         resize_images(media, 64, 64).collect()
+
+
+# --- IVF ANN + multimodal feature composition ----------------------------
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_small):
+    from ontario_spark.data import table
+    from ontario_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = table(spark, sf_small, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = ivf_topk(emb, queries, k=3, n_lists=8, n_probe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a) == len(e)  # k results per query
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_deterministic(spark, sf_small):
+    from ontario_spark.data import table
+    from ontario_spark.operators.similarity import ivf_topk
+
+    emb = table(spark, sf_small, "embeddings")
+    queries = emb.orderBy("vec_id").limit(3)
+    r1 = sorted(map(tuple, ivf_topk(emb, queries, k=2).collect()))
+    r2 = sorted(map(tuple, ivf_topk(emb, queries, k=2).collect()))
+    assert r1 == r2
+
+
+def test_frame_sample_fanout_and_reassembly(spark, sf_small):
+    from ontario_spark.data import table
+    from ontario_spark.operators.multimodal import frame_sample, media_from_text
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_small, "documents").limit(50)
+    media = media_from_text(docs, "doc_id", "text")
+    frames = frame_sample(media, n_frames=4)
+    # concatenating a media's frames in order reassembles the payload
+    joined = (
+        frames.groupBy("media_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("frame_idx", "frame"))), lambda s: s["frame"].cast("string"))
+            ).alias("rebuilt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .join(media, "media_id")
+    )
+    bad = joined.filter(
+        F.col("rebuilt") != F.col("payload").cast("string")
+    ).count()
+    assert bad == 0
+    assert joined.filter(F.col("n") > 4).count() == 0
+
+
+def test_extract_features_compose_with_ann(spark, sf_small):
+    from ontario_spark.data import table
+    from ontario_spark.operators.multimodal import extract_features, media_from_text
+    from ontario_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_small, "documents").limit(100)
+    feats = extract_features(media_from_text(docs, "doc_id", "text"))
+    # histogram normalized
+    s = feats.select(F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("s"))
+    assert s.filter((F.col("s") < 0.999) | (F.col("s") > 1.001)).count() == 0
+    # composes with the ANN operator (media → embedding → top-k)
+    corpus = feats.select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
+    out = brute_force_topk(corpus, corpus.limit(3), k=2)
+    assert out.count() == 6
