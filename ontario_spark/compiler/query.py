@@ -46,6 +46,7 @@ from ontario_spark.sparql.ast import (
     Group,
     MinusBlock,
     OptionalBlock,
+    PathClosure,
     Query,
     Term,
     Triple,
@@ -99,6 +100,8 @@ class SparqlEngine:
                 frames.append(u)
             elif isinstance(e, ValuesBlock):
                 frames.append(self._values(e))
+            elif isinstance(e, PathClosure):
+                frames.append(self._closure(e))
 
         if not frames:
             bf = BFrame(self.spark.range(1).select(), {})
@@ -130,6 +133,60 @@ class SparqlEngine:
                 vc = self._compiler(bf)
                 bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
         return bf
+
+    def _closure(self, pc: PathClosure) -> BFrame:
+        """Transitive path ``p+``/``p*``: compile the single-step
+        pattern as an ordinary group (so all source-selection and
+        template machinery applies), project it to a lexical edge
+        relation, and iterate to a fixpoint (operators/graph.py).
+        Lexical (not keyed) endpoints are deliberate: closure hops
+        cross template domains (customer→nation→region), so there is no
+        single key shape to join on."""
+        from ontario_spark.operators.graph import transitive_closure
+
+        step = self._group(pc.step)
+        step = step.materialize(pc.src_var).materialize(pc.dst_var)
+        edges = step.df.select(
+            F.col(pc.src_var).alias("src"), F.col(pc.dst_var).alias("dst")
+        )
+        pairs = transitive_closure(
+            edges, include_identity=(pc.min_len == 0)
+        )
+
+        def lex(t: Term) -> str:
+            return t.value
+
+        s, o = pc.s, pc.o
+        if s.is_var and o.is_var:
+            if s.value == o.value:
+                df = pairs.filter(F.col("src") == F.col("dst")).select(
+                    F.col("src").alias(s.value)
+                )
+                return BFrame(df, {s.value: TermMeta(LEXICAL)})
+            df = pairs.select(
+                F.col("src").alias(s.value), F.col("dst").alias(o.value)
+            )
+            return BFrame(
+                df, {s.value: TermMeta(LEXICAL), o.value: TermMeta(LEXICAL)}
+            )
+        if s.is_var:
+            df = pairs.filter(F.col("dst") == F.lit(lex(o))).select(
+                F.col("src").alias(s.value)
+            )
+            return BFrame(df, {s.value: TermMeta(LEXICAL)})
+        if o.is_var:
+            df = pairs.filter(F.col("src") == F.lit(lex(s))).select(
+                F.col("dst").alias(o.value)
+            )
+            return BFrame(df, {o.value: TermMeta(LEXICAL)})
+        probe = (
+            pairs.filter(
+                (F.col("src") == F.lit(lex(s))) & (F.col("dst") == F.lit(lex(o)))
+            )
+            .limit(1)
+            .select()
+        )
+        return BFrame(probe, {})
 
     def _values(self, v: ValuesBlock) -> BFrame:
         """Inline data → a (tiny, broadcast-able) BFrame joined into the

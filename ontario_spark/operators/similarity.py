@@ -142,7 +142,14 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(_dvec(F.col(vec_col))).alias("features"))
+    # FAISS-style: train the coarse quantizer on a bounded sample —
+    # centroid quality needs O(100) points per cell, not the corpus.
+    # limit() is deterministic here (stable parquet row order) and at
+    # 100 TB keeps training cost independent of corpus size.
+    train = (
+        corpus.select(array_to_vector(_dvec(F.col(vec_col))).alias("features"))
+        .limit(max(256 * n_lists, 2048))
+    )
     km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())

@@ -212,6 +212,31 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND r_name IS NOT NULL AND r_name = 'ASIA'""",
         "base",
     ),
+    "sparql_path_closure": (
+        # transitive path: customers/suppliers reach their nation AND
+        # (two hops) region; oracle is a recursive CTE over the same
+        # lexical edge relation
+        """SELECT ?x ?loc WHERE { ?x (ex:nation|ex:region)+ ?loc . }""",
+        """WITH RECURSIVE edges AS (
+             SELECT 'http://ex.org/tpch/customer/' || CAST(c_custkey AS VARCHAR) AS src,
+                    'http://ex.org/tpch/nation/' || CAST(c_nationkey AS VARCHAR) AS dst
+             FROM customer WHERE c_nationkey IS NOT NULL
+             UNION ALL
+             SELECT 'http://ex.org/tpch/supplier/' || CAST(s_suppkey AS VARCHAR),
+                    'http://ex.org/tpch/nation/' || CAST(s_nationkey AS VARCHAR)
+             FROM supplier WHERE s_nationkey IS NOT NULL
+             UNION ALL
+             SELECT 'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR),
+                    'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR)
+             FROM nation WHERE n_regionkey IS NOT NULL
+           ), reach(src, dst) AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           )
+           SELECT src AS x, dst AS loc FROM reach""",
+        "base",
+    ),
     "sparql_values_inline": (
         """SELECT ?name ?price WHERE {
              ?o a ex:Order ; ex:orderpriority ?name ; ex:totalprice ?price .

@@ -103,6 +103,26 @@ class ExistsFilter:
 
 
 @dataclass
+class PathClosure:
+    """Transitive property path ``p+`` / ``p*`` (SPARQL 1.1; beyond the
+    reference). The single-step pattern is pre-expanded by the parser
+    into ``step`` — a Group binding ``src_var`` → ``dst_var`` — so the
+    compiler can build the edge relation with the ordinary star
+    machinery and iterate it to a fixpoint (operators/graph.py).
+
+    ``min_len=0`` (``*``) adds zero-step identity pairs over the nodes
+    of the edge relation — the practical engine restriction of the
+    spec's "all graph terms" domain."""
+
+    s: Term
+    o: Term
+    src_var: str
+    dst_var: str
+    step: "Group"
+    min_len: int = 1
+
+
+@dataclass
 class ValuesBlock:
     """Inline data: VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) }.
     Each row is a tuple of Term or None (UNDEF)."""
@@ -117,7 +137,7 @@ class Group:
 
     elements: list = field(default_factory=list)
     # Triple | Filter | Bind | OptionalBlock | UnionBlock | Group
-    # | MinusBlock | ExistsFilter | ValuesBlock
+    # | MinusBlock | ExistsFilter | ValuesBlock | PathClosure
 
 
 @dataclass

@@ -23,6 +23,7 @@ from ontario_spark.sparql.ast import (
     Group,
     MinusBlock,
     OptionalBlock,
+    PathClosure,
     Query,
     SelectExpr,
     Term,
@@ -410,8 +411,23 @@ class Parser:
     def _path_elt(self):
         if self.at_op("^"):
             self.next()
-            return ("inv", self._path_primary())
-        return self._path_primary()
+            return ("inv", self._path_mod())
+        return self._path_mod()
+
+    def _path_mod(self):
+        """PathPrimary with optional postfix ``+`` (one-or-more) or
+        ``*`` (zero-or-more). NOTE: a signed numeric object written
+        flush against the predicate (``ex:p+5``) tokenizes as a NUMBER
+        and is NOT a closure — whitespace disambiguates, as in the
+        SPARQL grammar's longest-token rule."""
+        prim = self._path_primary()
+        if self.at_op("+"):
+            self.next()
+            return ("closure", (prim, 1))
+        if self.at_op("*"):
+            self.next()
+            return ("closure", (prim, 0))
+        return prim
 
     def _path_primary(self):
         t = self.peek()
@@ -446,6 +462,21 @@ class Parser:
         if kind == "alt":
             return [
                 UnionBlock([Group(self._expand_path(s, b, o)) for b in arg])
+            ]
+        if kind == "closure":
+            inner, min_len = arg
+            src = Term("var", self._fresh_var())
+            dst = Term("var", self._fresh_var())
+            step = Group(self._expand_path(src, inner, dst))
+            return [
+                PathClosure(
+                    s=s,
+                    o=o,
+                    src_var=src.value,
+                    dst_var=dst.value,
+                    step=step,
+                    min_len=min_len,
+                )
             ]
         raise SparqlSyntaxError(f"unsupported path kind {kind!r}")
 

@@ -1,0 +1,91 @@
+"""Transitive closure operator + SPARQL ``p+``/``p*`` path tests.
+
+The reference has no property paths (SURVEY.md §2.5); semantics here
+follow SPARQL 1.1 §9.1 with the standard engine restriction that
+zero-length (``*``) identity pairs range over the path's node domain.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ontario_spark.operators.graph import ClosureError, transitive_closure
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, schema="src string, dst string")
+
+
+def _pairs(df):
+    return {(r["src"], r["dst"]) for r in df.collect()}
+
+
+def test_closure_chain(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = _pairs(transitive_closure(e))
+    assert got == {
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "c"), ("b", "d"), ("a", "d"),
+    }
+
+
+def test_closure_cycle_terminates(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    got = _pairs(transitive_closure(e))
+    # every node reaches every node (including itself, via the cycle)
+    assert got == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_closure_identity(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    got = _pairs(transitive_closure(e, include_identity=True))
+    assert ("a", "a") in got and ("c", "c") in got
+    assert ("a", "c") in got
+
+
+def test_closure_max_iter_guard(spark):
+    chain = [(str(i), str(i + 1)) for i in range(8)]
+    with pytest.raises(ClosureError):
+        transitive_closure(_edges(spark, chain), max_iter=2)
+
+
+def test_parser_closure_ast():
+    from ontario_spark.sparql.ast import PathClosure
+    from ontario_spark.sparql.parser import parse
+
+    q = parse("SELECT ?s ?o WHERE { ?s <http://x/p>+ ?o . }")
+    pcs = [e for e in q.where.elements if isinstance(e, PathClosure)]
+    assert len(pcs) == 1 and pcs[0].min_len == 1
+
+    q2 = parse("SELECT ?s ?o WHERE { ?s <http://x/p>* ?o . }")
+    pcs2 = [e for e in q2.where.elements if isinstance(e, PathClosure)]
+    assert len(pcs2) == 1 and pcs2[0].min_len == 0
+
+
+def test_engine_star_identity(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?x WHERE { ?x (ex:nation|ex:region)* <http://ex.org/tpch/region/0> . }"
+    )
+    xs = {r["x"] for r in df.collect()}
+    assert "http://ex.org/tpch/region/0" in xs  # zero-length identity
+    assert any("/nation/" in x for x in xs)  # one hop
+    assert any("/customer/" in x for x in xs)  # two hops
+
+
+def test_engine_closure_bound_subject(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?loc WHERE { <http://ex.org/tpch/customer/1> (ex:nation|ex:region)+ ?loc . }"
+    )
+    locs = {r["loc"] for r in df.collect()}
+    assert len(locs) == 2  # its nation and that nation's region
+    assert any("/nation/" in x for x in locs) and any("/region/" in x for x in locs)
