@@ -48,6 +48,7 @@ from ontario_spark.sparql.ast import (
     OptionalBlock,
     PathClosure,
     Query,
+    SubSelect,
     Term,
     Triple,
     UnionBlock,
@@ -102,6 +103,14 @@ class SparqlEngine:
                 frames.append(self._values(e))
             elif isinstance(e, PathClosure):
                 frames.append(self._closure(e))
+            elif isinstance(e, SubSelect):
+                # nested SELECT compiles through the full pipeline and
+                # joins into the group on its projected variables;
+                # projection already materialized everything lexical
+                sdf = self.compile(e.query)
+                frames.append(
+                    BFrame(sdf, {c: TermMeta(LEXICAL) for c in sdf.columns})
+                )
 
         if not frames:
             bf = BFrame(self.spark.range(1).select(), {})

@@ -212,6 +212,24 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND r_name IS NOT NULL AND r_name = 'ASIA'""",
         "base",
     ),
+    "sparql_subquery": (
+        # SPARQL 1.1 nested SELECT: customers holding their segment's
+        # max balance — the aggregate subquery joins back on ?seg
+        """SELECT ?name ?mb WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:mktsegment ?seg ;
+                ex:acctbal ?bal .
+             { SELECT ?seg (MAX(?bal2) AS ?mb) WHERE {
+                 ?c2 a ex:Customer ; ex:mktsegment ?seg ; ex:acctbal ?bal2 .
+               } GROUP BY ?seg }
+             FILTER (?bal = ?mb) }""",
+        """SELECT c_name AS name, mb FROM customer JOIN (
+             SELECT c_mktsegment AS seg, MAX(c_acctbal) AS mb FROM customer
+             WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+             GROUP BY c_mktsegment) m
+           ON c_mktsegment = m.seg
+           WHERE c_acctbal = mb AND c_name IS NOT NULL""",
+        "base",
+    ),
     "sparql_path_closure": (
         # transitive path: customers/suppliers reach their nation AND
         # (two hops) region; oracle is a recursive CTE over the same

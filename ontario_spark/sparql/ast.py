@@ -103,6 +103,15 @@ class ExistsFilter:
 
 
 @dataclass
+class SubSelect:
+    """Nested ``{ SELECT ... }`` inside a group pattern (SPARQL 1.1
+    §12; beyond the reference, which has no subqueries — SURVEY.md
+    §2.5). Joined into the enclosing group on its projected variables."""
+
+    query: "Query"
+
+
+@dataclass
 class PathClosure:
     """Transitive property path ``p+`` / ``p*`` (SPARQL 1.1; beyond the
     reference). The single-step pattern is pre-expanded by the parser

@@ -26,6 +26,7 @@ from ontario_spark.sparql.ast import (
     PathClosure,
     Query,
     SelectExpr,
+    SubSelect,
     Term,
     Triple,
     UnionBlock,
@@ -293,6 +294,10 @@ class Parser:
                 v = self.next()
                 self.eat_op(")")
                 g.elements.append(Bind(expr, v.value[1:]))
+            elif self.at_op("{") and self._kw_ahead(1, "select"):
+                self.next()
+                g.elements.append(SubSelect(self._select()))
+                self.eat_op("}")
             elif self.at_op("{"):
                 sub = self._group()
                 branches = [sub]

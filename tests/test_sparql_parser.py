@@ -107,3 +107,28 @@ def test_syntax_errors():
         parse("SELECT WHERE { }")
     with pytest.raises(SparqlSyntaxError):
         parse(PFX + "SELECT ?x WHERE { ?x ex:p ?y } garbage")
+
+
+def test_subselect_parses():
+    from ontario_spark.sparql.ast import SubSelect
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        """SELECT ?s ?mx WHERE {
+             ?s <http://x/p> ?v .
+             { SELECT ?s (MAX(?w) AS ?mx) WHERE { ?s <http://x/q> ?w }
+               GROUP BY ?s } }"""
+    )
+    subs = [e for e in q.where.elements if isinstance(e, SubSelect)]
+    assert len(subs) == 1
+    inner = subs[0].query
+    assert inner.group_by == ["s"]
+    assert {s.var for s in inner.select} == {"s", "mx"}
+
+
+def test_braced_group_still_parses():
+    # plain nested group (no SELECT) must not be mistaken for a subquery
+    from ontario_spark.sparql.parser import parse
+
+    q = parse("SELECT ?s WHERE { { ?s <http://x/p> ?v } }")
+    assert q.where.elements
