@@ -61,8 +61,12 @@ def ngram_jaccard_pairs(
     from ontario_spark.operators.textops import exploded_shingles
 
     sh = exploded_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    exploded = sh.select("id", F.xxhash64("shingle").alias("k"))
+    # The hashed shingle table feeds three consumers (set sizes + both
+    # self-join sides); persist the compact (id, 8-byte key) form so
+    # shingling — the expensive scan — runs once, not three times. At
+    # lake scale this intermediate is what you'd checkpoint to storage.
+    exploded = sh.select("id", F.xxhash64("shingle").alias("k")).persist()
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.select(F.col("id").alias("id_a"), "k")
     b = exploded.select(F.col("id").alias("id_b"), "k")
     inter = (
@@ -152,8 +156,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.withColumn("bk", band_keys).select(
-        id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket")
+    # Both join sides reference the banded signatures; persist so the
+    # shingle→minhash pipeline (the expensive part) runs once.
+    banded = (
+        sig.withColumn("bk", band_keys)
+        .select(id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket"))
+        .persist()
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ontario_spark.streaming.events import (
+    dedup_events,
     read_event_stream,
     run_available_now,
     user_event_gaps,
@@ -81,13 +82,27 @@ FROM g GROUP BY user_id
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store streaming dedup — the streaming face of the exact-
+    dedup pipeline operator; append mode emits each key once."""
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        dedup_events(stream), "stream_dedup_sink", output_mode="append"
+    )
+
+
+STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 QUERIES = {
+    "stream_dedup": stream_dedup,
     "stream_events_hourly": stream_events_hourly,
     "stream_user_sessions": stream_user_sessions,
     "stream_user_gaps": stream_user_gaps,
 }
 
 ORACLE = {
+    "stream_dedup": STREAM_DEDUP_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
     "stream_user_gaps": STREAM_USER_GAPS_SQL,

@@ -101,6 +101,31 @@ def user_sessions(
     )
 
 
+def dedup_events(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication on ``keys`` through the state store.
+
+    ``within_watermark=None`` → global ``dropDuplicates``: exact
+    streaming DISTINCT whose state holds every key seen (correct, but
+    state grows with key cardinality — the bounded-replay / modest-key
+    regime). Passing a delay (e.g. ``"24 hours"``) switches to
+    ``dropDuplicatesWithinWatermark``, the production path at 100 TB:
+    state is purged once a key falls behind the watermark, bounding
+    memory in exchange for only-suppress-duplicates-within-the-window
+    semantics. Only the key columns are projected so the surviving row
+    is deterministic regardless of arrival order."""
+    keys = keys or ["user_id", "event_type"]
+    proj = stream.select(*keys)
+    if within_watermark is None:
+        return proj.dropDuplicates(keys)
+    return stream.withWatermark("ts", within_watermark).select(
+        *keys, "ts"
+    ).dropDuplicatesWithinWatermark(keys).select(*keys)
+
+
 GAPS_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -119,3 +119,39 @@ def test_user_event_gaps_state_spans_batches(spark, tmp_path):
     assert final["n_events"] == 4
     # 3600s - 10s = 3590s boundary-spanning gap, in µs
     assert final["max_gap_us"] == 3_590_000_000_000 // 1000
+
+
+def test_stream_dedup_matches_distinct(spark, sf_small):
+    from ontario_spark.queries.streaming_suite import stream_dedup
+    from ontario_spark.data import table
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in stream_dedup(spark, sf_small).collect()}
+    exp = {
+        tuple(r)
+        for r in table(spark, sf_small, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == exp
+
+
+def test_stream_dedup_within_watermark_plumbs(spark, sf_small):
+    # watermarked variant: same engine path with bounded state; on the
+    # bounded replay every duplicate arrives inside the delay, so the
+    # result still equals global distinct
+    from ontario_spark.streaming.events import (
+        dedup_events,
+        read_event_stream,
+        run_available_now,
+    )
+
+    stream = read_event_stream(spark, sf_small)
+    df = run_available_now(
+        dedup_events(stream, within_watermark="365 days"),
+        "stream_dedup_wm_sink",
+        output_mode="append",
+    )
+    n = df.count()
+    assert n == df.dropDuplicates().count() and n > 0
