@@ -1,0 +1,146 @@
+"""HTTP SPARQL endpoint — parity with the reference's Flask API
+(``app/query.py``: ``POST/GET /sparql`` :83, blocking response
+``{vars, result[], execTime, firstResult, totalRows}`` :147 /
+``README.md:205-219``; non-blocking mode parks the result and
+``/nextresult`` pops one binding per call :49-81, ``'EOF'`` at end).
+
+Stdlib-only (no Flask in this environment): a ThreadingHTTPServer over
+one shared SparkSession/engine. Non-blocking mode holds a
+``toLocalIterator()`` per query id — rows stream from executors on
+demand instead of a driver-side ``collect()``, which is the Spark
+analogue of the reference's queue-parking and what keeps the driver's
+memory bounded for large results.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ontario_spark.cli import sparql_json_term
+
+
+class SparqlHTTPServer:
+    """``SparqlHTTPServer(engine).start()`` → serve /sparql and
+    /nextresult until ``stop()``. Port 0 picks an ephemeral port
+    (exposed as ``.port``)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._pending: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                self._handle(parse_qs(urlparse(self.path).query))
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n).decode()
+                ctype = self.headers.get("Content-Type", "")
+                if "application/sparql-query" in ctype:
+                    q = parse_qs(urlparse(self.path).query)
+                    q["query"] = [raw]
+                else:
+                    q = parse_qs(raw)
+                    q.update(parse_qs(urlparse(self.path).query))
+                self._handle(q)
+
+            def _handle(self, q: dict) -> None:
+                path = urlparse(self.path).path
+                try:
+                    if path == "/sparql":
+                        self._reply(200, outer._sparql(q))
+                    elif path == "/nextresult":
+                        self._reply(200, outer._nextresult(q))
+                    else:
+                        self._reply(404, {"error": f"no route {path}"})
+                except Exception as ex:  # surface compile errors as 400
+                    self._reply(400, {"error": str(ex)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    # --- routes ---------------------------------------------------------
+
+    def _sparql(self, q: dict) -> dict:
+        text = (q.get("query") or [""])[0]
+        if not text:
+            raise ValueError("missing ?query=")
+        t0 = time.perf_counter()
+        df = self.engine.query(text)
+        if (q.get("mode") or ["blocking"])[0] == "non-blocking":
+            qid = uuid.uuid4().hex
+            with self._lock:
+                self._pending[qid] = {
+                    "vars": df.columns,
+                    "it": df.toLocalIterator(),
+                }
+            return {"qid": qid, "vars": df.columns}
+        first = df.limit(1).collect()
+        t_first = time.perf_counter() - t0
+        rows = df.collect()
+        t_all = time.perf_counter() - t0
+        result = []
+        for row in rows:
+            b = {}
+            for c in df.columns:
+                t = sparql_json_term(row[c])
+                if t is not None:
+                    b[c] = t
+            result.append(b)
+        return {
+            "vars": df.columns,
+            "result": result,
+            "execTime": round(t_all, 4),
+            "firstResult": round(t_first if first else t_all, 4),
+            "totalRows": len(rows),
+        }
+
+    def _nextresult(self, q: dict) -> dict:
+        qid = (q.get("qid") or [""])[0]
+        with self._lock:
+            entry = self._pending.get(qid)
+        if entry is None:
+            raise ValueError(f"unknown qid {qid!r}")
+        try:
+            row = next(entry["it"])
+        except StopIteration:
+            with self._lock:
+                self._pending.pop(qid, None)
+            return {"result": "EOF"}
+        b = {}
+        for c in entry["vars"]:
+            t = sparql_json_term(row[c])
+            if t is not None:
+                b[c] = t
+        return {"result": b, "vars": entry["vars"]}
+
+    # --- lifecycle ------------------------------------------------------
+
+    def start(self) -> "SparqlHTTPServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,81 @@
+"""HTTP endpoint tests — reference parity for the Flask /sparql API
+(response shape per reference README.md:205-219) incl. the
+non-blocking /nextresult protocol."""
+
+from __future__ import annotations
+
+import json
+from urllib.request import Request, urlopen
+
+import pytest
+
+from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+from ontario_spark.compiler.query import SparqlEngine
+from ontario_spark.server import SparqlHTTPServer
+
+QUERY = (
+    f"PREFIX ex: <{EX}>\n"
+    "SELECT ?c ?name WHERE { ?c a ex:Customer ; ex:name ?name } LIMIT 5"
+)
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_small):
+    srv = SparqlHTTPServer(SparqlEngine(spark, tpch_catalog(sf_small))).start()
+    yield srv
+    srv.stop()
+
+
+def _get(url: str) -> dict:
+    with urlopen(url, timeout=120) as r:
+        return json.loads(r.read().decode())
+
+
+def test_blocking_query(server):
+    from urllib.parse import urlencode
+
+    out = _get(f"http://127.0.0.1:{server.port}/sparql?" + urlencode({"query": QUERY}))
+    assert out["vars"] == ["c", "name"]
+    assert out["totalRows"] == 5 and len(out["result"]) == 5
+    assert out["execTime"] >= out["firstResult"] >= 0
+    b = out["result"][0]
+    assert b["c"]["type"] == "uri" and b["name"]["type"] == "literal"
+
+
+def test_post_sparql_query_body(server):
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql",
+        data=QUERY.encode(),
+        headers={"Content-Type": "application/sparql-query"},
+    )
+    with urlopen(req, timeout=120) as r:
+        out = json.loads(r.read().decode())
+    assert out["totalRows"] == 5
+
+
+def test_non_blocking_nextresult(server):
+    from urllib.parse import urlencode
+
+    q = urlencode({"query": QUERY, "mode": "non-blocking"})
+    out = _get(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    qid = out["qid"]
+    seen = []
+    for _ in range(10):
+        nxt = _get(f"http://127.0.0.1:{server.port}/nextresult?qid={qid}")
+        if nxt["result"] == "EOF":
+            break
+        seen.append(nxt["result"])
+    assert len(seen) == 5
+    # drained qid is forgotten
+    with pytest.raises(Exception):
+        _get(f"http://127.0.0.1:{server.port}/nextresult?qid={qid}")
+
+
+def test_bad_query_is_400(server):
+    from urllib.error import HTTPError
+    from urllib.parse import urlencode
+
+    q = urlencode({"query": "SELECT WHERE nonsense"})
+    with pytest.raises(HTTPError) as ei:
+        _get(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ei.value.code == 400
