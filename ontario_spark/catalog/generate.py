@@ -106,6 +106,46 @@ def generate_catalog(
     return cat
 
 
+def main(argv: list[str] | None = None) -> int:
+    """CLI parity with the reference's ``scripts/create_rdfmts.py``:
+    probe a lake directory, emit the catalog JSON (loadable by
+    ``serde.load`` / the query CLI) and an RDF-MT-style molecule
+    summary."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--lake", required=True, help="directory of tables")
+    ap.add_argument("--namespace", default="http://ex.org/lake/")
+    ap.add_argument("--out", required=True, help="catalog JSON output path")
+    ap.add_argument("--summary", default=None, help="molecule summary JSON path")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from ontario_spark.catalog.serde import save
+    from ontario_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("ontario-spark-rdfmt")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        tables = discover_tables(args.lake)
+        fmt = next(iter(tables.values()), "parquet")
+        cat = generate_catalog(
+            spark, args.lake, sorted(tables), args.namespace, fmt=fmt
+        )
+        save(cat, args.out)
+        if args.summary:
+            with open(args.summary, "w") as f:
+                json.dump(describe(cat), f, indent=1)
+        print(f"catalog: {len(cat.triple_maps)} molecules -> {args.out}")
+    finally:
+        if existing is None:  # don't tear down a caller's session
+            spark.stop()
+    return 0
+
+
 def describe(cat: Catalog) -> dict:
     """JSON-able molecule summary (the RDF-MT view: per-class
     predicates + cross-links), for persistence or inspection."""
@@ -122,3 +162,6 @@ def describe(cat: Catalog) -> dict:
             "linked_to": links,
         }
     return out
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -1,0 +1,63 @@
+"""Result sinks.
+
+The reference's only sinks are the output queue drained by the CLI
+(``run_query.py:46-59``) and the Flask HTTP response (``app/query.py``);
+CONSTRUCT results are formatted as N-Triples strings tuple-at-a-time in
+Python (``Xconstruct.get_template_impl`` :46-105). Here formatting is
+Column expressions (JVM-side, codegen) and any ``df.write`` target is a
+sink — the two below are the engine-specific ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _term_nt(col: F.Column) -> F.Column:
+    """RDF term → N-Triples token: IRIs angle-bracketed, blank nodes
+    passed through, anything else a quoted literal with ``\\`` and
+    ``"`` escaped (the two escapes N-Triples requires for plain
+    strings)."""
+    s = col.cast("string")
+    escaped = F.regexp_replace(
+        F.regexp_replace(s, r"\\", r"\\\\"), '"', r"\\\""
+    )
+    return (
+        F.when(s.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), F.concat(F.lit("<"), s, F.lit(">")))
+        .when(s.startswith("_:"), s)
+        .otherwise(F.concat(F.lit('"'), escaped, F.lit('"')))
+    )
+
+
+def ntriples(construct_df: DataFrame) -> DataFrame:
+    """CONSTRUCT result (s/p/o columns) → one ``ntriple`` string column
+    (reference parity: ``Xconstruct`` N-Triples formatting, done here as
+    a single codegen'd projection)."""
+    return construct_df.select(
+        F.concat_ws(
+            " ",
+            _term_nt(F.col("s")),
+            F.concat(F.lit("<"), F.col("p").cast("string"), F.lit(">")),
+            _term_nt(F.col("o")),
+            F.lit("."),
+        ).alias("ntriple")
+    )
+
+
+def write_results(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a result set. ``partition_by`` drives directory layout —
+    at lake scale, partition by the column downstream reads filter on
+    (partition pruning makes those reads touch only matching dirs)."""
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

@@ -57,3 +57,51 @@ def test_salted_left_join(spark, sf_small):
     exp = nat.join(reg, "k", "left")
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0
+
+
+def test_ntriples_formatting(spark):
+    from ontario_spark.sinks import ntriples
+
+    df = spark.createDataFrame(
+        [
+            ("http://x/s1", "http://x/p", "http://x/o"),
+            ("http://x/s2", "http://x/p", 'say "hi" \\ done'),
+            ("_:b0", "http://x/p", "plain"),
+        ],
+        "s string, p string, o string",
+    )
+    got = sorted(r["ntriple"] for r in ntriples(df).collect())
+    assert got == sorted([
+        "<http://x/s1> <http://x/p> <http://x/o> .",
+        '<http://x/s2> <http://x/p> "say \\"hi\\" \\\\ done" .',
+        '_:b0 <http://x/p> "plain" .',
+    ])
+
+
+def test_write_results_roundtrip(spark, tmp_path):
+    from ontario_spark.sinks import write_results
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "k long, part string"
+    )
+    out = str(tmp_path / "res")
+    write_results(df, out, fmt="parquet", partition_by=["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    import os
+    assert any(d.startswith("part=") for d in os.listdir(out))
+
+
+def test_generate_catalog_cli(tmp_path, spark):
+    # CLI writes a loadable catalog + molecule summary from the lake dir
+    import json
+    from ontario_spark.catalog.generate import main
+    from ontario_spark.catalog.serde import load
+
+    out = str(tmp_path / "cat.json")
+    summ = str(tmp_path / "mt.json")
+    main(["--lake", "/root/testdata/sf0.001", "--out", out, "--summary", summ])
+    cat = load(out)
+    assert len(cat.triple_maps) >= 8
+    mts = json.load(open(summ))
+    assert any(m.get("linked_to") for m in mts.values())
