@@ -223,13 +223,13 @@ def compile_aggregate(e: Expr, vc: ExprCompiler) -> Column:
         if star:
             return F.count(F.lit(1))
         return F.countDistinct(col) if distinct else F.count(col)
-    if distinct:
-        col = None  # handled below per-fn
-        raise FilterCompileError("DISTINCT only supported with COUNT")
     if name == "sum":
-        return F.sum(col.cast(DEC)).cast("double")
+        agg = F.sum_distinct if distinct else F.sum
+        return agg(col.cast(DEC)).cast("double")
     if name == "avg":
-        return (F.sum(col.cast(DEC)).cast("double") / F.count(col))
+        if distinct:
+            return F.sum_distinct(col.cast(DEC)).cast("double") / F.countDistinct(col)
+        return F.sum(col.cast(DEC)).cast("double") / F.count(col)
     if name == "min":
         return F.min(col)
     if name == "max":
@@ -237,5 +237,10 @@ def compile_aggregate(e: Expr, vc: ExprCompiler) -> Column:
     if name == "sample":
         return F.first(col)
     if name == "group_concat":
-        return F.concat_ws(" ", F.sort_array(F.collect_list(col.cast("string"))))
+        sep_t = unwrap(e.args[1]) if len(e.args) > 1 else None
+        sep = sep_t.value if sep_t is not None else " "
+        # sorted for deterministic output (SPARQL leaves order
+        # unspecified; distributed collect_list order is not stable)
+        collect = F.collect_set if distinct else F.collect_list
+        return F.concat_ws(sep, F.sort_array(collect(col.cast("string"))))
     raise FilterCompileError(f"unsupported aggregate {name}")

@@ -339,7 +339,27 @@ LEFT JOIN cnt c ON c.media_id = t.media_id AND c.bucket = g.bucket
 """
 
 
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users + approximate quantiles per event type —
+    single partial-agg pass, no distinct shuffle. Engine-specific
+    estimates → rows-only driver check; error bounds are pytest-covered
+    (tests/test_sketches.py)."""
+    from ontario_spark.operators.sketches import approx_event_stats
+
+    return approx_event_stats(table(spark, sf_dir, "events"))
+
+
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches-HLL rollup: daily user sketches merged to
+    per-type cardinality — the stored-sketch re-aggregation pattern."""
+    from ontario_spark.operators.sketches import hll_rollup
+
+    return hll_rollup(table(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "sketch_event_stats": sketch_event_stats,
+    "sketch_hll_rollup": sketch_hll_rollup,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_lsh_pairs": minhash_lsh_pairs,

@@ -212,6 +212,31 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND r_name IS NOT NULL AND r_name = 'ASIA'""",
         "base",
     ),
+    "sparql_agg_distinct": (
+        # DISTINCT aggregates: nations + distinct balance sum per segment
+        """SELECT ?seg (COUNT(DISTINCT ?n) AS ?nn) (SUM(DISTINCT ?bal) AS ?sb)
+           WHERE { ?c a ex:Customer ; ex:mktsegment ?seg ; ex:nation ?n ;
+                   ex:acctbal ?bal } GROUP BY ?seg""",
+        """SELECT c_mktsegment AS seg, COUNT(DISTINCT c_nationkey) AS nn,
+                  CAST(SUM(DISTINCT CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sb
+           FROM customer
+           WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+             AND c_acctbal IS NOT NULL
+           GROUP BY c_mktsegment""",
+        "base",
+    ),
+    "sparql_group_concat": (
+        # GROUP_CONCAT with explicit separator (sorted for determinism)
+        """SELECT ?rname (GROUP_CONCAT(?nname ; SEPARATOR="|") AS ?nations)
+           WHERE { ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+                   ?r ex:name ?rname } GROUP BY ?rname""",
+        """SELECT r_name AS rname,
+                  string_agg(n_name, '|' ORDER BY n_name) AS nations
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE n_name IS NOT NULL AND r_name IS NOT NULL
+           GROUP BY r_name""",
+        "base",
+    ),
     "sparql_subquery": (
         # SPARQL 1.1 nested SELECT: customers holding their segment's
         # max balance — the aggregate subquery joins back on ?seg

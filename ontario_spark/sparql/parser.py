@@ -616,9 +616,17 @@ class Parser:
                     arg: object = Term("iri", "*")
                 else:
                     arg = self._expression()
+                args = [arg]
+                # GROUP_CONCAT(?x ; SEPARATOR="...") — separator rides
+                # along as a trailing literal Term
+                if name == "group_concat" and self.at_op(";"):
+                    self.next()
+                    self.eat_kw("separator")
+                    self.eat_op("=")
+                    args.append(self._term())
                 self.eat_op(")")
                 op = f"agg_{name}" + ("_distinct" if distinct else "")
-                return Expr(op, [arg])
+                return Expr(op, args)
             if name in _BUILTINS:
                 self.next()
                 self.eat_op("(")

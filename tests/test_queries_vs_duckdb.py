@@ -28,7 +28,7 @@ def test_all_queries_have_oracle_or_are_declared():
     allowed_missing = {
         n
         for n in missing
-        if n.startswith(("stream_", "lsh_", "minhash_", "simhash_", "mm_"))
+        if n.startswith(("stream_", "lsh_", "minhash_", "simhash_", "mm_", "sketch_"))
         or n == "ann_topk_ivf"  # k-means quantizer — no DuckDB equivalent
     }
     assert set(missing) == allowed_missing, f"queries without oracle: {missing}"
