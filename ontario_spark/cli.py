@@ -46,9 +46,14 @@ def to_sparql_json(rows: list, columns: list[str]) -> dict:
     return {"head": {"vars": columns}, "results": {"bindings": bindings}}
 
 
-def run(catalog_path: str, query_text: str, spark=None) -> dict:
+def run(catalog_path: str, query_text: str, spark=None, trace: bool = False) -> dict:
     """Execute one query; returns the reference's response shape with
-    the bindings in W3C SPARQL-JSON."""
+    the bindings in W3C SPARQL-JSON. ``trace=True`` additionally
+    records the elapsed time at which each answer arrived (driver
+    parity with the reference's dief@t continuous-efficiency harness,
+    ``scripts/run_dief_experiment.py:28-180`` — one timestamp per
+    answer), streaming rows via ``toLocalIterator`` instead of a bulk
+    collect."""
     from ontario_spark.catalog.serde import load
     from ontario_spark.compiler.query import SparqlEngine
 
@@ -62,18 +67,30 @@ def run(catalog_path: str, query_text: str, spark=None) -> dict:
         cat = load(catalog_path)
         t0 = time.perf_counter()
         df = SparqlEngine(spark, cat).query(query_text)
-        first = df.limit(1).collect()
-        t_first = time.perf_counter() - t0
-        rows = df.collect()
-        t_all = time.perf_counter() - t0
+        if trace:
+            rows, answer_times = [], []
+            for row in df.toLocalIterator():
+                rows.append(row)
+                answer_times.append(round(time.perf_counter() - t0, 4))
+            t_all = time.perf_counter() - t0
+            t_first = answer_times[0] if answer_times else t_all
+        else:
+            first = df.limit(1).collect()
+            t_first = time.perf_counter() - t0
+            rows = df.collect()
+            t_all = time.perf_counter() - t0
+            answer_times = None
         payload = to_sparql_json(rows, df.columns)
-        return {
+        out = {
             "vars": df.columns,
             "result": payload["results"]["bindings"],
             "execTime": round(t_all, 4),
-            "firstResult": round(t_first, 4) if first else round(t_all, 4),
+            "firstResult": round(t_first, 4),
             "totalRows": len(rows),
         }
+        if answer_times is not None:
+            out["trace"] = answer_times
+        return out
     finally:
         if own_session:
             spark.stop()
@@ -85,9 +102,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--query", required=True, help="file with SPARQL text, or '-' for stdin")
     ap.add_argument("--limit-print", type=int, default=None,
                     help="print at most N bindings (full count still reported)")
+    ap.add_argument("--trace", action="store_true",
+                    help="record per-answer arrival times (dief@t-style)")
     args = ap.parse_args(argv)
     text = sys.stdin.read() if args.query == "-" else open(args.query).read()
-    out = run(args.catalog, text)
+    out = run(args.catalog, text, trace=args.trace)
     if args.limit_print is not None:
         out["result"] = out["result"][: args.limit_print]
     json.dump(out, sys.stdout, indent=1)

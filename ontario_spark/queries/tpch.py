@@ -393,6 +393,37 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (beyond the reference — it has no
+    GROUP BY at all): revenue at (flag, status), per-flag subtotal, and
+    grand total in ONE partial-aggregating pass — Spark expands the
+    grouping sets map-side, so the lineitem scan still happens once."""
+    l = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            # subtotal rows carry NULL keys; label them so the result is
+            # a plain comparable table (source columns are non-null)
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+Q_ROLLUP_FLAG_STATUS_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+  COALESCE(l_linestatus, 'ALL') AS status,
+  {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -407,6 +438,7 @@ QUERIES = {
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_orders_page": q_orders_page,
     "q_events_hourly": q_events_hourly,
+    "q_rollup_flag_status": q_rollup_flag_status,
     "q_part_brand_stats": q_part_brand_stats,
 }
 
@@ -424,5 +456,6 @@ ORACLE = {
     "q_top_orders_per_customer": Q_WINDOW_SQL,
     "q_orders_page": Q_PAGE_SQL,
     "q_events_hourly": Q_EVENTS_HOURLY_SQL,
+    "q_rollup_flag_status": Q_ROLLUP_FLAG_STATUS_SQL,
     "q_part_brand_stats": Q_PART_BRAND_SQL,
 }

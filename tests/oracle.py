@@ -43,7 +43,8 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
             else:
                 canon_row.append(repr(v))
         rows.append(tuple(canon_row))
-    return sorted(rows)
+    # None sorts before any string (tuples may mix None with repr strs)
+    return sorted(rows, key=lambda r: tuple((v is not None, v or "") for v in r))
 
 
 def assert_match(spark_df, oracle_df: pd.DataFrame, name: str = "") -> None:

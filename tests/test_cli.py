@@ -32,3 +32,22 @@ def test_cli_run_end_to_end(spark, sf_small, tmp_path):
     assert b0["r"]["type"] == "uri" and b0["name"]["type"] == "literal"
     names = [b["name"]["value"] for b in out["result"]]
     assert names == sorted(names)
+
+
+def test_cli_trace_mode(spark, sf_small, tmp_path):
+    from ontario_spark.catalog.serde import save
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.cli import run
+
+    cat_path = str(tmp_path / "cat.json")
+    save(tpch_catalog(sf_small), cat_path)
+    out = run(
+        cat_path,
+        f"PREFIX ex: <{EX}>\nSELECT ?name WHERE {{ ?c a ex:Customer ; ex:name ?name }} LIMIT 7",
+        spark=spark,
+        trace=True,
+    )
+    assert out["totalRows"] == 7 and len(out["trace"]) == 7
+    assert out["trace"] == sorted(out["trace"])  # nondecreasing arrivals
+    assert out["firstResult"] == out["trace"][0]
+    assert out["execTime"] >= out["trace"][-1]
