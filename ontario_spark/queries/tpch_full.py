@@ -1,0 +1,501 @@
+"""Remaining classic TPC-H queries, adapted to the driver's synthetic
+schema (no ``partsupp`` table; no comment/phone/shipmode/receiptdate
+columns — predicates on missing columns are dropped or re-expressed on
+columns that exist, keeping each query's join/agg/subquery SHAPE).
+
+Covered here: q7 q8 q10 q13 q14 q15 q17 q18 q19 q22. Together with
+``tpch.py`` (q1 q3 q5 q6) that is every TPC-H query expressible without
+``partsupp`` (q2 q9 q11 q16 q20 need it; q4 q12 q21 need
+commitdate/receiptdate/shipmode).
+
+Same policies as tpch.py: DECIMAL(18,6) per-row casts inside SUM/AVG so
+double aggregation is order-independent across engines; every LIMIT is
+preceded by an ORDER BY with a unique tiebreaker; identical column
+aliases on the Spark and DuckDB sides.
+
+Scale notes (100 TB): every dim side (region/nation/customer/supplier/
+part and derived scalar aggregates) is broadcast explicitly; only
+lineitem⋈orders shuffles on the orderkey, and the group-bys run with
+map-side partial aggregation. The scalar subqueries (q17 avg-per-part,
+q22 avg-acctbal, q15 max-revenue) become broadcast joins, not
+driver-side collect()s.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.queries.tpch import _sql_davg, _sql_dsum, davg, dsum
+
+DEC = "decimal(18,6)"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# --- q7: volume shipping between two nations ----------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference shape: supplier-nation × customer-nation revenue flows by
+    ship year (TPC-H Q7). Two broadcast copies of nation; the fact-side
+    join l⋈o shuffles once on orderkey."""
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") <= _ts("1997-12-31"))
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
+        .filter(pair | rpair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  EXTRACT(year FROM l_shipdate) AS l_year,
+  {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+"""
+
+
+# --- q8: national market share ------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ECONOMY-part order volume delivered
+    into ASIA, per order year. The conditional-sum / sum ratio divides
+    two decimal-exact sums, so the double result is deterministic."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01"))
+        & (F.col("o_orderdate") <= _ts("1996-12-31"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(nation_volume.cast(DEC)).cast("double")
+                / F.sum(volume.cast(DEC)).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+       AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+       AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY EXTRACT(year FROM o_orderdate)
+"""
+
+
+# --- q10: returned item reporting ---------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- q13: customer order-count distribution -----------------------------
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation over a left outer join (TPC-H Q13; the
+    o_comment NOT LIKE filter is re-expressed on o_orderpriority, which
+    exists here). Second groupBy is tiny — it reduces to ≤ max orders
+    per customer rows regardless of scale."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q14: promotion effect ----------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0)
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        (
+            100.0
+            * F.sum(promo.cast(DEC)).cast("double")
+            / F.sum(volume.cast(DEC)).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+    AS DECIMAL(18,6))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+    AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+# --- q15: top supplier --------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max quarterly revenue, as a single
+    lineitem pass: per-supplier aggregate, then a global max window over
+    the aggregated frame. (The agg+self-join formulation scans lineitem
+    twice here — the join's attribute dedup re-aliases one side, which
+    defeats ReuseExchange.) The global window funnels only the
+    per-supplier aggregate (|suppliers| rows) through one partition,
+    same volume the 1-row max would."""
+    from pyspark.sql.window import Window
+
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = (
+        l.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    w = Window.partitionBy()
+    return (
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+    {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- q17: small-quantity-order revenue ----------------------------------
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg-quantity-per-part subquery → aggregate
+    once per part, broadcast, join back (decorrelation by hand; the
+    container predicate is dropped — no p_container column)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    l = table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_qty = (
+        lp.groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg(davg("l_quantity", "part_avg_qty"))
+    )
+    return (
+        lp.join(F.broadcast(avg_qty), lp.l_partkey == avg_qty.ap_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(dsum("l_extendedprice", "s"))
+        .select((F.col("s") / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+WITH lp AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'),
+avg_qty AS (
+  SELECT l_partkey AS ap_partkey, {_sql_davg('l_quantity', 'part_avg_qty')}
+  FROM lp GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+  AS avg_yearly
+FROM lp JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < 0.2 * part_avg_qty
+"""
+
+
+# --- q18: large-volume customers ----------------------------------------
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total lineitem quantity exceeds 250
+    (0.99 quantile of the synthetic distribution — non-empty at every
+    sf). The HAVING subquery is a semi-join on orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {_sql_dsum('l_quantity', 'sum_qty')}
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250.0) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# --- q19: discounted revenue (disjunctive join predicate) ---------------
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR of three brand/size/quantity bands (shipmode and
+    shipinstruct predicates dropped — columns absent). Catalyst keeps
+    the partkey equi-join and evaluates the disjunction post-join."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem")
+    band1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(band1 | band2 | band3)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+# --- q22: idle wealthy customers ----------------------------------------
+
+_Q22_NATIONS = [1, 3, 5, 7, 9, 11, 13]
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers from a nation subset with
+    above-average positive balance and no urgent orders, grouped by
+    nation. (Phone-prefix country codes → c_nationkey — no c_phone
+    column; plain NOT EXISTS(orders) would be vacuously empty here
+    because every synthetic customer has orders.) The scalar avg is a
+    1-row broadcast cross join."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(_Q22_NATIONS)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust,
+  {_sql_dsum('c_acctbal', 'totacctbal')}
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (
+    SELECT {_sql_davg('c_acctbal', 'avg_bal')}
+    FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLE = {
+    "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q13_order_count_distribution": Q13_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q22_idle_customers": Q22_SQL,
+}
