@@ -100,6 +100,7 @@ class ExprCompiler:
         if op in _CMP or op in (
             "regex", "contains", "strstarts", "strends", "bound", "isiri",
             "isuri", "isblank", "isliteral", "sameterm", "langmatches", "in",
+            "isnumeric",
         ):
             return self._expr(e)
         # numeric-valued expression in boolean position
@@ -194,6 +195,42 @@ class ExprCompiler:
             return ~self.value(a[0]).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
         if op == "datatype":
             raise FilterCompileError("DATATYPE() not supported on native columns")
+        if op in ("strbefore", "strafter"):
+            sub = unwrap(a[1])
+            if sub is None:
+                raise FilterCompileError(f"{op.upper()} needs a literal 2nd arg")
+            s = self.value(a[0]).cast("string")
+            if sub.value == "":  # SPARQL §17.4.3.4: empty-pattern edge cases
+                return F.lit("") if op == "strbefore" else s
+            pos = F.instr(s, sub.value)
+            if op == "strbefore":
+                hit = F.substring_index(s, sub.value, 1)
+            else:
+                hit = s.substr(pos + len(sub.value), F.lit(1 << 30))
+            return F.when(pos > 0, hit).otherwise("")
+        if op == "encode_for_uri":
+            # url_encode is form-encoding; patch the two RFC 3986
+            # divergences SPARQL cares about (space → %20, keep '~')
+            enc = F.url_encode(self.value(a[0]).cast("string"))
+            return F.replace(
+                F.replace(enc, F.lit("+"), F.lit("%20")),
+                F.lit("%7E"), F.lit("~"),
+            )
+        if op in ("md5", "sha1"):
+            return getattr(F, op)(self.value(a[0]).cast("string").cast("binary"))
+        if op in ("sha256", "sha384", "sha512"):
+            return F.sha2(
+                self.value(a[0]).cast("string").cast("binary"), int(op[3:])
+            )
+        if op in ("hours", "minutes", "seconds"):
+            fn = {"hours": F.hour, "minutes": F.minute, "seconds": F.second}[op]
+            return fn(self.value(a[0]))
+        if op == "isnumeric":
+            return self.value(a[0]).cast("double").isNotNull()
+        if op in ("iri", "uri"):
+            return self.value(a[0]).cast("string")
+        if op == "now":
+            return F.current_timestamp()
         raise FilterCompileError(f"unsupported operator {op!r}")
 
 

@@ -120,6 +120,32 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND (p_type LIKE '%BRASS%' OR regexp_matches(p_name, 'a.*e'))""",
         False,
     ),
+    "sparql_string_functions": (
+        # SPARQL 1.1 string/hash function library (all absent from the
+        # reference's closed Xfilter set): STRBEFORE/STRAFTER, MD5/SHA256,
+        # ISNUMERIC, chained BINDs
+        """SELECT ?name ?tag ?digest ?sha WHERE {
+             ?c a ex:Customer ; ex:name ?name .
+             BIND (STRAFTER(?name, "#") AS ?tag)
+             BIND (MD5(?name) AS ?digest)
+             BIND (SHA256(?tag) AS ?sha)
+             FILTER (STRBEFORE(?name, "#") = "Customer"
+                     && ISNUMERIC(?tag) && STRLEN(?name) > 5) }""",
+        """SELECT name, tag, md5(name) AS digest, sha256(tag) AS sha
+           FROM (
+             SELECT c_name AS name,
+               CASE WHEN strpos(c_name, '#') > 0
+                    THEN substr(c_name, strpos(c_name, '#') + 1)
+                    ELSE '' END AS tag,
+               CASE WHEN strpos(c_name, '#') > 0
+                    THEN substr(c_name, 1, strpos(c_name, '#') - 1)
+                    ELSE '' END AS head
+             FROM customer WHERE c_name IS NOT NULL) t
+           WHERE head = 'Customer'
+             AND TRY_CAST(tag AS DOUBLE) IS NOT NULL
+             AND length(name) > 5""",
+        False,
+    ),
     "sparql_date_filter_bind": (
         """SELECT ?o ?d ?rounded WHERE {
              ?o a ex:Order ; ex:orderdate ?d ; ex:totalprice ?p .

@@ -94,7 +94,9 @@ _BUILTINS = {
     "lcase", "lang", "datatype", "regex", "sameterm", "langmatches",
     "contains", "strstarts", "strends", "strlen", "abs", "ceil", "floor",
     "round", "concat", "replace", "substr", "year", "month", "day", "if",
-    "coalesce",
+    "coalesce", "strbefore", "strafter", "encode_for_uri", "md5", "sha1",
+    "sha256", "sha384", "sha512", "hours", "minutes", "seconds",
+    "isnumeric", "iri", "uri", "now",
 }
 
 

@@ -443,3 +443,73 @@ def test_path_star_select_hides_internal_vars(spark, sf_small):
     )
     assert all(not c.startswith("__") for c in df.columns)
     assert df.count() > 0
+
+
+def test_string_hash_datetime_functions(engine, sf_small):
+    # SPARQL 1.1 function library additions (beyond the reference's
+    # closed Xfilter set): STRBEFORE/STRAFTER/MD5/SHA256/ISNUMERIC
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?tag ?digest WHERE {
+             ?c a ex:Customer ; ex:name ?name .
+             BIND (STRAFTER(?name, "#") AS ?tag)
+             BIND (MD5(?name) AS ?digest)
+             FILTER (STRBEFORE(?name, "#") = "Customer" && ISNUMERIC(?tag)) }""",
+        """SELECT c_name AS name,
+             substr(c_name, strpos(c_name, '#') + 1) AS tag,
+             md5(c_name) AS digest
+           FROM customer
+           WHERE c_name IS NOT NULL AND strpos(c_name, '#') > 0
+             AND substr(c_name, 1, strpos(c_name, '#') - 1) = 'Customer'
+             AND TRY_CAST(substr(c_name, strpos(c_name, '#') + 1) AS DOUBLE)
+                 IS NOT NULL""",
+        "string_hash_functions",
+    )
+
+
+def test_strbefore_strafter_edges(engine, sf_small):
+    # SPARQL §17.4.3: no match -> "", empty pattern -> ""/whole string
+    df = engine.query(
+        PFX
+        + """SELECT ?b ?a ?be ?ae WHERE {
+              ?c a ex:Customer ; ex:name ?name .
+              BIND (STRBEFORE(?name, "zzz") AS ?b)
+              BIND (STRAFTER(?name, "zzz") AS ?a)
+              BIND (STRBEFORE(?name, "") AS ?be)
+              BIND (STRAFTER(?name, "") AS ?ae) } LIMIT 1"""
+    )
+    row = df.collect()[0]
+    assert row["b"] == "" and row["a"] == ""
+    assert row["be"] == "" and row["ae"].startswith("Customer#")
+
+
+def test_encode_for_uri(engine, sf_small):
+    df = engine.query(
+        PFX
+        + """SELECT ?e WHERE {
+              ?c a ex:Customer ; ex:name ?name .
+              BIND (ENCODE_FOR_URI(CONCAT(?name, " &~x")) AS ?e) } LIMIT 1"""
+    )
+    val = df.collect()[0]["e"]
+    # space -> %20 (not +), '&' percent-encoded, '~' kept (RFC 3986)
+    assert val.endswith("%20%26~x"), val
+
+
+def test_hours_minutes_seconds_now(engine, sf_small):
+    df = engine.query(
+        PFX
+        + """SELECT ?h ?mi ?s WHERE {
+              ?o a ex:Order ; ex:orderdate ?d .
+              BIND (HOURS(?d) AS ?h) BIND (MINUTES(?d) AS ?mi)
+              BIND (SECONDS(?d) AS ?s) } LIMIT 1"""
+    )
+    row = df.collect()[0]
+    assert (row["h"], row["mi"], row["s"]) == (0, 0, 0)
+    now_df = engine.query(
+        PFX
+        + """SELECT ?ok WHERE { ?c a ex:Customer ; ex:name ?name .
+              BIND (IF(NOW() > "2020-01-01"^^<http://www.w3.org/2001/XMLSchema#dateTime>,
+                       "y", "n") AS ?ok) } LIMIT 1"""
+    )
+    assert now_df.collect()[0]["ok"] == "y"
