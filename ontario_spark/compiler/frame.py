@@ -176,6 +176,21 @@ class BFrame:
                 if not compatible:
                     left = left.materialize(v)
                     right = right.materialize(v)
+                if left.meta[v].kind == LEXICAL and right.meta[v].kind == LEXICAL:
+                    # LEXICAL vars may still carry different native
+                    # dtypes (double vs timestamp across negated-path
+                    # branches) — unify on the lexical string form
+                    lt = left.df.schema[v].dataType
+                    rt = right.df.schema[v].dataType
+                    if lt != rt:
+                        left = BFrame(
+                            left.df.withColumn(v, F.col(v).cast("string")),
+                            left.meta,
+                        )
+                        right = BFrame(
+                            right.df.withColumn(v, F.col(v).cast("string")),
+                            right.meta,
+                        )
             else:
                 if lin:
                     left = left.materialize(v)

@@ -45,6 +45,7 @@ from ontario_spark.sparql.ast import (
     Filter,
     Group,
     MinusBlock,
+    NegatedPath,
     OptionalBlock,
     PathClosure,
     Query,
@@ -103,6 +104,8 @@ class SparqlEngine:
                 frames.append(self._values(e))
             elif isinstance(e, PathClosure):
                 frames.append(self._closure(e))
+            elif isinstance(e, NegatedPath):
+                frames.append(self._negated_path(e, plans))
             elif isinstance(e, SubSelect):
                 # nested SELECT compiles through the full pipeline and
                 # joins into the group on its projected variables;
@@ -158,9 +161,22 @@ class SparqlEngine:
         edges = step.df.select(
             F.col(pc.src_var).alias("src"), F.col(pc.dst_var).alias("dst")
         )
-        pairs = transitive_closure(
-            edges, include_identity=(pc.min_len == 0)
-        )
+        if pc.max_len == 1:
+            # p? — zero-or-one: identity ∪ single step, no iteration
+            pairs = edges.distinct()
+            if pc.min_len == 0:
+                nodes = (
+                    edges.select(F.col("src").alias("n"))
+                    .union(edges.select(F.col("dst").alias("n")))
+                    .distinct()
+                )
+                pairs = pairs.union(
+                    nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+                ).distinct()
+        else:
+            pairs = transitive_closure(
+                edges, include_identity=(pc.min_len == 0)
+            )
 
         def lex(t: Term) -> str:
             return t.value
@@ -196,6 +212,65 @@ class SparqlEngine:
             .select()
         )
         return BFrame(probe, {})
+
+    def _negated_path(self, np: NegatedPath, plans=()) -> BFrame:
+        """Negated property set: union of single-triple branches over
+        the predicate universe minus the excluded IRIs — the Spark-side
+        analogue of the reference scanning every TripleMap for a
+        variable predicate (allTriplesLowSelectivity,
+        services.py:803-814). Forward direction applies only when
+        forward exclusions exist, inverse only when inverse exclusions
+        exist (SPARQL 1.1 §9.1 split semantics).
+
+        Scale: when the branch subject is also the subject of a star in
+        the same group, the universe shrinks to that star's selected
+        TripleMaps' predicates (RDF-MT molecule pruning — the same
+        source-selection logic that picks the star's maps). Without it
+        every table in the lake is scanned and immediately thrown away
+        by the join."""
+
+        def universe(subject: Term) -> list[str]:
+            if subject.is_var:
+                for plan in plans:
+                    if (
+                        plan.star.subject.is_var
+                        and plan.star.subject.value == subject.value
+                    ):
+                        # any catalog map sharing the star's subject-URI
+                        # skeleton could describe the same entities, so
+                        # its predicates stay in the universe
+                        shapes = [
+                            tm.subject.template
+                            for alt in plan.alternatives
+                            for tm in alt
+                        ]
+                        preds: set[str] = set()
+                        for tm in self.catalog.triple_maps.values():
+                            if any(
+                                tm.subject.template.same_shape(s) for s in shapes
+                            ):
+                                preds.update(tm.pom)
+                        if preds:
+                            return sorted(preds)
+            return sorted(self.catalog.predicate_index)
+
+        branches: list[Group] = []
+        if np.forward:
+            for p in universe(np.s):
+                if p not in np.forward:
+                    branches.append(Group([Triple(np.s, Term("iri", p), np.o)]))
+        if np.inverse:
+            for p in universe(np.o):
+                if p not in np.inverse:
+                    branches.append(Group([Triple(np.o, Term("iri", p), np.s)]))
+        if not branches:
+            raise QueryCompileError(
+                "negated property set excludes every known predicate"
+            )
+        u = self._group(branches[0])
+        for b in branches[1:]:
+            u = u.union(self._group(b))
+        return u
 
     def _values(self, v: ValuesBlock) -> BFrame:
         """Inline data → a (tiny, broadcast-able) BFrame joined into the

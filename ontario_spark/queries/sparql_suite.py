@@ -238,6 +238,34 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND r_name IS NOT NULL AND r_name = 'ASIA'""",
         "base",
     ),
+    "sparql_path_zero_or_one": (
+        # p? — identity pairs over the edge node domain + single step
+        """SELECT ?n ?x WHERE { ?n ex:region? ?x }""",
+        """SELECT 'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR) AS n,
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR) AS x
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR),
+                   'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR)
+            FROM nation
+            UNION ALL
+            SELECT DISTINCT
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR),
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR)
+            FROM nation""",
+        "base",
+    ),
+    "sparql_negated_path": (
+        # !(...) — complement of the excluded predicates against the
+        # catalog's predicate universe; the Customer join prunes the
+        # other classes' branches
+        """SELECT ?c ?v WHERE {
+             ?c a ex:Customer .
+             ?c !(ex:name|ex:acctbal|ex:nation) ?v }""",
+        f"""SELECT {URI_C} AS c, c_mktsegment AS v FROM customer
+            WHERE c_mktsegment IS NOT NULL""",
+        "base",
+    ),
     "sparql_agg_distinct": (
         # DISTINCT aggregates: nations + distinct balance sum per segment
         """SELECT ?seg (COUNT(DISTINCT ?n) AS ?nn) (SUM(DISTINCT ?bal) AS ?sb)

@@ -129,6 +129,26 @@ class PathClosure:
     dst_var: str
     step: "Group"
     min_len: int = 1
+    # ``p?`` (zero-or-one) sets max_len=1: no fixpoint iteration, just
+    # identity ∪ single step
+    max_len: int | None = None
+
+
+@dataclass
+class NegatedPath:
+    """Negated property set ``!p`` / ``!(p1|^p2|...)`` (SPARQL 1.1
+    §9.1). Excluded predicates are recorded verbatim; the compiler
+    expands the complement against the catalog's predicate universe
+    (``Catalog.predicate_index``), mirroring how the reference would
+    scan all TripleMaps for a variable predicate
+    (``allTriplesLowSelectivity``, services.py:803-814). Forward
+    branches apply only when ``forward`` is non-empty, inverse branches
+    only when ``inverse`` is non-empty (spec's split semantics)."""
+
+    s: Term
+    o: Term
+    forward: list[str]
+    inverse: list[str]
 
 
 @dataclass

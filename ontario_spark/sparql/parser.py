@@ -22,6 +22,7 @@ from ontario_spark.sparql.ast import (
     Filter,
     Group,
     MinusBlock,
+    NegatedPath,
     OptionalBlock,
     PathClosure,
     Query,
@@ -52,7 +53,7 @@ _TOKEN_RE = re.compile(
   | (?P<DTYPE>\^\^)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<PLOCAL>[A-Za-z0-9_][A-Za-z0-9_.-]*)?
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-=<>!|^])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-=<>!|^?])
 """,
     re.VERBOSE,
 )
@@ -430,10 +431,13 @@ class Parser:
         prim = self._path_primary()
         if self.at_op("+"):
             self.next()
-            return ("closure", (prim, 1))
+            return ("closure", (prim, 1, None))
         if self.at_op("*"):
             self.next()
-            return ("closure", (prim, 0))
+            return ("closure", (prim, 0, None))
+        if self.at_op("?"):
+            self.next()
+            return ("closure", (prim, 0, 1))
         return prim
 
     def _path_primary(self):
@@ -441,12 +445,44 @@ class Parser:
         if t.type == "KEYWORD" and t.value == "a":
             self.next()
             return Term("iri", RDF_TYPE)
+        if self.at_op("!"):
+            self.next()
+            return ("negset", self._path_negated_set())
         if self.at_op("("):
             self.next()
             inner = self._path_alt()
             self.eat_op(")")
             return inner
         return self._term()
+
+    def _path_negated_set(self) -> tuple[list[str], list[str]]:
+        """After ``!``: one (possibly ``^``-inverted) IRI, or a
+        parenthesized ``|``-list of them. Returns (forward, inverse)
+        excluded-IRI lists."""
+
+        def one() -> tuple[str, bool]:
+            inv = False
+            if self.at_op("^"):
+                self.next()
+                inv = True
+            t = self._path_primary()
+            if not (isinstance(t, Term) and t.is_iri):
+                raise SparqlSyntaxError("negated property set needs plain IRIs")
+            return t.value, inv
+
+        members: list[tuple[str, bool]] = []
+        if self.at_op("("):
+            self.next()
+            members.append(one())
+            while self.at_op("|"):
+                self.next()
+                members.append(one())
+            self.eat_op(")")
+        else:
+            members.append(one())
+        fwd = [iri for iri, inv in members if not inv]
+        bwd = [iri for iri, inv in members if inv]
+        return fwd, bwd
 
     def _expand_path(self, s: Term, path, o: Term) -> list:
         """Path triple → plain elements. Sequence chains fresh
@@ -471,7 +507,7 @@ class Parser:
                 UnionBlock([Group(self._expand_path(s, b, o)) for b in arg])
             ]
         if kind == "closure":
-            inner, min_len = arg
+            inner, min_len, max_len = arg
             src = Term("var", self._fresh_var())
             dst = Term("var", self._fresh_var())
             step = Group(self._expand_path(src, inner, dst))
@@ -483,8 +519,12 @@ class Parser:
                     dst_var=dst.value,
                     step=step,
                     min_len=min_len,
+                    max_len=max_len,
                 )
             ]
+        if kind == "negset":
+            fwd, inv = arg
+            return [NegatedPath(s=s, o=o, forward=fwd, inverse=inv)]
         raise SparqlSyntaxError(f"unsupported path kind {kind!r}")
 
     def _fresh_var(self) -> str:

@@ -513,3 +513,58 @@ def test_hours_minutes_seconds_now(engine, sf_small):
                        "y", "n") AS ?ok) } LIMIT 1"""
     )
     assert now_df.collect()[0]["ok"] == "y"
+
+
+URI_R = "'http://ex.org/tpch/region/' || CAST(r_regionkey AS VARCHAR)"
+
+
+def test_path_zero_or_one(engine, sf_small):
+    # ?n ex:region? ?x = identity pairs over the edge node domain + edges
+    check(
+        engine,
+        sf_small,
+        """SELECT ?n ?x WHERE { ?n ex:region? ?x }""",
+        f"""SELECT {URI_N} AS n,
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR) AS x
+            FROM nation
+            UNION ALL SELECT {URI_N} AS n, {URI_N} AS x FROM nation
+            UNION ALL SELECT DISTINCT
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR) AS n,
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR) AS x
+            FROM nation""",
+        "path_zero_or_one",
+    )
+
+
+def test_negated_property_set(engine, sf_small):
+    # everything about a customer except name/acctbal/nation → mktsegment
+    check(
+        engine,
+        sf_small,
+        """SELECT ?c ?v WHERE {
+             ?c a ex:Customer .
+             ?c !(ex:name|ex:acctbal|ex:nation) ?v }""",
+        f"""SELECT {URI_C} AS c, c_mktsegment AS v FROM customer
+            WHERE c_mktsegment IS NOT NULL""",
+        "negated_property_set",
+    )
+
+
+def test_negated_property_set_inverse(engine, sf_small):
+    # ?n !(^ex:region) ?x — inverse-only set: edges x→n via any predicate
+    # except ex:region; with ?n restricted to nations, only ex:nation
+    # edges (from customers and suppliers) remain
+    check(
+        engine,
+        sf_small,
+        """SELECT ?n ?x WHERE {
+             ?n a ex:Nation .
+             ?n !(^ex:region) ?x }""",
+        f"""SELECT {URI_N} AS n, {URI_C} AS x
+            FROM nation JOIN customer ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT {URI_N} AS n,
+              'http://ex.org/tpch/supplier/' || CAST(s_suppkey AS VARCHAR) AS x
+            FROM nation JOIN supplier ON s_nationkey = n_nationkey""",
+        "negated_property_set_inverse",
+    )
