@@ -35,7 +35,7 @@ from ontario_spark.compiler.filters import (
     compile_aggregate,
     is_aggregate,
 )
-from ontario_spark.compiler.frame import BFrame, LEXICAL, TermMeta
+from ontario_spark.compiler.frame import BFrame, KEYED, LEXICAL, TermMeta
 from ontario_spark.compiler.star import compile_star
 from ontario_spark.planner.decomposer import bgp_stars, prune_connected, select_sources
 from ontario_spark.sparql.ast import (
@@ -79,6 +79,8 @@ class SparqlEngine:
             return probe.agg((F.count("__x") > 0).alias("ask"))
         if q.query_type == "construct":
             return self._construct(q, bf)
+        if q.query_type == "describe":
+            return self._describe(q, bf)
         return self._select(q, bf)
 
     # --- graph pattern assembly ----------------------------------------
@@ -212,6 +214,67 @@ class SparqlEngine:
             .select()
         )
         return BFrame(probe, {})
+
+    def _describe(self, q: Query, bf: BFrame) -> DataFrame:
+        """DESCRIBE: (s, p, o) rows for every forward triple of each
+        described resource, plus its rdf:type rows — the molecule the
+        catalog's mappings define (SPARQL §16.4 leaves the shape
+        implementation-defined; this matches what a CBD restricted to
+        mapped predicates yields). Branches compile through the normal
+        star machinery, so constant URIs invert templates to key
+        filters and variable resources key-join against the WHERE
+        frame."""
+        RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        outs: list[DataFrame] = []
+        for d in q.describe_terms:
+            if d.is_var and d.value not in bf.meta:
+                raise QueryCompileError(f"DESCRIBE var ?{d.value} not in WHERE")
+            # maps that can describe this term: template-shape match for
+            # keyed vars, template-inversion match for constant IRIs,
+            # every map for lexical vars (no shape info)
+            maps = []
+            for tm in self.catalog.triple_maps.values():
+                if d.is_var:
+                    m = bf.meta[d.value]
+                    if m.kind == KEYED and not tm.subject.template.same_shape(
+                        m.template
+                    ):
+                        continue
+                elif tm.subject.template.extract(d.value) is None:
+                    continue
+                maps.append(tm)
+            if d.is_var:
+                subj = BFrame(
+                    bf.df.select(*bf.cols_for(d.value)).dropDuplicates(),
+                    {d.value: bf.meta[d.value]},
+                )
+            preds = sorted({p for tm in maps for p in tm.pom})
+            classes = sorted({tm.subject_class for tm in maps if tm.subject_class})
+            branches = [(p, Term("var", "__dsc_o")) for p in preds]
+            branches += [(RDF_TYPE, Term("iri", c)) for c in classes]
+            for p, o_term in branches:
+                frame = self._group(Group([Triple(d, Term("iri", p), o_term)]))
+                if d.is_var:
+                    frame = subj.join(frame)
+                s_col = (
+                    frame.lexical_expr(d.value).cast("string")
+                    if d.is_var
+                    else F.lit(d.value)
+                )
+                o_col = (
+                    frame.lexical_expr(o_term.value).cast("string")
+                    if o_term.is_var
+                    else F.lit(o_term.value)
+                )
+                outs.append(
+                    frame.df.select(
+                        s_col.alias("s"), F.lit(p).alias("p"), o_col.alias("o")
+                    )
+                )
+        out = outs[0]
+        for x in outs[1:]:
+            out = out.unionByName(x)
+        return out.dropDuplicates()
 
     def _negated_path(self, np: NegatedPath, plans=()) -> BFrame:
         """Negated property set: union of single-triple branches over

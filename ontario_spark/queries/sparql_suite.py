@@ -238,6 +238,25 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND r_name IS NOT NULL AND r_name = 'ASIA'""",
         "base",
     ),
+    "sparql_describe": (
+        # DESCRIBE: resource molecule as (s,p,o) rows — all mapped
+        # forward predicates + rdf:type (impl-defined per §16.4)
+        """DESCRIBE ?c WHERE { ?c a ex:Customer ; ex:acctbal ?b .
+             FILTER (?b > 9900.0) }""",
+        f"""WITH rich AS (SELECT * FROM customer WHERE c_acctbal > 9900.0)
+            SELECT {URI_C} AS s,
+              'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+              'http://ex.org/tpch/Customer' AS o FROM rich
+            UNION ALL SELECT {URI_C}, 'http://ex.org/tpch/name', c_name FROM rich
+            UNION ALL SELECT {URI_C}, 'http://ex.org/tpch/acctbal',
+              CAST(c_acctbal AS VARCHAR) FROM rich
+            UNION ALL SELECT {URI_C}, 'http://ex.org/tpch/mktsegment',
+              c_mktsegment FROM rich
+            UNION ALL SELECT {URI_C}, 'http://ex.org/tpch/nation',
+              'http://ex.org/tpch/nation/' || CAST(c_nationkey AS VARCHAR)
+            FROM rich""",
+        "base",
+    ),
     "sparql_path_zero_or_one": (
         # p? — identity pairs over the edge node domain + single step
         """SELECT ?n ?x WHERE { ?n ex:region? ?x }""",

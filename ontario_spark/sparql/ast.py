@@ -180,7 +180,7 @@ class SelectExpr:
 
 @dataclass
 class Query:
-    query_type: str  # 'select' | 'ask' | 'construct'
+    query_type: str  # 'select' | 'ask' | 'construct' | 'describe'
     prefixes: dict[str, str] = field(default_factory=dict)
     select: list[SelectExpr] | None = None  # None → SELECT *
     distinct: bool = False
@@ -191,3 +191,5 @@ class Query:
     limit: int | None = None
     offset: int | None = None
     construct_template: list[Triple] = field(default_factory=list)
+    # DESCRIBE <iri>/?var list; query_type 'describe'
+    describe_terms: list[Term] = field(default_factory=list)

@@ -156,8 +156,12 @@ class Parser:
             q = self._ask()
         elif self.at_kw("construct"):
             q = self._construct()
+        elif self.at_kw("describe"):
+            q = self._describe()
         else:
-            raise SparqlSyntaxError(f"expected SELECT/ASK/CONSTRUCT at {self.peek().pos}")
+            raise SparqlSyntaxError(
+                f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {self.peek().pos}"
+            )
         q.prefixes = self.prefixes
         if self.peek().type != "EOF":
             raise SparqlSyntaxError(f"trailing input at {self.peek().pos}: {self.peek().value!r}")
@@ -218,6 +222,30 @@ class Parser:
         self.eat_op("}")
         self.eat_kw("where")
         q.where = self._group()
+        self._solution_modifiers(q)
+        return q
+
+    def _describe(self) -> Query:
+        """DESCRIBE (var | iri)+ [WHERE group] [modifiers]. The spec
+        leaves the description graph implementation-defined (§16.4); we
+        emit all forward triples of each resource per the catalog's
+        mappings (compiler ``_describe``)."""
+        self.eat_kw("describe")
+        q = Query(query_type="describe")
+        while True:
+            t = self.peek()
+            if t.type == "VAR":
+                self.next()
+                q.describe_terms.append(Term("var", t.value[1:]))
+            elif t.type in ("IRIREF", "PNAME"):
+                q.describe_terms.append(self._term())
+            else:
+                break
+        if not q.describe_terms:
+            raise SparqlSyntaxError(f"DESCRIBE needs a var or IRI at {self.peek().pos}")
+        if self.at_kw("where"):
+            self.next()
+            q.where = self._group()
         self._solution_modifiers(q)
         return q
 

@@ -568,3 +568,50 @@ def test_negated_property_set_inverse(engine, sf_small):
             FROM nation JOIN supplier ON s_nationkey = n_nationkey""",
         "negated_property_set_inverse",
     )
+
+
+def test_describe_constant_uri(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        f"""DESCRIBE <{EX}customer/7>""",
+        """SELECT 'http://ex.org/tpch/customer/7' AS s,
+              'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+              'http://ex.org/tpch/Customer' AS o
+            FROM customer WHERE c_custkey = 7
+            UNION ALL SELECT 'http://ex.org/tpch/customer/7',
+              'http://ex.org/tpch/name', c_name FROM customer WHERE c_custkey = 7
+            UNION ALL SELECT 'http://ex.org/tpch/customer/7',
+              'http://ex.org/tpch/acctbal', CAST(c_acctbal AS VARCHAR)
+            FROM customer WHERE c_custkey = 7
+            UNION ALL SELECT 'http://ex.org/tpch/customer/7',
+              'http://ex.org/tpch/mktsegment', c_mktsegment
+            FROM customer WHERE c_custkey = 7
+            UNION ALL SELECT 'http://ex.org/tpch/customer/7',
+              'http://ex.org/tpch/nation',
+              'http://ex.org/tpch/nation/' || CAST(c_nationkey AS VARCHAR)
+            FROM customer WHERE c_custkey = 7""",
+        "describe_constant",
+    )
+
+
+def test_describe_var(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """DESCRIBE ?n WHERE { ?n a ex:Nation ; ex:name ?nm .
+             FILTER (?nm = "NATION_3") }""",
+        """SELECT 'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR) AS s,
+              'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+              'http://ex.org/tpch/Nation' AS o
+            FROM nation WHERE n_name = 'NATION_3'
+            UNION ALL
+            SELECT 'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR),
+              'http://ex.org/tpch/name', n_name FROM nation WHERE n_name = 'NATION_3'
+            UNION ALL
+            SELECT 'http://ex.org/tpch/nation/' || CAST(n_nationkey AS VARCHAR),
+              'http://ex.org/tpch/region',
+              'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR)
+            FROM nation WHERE n_name = 'NATION_3'""",
+        "describe_var",
+    )
