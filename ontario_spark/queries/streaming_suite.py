@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ontario_spark.streaming.events import (
     dedup_events,
+    enriched_segment_counts,
     read_event_stream,
     run_available_now,
     user_event_gaps,
@@ -29,6 +30,27 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static broadcast join (events × customer dim) feeding a
+    watermarked windowed aggregation."""
+    from ontario_spark.data import table
+
+    stream = read_event_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer")
+    return run_available_now(
+        enriched_segment_counts(stream, dim), "stream_enriched_segments_sink"
+    )
+
+
+STREAM_ENRICHED_SEGMENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour, c_mktsegment AS segment,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY date_trunc('hour', ts), c_mktsegment
 """
 
 
@@ -96,6 +118,7 @@ STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 QUERIES = {
     "stream_dedup": stream_dedup,
+    "stream_enriched_segments": stream_enriched_segments,
     "stream_events_hourly": stream_events_hourly,
     "stream_user_sessions": stream_user_sessions,
     "stream_user_gaps": stream_user_gaps,
@@ -103,6 +126,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_enriched_segments": STREAM_ENRICHED_SEGMENTS_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
     "stream_user_gaps": STREAM_USER_GAPS_SQL,

@@ -76,6 +76,35 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def enriched_segment_counts(
+    stream: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–static enrichment join + windowed aggregation: each event
+    joins the (static, broadcast) customer dimension on user key, then
+    aggregates per (window, mktsegment). At scale the dim broadcast
+    means NO stream-side shuffle for the join — the only shuffle is the
+    windowed aggregation's, keyed on (window, segment)."""
+    d = F.broadcast(dim.select("c_custkey", "c_mktsegment"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .join(d, stream.user_id == d.c_custkey)
+        .groupBy(F.window("ts", window).alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def user_sessions(
     stream: DataFrame, gap_minutes: int = 30, watermark: str = "4 hours"
 ) -> DataFrame:
