@@ -1,0 +1,101 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Beyond the reference (SDM-TIB/Ontario has no sampling of any kind);
+this is part of the BASELINE.json training-pipeline surface alongside
+dedup/similarity/text ops.
+
+All sampling here is HASH-deterministic, not RNG-based: a row's fate
+depends only on its key, so (a) re-runs and retried tasks pick the same
+rows (exactly-once semantics without coordination), (b) train/test
+splits stay disjoint across pipeline versions, (c) results are
+reproducible across engines — the selector is a lexicographic
+comparison on an md5-hex prefix, which any engine with md5() evaluates
+identically (the DuckDB oracles share the exact predicate). This is the
+standard "salted hash bucketing" used in large-scale corpus work; the
+16^6-bucket granularity (~6e-8) is finer than any practical mixing
+weight.
+
+Scale: the filter is a pure per-row predicate — no shuffle, no state,
+fully pushed into the scan stage; mixing N sources is a unionByName of
+filtered scans, which Spark schedules as independent stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 6 hex chars = 16,777,216 buckets
+_HEXW = 6
+_SPACE = 16 ** _HEXW
+
+
+def _threshold(rate: float) -> str:
+    """rate in [0,1] → hex threshold string; row kept iff prefix < it."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "g"  # sorts after every hex digit → keeps all rows
+    return format(int(rate * _SPACE), f"0{_HEXW}x")
+
+
+def _prefix(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _HEXW)
+
+
+def hash_sample(df: DataFrame, key: str, rate: float, salt: str = "") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed on ``key``.
+    Same key+salt → same decision everywhere, forever."""
+    return df.filter(_prefix(F.col(key), salt) < F.lit(_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates: dict[str, float],
+    default_rate: float = 0.0, salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of 'books', 10% of 'web'). ``rates`` maps stratum
+    value → keep fraction; unlisted strata fall back to
+    ``default_rate``."""
+    thr = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum) == value, F.lit(_threshold(rate))).otherwise(thr)
+    return df.filter(_prefix(F.col(key), salt) < thr)
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_rate: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Tag each row 'test' / 'train' disjointly + deterministically.
+    Downstream filters prune to one side at scan time (the split column
+    is a pure function of the key, so no materialization is needed)."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _prefix(F.col(key), salt) < F.lit(_threshold(test_rate)), "test"
+        ).otherwise("train"),
+    )
+
+
+def mix_datasets(
+    parts: list[tuple[DataFrame, str, float]], key: str, salt: str = "mix"
+) -> DataFrame:
+    """Weighted corpus mix: each (df, tag, rate) contributes a
+    deterministic ``rate`` sample tagged with ``tag``. Output column
+    set = shared columns + ``mix_source``."""
+    outs = [
+        hash_sample(df, key, rate, salt).withColumn("mix_source", F.lit(tag))
+        for df, tag, rate in parts
+    ]
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def sql_hash_predicate(key_expr: str, rate: float, salt: str = "") -> str:
+    """The DuckDB-equivalent predicate (oracle side of the contract)."""
+    return (
+        f"substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, {_HEXW})"
+        f" < '{_threshold(rate)}'"
+    )

@@ -24,6 +24,79 @@ from ontario_spark.operators.multimodal import (
     media_from_text,
 )
 
+# --- deterministic sampling / corpus mixing -----------------------------
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates (corpus rebalancing) via deterministic
+    md5-bucket sampling — reproducible across engines and re-runs."""
+    from ontario_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang", "source"),
+        key="doc_id",
+        stratum="lang",
+        rates={"en": 1.0, "de": 0.5, "fr": 0.25},
+        default_rate=0.1,
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 6) <
+  CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '800000'
+            WHEN 'fr' THEN '400000' ELSE '199999' END
+"""
+
+
+def sample_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint deterministic train/test tagging + per-split stats."""
+    from ontario_spark.operators.sampling import train_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, key="doc_id", test_rate=0.2)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SAMPLE_TRAIN_TEST_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6)
+            < '333333' THEN 'test' ELSE 'train' END AS split,
+  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mix of two deterministic slices of the corpus (the
+    multi-source training-mix primitive)."""
+    from ontario_spark.operators.sampling import mix_datasets
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    web = docs.filter(F.col("source") != "src0")
+    curated = docs.filter(F.col("source") == "src0")
+    return mix_datasets(
+        [(curated, "curated", 1.0), (web, "web", 0.3)], key="doc_id"
+    )
+
+
+SAMPLE_CORPUS_MIX_SQL = """
+SELECT doc_id, lang, source, 'curated' AS mix_source FROM documents
+WHERE source = 'src0'
+  AND substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6) < 'g'
+UNION ALL
+SELECT doc_id, lang, source, 'web' AS mix_source FROM documents
+WHERE source <> 'src0'
+  AND substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6) < '4ccccc'
+"""
+
+
 # --- dedup --------------------------------------------------------------
 
 
@@ -358,6 +431,9 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sample_stratified": sample_stratified,
+    "sample_train_test": sample_train_test,
+    "sample_corpus_mix": sample_corpus_mix,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "dedup_exact": dedup_exact,
@@ -378,6 +454,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
+    "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,

@@ -1,0 +1,96 @@
+"""Deterministic-sampling invariants: determinism across calls,
+disjoint splits, rate accuracy, salt independence — plus the
+engine-portability contract (Spark predicate == DuckDB predicate,
+covered again by the driver oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.operators.sampling import (
+    hash_sample,
+    mix_datasets,
+    sql_hash_predicate,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def docs(spark, sf):
+    return table(spark, sf, "documents").select("doc_id", "lang", "source")
+
+
+def test_hash_sample_deterministic_and_rate(spark, sf_small):
+    d = docs(spark, sf_small)
+    total = d.count()
+    a = hash_sample(d, "doc_id", 0.3)
+    b = hash_sample(d, "doc_id", 0.3)
+    ids_a = {r.doc_id for r in a.collect()}
+    ids_b = {r.doc_id for r in b.collect()}
+    assert ids_a == ids_b  # same decision on every call
+    assert 0.15 < len(ids_a) / total < 0.45  # ~rate (500 docs)
+
+
+def test_hash_sample_monotone_in_rate(spark, sf_small):
+    d = docs(spark, sf_small)
+    small = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
+    big = {r.doc_id for r in hash_sample(d, "doc_id", 0.6).collect()}
+    assert small <= big  # nested samples: raising the rate only adds rows
+
+
+def test_rate_bounds(spark, sf_small):
+    d = docs(spark, sf_small)
+    assert hash_sample(d, "doc_id", 1.0).count() == d.count()
+    assert hash_sample(d, "doc_id", 0.0).count() == 0
+
+
+def test_train_test_disjoint_total(spark, sf_small):
+    d = docs(spark, sf_small)
+    tagged = train_test_split(d, "doc_id", test_rate=0.2)
+    counts = dict(
+        (r.split, r.n) for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts["test"] + counts["train"] == d.count()
+    assert counts["test"] > 0 and counts["train"] > 0
+
+
+def test_salt_changes_selection(spark, sf_small):
+    d = docs(spark, sf_small)
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="a").collect()}
+    b = {r.doc_id for r in hash_sample(d, "doc_id", 0.3, salt="b").collect()}
+    assert a != b
+
+
+def test_stratified_respects_rates(spark, sf_small):
+    d = docs(spark, sf_small)
+    out = stratified_sample(
+        d, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en_total = d.filter(F.col("lang") == "en").count()
+    assert by_lang.get("en") == en_total
+    assert "de" not in by_lang
+
+
+def test_mix_sources_tagged(spark, sf_small):
+    d = docs(spark, sf_small)
+    out = mix_datasets([(d, "a", 0.5), (d, "b", 0.2)], key="doc_id")
+    tags = {r.mix_source for r in out.select("mix_source").distinct().collect()}
+    assert tags == {"a", "b"}
+
+
+def test_sql_predicate_matches_spark(spark, sf_small):
+    import duckdb
+
+    d = docs(spark, sf_small)
+    spark_ids = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.37, "s").collect())
+    con = duckdb.connect()
+    pred = sql_hash_predicate("doc_id", 0.37, "s")
+    duck_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf_small}/documents.parquet' WHERE {pred} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert spark_ids == duck_ids
