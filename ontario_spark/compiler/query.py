@@ -49,6 +49,7 @@ from ontario_spark.sparql.ast import (
     OptionalBlock,
     PathClosure,
     Query,
+    ServiceBlock,
     SubSelect,
     Term,
     Triple,
@@ -65,9 +66,17 @@ class QueryCompileError(Exception):
 class SparqlEngine:
     """Entry point: ``SparqlEngine(spark, catalog).query(text)``."""
 
-    def __init__(self, spark: SparkSession, catalog: Catalog):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        service_executors: dict | None = None,
+    ):
         self.spark = spark
         self.catalog = catalog
+        # SERVICE endpoint URL → callable(query_text) -> iterable of
+        # binding dicts; endpoints not listed here go over HTTP
+        self.service_executors = service_executors or {}
 
     def query(self, text: str) -> DataFrame:
         return self.compile(parse(text))
@@ -108,6 +117,8 @@ class SparqlEngine:
                 frames.append(self._closure(e))
             elif isinstance(e, NegatedPath):
                 frames.append(self._negated_path(e, plans))
+            elif isinstance(e, ServiceBlock):
+                frames.append(self._service(e))
             elif isinstance(e, SubSelect):
                 # nested SELECT compiles through the full pipeline and
                 # joins into the group on its projected variables;
@@ -214,6 +225,56 @@ class SparqlEngine:
             .select()
         )
         return BFrame(probe, {})
+
+    def _service(self, sb: ServiceBlock) -> BFrame:
+        """SERVICE <endpoint> { pattern }: ship the pattern as SPARQL
+        text (the reference's mediator↔wrapper contract — SPARQL in,
+        bindings out; ``Tree.getInfoIO:219-257``), pull bindings back
+        (LIMIT/OFFSET-paged HTTP unless an executor is injected via
+        ``service_executors``), and hand the rest of the group an
+        all-lexical frame to join. FILTERs inside the block are applied
+        locally post-fetch (equivalent, and robust to endpoints with
+        partial FILTER support). SILENT → endpoint failure yields an
+        empty frame instead of an error."""
+        from ontario_spark.sources.sparql_endpoint import paged_bindings
+        from ontario_spark.sources.translate import _sparql_term
+
+        triples = [e for e in sb.block.elements if isinstance(e, Triple)]
+        filters = [e for e in sb.block.elements if isinstance(e, Filter)]
+        if len(triples) + len(filters) != len(sb.block.elements):
+            raise QueryCompileError(
+                "SERVICE supports basic graph patterns and FILTERs"
+            )
+        if not triples:
+            raise QueryCompileError("empty SERVICE pattern")
+        variables = sorted(set().union(*[t.variables() for t in triples]))
+        patterns = " ".join(
+            f"{_sparql_term(t.s)} {_sparql_term(t.p)} {_sparql_term(t.o)} ."
+            for t in triples
+        )
+        text = (
+            f"SELECT {' '.join('?' + v for v in variables)} "
+            f"WHERE {{ {patterns} }}"
+        )
+        executor = self.service_executors.get(sb.endpoint)
+        try:
+            if executor is not None:
+                rows = list(executor(text))
+            else:
+                rows = list(paged_bindings(sb.endpoint, text))
+        except Exception:
+            if not sb.silent:
+                raise
+            rows = []
+        schema = ", ".join(f"{v} string" for v in variables)
+        df = self.spark.createDataFrame(
+            [tuple(r.get(v) for v in variables) for r in rows], schema=schema
+        )
+        bf = BFrame(df, {v: TermMeta(LEXICAL) for v in variables})
+        for f in filters:
+            vc = self._compiler(bf)
+            bf = BFrame(bf.df.filter(vc.boolean(f.expr)), bf.meta)
+        return bf
 
     def _describe(self, q: Query, bf: BFrame) -> DataFrame:
         """DESCRIBE: (s, p, o) rows for every forward triple of each

@@ -401,5 +401,42 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
     ),
 }
 
+def _service_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SERVICE federation: the region molecule is served by a
+    'remote' endpoint (loopback executor reading the same parquet via
+    DuckDB — stands in for an HTTP SPARQL endpoint, same bindings-out
+    contract) and joined against the local nation star."""
+    import duckdb
+
+    def endpoint(query: str):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet'"
+        ).fetchall()
+        return [
+            {"r": f"{EX}region/{k}", "rname": name} for k, name in rows
+        ]
+
+    cat = tpch_catalog(sf_dir)
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://remote.example/sparql": endpoint}
+    )
+    return eng.query(
+        PFX
+        + """SELECT ?nname ?rname WHERE {
+              ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+              SERVICE <http://remote.example/sparql> { ?r ex:name ?rname } }"""
+    )
+
+
+_SERVICE_JOIN_SQL = """
+SELECT n_name AS nname, r_name AS rname
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_name IS NOT NULL AND r_name IS NOT NULL
+"""
+
+
 QUERIES = {name: _runner(sparql, kind) for name, (sparql, _, kind) in _DEFS.items()}
+QUERIES["sparql_service_join"] = _service_join
 ORACLE = {name: sql for name, (_, sql, _) in _DEFS.items() if sql is not None}
+ORACLE["sparql_service_join"] = _SERVICE_JOIN_SQL

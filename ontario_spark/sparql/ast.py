@@ -152,6 +152,20 @@ class NegatedPath:
 
 
 @dataclass
+class ServiceBlock:
+    """SPARQL 1.1 federation: ``SERVICE [SILENT] <endpoint> { ... }``.
+    The reference federates implicitly via source selection; SERVICE is
+    the explicit form. The compiler ships the inner pattern as SPARQL
+    text to the endpoint (paged HTTP fetch, or an injected executor)
+    and joins the returned bindings. SILENT turns endpoint failure into
+    an empty (all-unbound) result instead of an error (§13.2)."""
+
+    endpoint: str
+    block: "Group"
+    silent: bool = False
+
+
+@dataclass
 class ValuesBlock:
     """Inline data: VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) }.
     Each row is a tuple of Term or None (UNDEF)."""

@@ -27,6 +27,7 @@ from ontario_spark.sparql.ast import (
     PathClosure,
     Query,
     SelectExpr,
+    ServiceBlock,
     SubSelect,
     Term,
     Triple,
@@ -308,6 +309,21 @@ class Parser:
             elif self.at_kw("values"):
                 self.next()
                 g.elements.append(self._values())
+            elif self.at_kw("service"):
+                self.next()
+                silent = False
+                if self.at_kw("silent"):
+                    self.next()
+                    silent = True
+                ep = self.next()
+                if ep.type != "IRIREF":
+                    raise SparqlSyntaxError(
+                        f"SERVICE endpoint must be an IRI at {ep.pos} "
+                        "(variable endpoints unsupported)"
+                    )
+                g.elements.append(
+                    ServiceBlock(ep.value[1:-1], self._group(), silent)
+                )
             elif self.at_kw("filter") and self._kw_ahead(1, "exists"):
                 self.next(); self.next()
                 g.elements.append(ExistsFilter(self._group(), negated=False))
@@ -391,7 +407,9 @@ class Parser:
             t = self.peek()
             if t.type == "EOF" or self.at_op("}", "{"):
                 break
-            if stop_on_keywords and self.at_kw("optional", "filter", "bind", "union", "values", "minus"):
+            if stop_on_keywords and self.at_kw(
+                "optional", "filter", "bind", "union", "values", "minus", "service"
+            ):
                 break
             s = self._term()
             while True:

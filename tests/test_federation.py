@@ -149,3 +149,64 @@ def test_missing_executor_raises(spark, sf_small):
         SparqlEngine(spark, cat).query(
             PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
         ).collect()
+
+
+def test_service_clause(spark, sf_small):
+    """Explicit SPARQL 1.1 SERVICE: inner pattern ships as SPARQL text
+    to the endpoint, bindings join the local group."""
+    cat = tpch_catalog(sf_small)
+    reg = table(spark, sf_small, "region").collect()
+    captured = {}
+
+    def endpoint(query: str):
+        captured["q"] = query
+        return [
+            {"r": f"{EX}region/{row['r_regionkey']}", "rname": row["r_name"]}
+            for row in reg
+        ]
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://remote.example/sparql": endpoint}
+    )
+    df = eng.query(
+        PFX
+        + """SELECT ?nname ?rname WHERE {
+              ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+              SERVICE <http://remote.example/sparql> {
+                ?r ex:name ?rname . FILTER (?rname != "ASIA") } }"""
+    )
+    rows = df.collect()
+    assert captured["q"].startswith("SELECT ?r ?rname WHERE")
+    assert "FILTER" not in captured["q"]  # filters applied locally
+    assert len(rows) == 20  # 25 nations minus ASIA's 5
+    assert all(r["rname"] != "ASIA" for r in rows)
+
+
+def test_service_silent_failure(spark, sf_small):
+    cat = tpch_catalog(sf_small)
+
+    def broken(query: str):
+        raise RuntimeError("endpoint down")
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://down.example/sparql": broken}
+    )
+    df = eng.query(
+        PFX
+        + """SELECT ?n ?x WHERE {
+              ?n a ex:Nation .
+              OPTIONAL { SERVICE SILENT <http://down.example/sparql> {
+                ?n ex:unknown ?x } } }"""
+    )
+    assert df.count() == 25  # nations survive, ?x unbound
+    import pytest as _pytest
+
+    eng2 = SparqlEngine(
+        spark, cat, service_executors={"http://down.example/sparql": broken}
+    )
+    with _pytest.raises(Exception):
+        eng2.query(
+            PFX
+            + """SELECT ?n ?x WHERE {
+                  SERVICE <http://down.example/sparql> { ?n ex:unknown ?x } }"""
+        ).collect()
