@@ -417,6 +417,10 @@ class Parser:
                 while True:
                     o = self._term()
                     out.extend(self._expand_path(s, p, o))
+                    pending = self.__dict__.get("_pending")
+                    if pending:
+                        out.extend(pending)
+                        pending.clear()
                     if self.at_op(","):
                         self.next()
                         continue
@@ -577,13 +581,50 @@ class Parser:
         self._ppn = getattr(self, "_ppn", 0) + 1
         return f"__pp{self._ppn}"
 
+    def _fresh_bnode(self) -> str:
+        self._bnn = getattr(self, "_bnn", 0) + 1
+        return f"__bn{self._bnn}"
+
+    def _po_list(self, s: Term) -> None:
+        """Predicate-object list inside a blank-node bracket; emitted
+        elements go to ``_pending`` for the enclosing triples block."""
+        pending = self.__dict__.setdefault("_pending", [])
+        while True:
+            p = self._verb()
+            while True:
+                o = self._term()
+                pending.extend(self._expand_path(s, p, o))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                if self.at_op("]"):
+                    break
+                continue
+            break
+
     def _term(self) -> Term:
+        if self.at_op("["):
+            # blank node property list [ p o ; ... ] — an anonymous
+            # node, i.e. a fresh (non-projectable) variable; its inner
+            # triples accumulate in _pending and are drained by
+            # _triples_block (SPARQL treats query bnodes as variables)
+            self.next()
+            b = Term("var", self._fresh_bnode())
+            if not self.at_op("]"):
+                self._po_list(b)
+            self.eat_op("]")
+            return b
         t = self.next()
         if t.type == "VAR":
             return Term("var", t.value[1:])
         if t.type == "IRIREF":
             return Term("iri", t.value[1:-1])
         if t.type == "PNAME":
+            if t.value.startswith("_:"):
+                return Term("var", "__bn_" + t.value[2:])
             return Term("iri", self._expand_pname(t))
         if t.type == "NUMBER":
             return _number_term(t.value)

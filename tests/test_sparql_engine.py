@@ -615,3 +615,34 @@ def test_describe_var(engine, sf_small):
             FROM nation WHERE n_name = 'NATION_3'""",
         "describe_var",
     )
+
+
+def test_blank_node_property_list(engine, sf_small):
+    # [ ... ] is an anonymous variable; inner triples join as usual
+    check(
+        engine,
+        sf_small,
+        """SELECT ?cname ?rname WHERE {
+             ?c a ex:Customer ; ex:name ?cname ;
+                ex:nation [ ex:region [ ex:name ?rname ] ] . }""",
+        """SELECT c_name AS cname, r_name AS rname
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE c_name IS NOT NULL AND r_name IS NOT NULL""",
+        "blank_node_property_list",
+    )
+
+
+def test_labeled_blank_node(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?rname WHERE {
+             _:n a ex:Nation ; ex:name "NATION_3" ; ex:region _:r .
+             _:r ex:name ?rname . }""",
+        """SELECT r_name AS rname FROM nation JOIN region
+           ON n_regionkey = r_regionkey
+           WHERE n_name = 'NATION_3' AND r_name IS NOT NULL""",
+        "labeled_blank_node",
+    )
