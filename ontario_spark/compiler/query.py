@@ -117,8 +117,6 @@ class SparqlEngine:
                 frames.append(self._closure(e))
             elif isinstance(e, NegatedPath):
                 frames.append(self._negated_path(e, plans))
-            elif isinstance(e, ServiceBlock):
-                frames.append(self._service(e))
             elif isinstance(e, SubSelect):
                 # nested SELECT compiles through the full pipeline and
                 # joins into the group on its projected variables;
@@ -128,10 +126,16 @@ class SparqlEngine:
                     BFrame(sdf, {c: TermMeta(LEXICAL) for c in sdf.columns})
                 )
 
-        if not frames:
+        # SERVICE blocks compile AFTER the local frames are joined, so
+        # observed join keys can push down as VALUES (bound join — the
+        # reference's NestedHashJoinFilter posture, SURVEY.md §2.1)
+        services = [e for e in g.elements if isinstance(e, ServiceBlock)]
+        bf = self._join_greedy(frames) if frames else None
+        for sb in services:
+            svc = self._service(sb, bf)
+            bf = svc if bf is None else bf.join(svc)
+        if bf is None:
             bf = BFrame(self.spark.range(1).select(), {})
-        else:
-            bf = self._join_greedy(frames)
 
         for e in g.elements:
             if isinstance(e, OptionalBlock):
@@ -226,7 +230,7 @@ class SparqlEngine:
         )
         return BFrame(probe, {})
 
-    def _service(self, sb: ServiceBlock) -> BFrame:
+    def _service(self, sb: ServiceBlock, build: BFrame | None = None) -> BFrame:
         """SERVICE <endpoint> { pattern }: ship the pattern as SPARQL
         text (the reference's mediator↔wrapper contract — SPARQL in,
         bindings out; ``Tree.getInfoIO:219-257``), pull bindings back
@@ -235,7 +239,17 @@ class SparqlEngine:
         all-lexical frame to join. FILTERs inside the block are applied
         locally post-fetch (equivalent, and robust to endpoints with
         partial FILTER support). SILENT → endpoint failure yields an
-        empty frame instead of an error."""
+        empty frame instead of an error.
+
+        Bound-join pushdown: when the already-joined local frame
+        (``build``) shares a variable with the pattern, its distinct
+        observed keys ship as VALUES batches (window 20, the
+        reference's NestedHashJoinFilter WINDOW_SIZE) so the endpoint
+        returns only joinable bindings — transfer bounded by local
+        keys, not remote cardinality. Past ``max_keys`` distinct keys
+        the full query goes out instead (same fallback posture as the
+        reference's non-selective path)."""
+        from ontario_spark.sources.pushdown import WINDOW_SIZE, instantiate_query
         from ontario_spark.sources.sparql_endpoint import paged_bindings
         from ontario_spark.sources.translate import _sparql_term
 
@@ -257,11 +271,32 @@ class SparqlEngine:
             f"WHERE {{ {patterns} }}"
         )
         executor = self.service_executors.get(sb.endpoint)
+        if executor is None:
+            executor = lambda q: paged_bindings(sb.endpoint, q)  # noqa: E731
+
+        max_keys = 100_000
+        queries = [text]
+        shared = sorted(set(variables) & (build.variables if build else set()))
+        if shared:
+            v = shared[0]
+            keys = [
+                r[0]
+                for r in build.materialize(v)
+                .df.select(v)
+                .distinct()
+                .limit(max_keys + 1)
+                .collect()
+                if r[0] is not None
+            ]
+            if len(keys) <= max_keys:
+                keys.sort()
+                iri = all(k.startswith(("http://", "https://", "urn:")) for k in keys[:5])
+                queries = [
+                    instantiate_query(text, v, keys[i : i + WINDOW_SIZE], iri)
+                    for i in range(0, len(keys), WINDOW_SIZE)
+                ] or [text]
         try:
-            if executor is not None:
-                rows = list(executor(text))
-            else:
-                rows = list(paged_bindings(sb.endpoint, text))
+            rows = [r for q in queries for r in executor(q)]
         except Exception:
             if not sb.silent:
                 raise

@@ -210,3 +210,36 @@ def test_service_silent_failure(spark, sf_small):
             + """SELECT ?n ?x WHERE {
                   SERVICE <http://down.example/sparql> { ?n ex:unknown ?x } }"""
         ).collect()
+
+
+def test_service_bound_join_pushdown(spark, sf_small):
+    """Local join keys ship into the SERVICE query as VALUES batches —
+    the endpoint only ever sees observed keys."""
+    cat = tpch_catalog(sf_small)
+    reg = {f"{EX}region/{r['r_regionkey']}": r["r_name"]
+           for r in table(spark, sf_small, "region").collect()}
+    queries = []
+
+    def endpoint(query: str):
+        queries.append(query)
+        # honor the VALUES block like a real endpoint
+        import re
+        m = re.search(r"VALUES \?r \{ ([^}]*)\}", query)
+        wanted = re.findall(r"<([^>]+)>", m.group(1)) if m else list(reg)
+        return [{"r": u, "rname": reg[u]} for u in wanted if u in reg]
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://remote.example/sparql": endpoint}
+    )
+    df = eng.query(
+        PFX
+        + """SELECT ?nname ?rname WHERE {
+              ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+              SERVICE <http://remote.example/sparql> { ?r ex:name ?rname } }"""
+    )
+    assert df.count() == 25
+    assert all("VALUES ?r {" in q for q in queries)  # pushdown happened
+    # only the 5 observed region URIs shipped
+    import re as _re
+    shipped = {u for q in queries for u in _re.findall(r"<([^>]+region[^>]+)>", q)}
+    assert shipped == set(reg)
