@@ -216,6 +216,20 @@ class Parser:
     def _construct(self) -> Query:
         self.eat_kw("construct")
         q = Query(query_type="construct")
+        if self.at_kw("where"):
+            # CONSTRUCT WHERE { ... } shorthand (§10.2.3): the pattern
+            # (plain triples only) is also the template
+            self.next()
+            self.eat_op("{")
+            q.construct_template = self._triples_block(stop_on_keywords=False)
+            if any(not isinstance(t, Triple) for t in q.construct_template):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT WHERE allows only plain triple patterns"
+                )
+            self.eat_op("}")
+            q.where = Group(list(q.construct_template))
+            self._solution_modifiers(q)
+            return q
         self.eat_op("{")
         q.construct_template = self._triples_block(stop_on_keywords=False)
         if any(not isinstance(t, Triple) for t in q.construct_template):
@@ -687,16 +701,23 @@ class Parser:
         if self.at_op("=", "!=", "<", ">", "<=", ">="):
             op = self.next().value
             return Expr(op, [left, self._add_expr()])
-        if self.at_kw("in"):
+        negated = False
+        if self.at_kw("not") and self._kw_ahead(1, "in"):
             self.next()
-            self.eat_op("(")
-            items = [self._expression()]
-            while self.at_op(","):
-                self.next()
-                items.append(self._expression())
-            self.eat_op(")")
-            return Expr("in", [left] + items)
-        return left if isinstance(left, Expr) else Expr("ident", [left])
+            self.next()
+            negated = True
+        elif self.at_kw("in"):
+            self.next()
+        else:
+            return left if isinstance(left, Expr) else Expr("ident", [left])
+        self.eat_op("(")
+        items = [self._expression()]
+        while self.at_op(","):
+            self.next()
+            items.append(self._expression())
+        self.eat_op(")")
+        e = Expr("in", [left] + items)
+        return Expr("!", [e]) if negated else e
 
     def _add_expr(self):
         left = self._mul_expr()

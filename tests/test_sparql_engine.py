@@ -646,3 +646,35 @@ def test_labeled_blank_node(engine, sf_small):
            WHERE n_name = 'NATION_3' AND r_name IS NOT NULL""",
         "labeled_blank_node",
     )
+
+
+def test_not_in(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?seg WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:mktsegment ?seg .
+             FILTER (?seg NOT IN ("BUILDING", "MACHINERY")) }""",
+        """SELECT c_name AS name, c_mktsegment AS seg FROM customer
+           WHERE c_name IS NOT NULL AND c_mktsegment IS NOT NULL
+             AND c_mktsegment NOT IN ('BUILDING', 'MACHINERY')""",
+        "not_in",
+    )
+
+
+def test_construct_where_shorthand(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """CONSTRUCT WHERE { ?r a ex:Region ; ex:name ?name }""",
+        """SELECT * FROM (
+             SELECT 'http://ex.org/tpch/region/' || CAST(r_regionkey AS VARCHAR) AS s,
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+               'http://ex.org/tpch/Region' AS o
+             FROM region
+             UNION
+             SELECT 'http://ex.org/tpch/region/' || CAST(r_regionkey AS VARCHAR),
+               'http://ex.org/tpch/name', r_name
+             FROM region WHERE r_name IS NOT NULL) t""",
+        "construct_where",
+    )
