@@ -490,6 +490,12 @@ class SparqlEngine:
         has_agg = bool(q.group_by) or any(is_aggregate(s.expr) for s in computed)
 
         if has_agg:
+            for expr, var in q.group_by_binds:
+                gvc = self._compiler(bf)
+                bf = BFrame(
+                    bf.df.withColumn(var, gvc.value(expr)),
+                    {**bf.meta, var: TermMeta(LEXICAL)},
+                )
             vc = self._compiler(bf)
             keys = [
                 bf.lexical_expr(v).alias(v) if bf.meta[v].kind != LEXICAL else F.col(v)

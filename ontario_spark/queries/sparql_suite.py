@@ -285,6 +285,18 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
             WHERE c_mktsegment IS NOT NULL""",
         "base",
     ),
+    "sparql_group_by_expr": (
+        # GROUP BY (expr AS ?v) — computed grouping key
+        """SELECT ?y (COUNT(?o) AS ?n) (SUM(?p) AS ?total) WHERE {
+             ?o a ex:Order ; ex:orderdate ?d ; ex:totalprice ?p }
+           GROUP BY (YEAR(?d) AS ?y)""",
+        """SELECT EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY EXTRACT(year FROM o_orderdate)""",
+        "base",
+    ),
     "sparql_agg_distinct": (
         # DISTINCT aggregates: nations + distinct balance sum per segment
         """SELECT ?seg (COUNT(DISTINCT ?n) AS ?nn) (SUM(DISTINCT ?bal) AS ?sb)

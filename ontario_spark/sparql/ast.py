@@ -200,6 +200,8 @@ class Query:
     distinct: bool = False
     where: Group = field(default_factory=Group)
     group_by: list[str] = field(default_factory=list)
+    # GROUP BY (expr AS ?v) entries: (Expr, varname) bound pre-grouping
+    group_by_binds: list[tuple] = field(default_factory=list)
     having: Expr | None = None
     order_by: list[tuple[object, bool]] = field(default_factory=list)  # (var|Expr, asc)
     limit: int | None = None

@@ -268,8 +268,23 @@ class Parser:
         if self.at_kw("group"):
             self.next()
             self.eat_kw("by")
-            while self.peek().type == "VAR":
-                q.group_by.append(self.next().value[1:])
+            while True:
+                if self.peek().type == "VAR":
+                    q.group_by.append(self.next().value[1:])
+                elif self.at_op("("):
+                    # GROUP BY (expr AS ?v): computed key, bound before
+                    # the aggregation
+                    self.next()
+                    expr = self._expression()
+                    self.eat_kw("as")
+                    v = self.next()
+                    if v.type != "VAR":
+                        raise SparqlSyntaxError(f"expected var after AS at {v.pos}")
+                    self.eat_op(")")
+                    q.group_by_binds.append((expr, v.value[1:]))
+                    q.group_by.append(v.value[1:])
+                else:
+                    break
             if not q.group_by:
                 raise SparqlSyntaxError(f"empty GROUP BY at {self.peek().pos}")
         if self.at_kw("having"):

@@ -678,3 +678,20 @@ def test_construct_where_shorthand(engine, sf_small):
              FROM region WHERE r_name IS NOT NULL) t""",
         "construct_where",
     )
+
+
+def test_group_by_expression(engine, sf_small):
+    # GROUP BY (expr AS ?v): computed grouping key (order year)
+    check(
+        engine,
+        sf_small,
+        """SELECT ?y (COUNT(?o) AS ?n) (SUM(?p) AS ?total) WHERE {
+             ?o a ex:Order ; ex:orderdate ?d ; ex:totalprice ?p }
+           GROUP BY (YEAR(?d) AS ?y)""",
+        """SELECT EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+           GROUP BY EXTRACT(year FROM o_orderdate)""",
+        "group_by_expression",
+    )
