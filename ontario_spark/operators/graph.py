@@ -31,6 +31,20 @@ class ClosureError(Exception):
     pass
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Truncate lineage. localCheckpoint when the plan allows it;
+    Spark's checkpoint attribute-rewrite throws NoSuchElementException
+    on plans that reference the same checkpointed relation twice
+    ("key not found: src#N"), so fall back to persist+materialize —
+    same effect on iteration cost, lineage just grows linearly."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        df = df.persist()
+        df.count()
+        return df
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",
@@ -46,19 +60,6 @@ def transitive_closure(
     Cycles terminate naturally: a cycle only re-derives already-seen
     pairs, so the anti-join empties the delta.
     """
-    def _pin(df: DataFrame) -> DataFrame:
-        """Truncate lineage. localCheckpoint when the plan allows it;
-        Spark's checkpoint attribute-rewrite throws NoSuchElementException
-        on plans that reference the same checkpointed relation twice
-        ("key not found: src#N"), so fall back to persist+materialize —
-        same effect on iteration cost, lineage just grows linearly."""
-        try:
-            return df.localCheckpoint(eager=True)
-        except Exception:
-            df = df.persist()
-            df.count()
-            return df
-
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
