@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,7 +23,21 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# One DataFrame per (session, dir, table). spark.read.parquet re-lists
+# the directory and re-reads footers for schema inference on every call
+# (~0.1 s each); reusing the immutable base plan skips that. Keyed
+# weakly on the session so a stopped session's plans are collectable.
+_table_cache: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _table_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is not None:
+        return df
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # parquet reader rejects. Read nanos as long and truncate to
@@ -30,8 +46,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
