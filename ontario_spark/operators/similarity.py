@@ -18,6 +18,8 @@ double precision — JVM-side, deterministic left-to-right summation
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -33,9 +35,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def norm(a: Column) -> Column:
+    da = _dvec(a)
+    return F.sqrt(dot(da, da))
+
+
 def cosine(a: Column, b: Column) -> Column:
     da, db = _dvec(a), _dvec(b)
     return dot(da, db) / (F.sqrt(dot(da, da)) * F.sqrt(dot(db, db)))
+
+
+def _staged_cosine(qvec: Column, cvec: Column, qnorm: Column, cnorm: Column) -> Column:
+    """cosine() with the two self-dots hoisted to per-ROW projections
+    (``norm``): a candidate join evaluates one dot per PAIR instead of
+    three — same subexpressions, so values stay bit-identical to
+    ``cosine()`` and to the oracle."""
+    return dot(_dvec(qvec), _dvec(cvec)) / (qnorm * cnorm)
 
 
 def brute_force_topk(
@@ -50,10 +65,14 @@ def brute_force_topk(
     from ontario_spark.operators.textops import spread
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -61,7 +80,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            _staged_cosine(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -98,11 +119,13 @@ def bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     scored = (
@@ -111,7 +134,9 @@ def bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            _staged_cosine(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -120,6 +145,49 @@ def bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+# Fitted coarse quantizers, keyed weakly on the corpus DataFrame (plan
+# identity — stable when the corpus comes from the table registry).
+# Index construction is the OFFLINE half of IVF: at 100 TB the centroids
+# and cell assignments live in storage and queries only probe them, so
+# repeated queries must not pay the k-means fit again.
+_quantizer_cache: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
+def _coarse_quantizer(
+    corpus: DataFrame, vec_col: str, n_lists: int, seed: int
+) -> DataFrame:
+    """Fit (or fetch) the k-means coarse quantizer; returns the tiny
+    ``(cell, center)`` DataFrame that probe joins broadcast."""
+    per_corpus = _quantizer_cache.setdefault(corpus, {})
+    key = (vec_col, n_lists, seed)
+    cached = per_corpus.get(key)
+    if cached is not None:
+        return cached
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # FAISS-style: train the coarse quantizer on a bounded sample —
+    # centroid quality needs O(100) points per cell, not the corpus.
+    # limit() is deterministic here (stable parquet row order) and at
+    # 100 TB keeps training cost independent of corpus size.
+    train = (
+        corpus.select(array_to_vector(_dvec(F.col(vec_col))).alias("features"))
+        .limit(max(256 * n_lists, 2048))
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    cdf = corpus.sparkSession.createDataFrame(
+        centers, schema="cell int, center array<double>"
+    ).withColumn("center_norm", norm(F.col("center")))
+    per_corpus[key] = cdf
+    return cdf
 
 
 def ivf_topk(
@@ -139,44 +207,41 @@ def ivf_topk(
     broadcast, the corpus is scanned once to assign cells (at scale this
     assignment is precomputed and stored partitioned-by-cell), and the
     probe join touches n_probe/n_lists of the data."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # FAISS-style: train the coarse quantizer on a bounded sample —
-    # centroid quality needs O(100) points per cell, not the corpus.
-    # limit() is deterministic here (stable parquet row order) and at
-    # 100 TB keeps training cost independent of corpus size.
-    train = (
-        corpus.select(array_to_vector(_dvec(F.col(vec_col))).alias("features"))
-        .limit(max(256 * n_lists, 2048))
-    )
-    km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
-    cdf = corpus.sparkSession.createDataFrame(
-        centers, schema="cell int, center array<double>"
-    )
+    cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed)
 
     def nearest_cells(side: DataFrame, n: int, out: str) -> DataFrame:
         """Assign each vector its n closest centroids (rank ≤ n) via a
         broadcast centroid join — O(n_lists) comparisons per row."""
-        scored = side.crossJoin(F.broadcast(cdf)).withColumn(
-            "__d", cosine(F.col("center"), _dvec(F.col(vec_col)))
+        scored = side.withColumn("__vnorm", norm(F.col(vec_col))).crossJoin(
+            F.broadcast(cdf)
+        ).withColumn(
+            "__d",
+            _staged_cosine(
+                F.col("center"),
+                F.col(vec_col),
+                F.col("center_norm"),
+                F.col("__vnorm"),
+            ),
         )
         w = Window.partitionBy(side[id_col]).orderBy(F.desc("__d"), F.asc("cell"))
         return (
             scored.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= n)
-            .drop("center", "__d", "__r")
+            .drop("center", "center_norm", "__vnorm", "__d", "__r")
             .withColumnRenamed("cell", out)
         )
 
     c = nearest_cells(corpus, 1, "cell").select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+        "cell",
     )
     q = nearest_cells(queries, n_probe, "cell").select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "cell"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+        "cell",
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -184,7 +249,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            _staged_cosine(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("score"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -210,6 +277,7 @@ def neardup_pairs(
     c = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
@@ -222,7 +290,9 @@ def neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("score"),
+            _staged_cosine(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
