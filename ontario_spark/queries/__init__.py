@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = [
     "ontario_spark.queries.tpch",
     "ontario_spark.queries.tpch_full",
+    "ontario_spark.queries.tpch_shapes",
     "ontario_spark.queries.sparql_suite",
     "ontario_spark.queries.pipeline_suite",
     "ontario_spark.queries.streaming_suite",
