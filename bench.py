@@ -67,18 +67,24 @@ def main() -> None:
         rows[name] = len(out)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full detail (rows, 4-decimal timings) goes to disk; stdout gets one
+    # compact line. The driver captures only the tail of stdout, so the
+    # final line must stay small — with 86 queries the full dict with row
+    # counts is ~6 KB and gets truncated into unparseable JSON.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        json.dump({**payload, "queries": timings, "rows": rows}, f, indent=1)
+    line = json.dumps(payload)
+    if len(line) > 3500:
+        payload["queries"] = {}  # belt-and-braces: never emit a truncatable line
+        line = json.dumps(payload)
+    print(line)
     spark.stop()
 
 

@@ -23,6 +23,27 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def events_ts_kind(path: str) -> str:
+    """How ``events.parquet`` physically stores ``ts``: ``"nanos"`` when
+    the footer declares TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects without the nanosAsLong escape hatch), else
+    ``"native"`` (µs/ms timestamps Spark reads directly). Driven by the
+    parquet footer, not an assumption — the generator has shipped both
+    encodings across rounds. Falls back to ``"native"`` when the footer
+    isn't locally readable (e.g. a remote URI): the common case, and the
+    nanos branch exists only for the legacy local fixture."""
+    try:
+        import pyarrow.parquet as pq
+
+        return (
+            "nanos"
+            if str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+            else "native"
+        )
+    except Exception:
+        return "native"
+
+
 # One DataFrame per (session, dir, table). spark.read.parquet re-lists
 # the directory and re-reads footers for schema inference on every call
 # (~0.1 s each); reusing the immutable base plan skips that. Keyed
@@ -38,8 +59,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = per_session.get(key)
     if df is not None:
         return df
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    if name == "events" and events_ts_kind(f"{sf_dir}/{name}.parquet") == "nanos":
+        # Legacy fixture: ts is TIMESTAMP(NANOS), which Spark's vectorized
         # parquet reader rejects. Read nanos as long and truncate to
         # microseconds — byte-identical with DuckDB's ns→µs truncation.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -15,12 +15,15 @@ double aggregation is order-independent across engines; every LIMIT is
 preceded by an ORDER BY with a unique tiebreaker; identical column
 aliases on the Spark and DuckDB sides.
 
-Scale notes (100 TB): every dim side (region/nation/customer/supplier/
-part and derived scalar aggregates) is broadcast explicitly; only
-lineitem⋈orders shuffles on the orderkey, and the group-bys run with
-map-side partial aggregation. The scalar subqueries (q17 avg-per-part,
-q22 avg-acctbal, q15 max-revenue) become broadcast joins, not
-driver-side collect()s.
+Scale notes (100 TB): constant-size dims (region/nation/supplier/part
+and derived scalar aggregates) are broadcast explicitly; tables that
+grow linearly with scale (orders, customer) carry NO broadcast hint —
+AQE picks broadcast when the filtered side is actually small and falls
+back to a shuffle join when it isn't, so the plan survives a 100×
+scale-up instead of OOMing the build side. Group-bys run with map-side
+partial aggregation. The scalar subqueries (q17 avg-per-part, q22
+avg-acctbal, q15 max-revenue) become broadcast joins, not driver-side
+collect()s.
 """
 
 from __future__ import annotations
@@ -63,7 +66,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
         .filter(pair | rpair)
@@ -116,7 +119,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
@@ -164,8 +167,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -359,7 +362,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",

@@ -28,31 +28,50 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (see data.table note)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# TimestampType (not NTZ): withWatermark rejects TIMESTAMP_NTZ event
+# time. The stored naive µs values surface as the same wall-clock
+# instants the batch loader's NTZ read produces (session tz applies
+# uniformly on both sides).
+EVENT_SCHEMA = _event_schema(TimestampType())
+EVENT_SCHEMA_NANOS = _event_schema(LongType())  # raw nanos as long
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream; nanos→µs ts conversion identical to
-    the batch loader so streaming results match batch oracles."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as a stream, type-driven off the parquet footer
+    (the fixture generator has shipped both TIMESTAMP(NANOS) and
+    timestamp[us] encodings across rounds): native µs/ms timestamps are
+    read directly; the legacy nanos encoding reads as long + truncates
+    to µs, identical to the batch loader so streaming results match
+    batch oracles."""
+    from ontario_spark.data import events_ts_kind
+
+    nanos = events_ts_kind(f"{sf_dir}/events.parquet") == "nanos"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The streaming file source requires a directory; pathGlobFilter
     # narrows it to the events table.
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(EVENT_SCHEMA_NANOS if nanos else EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -45,7 +45,7 @@ def test_sessionization_matches_batch_gaps(spark, sf_small):
         .withColumn(
             "new_sess",
             (F.col("prev").isNull())
-            | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800),
+            | (F.expr("timestampdiff(SECOND, prev, ts)") > 1800),
         )
         .withColumn("sess_id", F.sum(F.col("new_sess").cast("int")).over(w))
         .groupBy("user_id", "sess_id")
@@ -72,7 +72,7 @@ def test_user_event_gaps_state_spans_batches(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from ontario_spark.streaming.events import (
-        EVENT_SCHEMA,
+        EVENT_SCHEMA_NANOS,
         run_available_now,
         user_event_gaps,
     )
@@ -102,7 +102,7 @@ def test_user_event_gaps_state_spans_batches(spark, tmp_path):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+        spark.readStream.schema(EVENT_SCHEMA_NANOS)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
