@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ontario_spark.queries import all_oracle_sql, all_queries
+from ontario_spark.queries import all_queries, driver_oracle_sql, driver_queries
 from ontario_spark.session import tune
 
 FLAGSHIP = "q3_shipping_priority"
@@ -25,8 +25,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    """Curated 50-entry correctness surface: one entry per operator
+    family (the driver checks the first 50 entries; the full registry
+    incl. redundant TPC-H variants stays on bench.py/pytest)."""
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return all_oracle_sql()
+    return driver_oracle_sql()

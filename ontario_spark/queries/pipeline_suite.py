@@ -339,6 +339,35 @@ FROM sh
 """
 
 
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined text-analysis profile: token counting, quality scoring,
+    language ID, and fingerprinting in one result keyed on doc_id —
+    the one-row-per-document feature table a curation pipeline
+    actually materializes. The per-row metrics are pure projections
+    (shared scan); langid and the shingle anchor each need their own
+    explode→aggregate, re-joined on doc_id (co-partitioned by the
+    aggregation's own shuffle, so the joins add no extra exchange of
+    the large side)."""
+    docs = table(spark, sf_dir, "documents")
+    ts = textops.token_stats(docs, "doc_id", "text")
+    q = textops.quality_score(docs, "doc_id", "text").drop("n_tokens")
+    li = textops.lang_id(docs, "doc_id", "text")
+    fp = textops.fingerprint(docs, "doc_id", "text")
+    return ts.join(q, "doc_id").join(li, "doc_id").join(fp, "doc_id")
+
+
+TEXT_METRICS_SQL = f"""
+SELECT t.doc_id, t.n_tokens, t.n_subword_est, t.n_chars,
+       q.mean_word_len, q.stopword_ratio, q.alpha_ratio,
+       l.pred_lang, l.marker_hits,
+       f.content_hash, f.shingle_anchor
+FROM ({TEXT_TOKEN_STATS_SQL}) t
+JOIN ({TEXT_QUALITY_SQL}) q ON t.doc_id = q.doc_id
+JOIN ({TEXT_LANGID_SQL}) l ON t.doc_id = l.doc_id
+JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
+"""
+
+
 # --- multimodal plumbing ------------------------------------------------
 
 
@@ -448,6 +477,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_metrics": text_metrics,
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_stats": mm_frame_stats,
     "mm_feature_hist": mm_feature_hist,
@@ -466,6 +496,7 @@ ORACLE = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_metrics": TEXT_METRICS_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_frame_stats": MM_FRAME_STATS_SQL,
     "mm_feature_hist": MM_FEATURE_HIST_SQL,
