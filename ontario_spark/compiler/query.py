@@ -249,7 +249,11 @@ class SparqlEngine:
         keys, not remote cardinality. Past ``max_keys`` distinct keys
         the full query goes out instead (same fallback posture as the
         reference's non-selective path)."""
-        from ontario_spark.sources.pushdown import WINDOW_SIZE, instantiate_query
+        from ontario_spark.sources.pushdown import (
+            WINDOW_SIZE,
+            fetch_all,
+            instantiate_query,
+        )
         from ontario_spark.sources.sparql_endpoint import paged_bindings
         from ontario_spark.sources.translate import _sparql_term
 
@@ -289,14 +293,16 @@ class SparqlEngine:
                 if r[0] is not None
             ]
             if len(keys) <= max_keys:
-                keys.sort()
-                iri = all(k.startswith(("http://", "https://", "urn:")) for k in keys[:5])
+                # each key classified IRI-vs-literal individually and
+                # escaped inside instantiate_query — mixed/typed key
+                # sets are fine (VALUES terms may differ in kind)
+                keys.sort(key=str)
                 queries = [
-                    instantiate_query(text, v, keys[i : i + WINDOW_SIZE], iri)
+                    instantiate_query(text, v, keys[i : i + WINDOW_SIZE])
                     for i in range(0, len(keys), WINDOW_SIZE)
                 ] or [text]
         try:
-            rows = [r for q in queries for r in executor(q)]
+            rows = fetch_all(executor, queries)
         except Exception:
             if not sb.silent:
                 raise

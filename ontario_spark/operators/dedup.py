@@ -49,6 +49,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with
     |A∩B| / |A∪B| >= threshold over distinct word n-gram shingles.
@@ -57,7 +58,19 @@ def ngram_jaccard_pairs(
     the shingle (not the string), the join payload is just (id, key),
     and the per-doc set sizes rejoin AFTER pair aggregation from a
     small broadcast side — so the quadratic candidate stream carries 16
-    bytes/row instead of the shingle text + counters."""
+    bytes/row instead of the shingle text + counters.
+
+    ``max_doc_freq`` is the skew guard for corpus scale: a shingle
+    appearing in d documents contributes d² candidate rows, so ONE
+    stopword-ish shingle shared by a million documents would emit 10¹²
+    rows out of a single join key (one task). Setting a cap drops
+    shingles with document frequency > cap before the self-join,
+    bounding any key's fan-out at cap². Recall trade, documented:
+    intersections THROUGH capped shingles are lost, so Jaccard is
+    underestimated for pairs whose overlap is mostly ubiquitous
+    shingles — exactly the pairs exact dedup shouldn't report anyway.
+    Set-size denominators stay uncapped (exact). None = exact
+    semantics (small/verify-stage corpora)."""
     from ontario_spark.operators.textops import exploded_shingles
 
     sh = exploded_shingles(df, id_col, text_col, n)
@@ -67,8 +80,17 @@ def ngram_jaccard_pairs(
     # lake scale this intermediate is what you'd checkpoint to storage.
     exploded = sh.select("id", F.xxhash64("shingle").alias("k")).persist()
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = exploded.select(F.col("id").alias("id_a"), "k")
-    b = exploded.select(F.col("id").alias("id_b"), "k")
+    joinable = exploded
+    if max_doc_freq is not None:
+        rare = (
+            exploded.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("k")
+        )
+        joinable = exploded.join(rare, "k")
+    a = joinable.select(F.col("id").alias("id_a"), "k")
+    b = joinable.select(F.col("id").alias("id_b"), "k")
     inter = (
         a.join(b, "k")
         .filter(F.col("id_a") < F.col("id_b"))

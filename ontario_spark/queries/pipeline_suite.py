@@ -112,8 +112,17 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq is the corpus-scale skew guard (a shingle in d docs
+    # fans out d² candidate rows on one join key); 1000 is far above any
+    # real shingle frequency in the fixture, so results here are exact —
+    # the oracle replicates the cap so the contract is checked end-to-end.
     return dedup.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.35
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.35,
+        max_doc_freq=1000,
     )
 
 
@@ -128,10 +137,13 @@ WITH sh AS (
 ), ex AS (
   SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
   FROM sh
+), rare AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
          ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON a.shingle = r.shingle
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,

@@ -25,24 +25,69 @@ from pyspark.sql import DataFrame, SparkSession
 RemoteExecutor = Callable[[str], list[dict[str, str | None]]]
 
 WINDOW_SIZE = 20  # reference default batch size
+FETCH_THREADS = 16  # concurrent remote batch fetches
 
 
 class PushdownError(Exception):
     pass
 
 
-def values_block(var: str, keys: list[str], iri: bool = True) -> str:
-    terms = " ".join(f"<{k}>" if iri else f'"{k}"' for k in keys)
+_IRI_SCHEMES = ("http://", "https://", "urn:", "ftp://", "mailto:")
+_IRI_FORBIDDEN = set(' <>"{}|\\^`\n\r\t')
+
+
+def sparql_value_term(key) -> str:
+    """Render ONE build-side key as a SPARQL VALUES term, classified
+    per key (the reference samples a prefix and picks one rendering
+    for the whole batch — ``NestedHashJoinFilter.makeInstantiation``
+    — which silently drops rows on mixed IRI/literal or typed keys):
+    IRI-shaped strings become ``<iri>``, every other string a quoted
+    literal with ``\\`` and ``"`` escaped, bools/ints/floats bare
+    numeric literals. VALUES blocks may mix term kinds freely, so a
+    mixed key set needs no fallback."""
+    if isinstance(key, bool):
+        return "true" if key else "false"
+    if isinstance(key, (int, float)):
+        return repr(key)
+    s = str(key)
+    if s.startswith(_IRI_SCHEMES) and not (set(s) & _IRI_FORBIDDEN):
+        return f"<{s}>"
+    escaped = (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+    return f'"{escaped}"'
+
+
+def values_block(var: str, keys: list) -> str:
+    terms = " ".join(sparql_value_term(k) for k in keys)
     return f"VALUES ?{var} {{ {terms} }}"
 
 
-def instantiate_query(query: str, var: str, keys: list[str], iri: bool = True) -> str:
+def instantiate_query(query: str, var: str, keys: list) -> str:
     """Inject a VALUES block binding ``var`` to ``keys`` into the
     query's outermost group graph pattern."""
     idx = query.find("{")
     if idx < 0:
         raise PushdownError("query has no group graph pattern")
-    return query[: idx + 1] + " " + values_block(var, keys, iri) + " " + query[idx + 1 :]
+    return query[: idx + 1] + " " + values_block(var, keys) + " " + query[idx + 1 :]
+
+
+def fetch_all(executor: RemoteExecutor, queries: list[str]) -> list[dict]:
+    """Run the batch queries through ``executor`` concurrently (HTTP
+    round-trips, so a thread pool — not the driver serially blocking on
+    up to max_keys/WINDOW_SIZE sequential calls) and concatenate
+    bindings in deterministic batch order. Any batch failure
+    propagates, matching the serial semantics."""
+    if len(queries) == 1:
+        return list(executor(queries[0]))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(FETCH_THREADS, len(queries))) as pool:
+        results = list(pool.map(executor, queries))
+    return [b for batch in results for b in batch]
 
 
 def bound_join_fetch(
@@ -54,10 +99,10 @@ def bound_join_fetch(
     executor: RemoteExecutor,
     window_size: int = WINDOW_SIZE,
     max_keys: int = 100_000,
-    iri: bool = True,
 ) -> DataFrame:
     """Fetch only the remote bindings that can join: distinct build-side
-    keys → VALUES-batched remote queries → unioned DataFrame.
+    keys → VALUES-batched remote queries (fetched concurrently) →
+    unioned DataFrame.
 
     ``max_keys`` guards the driver: beyond it, fall back to the
     unfiltered remote query (same fallback posture as the reference's
@@ -70,15 +115,14 @@ def bound_join_fetch(
     if len(keys) > max_keys:
         queries = [remote_query]
     else:
-        keys.sort()
+        keys.sort(key=str)
         queries = [
-            instantiate_query(remote_query, join_var, keys[i : i + window_size], iri)
+            instantiate_query(remote_query, join_var, keys[i : i + window_size])
             for i in range(0, len(keys), window_size)
         ]
-    rows: list[tuple] = []
-    for q in queries:
-        for b in executor(q):
-            rows.append(tuple(b.get(v) for v in remote_vars))
+    rows = [
+        tuple(b.get(v) for v in remote_vars) for b in fetch_all(executor, queries)
+    ]
     schema = ", ".join(f"{v} string" for v in remote_vars)
     return spark.createDataFrame(rows, schema=schema)
 

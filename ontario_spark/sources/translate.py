@@ -397,6 +397,16 @@ def star_cypher(
     def prop(col: str) -> str:
         return f"n.{col}"
 
+    def clit(value) -> str:
+        """Cypher string literal: backslash escaping (Cypher strings use
+        ``\\``-escapes, unlike SQL's doubled quotes) so quote-bearing
+        constants emit well-formed — not injectable — Cypher."""
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, (int, float)):
+            return repr(value)
+        return "'" + str(value).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     def bind(var: str, cols: list[str], kind: str, tpl: str | None):
         for i, c in enumerate(cols):
             out = f"{var}__k{i}" if kind == TEMPLATE else var
@@ -410,12 +420,12 @@ def star_cypher(
         else:
             keys = tm.subject.template.extract(star.subject.value)
             for c, v in zip(tm.subject.template.columns, keys or ()):
-                where.append(f"toString({prop(c)}) = '{v}'")
+                where.append(f"toString({prop(c)}) = {clit(v)}")
     else:
         if star.subject.is_var:
             bind(star.subject.value, [tm.subject.value], REFERENCE, None)
         else:
-            where.append(f"{prop(tm.subject.value)} = '{star.subject.value}'")
+            where.append(f"{prop(tm.subject.value)} = {clit(star.subject.value)}")
 
     for t in _star_triples(tm, star):
         om = tm.pom[t.p.value]
@@ -424,15 +434,14 @@ def star_cypher(
                 bind(t.o.value, [om.value], REFERENCE, None)
             else:
                 val = t.o.py if (not t.o.is_iri and t.o.py is not None) else t.o.value
-                lit = repr(val) if isinstance(val, (int, float)) else f"'{val}'"
-                where.append(f"{prop(om.value)} = {lit}")
+                where.append(f"{prop(om.value)} = {clit(val)}")
         elif om.kind == TEMPLATE:
             if t.o.is_var:
                 bind(t.o.value, list(om.template.columns), TEMPLATE, om.value)
             else:
                 keys = om.template.extract(t.o.value)
                 for c, v in zip(om.template.columns, keys or ()):
-                    where.append(f"toString({prop(c)}) = '{v}'")
+                    where.append(f"toString({prop(c)}) = {clit(v)}")
         else:
             if t.o.is_var:
                 specs.append(ColSpec("", t.o.value, CONSTANT, om.value))

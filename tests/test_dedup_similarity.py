@@ -169,3 +169,27 @@ def test_extract_features_compose_with_ann(spark, sf_small):
     corpus = feats.select(F.col("media_id").alias("vec_id"), F.col("features").alias("embedding"))
     out = brute_force_topk(corpus, corpus.limit(3), k=2)
     assert out.count() == 6
+
+
+def test_ngram_jaccard_doc_freq_cap_bounds_candidates(spark):
+    """A stopword shingle shared by every document generates all-pairs
+    candidates without the cap; with it, the ubiquitous shingle is
+    dropped before the self-join and the candidate stream is bounded."""
+    from ontario_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = [(i, f"aaa bbb ccc u{i}a u{i}b u{i}c") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.01)
+    assert uncapped.count() == 20 * 19 // 2  # all-pairs via 'aaa bbb ccc'
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", threshold=0.01, max_doc_freq=5
+    )
+    assert capped.count() == 0  # shared shingle df=20 > 5 -> dropped
+
+    # true near-dups still found: their overlap is in rare shingles
+    near = [(100, "xxx yyy zzz www vvv"), (101, "xxx yyy zzz www qqq")]
+    df2 = spark.createDataFrame(docs + near, "doc_id long, text string")
+    got = ngram_jaccard_pairs(df2, "doc_id", "text", threshold=0.4, max_doc_freq=5)
+    assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {(100, 101)}

@@ -243,3 +243,74 @@ def test_service_bound_join_pushdown(spark, sf_small):
     import re as _re
     shipped = {u for q in queries for u in _re.findall(r"<([^>]+region[^>]+)>", q)}
     assert shipped == set(reg)
+
+
+def test_values_term_per_key_classification():
+    """Each VALUES key is rendered by its own kind — mixed IRI/literal/
+    numeric sets and quote-bearing literals all survive (the reference
+    samples a prefix and picks one rendering for the whole batch)."""
+    from ontario_spark.sources.pushdown import sparql_value_term, values_block
+
+    assert sparql_value_term("http://ex.org/a/1") == "<http://ex.org/a/1>"
+    assert sparql_value_term('say "hi"') == '"say \\"hi\\""'
+    assert sparql_value_term("back\\slash") == '"back\\\\slash"'
+    assert sparql_value_term("http://bad iri/with space") == '"http://bad iri/with space"'
+    assert sparql_value_term(42) == "42"
+    assert sparql_value_term(True) == "true"
+    block = values_block("k", ["http://ex.org/x", 'O"Brien', 7])
+    assert block == 'VALUES ?k { <http://ex.org/x> "O\\"Brien" 7 }'
+
+
+def test_bound_join_mixed_keys_roundtrip(spark):
+    """Mixed IRI + literal build keys all reach the endpoint and all
+    matching bindings come back (previously literal keys in a mostly-
+    IRI batch were emitted as malformed IRIs and dropped)."""
+    import re
+
+    from ontario_spark.sources.pushdown import bound_join
+
+    data = {
+        "http://ex.org/r/1": "one",
+        "plain key": "two",
+        'quote "key"': "three",
+    }
+    seen = []
+
+    def endpoint(query: str):
+        seen.append(query)
+        m = re.search(r"VALUES \?k \{ (.*?)\}", query)
+        assert m, query
+        keys = [
+            t[1:-1] if t.startswith("<") else t[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            for t in re.findall(r'<[^>]*>|"(?:[^"\\]|\\.)*"', m.group(1))
+        ]
+        return [{"k": k, "v": data[k]} for k in keys if k in data]
+
+    build = spark.createDataFrame([(k,) for k in data], "k string")
+    out = bound_join(spark, build, "k", "SELECT ?k ?v WHERE { ?k ex:p ?v }",
+                     ["k", "v"], endpoint, window_size=2)
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(k, v) for k, v in data.items()}
+    assert len(seen) == 2  # 3 keys, window 2 -> 2 batches
+
+
+def test_fetch_all_is_concurrent():
+    """Batch fetches overlap instead of serially blocking the driver."""
+    import threading
+    import time
+
+    from ontario_spark.sources.pushdown import fetch_all
+
+    threads = set()
+
+    def slow_executor(q: str):
+        threads.add(threading.get_ident())
+        time.sleep(0.15)
+        return [{"q": q}]
+
+    t0 = time.perf_counter()
+    out = fetch_all(slow_executor, [f"q{i}" for i in range(8)])
+    elapsed = time.perf_counter() - t0
+    assert [b["q"] for b in out] == [f"q{i}" for i in range(8)]  # order kept
+    assert len(threads) > 1
+    assert elapsed < 8 * 0.15  # strictly faster than serial

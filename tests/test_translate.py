@@ -291,3 +291,14 @@ def test_rows_to_bframe_joins_spark_star(spark, sf_small):
     nat = table(spark, sf_small, "nation")
     exp = cust.join(nat, cust.c_nationkey == nat.n_nationkey).count()
     assert out.count() == exp > 0
+
+
+def test_cypher_literal_escaping():
+    """Quote-bearing constants emit well-formed backslash-escaped Cypher
+    strings (previously interpolated raw into single quotes)."""
+    star = star_of(
+        "SELECT * WHERE { ?c a ex:Customer ; "
+        "ex:mktsegment \"O'Brien \\\\ 'x\" }"
+    )
+    q, _ = star_cypher(MONGO_MAP, star)
+    assert "n.seg = 'O\\'Brien \\\\ \\'x'" in q
