@@ -1,0 +1,134 @@
+"""RML Turtle mapping loader: round-trips the reference's own demo
+mapping files and drives a SPARQL query end-to-end over an RML-mapped
+CSV source."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ontario_spark.catalog.model import CONSTANT, REFERENCE, TEMPLATE
+from ontario_spark.catalog.rml import load_rml, load_rml_files, parse_turtle
+
+CHEBI = "/root/reference/demo/mappings/tsv/chebi/Compound.ttl"
+DRUGS = "/root/reference/demo/mappings/mysql/drugbank/drugs.ttl"
+
+
+def test_parse_turtle_subset():
+    triples = parse_turtle(
+        """
+        @prefix ex: <http://ex.org/> .
+        ex:s a ex:Klass ; ex:p "v1", "v2" ; ex:q [ ex:r <http://o> ] .
+        """
+    )
+    assert (("iri", "http://ex.org/s"),
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            ("iri", "http://ex.org/Klass")) in triples
+    lits = [o for s, p, o in triples if p == "http://ex.org/p"]
+    assert lits == [("lit", "v1"), ("lit", "v2")]
+
+
+@pytest.mark.skipif(not os.path.exists(CHEBI), reason="reference demo absent")
+def test_chebi_tsv_mappings_round_trip():
+    cat = load_rml_files([CHEBI], data_root="/data")
+    assert len(cat.triple_maps) > 5
+    tm = cat.triple_maps[
+        "http://tib.de/ontario/mapping#"
+        "http__bio2rdf.org_ns_chebi_Compound_Compound_has_part"
+    ]
+    assert tm.subject.kind == TEMPLATE
+    assert tm.subject.value == "http://bio2rdf.org/chebi:{Compound}"
+    assert tm.subject_class == "http://bio2rdf.org/ns/chebi#Compound"
+    assert tm.source.table == "chebi/Compound_has_part.tsv"
+    assert tm.source.fmt == "tsv"
+    pred = "http://bio2rdf.org/ns/chebi#has_part"
+    assert tm.pom[pred].kind == TEMPLATE
+    # every chebi map lands on the shared tsv file source
+    src = cat.source_of(tm)
+    assert src.dstype == "tsv" and src.base_path == "/data"
+    # RDF-MT indexes populated for source selection
+    assert tm.name in cat.class_index[tm.subject_class]
+    assert tm.name in cat.predicate_index[pred]
+
+
+@pytest.mark.skipif(not os.path.exists(DRUGS), reason="reference demo absent")
+def test_drugbank_mysql_mappings_round_trip():
+    cat = load_rml_files([DRUGS])
+    tm = next(iter(cat.triple_maps.values()))
+    src = cat.source_of(tm)
+    assert src.dstype == "mysql"
+    assert src.name.startswith("jdbc:mysql://")
+    params = dict(src.params)
+    assert params["username"] == "root"
+    assert "drugbank." in tm.source.table
+    # remote source: executor must be injected before execution
+    with pytest.raises(ValueError, match="no executor"):
+        cat.executor_for(tm)
+
+
+def test_rml_csv_source_end_to_end(spark, tmp_path):
+    """An RML-mapped CSV answers a SPARQL star through the full engine."""
+    (tmp_path / "people.csv").write_text(
+        "pid,name,city\n1,Ada,London\n2,Erwin,Vienna\n3,Grace,NYC\n"
+    )
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    @prefix : <http://tib.de/ontario/mapping#> .
+
+    :PeopleMap
+        rml:logicalSource [
+            rml:source "people.csv";
+            rml:referenceFormulation ql:CSV;
+            rml:iterator "*"
+        ];
+        rr:subjectMap [
+            rr:template "http://ex.org/person/{pid}";
+            rr:class <http://ex.org/Person>
+        ];
+        rr:predicateObjectMap [
+            rr:predicate <http://ex.org/name>;
+            rr:objectMap [ rml:reference "name" ]
+        ];
+        rr:predicateObjectMap [
+            rr:predicate <http://ex.org/city>;
+            rr:objectMap [ rml:reference "city" ]
+        ].
+    """
+    cat = load_rml([ttl], data_root=str(tmp_path))
+    from ontario_spark.compiler.query import SparqlEngine
+
+    df = SparqlEngine(spark, cat).query(
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?p ?name WHERE {
+             ?p a ex:Person ; ex:name ?name ; ex:city "Vienna" }"""
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["p"] == "http://ex.org/person/2"
+    assert rows[0]["name"] == "Erwin"
+
+
+def test_rml_term_map_kinds():
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix : <http://m#> .
+    :M rml:logicalSource [ rml:source "t.csv" ];
+       rr:subjectMap [ rr:template "http://e/{id}" ];
+       rr:predicateObjectMap [
+           rr:predicate <http://e/ref>; rr:objectMap [ rml:reference "c" ] ];
+       rr:predicateObjectMap [
+           rr:predicate <http://e/const>; rr:objectMap [ rr:constant "K" ] ];
+       rr:predicateObjectMap [
+           rr:predicate <http://e/short>; rr:object <http://e/thing> ] .
+    """
+    cat = load_rml([ttl])
+    tm = cat.triple_maps["http://m#M"]
+    assert tm.pom["http://e/ref"].kind == REFERENCE
+    assert tm.pom["http://e/const"] == (
+        tm.pom["http://e/const"].__class__(CONSTANT, "K")
+    )
+    assert tm.pom["http://e/short"].kind == CONSTANT
