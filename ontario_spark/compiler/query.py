@@ -97,11 +97,22 @@ class SparqlEngine:
     def _group(self, g: Group) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         frames: list[BFrame] = []
+        # Sargable FILTER conjuncts push into remote-source stars
+        # (reference wrappers compile FILTERs to source SQL;
+        # sparqltosql.py:585-634). The same FILTERs still run
+        # Spark-side below — pushdown only prunes at the source.
+        from ontario_spark.sources.translate import extract_remote_conds
+
+        remote_conds = extract_remote_conds(
+            [e.expr for e in g.elements if isinstance(e, Filter)]
+        )
         plans = [
             select_sources(self.catalog, star) for star in bgp_stars(triples)
         ]
         for plan in prune_connected(plans):
-            frames.append(compile_star(self.spark, self.catalog, plan))
+            frames.append(
+                compile_star(self.spark, self.catalog, plan, remote_conds)
+            )
         for e in g.elements:
             if isinstance(e, Group):
                 frames.append(self._group(e))

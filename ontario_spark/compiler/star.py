@@ -38,14 +38,20 @@ def _lit_for(term: Term) -> Column:
     return F.lit(term.py if term.py is not None else term.value)
 
 
-def compile_star(spark: SparkSession, cat: Catalog, plan: StarPlan) -> BFrame:
+def compile_star(
+    spark: SparkSession,
+    cat: Catalog,
+    plan: StarPlan,
+    remote_conds: dict | None = None,
+) -> BFrame:
     if not plan.alternatives:
         raise SourceSelectionError(
             f"no data source answers star over {plan.star.subject.value!r} "
             f"(predicates: {plan.star.predicates})"
         )
     frames = [
-        _compile_alternative(spark, cat, plan, alt) for alt in plan.alternatives
+        _compile_alternative(spark, cat, plan, alt, remote_conds)
+        for alt in plan.alternatives
     ]
     out = frames[0]
     for f in frames[1:]:
@@ -54,7 +60,11 @@ def compile_star(spark: SparkSession, cat: Catalog, plan: StarPlan) -> BFrame:
 
 
 def _compile_alternative(
-    spark: SparkSession, cat: Catalog, plan: StarPlan, maps: list[TripleMap]
+    spark: SparkSession,
+    cat: Catalog,
+    plan: StarPlan,
+    maps: list[TripleMap],
+    remote_conds: dict | None = None,
 ) -> BFrame:
     # Assign each triple to the first map providing its predicate.
     per_map: dict[str, list[Triple]] = {tm.name: [] for tm in maps}
@@ -76,7 +86,9 @@ def _compile_alternative(
     for name, triples in per_map.items():
         if out is not None and not triples:
             continue  # extra map contributed nothing
-        bf = _compile_map(spark, cat, by_name[name], plan.star.subject, triples)
+        bf = _compile_map(
+            spark, cat, by_name[name], plan.star.subject, triples, remote_conds
+        )
         out = bf if out is None else out.join(bf, "inner")
     assert out is not None
     return out
@@ -88,6 +100,7 @@ def _compile_remote(
     tm: TripleMap,
     subject: Term,
     triples: list[Triple],
+    remote_conds: dict | None = None,
 ) -> BFrame:
     """Remote-source leaf: translate the star slice to the source's
     native query language, run it through the injected executor, and
@@ -117,13 +130,15 @@ def _compile_remote(
     execr = cat.executor_for(tm)
     star = Star(subject=subject, triples=triples)
     if src.dstype in ("mysql", "ansi", "drill"):
-        sql, specs = star_sql([tm], star, DIALECTS[src.dstype])
+        sql, specs = star_sql(
+            [tm], star, DIALECTS[src.dstype], conditions=remote_conds
+        )
         rows = execr(sql)
     elif src.dstype == "mongodb":
-        pipeline, specs = star_mongo(tm, star)
+        pipeline, specs = star_mongo(tm, star, conditions=remote_conds)
         rows = execr(tm.source.table, pipeline)
     elif src.dstype == "neo4j":
-        cypher, specs = star_cypher(tm, star)
+        cypher, specs = star_cypher(tm, star, conditions=remote_conds)
         rows = execr(cypher)
     else:  # sparql endpoint: ship the star verbatim
         text, specs = star_sparql_text(star)
@@ -146,9 +161,10 @@ def _compile_map(
     tm: TripleMap,
     subject: Term,
     triples: list[Triple],
+    remote_conds: dict | None = None,
 ) -> BFrame:
     if cat.source_of(tm).dstype in Catalog.REMOTE_TYPES:
-        return _compile_remote(spark, cat, tm, subject, triples)
+        return _compile_remote(spark, cat, tm, subject, triples, remote_conds)
     df = cat.load_source_df(spark, tm)
 
     # Nested sources: resolve a/b struct paths + a[*] array iteration +

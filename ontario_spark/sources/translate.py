@@ -33,6 +33,7 @@ connector remains the production path for SQL sources.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from ontario_spark.catalog.model import (
@@ -42,7 +43,7 @@ from ontario_spark.catalog.model import (
     TripleMap,
 )
 from ontario_spark.planner.decomposer import Star
-from ontario_spark.sparql.ast import Term, Triple
+from ontario_spark.sparql.ast import Expr, Term, Triple
 from ontario_spark.sparql.parser import RDF_TYPE
 
 
@@ -92,6 +93,120 @@ DRILL = Dialect("drill", "`", "VARCHAR")
 DIALECTS = {d.name: d for d in (MYSQL, ANSI, DRILL)}
 
 
+# --- FILTER pushdown into remote dialects --------------------------------
+
+
+@dataclass(frozen=True)
+class RemoteCond:
+    """One sargable condition on a SPARQL variable, pushable into a
+    remote dialect. ``op``: '=','!=','<','<=','>','>=' with a Python
+    value, or 'like' with a %-pattern."""
+
+    op: str
+    value: object
+
+
+_CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
+_FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "!=": "!="}
+
+
+def _regex_to_like(rx: str) -> str | None:
+    """Simple-regex → LIKE pattern (reference:
+    ``wrappers/sparqltosql.py:523-544`` converts REGEX filters to LIKE).
+    Handles ^/$ anchors, literal characters, and '.*'; any other regex
+    metacharacter → None (not convertible; the filter stays Spark-side
+    only)."""
+    body, prefix, suffix = rx, "%", "%"
+    if body.startswith("^"):
+        body, prefix = body[1:], ""
+    if body.endswith("$") and not body.endswith("\\$"):
+        body, suffix = body[:-1], ""
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        if body[i : i + 2] == ".*":
+            out.append("%")
+            i += 2
+            continue
+        ch = body[i]
+        if ch in "\\^$.|?*+()[]{}%_":
+            return None
+        out.append(ch)
+        i += 1
+    return prefix + "".join(out) + suffix
+
+
+def _term_value(t: Term):
+    return t.py if t.py is not None else t.value
+
+
+def extract_remote_conds(exprs: list) -> dict[str, list[RemoteCond]]:
+    """Pull the sargable conjuncts out of FILTER expressions:
+    ``?v OP literal`` comparisons, CONTAINS/STRSTARTS/STRENDS, and
+    simple REGEX (→ LIKE). Everything extracted is ALSO still applied
+    Spark-side after the fetch — pushdown only prunes rows at the
+    source, so dialect coercion quirks can never change the final
+    answer, and non-sargable filters simply don't push."""
+    out: dict[str, list[RemoteCond]] = {}
+
+    def conjuncts(e):
+        if isinstance(e, Expr) and e.op == "&&":
+            for a in e.args:
+                yield from conjuncts(a)
+        else:
+            yield e
+
+    def add(var: str, cond: RemoteCond) -> None:
+        out.setdefault(var, []).append(cond)
+
+    from ontario_spark.compiler.filters import unwrap
+
+    for expr in exprs:
+        for c in conjuncts(expr):
+            if not isinstance(c, Expr) or len(c.args) < 2:
+                continue
+            a, b = unwrap(c.args[0]), unwrap(c.args[1])
+            if a is None or b is None:
+                continue
+            if c.op in _CMP_OPS:
+                if a.is_var and not b.is_var and not b.is_iri:
+                    add(a.value, RemoteCond(c.op, _term_value(b)))
+                elif b.is_var and not a.is_var and not a.is_iri:
+                    add(b.value, RemoteCond(_FLIP[c.op], _term_value(a)))
+            elif c.op in ("contains", "strstarts", "strends"):
+                if a.is_var and not b.is_var:
+                    s = str(b.value)
+                    if s and "%" not in s and "_" not in s:
+                        pat = {
+                            "contains": f"%{s}%",
+                            "strstarts": f"{s}%",
+                            "strends": f"%{s}",
+                        }[c.op]
+                        add(a.value, RemoteCond("like", pat))
+            elif c.op == "regex" and len(c.args) == 2:
+                if a.is_var and not b.is_var:
+                    pat = _regex_to_like(str(b.value))
+                    if pat is not None:
+                        add(a.value, RemoteCond("like", pat))
+    return out
+
+
+def _cond_sql(expr: str, c: RemoteCond, d: Dialect) -> str:
+    if c.op == "like":
+        return f"{expr} LIKE {d.lit(c.value)}"
+    op = "<>" if c.op == "!=" else c.op
+    return f"{expr} {op} {d.lit(c.value)}"
+
+
+def _cond_mongo(c: RemoteCond) -> dict:
+    ops = {"=": "$eq", "!=": "$ne", "<": "$lt", "<=": "$lte",
+           ">": "$gt", ">=": "$gte"}
+    if c.op in ops:
+        return {ops[c.op]: c.value}
+    parts = [re.escape(p) for p in str(c.value).split("%")]
+    return {"$regex": "^" + ".*".join(parts) + "$"}
+
+
 def _star_triples(tm: TripleMap, star: Star) -> list[Triple]:
     """Triples of the star this map can answer (class checks resolved
     statically)."""
@@ -113,6 +228,7 @@ def star_sql(
     distinct: bool = False,
     limit: int | None = None,
     offset: int | None = None,
+    conditions: dict[str, list[RemoteCond]] | None = None,
 ) -> tuple[str, list[ColSpec]]:
     """One star (one alternative: maps self-joined on the shared subject
     template) → a single SQL statement + the output column contract.
@@ -120,7 +236,10 @@ def star_sql(
     Reference behaviors reproduced: table alias per map, subject keys
     joined across maps (``join_condition``), constant objects →
     equality predicates (``get_cond_sql``), NOT NULL guards on every
-    projected/joined column, DISTINCT passthrough.
+    projected/joined column, DISTINCT passthrough, and sargable FILTER
+    pushdown (``conditions``, reference ``get_filters``/``REGEX→LIKE``
+    :585-634) applied to REFERENCE-bound variables — a selective
+    FILTER prunes at the source instead of shipping the whole table.
     """
     d = dialect
     alias = {tm.name: f"t{i}" for i, tm in enumerate(maps)}
@@ -128,6 +247,7 @@ def star_sql(
     where: list[str] = []
     specs: list[ColSpec] = []
     bound: dict[str, str] = {}  # var → SQL expr already binding it
+    ref_exprs: dict[str, str] = {}  # REFERENCE-bound var → SQL expr
 
     def qcol(tm: TripleMap, col: str) -> str:
         return f"{alias[tm.name]}.{d.ident(col)}"
@@ -138,6 +258,8 @@ def star_sql(
             where.append(f"{bound[var]} = {expr_cols[0][0]}")
             return
         bound[var] = expr_cols[0][0]
+        if kind == REFERENCE:
+            ref_exprs[var] = expr_cols[0][0]
         for i, (expr, out) in enumerate(expr_cols):
             select.append(f"{expr} AS {d.ident(out)}")
             specs.append(ColSpec(out, var, kind, tpl, i))
@@ -225,6 +347,13 @@ def star_sql(
             elif om.value != t.o.value:
                 where.append("1 = 0")
 
+    for var, conds in (conditions or {}).items():
+        expr = ref_exprs.get(var)
+        if expr is None:
+            continue  # template/keyed vars: filter stays Spark-side
+        for c in conds:
+            where.append(_cond_sql(expr, c, d))
+
     tables = ", ".join(
         f"{d.ident(tm.source.table)} {alias[tm.name]}" for tm in maps
     )
@@ -265,11 +394,14 @@ def star_mongo(
     star: Star,
     limit: int | None = None,
     offset: int | None = None,
+    conditions: dict[str, list[RemoteCond]] | None = None,
 ) -> tuple[list[dict], list[ColSpec]]:
     """One star over one collection → aggregation pipeline + column
     contract. Stage order: $match (non-array predicates) → $unwind per
     array prefix → $match (array-element predicates) → $project →
-    $skip/$limit (reference :59-64,144-241)."""
+    $skip/$limit (reference :59-64,144-241). ``conditions`` (sargable
+    FILTERs on REFERENCE-bound variables) land in the $match stages —
+    comparison operators directly, LIKE patterns as anchored $regex."""
     triples = _star_triples(tm, star)
     pre: dict[str, dict | object] = {}
     post: dict[str, dict | object] = {}
@@ -277,6 +409,7 @@ def star_mongo(
     project: dict[str, str] = {}
     specs: list[ColSpec] = []
     bound: dict[str, str] = {}
+    ref_paths: dict[str, str] = {}  # REFERENCE-bound var → source path
 
     def match_into(path: str, cond):
         tgt = post if "[*]" in path else pre
@@ -302,6 +435,8 @@ def star_mongo(
             # also restricts to distinct vars per star
             raise TranslateError("repeated object variable not supported for mongo")
         bound[var] = f
+        if kind == REFERENCE:
+            ref_paths[var] = path
         project[out] = "$" + f
         specs.append(ColSpec(out, var, kind, tpl, ki))
 
@@ -359,6 +494,13 @@ def star_mongo(
             elif om.value != t.o.value:
                 pre["__none__"] = {"$exists": True}
 
+    for var, conds in (conditions or {}).items():
+        path = ref_paths.get(var)
+        if path is None:
+            continue  # template/keyed vars: filter stays Spark-side
+        for c in conds:
+            match_into(path, _cond_mongo(c))
+
     pipeline: list[dict] = []
     if pre:
         pipeline.append({"$match": pre})
@@ -383,6 +525,7 @@ def star_cypher(
     star: Star,
     limit: int | None = None,
     offset: int | None = None,
+    conditions: dict[str, list[RemoteCond]] | None = None,
 ) -> tuple[str, list[ColSpec]]:
     """One star over one node label → Cypher. Properties come from
     REFERENCE maps; TEMPLATE key columns are projected as properties
@@ -407,12 +550,31 @@ def star_cypher(
             return repr(value)
         return "'" + str(value).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    ref_props: dict[str, str] = {}  # REFERENCE-bound var → property expr
+
     def bind(var: str, cols: list[str], kind: str, tpl: str | None):
+        if kind == REFERENCE:
+            ref_props[var] = prop(cols[0])
         for i, c in enumerate(cols):
             out = f"{var}__k{i}" if kind == TEMPLATE else var
             ret.append(f"{prop(c)} AS {out}")
             specs.append(ColSpec(out, var, kind, tpl, i))
             where.append(f"{prop(c)} IS NOT NULL")
+
+    def cond_cypher(expr: str, c: RemoteCond) -> str | None:
+        if c.op != "like":
+            return f"{expr} {'<>' if c.op == '!=' else c.op} {clit(c.value)}"
+        s = str(c.value)
+        core = s.strip("%")
+        if "%" in core:
+            return None  # multi-wildcard: stays Spark-side
+        if s.startswith("%") and s.endswith("%"):
+            return f"{expr} CONTAINS {clit(core)}"
+        if s.endswith("%"):
+            return f"{expr} STARTS WITH {clit(core)}"
+        if s.startswith("%"):
+            return f"{expr} ENDS WITH {clit(core)}"
+        return f"{expr} = {clit(core)}"
 
     if tm.subject.kind == TEMPLATE:
         if star.subject.is_var:
@@ -445,6 +607,15 @@ def star_cypher(
         else:
             if t.o.is_var:
                 specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
+
+    for var, conds in (conditions or {}).items():
+        expr = ref_props.get(var)
+        if expr is None:
+            continue  # template/keyed vars: filter stays Spark-side
+        for c in conds:
+            rendered = cond_cypher(expr, c)
+            if rendered is not None:
+                where.append(rendered)
 
     q = f"MATCH (n:{label})"
     if where:

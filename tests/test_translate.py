@@ -155,6 +155,18 @@ def run_pipeline(docs: list[dict], pipeline: list[dict]) -> list[dict]:
                     elif op == "$eq":
                         if v != arg:
                             return False
+                    elif op == "$regex":
+                        import re as _re
+
+                        if v is None or not _re.search(arg, str(v)):
+                            return False
+                    elif op in ("$lt", "$lte", "$gt", "$gte"):
+                        if v is None:
+                            return False
+                        ok = {"$lt": v < arg, "$lte": v <= arg,
+                              "$gt": v > arg, "$gte": v >= arg}[op]
+                        if not ok:
+                            return False
                     else:
                         raise AssertionError(f"op {op}")
             elif v != cond:
@@ -302,3 +314,104 @@ def test_cypher_literal_escaping():
     )
     q, _ = star_cypher(MONGO_MAP, star)
     assert "n.seg = 'O\\'Brien \\\\ \\'x'" in q
+
+
+# --- FILTER pushdown -----------------------------------------------------
+
+
+def _conds_of(sparql_filter: str):
+    from ontario_spark.sources.translate import extract_remote_conds
+
+    q = parse(PFX + f"SELECT * WHERE {{ ?c a ex:Customer . {sparql_filter} }}")
+    exprs = [e.expr for e in q.where.elements if type(e).__name__ == "Filter"]
+    return extract_remote_conds(exprs)
+
+
+def test_extract_remote_conds():
+    from ontario_spark.sources.translate import RemoteCond
+
+    conds = _conds_of(
+        'FILTER (?b > 5000.0 && CONTAINS(?n, "x") && STRSTARTS(?n, "Cu"))'
+    )
+    assert conds["b"] == [RemoteCond(">", 5000.0)]
+    assert RemoteCond("like", "%x%") in conds["n"]
+    assert RemoteCond("like", "Cu%") in conds["n"]
+    # reversed operand order flips the operator
+    assert _conds_of("FILTER (10 >= ?b)")["b"] == [RemoteCond("<=", 10)]
+    # regex: convertible anchors/.* only
+    assert _conds_of('FILTER (REGEX(?n, "^Cu.*er$"))')["n"] == [
+        RemoteCond("like", "Cu%er")
+    ]
+    assert "n" not in _conds_of('FILTER (REGEX(?n, "a[bc]+"))')
+    # disjunctions are not conjuncts: nothing extracted
+    assert not _conds_of('FILTER (?b > 5 || ?b < 1)')
+
+
+def test_sql_filter_pushdown_in_where():
+    cat = tpch_catalog("/root/testdata/sf0.001")
+    star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?n ; ex:acctbal ?b }")
+    maps = select_sources(cat, star).alternatives[0]
+    conds = _conds_of('FILTER (?b > 5000.0 && STRSTARTS(?n, "Customer#"))')
+    sql, _ = star_sql(maps, star, ANSI, conditions=conds)
+    assert '"c_acctbal" > 5000.0' in sql
+    assert "LIKE 'Customer#%'" in sql
+    # pushed predicates reach DuckDB and prune rows without changing
+    # the (Spark-side re-filtered) answer
+    con = duckdb.connect()
+    duck_tables("/root/testdata/sf0.001", con)
+    rows = con.execute(sql).fetchall()
+    assert rows and all(r[-1] > 5000.0 for r in rows)
+
+
+def test_sql_filter_skips_template_vars():
+    cat = tpch_catalog("/root/testdata/sf0.001")
+    star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?n }")
+    maps = select_sources(cat, star).alternatives[0]
+    conds = _conds_of('FILTER (STRSTARTS(?c, "http://ex.org/tpch/customer/1"))')
+    sql, _ = star_sql(maps, star, ANSI, conditions=conds)
+    assert "LIKE" not in sql  # keyed var: stays Spark-side
+
+
+def test_mongo_filter_pushdown_in_match():
+    star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?n }")
+    conds = _conds_of('FILTER (CONTAINS(?n, "li") && ?n != "bob")')
+    pipeline, _ = star_mongo(MONGO_MAP, star, conditions=conds)
+    match = pipeline[0]["$match"]
+    assert match["name"]["$regex"] == "^.*li.*$"
+    assert match["name"]["$ne"] == "bob"
+    rows = run_pipeline(MONGO_DOCS, pipeline)
+    assert [r["n"] for r in rows] == ["alice"]
+
+
+def test_cypher_filter_pushdown():
+    star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?n }")
+    conds = _conds_of('FILTER (STRSTARTS(?n, "al") && ?n > "a")')
+    q, _ = star_cypher(MONGO_MAP, star, conditions=conds)
+    assert "n.name STARTS WITH 'al'" in q
+    assert "n.name > 'a'" in q
+
+
+def test_remote_filter_pushdown_end_to_end(spark, sf_small):
+    """Federated query: the remote executor must RECEIVE the pushed
+    predicate (whole-table ship prevented) and the final answer must
+    match the unpushed run."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    cat = tpch_federated_catalog(sf_small)
+    seen: list[str] = []
+    for name, ex in list(cat.executors.items()):
+        def wrap(q, _ex=ex):
+            seen.append(q)
+            return _ex(q)
+        cat.executors[name] = wrap
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name ?bal WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal .
+              FILTER (?bal > 9000.0 && CONTAINS(?name, "Customer")) }"""
+    )
+    rows = df.collect()
+    assert rows and all(float(r["bal"]) > 9000.0 for r in rows)
+    remote_sql = [q for q in seen if "9000.0" in q]
+    assert remote_sql, f"filter not pushed; remote saw: {seen[:2]}"
+    assert any("LIKE '%Customer%'" in q for q in remote_sql)
