@@ -119,6 +119,7 @@ def _compile_remote(
     from ontario_spark.planner.decomposer import Star
     from ontario_spark.sources.translate import (
         DIALECTS,
+        df_to_bframe,
         rows_to_bframe,
         star_cypher,
         star_mongo,
@@ -143,7 +144,12 @@ def _compile_remote(
     else:  # sparql endpoint: ship the star verbatim
         text, specs = star_sparql_text(star)
         rows = execr(text)
-    bf = rows_to_bframe(spark, list(rows), specs)
+    if isinstance(rows, DataFrame):
+        # production executors (sources/jdbc.py) return the fetch as a
+        # distributed DataFrame — lift it without a driver round-trip
+        bf = df_to_bframe(rows, specs)
+    else:
+        bf = rows_to_bframe(spark, list(rows), specs)
     # bind a type variable (?s a ?t) the translators skip
     if src.dstype != "sparql":
         for t in triples:

@@ -675,10 +675,11 @@ def star_sparql_text(
 # --- fetched rows → BindingsFrame ---------------------------------------
 
 
-def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
-    """Build a BFrame from remote rows according to the column contract
-    (KEYED vars keep their template metadata so downstream joins still
-    run on raw keys)."""
+def df_to_bframe(df, specs: list[ColSpec]):
+    """Lift an already-distributed DataFrame of remote results (e.g. a
+    Spark-JDBC fetch — ``sources/jdbc.py``) into a BFrame: project the
+    contract columns cast to string (the engine's lexical convention),
+    attach template/constant metadata. No driver round-trip."""
     from pyspark.sql import functions as F
 
     from ontario_spark.catalog.model import Template
@@ -686,10 +687,10 @@ def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
 
     real = [s for s in specs if s.out]
     consts = [s for s in specs if not s.out]
-    cols = [s.out for s in real]
-    data = [tuple(r.get(c) for c in cols) for r in rows]
-    schema = ", ".join(f"{c} string" for c in cols)
-    df = spark.createDataFrame(data, schema=schema) if cols else spark.range(1).select()
+    if real:
+        df = df.select(*[F.col(s.out).cast("string").alias(s.out) for s in real])
+    else:
+        df = df.sparkSession.range(1).select()
     meta: dict[str, TermMeta] = {}
     for s in real:
         if s.kind == TEMPLATE:
@@ -701,3 +702,15 @@ def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
         df = df.withColumn(s.var, F.lit(s.template))
         meta[s.var] = TermMeta(LEXICAL)
     return BFrame(df, meta)
+
+
+def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
+    """Build a BFrame from driver-side remote rows according to the
+    column contract (KEYED vars keep their template metadata so
+    downstream joins still run on raw keys)."""
+    real = [s for s in specs if s.out]
+    cols = [s.out for s in real]
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    schema = ", ".join(f"{c} string" for c in cols)
+    df = spark.createDataFrame(data, schema=schema) if cols else spark.range(1).select()
+    return df_to_bframe(df, specs)
