@@ -106,6 +106,61 @@ def generate_catalog(
     return cat
 
 
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def generate_from_endpoint(
+    executor,
+    source_name: str = "endpoint",
+    max_classes: int | None = None,
+) -> Catalog:
+    """Live-endpoint RDF-MT generation: probe a SPARQL endpoint for its
+    molecules (reference: ``RDFMTMgr.get_typed_concepts``,
+    ``ontario/rdfmt/__init__.py:518`` — classes via ``?s a ?t``, then
+    per-class predicate sets), and build a catalog whose maps carry the
+    class + predicate indexes source selection needs. Queries against
+    these molecules ship verbatim as SPARQL text (``star_sparql_text``),
+    so the term maps are descriptive only.
+
+    ``executor``: ``query_text → iterable of binding dicts`` — e.g.
+    ``functools.partial(paged_bindings, url)`` for a real HTTP endpoint,
+    making this the counterpart of the reference's live probing; tests
+    inject fakes."""
+    classes = [
+        b["t"]
+        for b in executor("SELECT DISTINCT ?t WHERE { ?s a ?t }")
+        if b.get("t")
+    ]
+    if max_classes is not None:
+        classes = classes[:max_classes]
+    cat = Catalog()
+    src = DataSource(name=source_name, dstype="sparql")
+    maps = []
+    for cls in classes:
+        preds = [
+            b["p"]
+            for b in executor(
+                f"SELECT DISTINCT ?p WHERE {{ ?s a <{cls}> . ?s ?p ?o }}"
+            )
+            if b.get("p") and b["p"] != RDF_TYPE
+        ]
+        local = cls.rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+        maps.append(
+            TripleMap(
+                name=f"{local}Endpoint",
+                source=LogicalSource(table="-"),
+                subject=ref("s"),
+                subject_class=cls,
+                predicates=tuple(
+                    (p, ref(p.rsplit("/", 1)[-1].rsplit("#", 1)[-1]))
+                    for p in preds
+                ),
+            )
+        )
+    cat.add(src, *maps)
+    return cat
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI parity with the reference's ``scripts/create_rdfmts.py``:
     probe a lake directory, emit the catalog JSON (loadable by

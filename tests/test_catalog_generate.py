@@ -105,3 +105,60 @@ def test_discover_tables(sf_small):
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     }
+
+
+def test_generate_from_endpoint_probes_molecules(spark):
+    """Classes and per-class predicates probed with the reference's
+    query shapes; the generated catalog then answers a query through
+    the engine against the same endpoint."""
+    import re
+
+    from ontario_spark.catalog.generate import generate_from_endpoint
+    from ontario_spark.compiler.query import SparqlEngine
+
+    EX = "http://ex.org/"
+    data = {  # class -> rows of (subject, {pred: value})
+        EX + "Drug": [
+            (EX + "drug/1", {EX + "label": "aspirin"}),
+            (EX + "drug/2", {EX + "label": "ibuprofen"}),
+        ],
+        EX + "Target": [(EX + "target/9", {EX + "gene": "COX1"})],
+    }
+    probes: list[str] = []
+
+    def endpoint(query: str):
+        probes.append(query)
+        if "WHERE { ?s a ?t }" in query:
+            return [{"t": c} for c in data]
+        m = re.search(r"\?s a <([^>]+)> \. \?s \?p \?o", query)
+        if m:
+            cls = m.group(1)
+            preds = {p for _, pm in data[cls] for p in pm}
+            return [{"p": p} for p in sorted(preds)]
+        # star shipped verbatim: parse out the class + answer bindings
+        m = re.search(r"<([^>]+)>\s*\.", query)
+        head = re.search(r"SELECT (.+?) WHERE", query).group(1).split()
+        vars_ = [v[1:] for v in head]
+        cls = next(c for c in data if c in query)
+        rows = []
+        for subj, pm in data[cls]:
+            row = {}
+            for v in vars_:
+                row[v] = subj if v == "d" else next(iter(pm.values()))
+            rows.append(row)
+        return rows
+
+    cat = generate_from_endpoint(endpoint, source_name="probe_ep")
+    assert cat.class_index.keys() == {EX + "Drug", EX + "Target"}
+    assert cat.predicate_index[EX + "label"] == {"DrugEndpoint"}
+    # probe queries used the reference's shapes
+    assert any("?s a ?t" in q for q in probes)
+    assert any(f"?s a <{EX}Drug> . ?s ?p ?o" in q for q in probes)
+
+    cat.executors["probe_ep"] = endpoint
+    df = SparqlEngine(spark, cat).query(
+        f"""PREFIX ex: <{EX}>
+            SELECT ?d ?label WHERE {{ ?d a ex:Drug ; ex:label ?label }}"""
+    )
+    got = {(r["d"], r["label"]) for r in df.collect()}
+    assert got == {(EX + "drug/1", "aspirin"), (EX + "drug/2", "ibuprofen")}
