@@ -214,6 +214,14 @@ class Catalog:
         fmt = tm.source.fmt or src.dstype
         if fmt == "view":
             return spark.table(tm.source.table)
+        if fmt == "rest":
+            # REST JSON rows materialize driver-side (bounded API
+            # responses), then flow through the normal local star path —
+            # iterators and nested references included (sources/rest.py).
+            from ontario_spark.sources.rest import rest_executor, rows_to_df
+
+            fetch = self.executors.get(src.name) or rest_executor(src.base_path)
+            return rows_to_df(spark, list(fetch(tm.source.table)))
         if fmt == "parquet":
             from ontario_spark.data import table as load_table
 
