@@ -164,8 +164,84 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_lsh_sql() -> str:
+    """DuckDB oracle for the full MinHash-LSH pipeline. Possible only
+    because every hash in the operator is md5-derived (engine-
+    independent): base hash = hex-parsed md5 prefix, the k affine
+    hashes use the same deterministic seed coefficients, band buckets
+    are md5 of the '|'-joined signature slice."""
+    from ontario_spark.operators.dedup import _MERSENNE, _seed_coeffs
+
+    k, bands = 16, 8
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS mh{i}"
+        for i, (a, b) in enumerate(_seed_coeffs(k))
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5("
+        + " || '|' || ".join(f"mh{band * r + j}::VARCHAR" for j in range(r))
+        + ") AS bucket FROM sig"
+        for band in range(bands)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 7))::BIGINT % {_MERSENNE} AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM base GROUP BY doc_id
+), banded AS (
+  {banded}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST({eqs} AS DOUBLE) / {k}.0 AS est_jaccard
+FROM pairs
+JOIN sig sa ON id_a = sa.doc_id
+JOIN sig sb ON id_b = sb.doc_id
+WHERE CAST({eqs} AS DOUBLE) / {k}.0 >= 0.4
+"""
+
+
+MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 25, 8))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(32)) AS i) b
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 # --- similarity search --------------------------------------------------
@@ -501,6 +577,8 @@ ORACLE = {
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "simhash_fingerprints": SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
