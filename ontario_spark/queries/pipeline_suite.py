@@ -456,6 +456,67 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 """
 
 
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data run actually
+    executes, end-to-end in ONE lazy plan: exact dedup (keep canonical
+    per content hash) → quality gate (alpha ratio + minimum length) →
+    language filter (en) → deterministic hash sample → per-source token
+    budget report. Every stage is one of this engine's operators; the
+    whole chain is shuffle-minimal (dedup agg, two metric aggs, final
+    group-by — the sample is a scan-stage predicate)."""
+    from ontario_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    canon = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = docs.join(canon, "doc_id")
+    quality = (
+        textops.quality_score(kept, "doc_id", "text")
+        .filter((F.col("alpha_ratio") >= 0.5) & (F.col("n_tokens") >= 5))
+        .select("doc_id", "n_tokens")
+    )
+    english = textops.lang_id(kept, "doc_id", "text").filter(
+        F.col("pred_lang") == "en"
+    ).select("doc_id")
+    sampled = sampling.hash_sample(
+        kept.join(quality, "doc_id").join(english, "doc_id"),
+        "doc_id",
+        0.5,
+        salt="curate",
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+PIPELINE_CURATION_SQL = f"""
+WITH canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.* FROM documents d JOIN canon USING (doc_id)
+), quality AS (
+  SELECT doc_id, n_tokens FROM ({TEXT_QUALITY_SQL.replace("documents", "kept")})
+  WHERE alpha_ratio >= 0.5 AND n_tokens >= 5
+), english AS (
+  SELECT doc_id FROM ({TEXT_LANGID_SQL.replace("documents", "kept")})
+  WHERE pred_lang = 'en'
+), sampled AS (
+  SELECT k.source, q.n_tokens FROM kept k
+  JOIN quality q USING (doc_id) JOIN english USING (doc_id)
+  WHERE substr(md5(CAST(k.doc_id AS VARCHAR) || 'curate'), 1, 6) < '800000'
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM sampled GROUP BY source ORDER BY source
+"""
+
+
 # --- multimodal plumbing ------------------------------------------------
 
 
@@ -566,6 +627,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_metrics": text_metrics,
+    "pipeline_corpus_curation": pipeline_corpus_curation,
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_stats": mm_frame_stats,
     "mm_feature_hist": mm_feature_hist,
@@ -587,6 +649,7 @@ ORACLE = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_metrics": TEXT_METRICS_SQL,
+    "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_frame_stats": MM_FRAME_STATS_SQL,
     "mm_feature_hist": MM_FEATURE_HIST_SQL,
