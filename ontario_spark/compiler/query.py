@@ -59,6 +59,16 @@ from ontario_spark.sparql.ast import (
 from ontario_spark.sparql.parser import parse
 
 
+def _plan_vars(plan) -> set[str]:
+    """All variables a star plan can bind."""
+    out: set[str] = set()
+    if plan.star.subject.is_var:
+        out.add(plan.star.subject.value)
+    for t in plan.star.triples:
+        out |= t.variables()
+    return out
+
+
 class QueryCompileError(Exception):
     pass
 
@@ -109,10 +119,17 @@ class SparqlEngine:
         plans = [
             select_sources(self.catalog, star) for star in bgp_stars(triples)
         ]
-        for plan in prune_connected(plans):
-            frames.append(
-                compile_star(self.spark, self.catalog, plan, remote_conds)
-            )
+        pruned = prune_connected(plans)
+        # Wrapper-source stars compile AFTER the local frames are
+        # joined (below), so observed join keys push down as IN-lists —
+        # NestedHashJoinFilter posture for SQL/Mongo/Cypher sources,
+        # matching what SERVICE already does with VALUES.
+        remote_star_plans = [p for p in pruned if self._is_remote_plan(p)]
+        for plan in pruned:
+            if plan not in remote_star_plans:
+                frames.append(
+                    compile_star(self.spark, self.catalog, plan, remote_conds)
+                )
         for e in g.elements:
             if isinstance(e, Group):
                 frames.append(self._group(e))
@@ -142,6 +159,31 @@ class SparqlEngine:
         # reference's NestedHashJoinFilter posture, SURVEY.md §2.1)
         services = [e for e in g.elements if isinstance(e, ServiceBlock)]
         bf = self._join_greedy(frames) if frames else None
+        if bf is not None and (remote_star_plans or services):
+            # Apply already-answerable FILTERs to the build side BEFORE
+            # bound-join key collection, so the observed key set is the
+            # filtered one (reference: the bound join probes with the
+            # filtered build side). The group-final filter pass below
+            # re-applies them — semantically idempotent.
+            for e in g.elements:
+                if isinstance(e, Filter) and isinstance(e.expr, Expr):
+                    if e.expr.variables() <= bf.variables:
+                        try:
+                            vc = self._compiler(bf)
+                            bf = BFrame(
+                                bf.df.filter(vc.boolean(e.expr)), bf.meta
+                            )
+                        except Exception:
+                            pass  # applied in the final filter pass
+        for plan in remote_star_plans:
+            conds = {v: list(cs) for v, cs in remote_conds.items()}
+            if bf is not None:
+                for v, cs in self._bound_key_conds(
+                    bf, _plan_vars(plan)
+                ).items():
+                    conds.setdefault(v, []).extend(cs)
+            f = compile_star(self.spark, self.catalog, plan, conds)
+            bf = f if bf is None else bf.join(f, "inner")
         for sb in services:
             svc = self._service(sb, bf)
             bf = svc if bf is None else bf.join(svc)
@@ -462,6 +504,45 @@ class SparqlEngine:
         rows = [tuple(pyval(t) for t in row) for row in v.rows]
         df = self.spark.createDataFrame(rows, schema=v.variables)
         return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
+
+    def _is_remote_plan(self, plan) -> bool:
+        from ontario_spark.catalog.model import Catalog as _Cat
+
+        return any(
+            self.catalog.source_of(tm).dstype in _Cat.REMOTE_TYPES
+            for alt in plan.alternatives
+            for tm in alt
+        )
+
+    def _bound_key_conds(self, bf: BFrame, star_vars: set[str], max_keys: int = 1000):
+        """Observed build-side join keys for a remote star, as 'in'
+        RemoteConds: single-column template-keyed vars push their RAW
+        keys (valid only against a same-shaped remote template —
+        checked in the translator), lexical vars push lexical values.
+        Bounded by ``max_keys`` (IN-list size limit); past it the
+        remote query goes out unfiltered, the reference's
+        non-selective fallback. The local join afterwards is unchanged,
+        so pushdown can only reduce transfer, never change the
+        answer."""
+        from ontario_spark.compiler.frame import key_cols
+        from ontario_spark.sources.translate import RemoteCond, tpl_shape
+
+        out: dict[str, list[RemoteCond]] = {}
+        for v in sorted(star_vars & bf.variables):
+            m = bf.meta[v]
+            if m.kind == KEYED and m.nkeys == 1:
+                col, tpl = key_cols(v, 1)[0], tpl_shape(m.template.raw)
+            elif m.kind == LEXICAL:
+                col, tpl = v, None
+            else:
+                continue
+            rows = (
+                bf.df.select(col).distinct().limit(max_keys + 1).collect()
+            )
+            keys = [r[0] for r in rows if r[0] is not None]
+            if 0 < len(keys) <= max_keys:
+                out[v] = [RemoteCond("in", tuple(sorted(keys, key=str)), tpl)]
+        return out
 
     def _join_greedy(self, frames: list[BFrame]) -> BFrame:
         """Greedy bushy combination preferring var-sharing joins

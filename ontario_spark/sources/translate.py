@@ -100,10 +100,20 @@ DIALECTS = {d.name: d for d in (MYSQL, ANSI, DRILL)}
 class RemoteCond:
     """One sargable condition on a SPARQL variable, pushable into a
     remote dialect. ``op``: '=','!=','<','<=','>','>=' with a Python
-    value, or 'like' with a %-pattern."""
+    value, 'like' with a %-pattern, or 'in' with a tuple of observed
+    build-side join keys (bound-join pushdown — the reference's
+    NestedHashJoinFilter posture for wrapper sources). For 'in' on a
+    template-keyed variable, ``tpl`` carries the build side's template
+    SHAPE: raw keys only compare validly when the remote map's template
+    has the same shape."""
 
     op: str
     value: object
+    tpl: str | None = None
+
+
+def tpl_shape(raw: str) -> str:
+    return re.sub(r"\{[^{}]+\}", "{}", raw)
 
 
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
@@ -203,6 +213,8 @@ def _cond_mongo(c: RemoteCond) -> dict:
            ">": "$gt", ">=": "$gte"}
     if c.op in ops:
         return {ops[c.op]: c.value}
+    if c.op == "in":
+        return {"$in": list(c.value)}
     parts = [re.escape(p) for p in str(c.value).split("%")]
     return {"$regex": "^" + ".*".join(parts) + "$"}
 
@@ -248,6 +260,7 @@ def star_sql(
     specs: list[ColSpec] = []
     bound: dict[str, str] = {}  # var → SQL expr already binding it
     ref_exprs: dict[str, str] = {}  # REFERENCE-bound var → SQL expr
+    key_exprs: dict[str, tuple[str, str]] = {}  # keyed var → (expr, tpl shape)
 
     def qcol(tm: TripleMap, col: str) -> str:
         return f"{alias[tm.name]}.{d.ident(col)}"
@@ -260,6 +273,8 @@ def star_sql(
         bound[var] = expr_cols[0][0]
         if kind == REFERENCE:
             ref_exprs[var] = expr_cols[0][0]
+        elif kind == TEMPLATE and len(expr_cols) == 1 and tpl:
+            key_exprs[var] = (expr_cols[0][0], tpl_shape(tpl))
         for i, (expr, out) in enumerate(expr_cols):
             select.append(f"{expr} AS {d.ident(out)}")
             specs.append(ColSpec(out, var, kind, tpl, i))
@@ -349,10 +364,22 @@ def star_sql(
 
     for var, conds in (conditions or {}).items():
         expr = ref_exprs.get(var)
-        if expr is None:
-            continue  # template/keyed vars: filter stays Spark-side
+        keyed = key_exprs.get(var)
         for c in conds:
-            where.append(_cond_sql(expr, c, d))
+            if c.op == "in":
+                vals = list(c.value)
+                if not vals:
+                    continue
+                if c.tpl is None and expr is not None:
+                    where.append(
+                        f"{expr} IN ({', '.join(d.lit(v) for v in vals)})"
+                    )
+                elif keyed is not None and c.tpl == keyed[1]:
+                    where.append(
+                        f"{keyed[0]} IN ({', '.join(d.lit(v) for v in vals)})"
+                    )
+            elif expr is not None:
+                where.append(_cond_sql(expr, c, d))
 
     tables = ", ".join(
         f"{d.ident(tm.source.table)} {alias[tm.name]}" for tm in maps
@@ -499,6 +526,8 @@ def star_mongo(
         if path is None:
             continue  # template/keyed vars: filter stays Spark-side
         for c in conds:
+            if c.op == "in" and (c.tpl is not None or not c.value):
+                continue  # keyed/empty IN: stays Spark-side for mongo
             match_into(path, _cond_mongo(c))
 
     pipeline: list[dict] = []
@@ -562,6 +591,10 @@ def star_cypher(
             where.append(f"{prop(c)} IS NOT NULL")
 
     def cond_cypher(expr: str, c: RemoteCond) -> str | None:
+        if c.op == "in":
+            if c.tpl is not None or not c.value:
+                return None
+            return f"{expr} IN [{', '.join(clit(v) for v in c.value)}]"
         if c.op != "like":
             return f"{expr} {'<>' if c.op == '!=' else c.op} {clit(c.value)}"
         s = str(c.value)

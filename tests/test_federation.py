@@ -314,3 +314,41 @@ def test_fetch_all_is_concurrent():
     assert [b["q"] for b in out] == [f"q{i}" for i in range(8)]  # order kept
     assert len(threads) > 1
     assert elapsed < 8 * 0.15  # strictly faster than serial
+
+
+def test_wrapper_bound_join_pushes_in_list(spark, sf_small):
+    """A remote SQL star joined to a selective LOCAL star fetches only
+    the observed join keys (IN-list in the emitted SQL) — the
+    NestedHashJoinFilter posture for wrapper sources, not just
+    SERVICE."""
+    cat = tpch_federated_catalog(sf_small)
+    seen: list[str] = []
+    for name, ex in list(cat.executors.items()):
+        def wrap(q, _ex=ex):
+            seen.append(q)
+            return _ex(q)
+        cat.executors[name] = wrap
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name ?nname WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+              ?n a ex:Nation ; ex:name ?nname .
+              FILTER (?nname = "NATION_7") }"""
+    )
+    rows = df.collect()
+    assert rows and all(r["nname"] == "NATION_7" for r in rows)
+    remote = [q for q in seen if "IN (" in q]
+    assert remote, f"no IN-list pushed; remote saw: {seen}"
+    # exactly the one observed nation key shipped
+    import re
+    in_lists = re.findall(r"IN \(([^)]*)\)", remote[-1])
+    assert any(lst.strip() == "7" for lst in in_lists), remote[-1]
+    # correctness cross-check vs the all-local catalog
+    local = SparqlEngine(spark, tpch_catalog(sf_small)).query(
+        PFX
+        + """SELECT ?name ?nname WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+              ?n a ex:Nation ; ex:name ?nname .
+              FILTER (?nname = "NATION_7") }"""
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, local.collect()))
