@@ -22,6 +22,7 @@ import re
 from dataclasses import dataclass
 
 from ontario_spark.catalog.model import (
+    TEMPLATE,
     Catalog,
     DataSource,
     LogicalSource,
@@ -240,6 +241,39 @@ def _source_kind(source: Term, src_props: dict, ref_form: str | None,
     return "csv"
 
 
+def _resolve_parent_map(idx: dict, om_props: dict) -> TermMap | None:
+    """``rr:parentTriplesMap`` + ``rr:joinCondition`` → a TEMPLATE term
+    map: the parent's subject template with its key column replaced by
+    the child's join column. Valid when the join condition targets
+    exactly the parent subject template's single key column — then the
+    object URI IS the parent subject URI for the joined row, which is
+    this engine's native template-link representation (joins run on raw
+    keys). Multi-key or non-subject joins stay unsupported (skipped),
+    the same posture as the reference, which ignores parentTriplesMap
+    entirely."""
+    parent = _one(om_props, RR + "parentTriplesMap")
+    if parent is None:
+        return None
+    jc = _one(om_props, RR + "joinCondition")
+    parent_props = idx.get(parent, {})
+    sm_term = _one(parent_props, RR + "subjectMap")
+    sm = _term_map(idx.get(sm_term, {})) if sm_term else None
+    if sm is None or sm.kind != TEMPLATE:
+        return None
+    cols = sm.template.columns
+    if len(cols) != 1:
+        return None
+    if jc is None:
+        # no join condition: same logical source + same column name
+        return tpl(sm.value)
+    jc_props = idx.get(jc, {})
+    child = _lit(_one(jc_props, RR + "child"))
+    parent_col = _lit(_one(jc_props, RR + "parent"))
+    if child is None or parent_col != cols[0]:
+        return None
+    return tpl(sm.value.replace(f"{{{cols[0]}}}", f"{{{child}}}"))
+
+
 def load_rml(
     texts: list[str],
     data_root: str = "",
@@ -334,9 +368,12 @@ def load_rml(
                 om = const(obj_shorthand[1])
             else:
                 om_term = _one(pom_props, RR + "objectMap")
-                om = _term_map(idx.get(om_term, {})) if om_term else None
+                om_props = idx.get(om_term, {}) if om_term else {}
+                om = _term_map(om_props)
+                if om is None and om_term is not None:
+                    om = _resolve_parent_map(idx, om_props)
             if om is None:
-                continue  # rr:parentTriplesMap joins not supported yet
+                continue
             poms.append((pred[1], om))
 
         tmap = TripleMap(

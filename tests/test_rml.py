@@ -132,3 +132,56 @@ def test_rml_term_map_kinds():
         tm.pom["http://e/const"].__class__(CONSTANT, "K")
     )
     assert tm.pom["http://e/short"].kind == CONSTANT
+
+
+def test_parent_triples_map_resolves_to_template_link(spark, tmp_path):
+    """rr:parentTriplesMap + rr:joinCondition becomes a template link
+    (object URI = parent subject URI via the child column), so the
+    cross-map join runs through the engine's normal keyed-join path."""
+    (tmp_path / "orders.csv").write_text(
+        "oid,cust\n10,1\n11,2\n12,1\n"
+    )
+    (tmp_path / "people.csv").write_text("pid,name\n1,Ada\n2,Erwin\n")
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    @prefix : <http://m#> .
+
+    :People rml:logicalSource [ rml:source "people.csv";
+                                rml:referenceFormulation ql:CSV ];
+        rr:subjectMap [ rr:template "http://ex.org/person/{pid}";
+                        rr:class <http://ex.org/Person> ];
+        rr:predicateObjectMap [
+            rr:predicate <http://ex.org/name>;
+            rr:objectMap [ rml:reference "name" ] ].
+
+    :Orders rml:logicalSource [ rml:source "orders.csv";
+                                rml:referenceFormulation ql:CSV ];
+        rr:subjectMap [ rr:template "http://ex.org/order/{oid}";
+                        rr:class <http://ex.org/Order> ];
+        rr:predicateObjectMap [
+            rr:predicate <http://ex.org/customer>;
+            rr:objectMap [ rr:parentTriplesMap :People;
+                           rr:joinCondition [ rr:child "cust";
+                                              rr:parent "pid" ] ] ].
+    """
+    cat = load_rml([ttl], data_root=str(tmp_path))
+    om = cat.triple_maps["http://m#Orders"].pom["http://ex.org/customer"]
+    assert om.kind == TEMPLATE
+    assert om.value == "http://ex.org/person/{cust}"
+
+    from ontario_spark.compiler.query import SparqlEngine
+
+    df = SparqlEngine(spark, cat).query(
+        """PREFIX ex: <http://ex.org/>
+           SELECT ?o ?name WHERE {
+             ?o a ex:Order ; ex:customer ?p .
+             ?p a ex:Person ; ex:name ?name }"""
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        ("http://ex.org/order/10", "Ada"),
+        ("http://ex.org/order/11", "Erwin"),
+        ("http://ex.org/order/12", "Ada"),
+    ]
