@@ -64,7 +64,16 @@ def run(catalog_path: str, query_text: str, spark=None, trace: bool = False) -> 
         spark = get_spark("ontario-spark-cli")
         spark.sparkContext.setLogLevel("ERROR")
     try:
-        cat = load(catalog_path)
+        path_part, _, root = catalog_path.partition("::")
+        if path_part.endswith(".ttl"):
+            # RML Turtle mappings are a first-class catalog source:
+            # comma-separate multiple files; optional '::<data-root>'
+            # suffix anchors relative rml:source file paths.
+            from ontario_spark.catalog.rml import load_rml_files
+
+            cat = load_rml_files(path_part.split(","), data_root=root)
+        else:
+            cat = load(catalog_path)
         t0 = time.perf_counter()
         df = SparqlEngine(spark, cat).query(query_text)
         if trace:
@@ -98,7 +107,11 @@ def run(catalog_path: str, query_text: str, spark=None, trace: bool = False) -> 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--catalog", required=True, help="catalog JSON (serde.save)")
+    ap.add_argument(
+        "--catalog", required=True,
+        help="catalog JSON (serde.save), or RML Turtle mapping file(s): "
+             "'a.ttl,b.ttl::/data/root'",
+    )
     ap.add_argument("--query", required=True, help="file with SPARQL text, or '-' for stdin")
     ap.add_argument("--limit-print", type=int, default=None,
                     help="print at most N bindings (full count still reported)")

@@ -51,3 +51,28 @@ def test_cli_trace_mode(spark, sf_small, tmp_path):
     assert out["trace"] == sorted(out["trace"])  # nondecreasing arrivals
     assert out["firstResult"] == out["trace"][0]
     assert out["execTime"] >= out["trace"][-1]
+
+
+def test_cli_accepts_rml_mappings(spark, tmp_path, capsys):
+    (tmp_path / "people.csv").write_text("pid,name\n1,Ada\n2,Erwin\n")
+    (tmp_path / "m.ttl").write_text("""
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    @prefix : <http://m#> .
+    :P rml:logicalSource [ rml:source "people.csv";
+                           rml:referenceFormulation ql:CSV ];
+       rr:subjectMap [ rr:template "http://e/person/{pid}";
+                       rr:class <http://e/Person> ];
+       rr:predicateObjectMap [ rr:predicate <http://e/name>;
+                               rr:objectMap [ rml:reference "name" ] ] .
+    """)
+    from ontario_spark.cli import run
+
+    out = run(
+        f"{tmp_path}/m.ttl::{tmp_path}",
+        "PREFIX e: <http://e/> SELECT ?n WHERE { ?p a e:Person ; e:name ?n }",
+        spark=spark,
+    )
+    names = sorted(b["n"]["value"] for b in out["result"])
+    assert names == ["Ada", "Erwin"]
