@@ -104,7 +104,7 @@ class SparqlEngine:
 
     # --- graph pattern assembly ----------------------------------------
 
-    def _group(self, g: Group) -> BFrame:
+    def _group(self, g: Group, key_hint: BFrame | None = None) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         frames: list[BFrame] = []
         # Sargable FILTER conjuncts push into remote-source stars
@@ -177,9 +177,15 @@ class SparqlEngine:
                             pass  # applied in the final filter pass
         for plan in remote_star_plans:
             conds = {v: list(cs) for v, cs in remote_conds.items()}
-            if bf is not None:
+            # bound-join key sources: this group's own build frame, and
+            # the OUTER frame when this group hangs off one (OPTIONAL /
+            # MINUS / EXISTS — NestedHashOptionalFilter posture: rows
+            # that can't match the outer keys can't affect the result)
+            for build in (bf, key_hint):
+                if build is None:
+                    continue
                 for v, cs in self._bound_key_conds(
-                    bf, _plan_vars(plan)
+                    build, _plan_vars(plan)
                 ).items():
                     conds.setdefault(v, []).extend(cs)
             f = compile_star(self.spark, self.catalog, plan, conds)
@@ -192,15 +198,15 @@ class SparqlEngine:
 
         for e in g.elements:
             if isinstance(e, OptionalBlock):
-                bf = bf.join(self._group(e.block), "left_outer")
+                bf = bf.join(self._group(e.block, key_hint=bf), "left_outer")
             elif isinstance(e, MinusBlock):
-                other = self._group(e.block)
+                other = self._group(e.block, key_hint=bf)
                 if other.variables & bf.variables:
                     bf = bf.restrict(other, "left_anti")
                 # disjoint domains → MINUS removes nothing (SPARQL §8.3)
             elif isinstance(e, ExistsFilter):
                 bf = bf.restrict(
-                    self._group(e.block),
+                    self._group(e.block, key_hint=bf),
                     "left_anti" if e.negated else "left_semi",
                 )
         for e in g.elements:

@@ -352,3 +352,29 @@ def test_wrapper_bound_join_pushes_in_list(spark, sf_small):
               FILTER (?nname = "NATION_7") }"""
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, local.collect()))
+
+
+def test_optional_remote_star_bound_join(spark, sf_small):
+    """A remote star inside OPTIONAL gets the OUTER frame's keys pushed
+    (NestedHashOptionalFilter posture) and the left-outer semantics
+    survive: non-matching outer rows keep NULL."""
+    cat = tpch_federated_catalog(sf_small)
+    seen: list[str] = []
+    for name, ex in list(cat.executors.items()):
+        def wrap(q, _ex=ex):
+            seen.append(q)
+            return _ex(q)
+        cat.executors[name] = wrap
+    q = (
+        PFX
+        + """SELECT ?nname ?name WHERE {
+              ?n a ex:Nation ; ex:name ?nname .
+              FILTER (?nname = "NATION_7")
+              OPTIONAL { ?c a ex:Customer ; ex:name ?name ; ex:nation ?n } }"""
+    )
+    rows = SparqlEngine(spark, cat).query(q).collect()
+    assert rows and all(r["nname"] == "NATION_7" for r in rows)
+    remote = [s for s in seen if "IN (" in s]
+    assert remote, f"outer keys not pushed into OPTIONAL star: {seen}"
+    local = SparqlEngine(spark, tpch_catalog(sf_small)).query(q).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, local))
