@@ -608,12 +608,33 @@ class SparqlEngine:
             aggs = [compile_aggregate(s.expr, vc).alias(s.var) for s in computed]
             if not aggs:
                 raise QueryCompileError("GROUP BY without aggregates")
+            having = q.having
+            if having is not None:
+                # Inline aggregates in HAVING (e.g. HAVING (COUNT(?c) >
+                # 5)) hoist into extra agg columns (__hN), so the
+                # filter runs over the SAME hash aggregate — no second
+                # aggregation pass.
+                hoisted: list = []
+
+                def hoist(e):
+                    if isinstance(e, Expr):
+                        if e.op.startswith("agg_"):
+                            hoisted.append(e)
+                            return Term("var", f"__h{len(hoisted) - 1}")
+                        return Expr(e.op, [hoist(a) for a in e.args])
+                    return e
+
+                having = hoist(having)
+                aggs += [
+                    compile_aggregate(e, vc).alias(f"__h{i}")
+                    for i, e in enumerate(hoisted)
+                ]
             grouped = bf.df.groupBy(*keys).agg(*aggs)
             out_meta = {v: TermMeta(LEXICAL) for v in q.group_by + [s.var for s in computed]}
             bf = BFrame(grouped, out_meta)
-            if q.having is not None:
+            if having is not None:
                 hvc = ExprCompiler(lambda v: F.col(v), lambda v: dict(bf.df.dtypes).get(v))
-                bf = BFrame(bf.df.filter(hvc.boolean(q.having)), bf.meta)
+                bf = BFrame(bf.df.filter(hvc.boolean(having)), bf.meta)
             df = bf.df.select(*proj_vars)
         else:
             if computed:

@@ -695,3 +695,31 @@ def test_group_by_expression(engine, sf_small):
            GROUP BY EXTRACT(year FROM o_orderdate)""",
         "group_by_expression",
     )
+
+
+def test_having_filters_groups(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg }
+           GROUP BY ?seg HAVING (COUNT(?c) > 290)""",
+        """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+           WHERE c_mktsegment IS NOT NULL
+           GROUP BY c_mktsegment HAVING COUNT(*) > 290""",
+        "having_filters_groups",
+    )
+
+
+def test_order_by_aggregate_alias(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg }
+           GROUP BY ?seg ORDER BY DESC(?n) ?seg LIMIT 3""",
+        """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+           WHERE c_mktsegment IS NOT NULL
+           GROUP BY c_mktsegment ORDER BY n DESC, seg LIMIT 3""",
+        "order_by_aggregate_alias",
+    )
