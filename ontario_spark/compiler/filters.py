@@ -194,7 +194,33 @@ class ExprCompiler:
         if op == "isliteral":
             return ~self.value(a[0]).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
         if op == "datatype":
-            raise FilterCompileError("DATATYPE() not supported on native columns")
+            # Native column type → xsd datatype IRI (the reference's
+            # Xfilter DATATYPE works on annotated RDF terms; here the
+            # engine-internal representation IS the native type, so the
+            # Spark dtype is the authority). IRIs have no datatype →
+            # NULL (SPARQL type error → row filtered).
+            v = unwrap(a[0])
+            dt = self.dtype(v.value) if v is not None and v.is_var else None
+            xsd = "http://www.w3.org/2001/XMLSchema#"
+            base = (dt or "string").split("(")[0]
+            mapped = {
+                "tinyint": "integer", "smallint": "integer",
+                "int": "integer", "bigint": "integer",
+                "float": "float", "double": "double",
+                "decimal": "decimal", "boolean": "boolean",
+                "date": "date", "timestamp": "dateTime",
+                "timestamp_ntz": "dateTime", "string": "string",
+            }.get(base)
+            if mapped is None:
+                raise FilterCompileError(
+                    f"DATATYPE() unsupported for column type {dt!r}"
+                )
+            col = self.value(a[0])
+            is_iri = col.cast("string").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+            lit = F.lit(xsd + mapped)
+            if mapped == "string":
+                return F.when(col.isNotNull() & ~is_iri, lit)
+            return F.when(col.isNotNull(), lit)
         if op in ("strbefore", "strafter"):
             sub = unwrap(a[1])
             if sub is None:

@@ -723,3 +723,21 @@ def test_order_by_aggregate_alias(engine, sf_small):
            GROUP BY c_mktsegment ORDER BY n DESC, seg LIMIT 3""",
         "order_by_aggregate_alias",
     )
+
+
+def test_datatype_function(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?dt ?ddt WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal .
+             BIND (DATATYPE(?bal) AS ?dt)
+             BIND (DATATYPE(?name) AS ?ddt)
+             FILTER (DATATYPE(?bal) = <http://www.w3.org/2001/XMLSchema#double>) }""",
+        """SELECT c_name AS name,
+                  'http://www.w3.org/2001/XMLSchema#double' AS dt,
+                  'http://www.w3.org/2001/XMLSchema#string' AS ddt
+           FROM customer
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL""",
+        "datatype_function",
+    )
