@@ -28,15 +28,42 @@ from pyspark.sql import DataFrame, SparkSession
 Fetcher = Callable[[str, str], dict]
 
 
-def http_fetcher(endpoint: str, query: str) -> dict:
-    """Default fetcher over stdlib urllib (kept import-light; tests
-    inject fakes instead of hitting the network)."""
+def with_retries(fetcher: Fetcher, retries: int = 2, backoff: float = 1.0) -> Fetcher:
+    """Wrap a fetcher with bounded exponential-backoff retry. Retries
+    transient failures only (network errors, HTTP 5xx/429); 4xx are
+    the caller's bug and raise immediately. Paged pulls re-issue whole
+    pages, so retrying a page is idempotent."""
+    import time
+    from urllib.error import HTTPError, URLError
+
+    def run(endpoint: str, query: str) -> dict:
+        for attempt in range(retries + 1):
+            try:
+                return fetcher(endpoint, query)
+            except HTTPError as ex:
+                if attempt == retries or (ex.code < 500 and ex.code != 429):
+                    raise
+            except (URLError, OSError, TimeoutError):
+                if attempt == retries:
+                    raise
+            time.sleep(backoff * (2**attempt))
+        raise AssertionError("unreachable")
+
+    return run
+
+
+def _http_once(endpoint: str, query: str) -> dict:
     from urllib.request import Request, urlopen
 
     url = f"{endpoint}?{urlencode({'query': query, 'format': 'json'})}"
     req = Request(url, headers={"Accept": "application/sparql-results+json"})
     with urlopen(req, timeout=60) as resp:  # pragma: no cover - network
         return json.loads(resp.read().decode("utf-8"))
+
+
+# Default fetcher: stdlib urllib with transient-failure retry (kept
+# import-light; tests inject fakes instead of hitting the network).
+http_fetcher = with_retries(_http_once)
 
 
 def _simple_value(term: dict) -> str | None:

@@ -378,3 +378,33 @@ def test_optional_remote_star_bound_join(spark, sf_small):
     assert remote, f"outer keys not pushed into OPTIONAL star: {seen}"
     local = SparqlEngine(spark, tpch_catalog(sf_small)).query(q).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, local))
+
+
+def test_fetcher_retries_transient_failures():
+    from urllib.error import HTTPError, URLError
+
+    from ontario_spark.sources.sparql_endpoint import with_retries
+
+    calls = []
+
+    def flaky(endpoint, query):
+        calls.append(1)
+        if len(calls) == 1:
+            raise URLError("connection reset")
+        if len(calls) == 2:
+            raise HTTPError(endpoint, 503, "busy", {}, None)
+        return {"results": {"bindings": [{"x": {"value": "ok"}}]}}
+
+    out = with_retries(flaky, retries=3, backoff=0.01)("http://e", "q")
+    assert out["results"]["bindings"][0]["x"]["value"] == "ok"
+    assert len(calls) == 3
+
+    def forbidden(endpoint, query):
+        calls.append(1)
+        raise HTTPError(endpoint, 403, "no", {}, None)
+
+    calls.clear()
+    import pytest as _pytest
+    with _pytest.raises(HTTPError):
+        with_retries(forbidden, retries=3, backoff=0.01)("http://e", "q")
+    assert len(calls) == 1  # 4xx: no retry
