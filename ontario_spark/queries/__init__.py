@@ -56,7 +56,8 @@ def all_oracle_sql() -> dict[str, str]:
 # time-based rather than count-based.
 DRIVER_SURFACE = [
     # training-data pipeline (previously outside the checked set)
-    "sample_train_test",
+    # (sample_train_test stays on bench/pytest — same md5-predicate
+    # mechanics as sample_corpus_mix, which represents the family here)
     "sample_corpus_mix",
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -70,6 +71,7 @@ DRIVER_SURFACE = [
     "mm_frame_stats",
     "sketch_hll_rollup",
     # structured streaming (previously outside the checked set)
+    "stream_click_purchase",
     "stream_dedup",
     "stream_enriched_segments",
     "stream_events_hourly",

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ontario_spark.streaming.events import (
     dedup_events,
     enriched_segment_counts,
+    interval_join,
     read_event_stream,
     run_available_now,
     user_event_gaps,
@@ -104,6 +105,25 @@ FROM g GROUP BY user_id
 """
 
 
+def stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream interval join (click → purchase within 1h per
+    user), through the real streaming engine in append mode."""
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        interval_join(stream), "stream_click_purchase_sink", output_mode="append"
+    )
+
+
+STREAM_CLICK_PURCHASE_SQL = """
+SELECT c.user_id, c.event_id AS l_event, p.event_id AS r_event,
+       c.ts AS l_ts, p.ts AS r_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-store streaming dedup — the streaming face of the exact-
     dedup pipeline operator; append mode emits each key once."""
@@ -117,6 +137,7 @@ STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 QUERIES = {
+    "stream_click_purchase": stream_click_purchase,
     "stream_dedup": stream_dedup,
     "stream_enriched_segments": stream_enriched_segments,
     "stream_events_hourly": stream_events_hourly,
@@ -125,6 +146,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_click_purchase": STREAM_CLICK_PURCHASE_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_enriched_segments": STREAM_ENRICHED_SEGMENTS_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,

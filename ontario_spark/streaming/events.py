@@ -149,6 +149,52 @@ def user_sessions(
     )
 
 
+def interval_join(
+    stream: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–stream interval join: for each user, pair every
+    ``left_type`` event with the ``right_type`` events that follow it
+    within ``within``. Both sides carry watermarks and the join
+    condition bounds the event-time range, so the state store retains
+    each side only for the interval + watermark — the canonical bounded
+    stream–stream join (attribution, funnel, click→purchase).
+    """
+    l = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event",
+        "r_event",
+        "l_ts",
+        "r_ts",
+    )
+
+
 def dedup_events(
     stream: DataFrame,
     keys: list[str] | None = None,
