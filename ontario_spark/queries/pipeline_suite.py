@@ -517,6 +517,24 @@ FROM sampled GROUP BY source ORDER BY source
 """
 
 
+def pack_doc_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the corpus: documents grouped into 4000-
+    char training bins, sharded for parallelism (operators/packing.py)."""
+    from ontario_spark.operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, "doc_id", "n_chars", budget=4000)
+
+
+def _pack_sql() -> str:
+    from ontario_spark.operators.packing import pack_sql
+
+    return pack_sql("documents", "doc_id", "n_chars", budget=4000)
+
+
+PACK_DOC_SEQUENCES_SQL = _pack_sql()
+
+
 # --- multimodal plumbing ------------------------------------------------
 
 
@@ -628,6 +646,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_metrics": text_metrics,
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "pack_doc_sequences": pack_doc_sequences,
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_stats": mm_frame_stats,
     "mm_feature_hist": mm_feature_hist,
@@ -650,6 +669,7 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_metrics": TEXT_METRICS_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
+    "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_frame_stats": MM_FRAME_STATS_SQL,
     "mm_feature_hist": MM_FEATURE_HIST_SQL,
