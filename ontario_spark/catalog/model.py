@@ -66,8 +66,9 @@ class Template:
 
     def extract(self, uri: str) -> tuple[str, ...] | None:
         """Inverse: pull key values out of a constant URI (None if the
-        URI doesn't match the template)."""
-        m = re.match(self.to_regex(), uri)
+        URI doesn't match the template). DOTALL so keys containing
+        newlines still round-trip (format() imposes no such limit)."""
+        m = re.match(self.to_regex(), uri, re.DOTALL)
         return m.groups() if m else None
 
     def same_shape(self, other: "Template") -> bool:

@@ -1,0 +1,74 @@
+"""Property-based invariants (hypothesis) for the pure-Python kernels
+the engine's correctness leans on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ontario_spark.catalog.model import Template
+from ontario_spark.sources.pushdown import sparql_value_term, values_block
+from ontario_spark.sources.translate import _regex_to_like, tpl_shape
+
+key_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="{}/"),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=200)
+@given(key_text)
+def test_template_format_extract_roundtrip(key):
+    t = Template("http://ex.org/thing/{k}")
+    uri = "http://ex.org/thing/" + key
+    assert t.extract(uri) == (key,)
+
+
+@settings(max_examples=200)
+@given(st.one_of(st.text(max_size=40), st.integers(), st.booleans(),
+                 st.floats(allow_nan=False, allow_infinity=False)))
+def test_sparql_value_term_is_well_formed(v):
+    term = sparql_value_term(v)
+    if term.startswith("<"):
+        assert term.endswith(">")
+        inner = term[1:-1]
+        assert not (set(inner) & set(' <>"{}|\\^`\n\r\t'))
+    elif term.startswith('"'):
+        assert term.endswith('"')
+        # the body never contains an unescaped quote or backslash
+        body = term[1:-1]
+        i = 0
+        while i < len(body):
+            if body[i] == "\\":
+                assert i + 1 < len(body) and body[i + 1] in '\\"nr'
+                i += 2
+            else:
+                assert body[i] != '"'
+                i += 1
+    # numeric/boolean terms round-trip textually
+    else:
+        assert term in ("true", "false") or term == repr(v)
+
+
+@settings(max_examples=100)
+@given(st.lists(st.one_of(st.text(max_size=10), st.integers()), max_size=8))
+def test_values_block_shape(keys):
+    block = values_block("v", keys)
+    assert block.startswith("VALUES ?v { ") and block.endswith("}")
+
+
+@settings(max_examples=200)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=20))
+def test_regex_to_like_only_converts_simple_patterns(rx):
+    out = _regex_to_like(rx)
+    if out is not None:
+        # converted patterns contain no regex metacharacters
+        body = out.strip("%")
+        assert not (set(body) & set("\\^$.|?*+()[]{}"))
+
+
+def test_tpl_shape_ignores_column_names():
+    assert tpl_shape("http://e/{a}/{b}") == tpl_shape("http://e/{x}/{y}")
+    assert tpl_shape("http://e/{a}") != tpl_shape("http://f/{a}")
