@@ -185,3 +185,40 @@ def test_parent_triples_map_resolves_to_template_link(spark, tmp_path):
         ("http://ex.org/order/11", "Erwin"),
         ("http://ex.org/order/12", "Ada"),
     ]
+
+
+def test_rml_xml_source_end_to_end(spark, tmp_path):
+    """ql:XPath mapping → Spark 4's built-in XML reader with the RML
+    iterator as rowTag — mappings for XML lakes work unchanged."""
+    (tmp_path / "people.xml").write_text(
+        "<people><person><pid>1</pid><name>Ada</name></person>"
+        "<person><pid>2</pid><name>Erwin</name></person></people>"
+    )
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    @prefix : <http://m#> .
+    :P rml:logicalSource [ rml:source "people.xml";
+                           rml:referenceFormulation ql:XPath;
+                           rml:iterator "person" ];
+       rr:subjectMap [ rr:template "http://e/person/{pid}";
+                       rr:class <http://e/Person> ];
+       rr:predicateObjectMap [ rr:predicate <http://e/name>;
+                               rr:objectMap [ rml:reference "name" ] ] .
+    """
+    cat = load_rml([ttl], data_root=str(tmp_path))
+    tm = cat.triple_maps["http://m#P"]
+    assert tm.source.fmt == "xml" and tm.source.iterator == "person"
+
+    from ontario_spark.compiler.query import SparqlEngine
+
+    df = SparqlEngine(spark, cat).query(
+        """PREFIX e: <http://e/>
+           SELECT ?p ?n WHERE { ?p a e:Person ; e:name ?n }"""
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        ("http://e/person/1", "Ada"),
+        ("http://e/person/2", "Erwin"),
+    ]
