@@ -104,9 +104,48 @@ class SparqlEngine:
 
     # --- graph pattern assembly ----------------------------------------
 
+    def _var_pred_frame(self, t: Triple) -> BFrame:
+        """Triple with a VARIABLE predicate (``?s ?p ?o`` browsing):
+        expand over the catalog's predicate universe + rdf:type, one
+        normally-compiled branch per predicate with ?p bound to the
+        predicate IRI, unioned. Beyond the reference: its decomposer
+        source-selects only on constant predicates and its SQL wrappers
+        cannot translate a variable predicate at all. Bounded by the
+        catalog's predicate count (molecule metadata, not data)."""
+        from ontario_spark.compiler.star import StarCompileError
+        from ontario_spark.planner.decomposer import SourceSelectionError
+        from ontario_spark.sparql.parser import RDF_TYPE as _RT
+
+        pvar = t.p.value
+        branches: list[BFrame] = []
+        for pred in sorted(self.catalog.predicate_index) + [_RT]:
+            one = Triple(t.s, Term("iri", pred), t.o)
+            try:
+                for star in bgp_stars([one]):
+                    plan = select_sources(self.catalog, star)
+                    bf = compile_star(self.spark, self.catalog, plan)
+                    branches.append(
+                        BFrame(
+                            bf.df.withColumn(pvar, F.lit(pred)),
+                            {**bf.meta, pvar: TermMeta(LEXICAL)},
+                        )
+                    )
+            except (SourceSelectionError, StarCompileError):
+                continue  # predicate inapplicable to this term shape
+        if not branches:
+            raise QueryCompileError(
+                f"variable predicate ?{pvar}: no applicable predicates"
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.union(b)
+        return out
+
     def _group(self, g: Group, key_hint: BFrame | None = None) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
-        frames: list[BFrame] = []
+        var_pred = [t for t in triples if t.p.is_var]
+        triples = [t for t in triples if not t.p.is_var]
+        frames: list[BFrame] = [self._var_pred_frame(t) for t in var_pred]
         # Sargable FILTER conjuncts push into remote-source stars
         # (reference wrappers compile FILTERs to source SQL;
         # sparqltosql.py:585-634). The same FILTERs still run

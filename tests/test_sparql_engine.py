@@ -741,3 +741,48 @@ def test_datatype_function(engine, sf_small):
            WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL""",
         "datatype_function",
     )
+
+
+def test_variable_predicate_browsing(engine, sf_small):
+    """?s ?p ?o with a constant subject: all forward predicates of the
+    resource's molecule + rdf:type (browsing parity the reference's SQL
+    wrappers cannot answer at all)."""
+    import re
+
+    from ontario_spark.data import table as load
+
+    spark_, cat = engine.spark, engine.catalog
+    df = engine.query(
+        "SELECT ?p ?o WHERE { <http://ex.org/tpch/customer/1> ?p ?o }"
+    )
+    rows = {(r["p"], str(r["o"])) for r in df.collect()}
+    c = load(spark_, "/root/testdata/sf0.001", "customer").filter(
+        "c_custkey = 1"
+    ).collect()[0]
+    preds = {p for p, _ in rows}
+    assert preds == {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://ex.org/tpch/name",
+        "http://ex.org/tpch/acctbal",
+        "http://ex.org/tpch/mktsegment",
+        "http://ex.org/tpch/nation",
+    }
+    assert ("http://ex.org/tpch/name", c["c_name"]) in rows
+    assert (
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://ex.org/tpch/Customer",
+    ) in rows
+
+
+def test_variable_predicate_joined_star(engine, sf_small):
+    """Variable-predicate triple joined against a constant-pred star:
+    the join restricts the expansion to the star's resources."""
+    df = engine.query(
+        """PREFIX ex: <http://ex.org/tpch/>
+           SELECT ?c ?p ?o WHERE {
+             ?c a ex:Region . ?c ?p ?o }"""
+    )
+    rows = df.collect()
+    # 5 regions x (type + name) = 10 rows
+    assert len(rows) == 10
+    assert all(r["c"].startswith("http://ex.org/tpch/region/") for r in rows)
