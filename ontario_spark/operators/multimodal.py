@@ -175,6 +175,73 @@ def extract_features(media: DataFrame) -> DataFrame:
     return spread(media).mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),  # 'png'|'jpeg'|None
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL (not stubbed) container-header parsing — PNG IHDR and JPEG
+    SOF markers carry dimensions in plain bytes, no codec needed. This
+    is what a lake-scale ingest actually runs to validate/route media
+    before any decode: pure byte peeking, a few hundred bytes per file.
+    Returns (format, width, height); (None, None, None) if unknown."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return "png", w, h
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+            # SOF0..SOF15 except DHT(C4)/DAC(CC)/RST carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return "jpeg", w, h
+            i += 2 + seglen
+    return None, None, None
+
+
+def image_metadata(media: DataFrame) -> DataFrame:
+    """Per-media container metadata via Arrow-batched ``mapInPandas``:
+    real header parsing (see ``parse_image_header``) — unknown payloads
+    yield NULL dims instead of failing the batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                f, w, h = parse_image_header(bytes(payload or b""))
+                fmts.append(f)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pd.Series(fmts, dtype="object"),
+                    "width": pd.Series(ws, dtype="object"),
+                    "height": pd.Series(hs, dtype="object"),
+                }
+            )
+
+    from ontario_spark.operators.textops import spread
+
+    return spread(media).mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize pipeline shape. STUB: raises on execution because
     codecs are unavailable; the plan (schema/partitioning) is real."""

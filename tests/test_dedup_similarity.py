@@ -193,3 +193,37 @@ def test_ngram_jaccard_doc_freq_cap_bounds_candidates(spark):
     df2 = spark.createDataFrame(docs + near, "doc_id long, text string")
     got = ngram_jaccard_pairs(df2, "doc_id", "text", threshold=0.4, max_doc_freq=5)
     assert {(r["id_a"], r["id_b"]) for r in got.collect()} == {(100, 101)}
+
+
+def test_image_metadata_parses_real_headers(spark):
+    """PNG IHDR and JPEG SOF headers are parsed from raw bytes — no
+    codec library involved; unknown payloads get NULL dims."""
+    import struct
+
+    from ontario_spark.operators.multimodal import image_metadata
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+        )
+
+    def jpeg(w, h):
+        # SOI + APP0 stub + SOF0 with dims + EOI
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+    rows = [
+        (1, "image", png(640, 480)),
+        (2, "image", jpeg(1920, 1080)),
+        (3, "image", b"not an image at all"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in image_metadata(media).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("jpeg", 1920, 1080)
+    assert got[3] == (None, None, None)
