@@ -227,3 +227,25 @@ def test_image_metadata_parses_real_headers(spark):
     assert got[1] == ("png", 640, 480)
     assert got[2] == ("jpeg", 1920, 1080)
     assert got[3] == (None, None, None)
+
+
+def test_pipeline_operators_handle_empty_corpus(spark):
+    """Empty partitions/corpora are routine at lake scale (a filter can
+    eliminate everything); every operator must return an empty result
+    with the right schema, not fail."""
+    from ontario_spark.operators import dedup, textops
+    from ontario_spark.operators.packing import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id long, text string, n_chars int")
+    assert dedup.exact_dedup(empty, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(
+        empty, "doc_id", "text", max_doc_freq=5
+    ).count() == 0
+    assert dedup.minhash_lsh_pairs(empty, "doc_id", "text").count() == 0
+    assert dedup.simhash(empty, "doc_id", "text").count() == 0
+    assert textops.token_stats(empty, "doc_id", "text").count() == 0
+    assert textops.lang_id(empty, "doc_id", "text").count() == 0
+    assert textops.fingerprint(empty, "doc_id", "text").count() == 0
+    out = pack_sequences(empty, "doc_id", "n_chars", budget=100)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "shard", "bin", "offset"}
