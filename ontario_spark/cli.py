@@ -46,7 +46,14 @@ def to_sparql_json(rows: list, columns: list[str]) -> dict:
     return {"head": {"vars": columns}, "results": {"bindings": bindings}}
 
 
-def run(catalog_path: str, query_text: str, spark=None, trace: bool = False) -> dict:
+def run(
+    catalog_path: str,
+    query_text: str,
+    spark=None,
+    trace: bool = False,
+    write_path: str | None = None,
+    write_format: str = "parquet",
+) -> dict:
     """Execute one query; returns the reference's response shape with
     the bindings in W3C SPARQL-JSON. ``trace=True`` additionally
     records the elapsed time at which each answer arrived (driver
@@ -76,6 +83,23 @@ def run(catalog_path: str, query_text: str, spark=None, trace: bool = False) -> 
             cat = load(catalog_path)
         t0 = time.perf_counter()
         df = SparqlEngine(spark, cat).query(query_text)
+        if write_path is not None:
+            # distributed sink: results land as a partitioned dataset
+            # straight from the executors — the driver never holds the
+            # result set (the scale path for large answers)
+            from ontario_spark.sinks import write_results
+
+            write_results(df, write_path, fmt=write_format)
+            n = spark.read.format(write_format).options(
+                **({"header": True} if write_format == "csv" else {})
+            ).load(write_path).count()
+            return {
+                "vars": df.columns,
+                "written": write_path,
+                "format": write_format,
+                "totalRows": n,
+                "execTime": round(time.perf_counter() - t0, 4),
+            }
         if trace:
             rows, answer_times = [], []
             for row in df.toLocalIterator():
@@ -117,9 +141,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="print at most N bindings (full count still reported)")
     ap.add_argument("--trace", action="store_true",
                     help="record per-answer arrival times (dief@t-style)")
+    ap.add_argument("--write", default=None,
+                    help="write results to this path (distributed sink; "
+                         "no driver collect) instead of printing bindings")
+    ap.add_argument("--write-format", default="parquet",
+                    help="sink format for --write (parquet|csv|json)")
     args = ap.parse_args(argv)
     text = sys.stdin.read() if args.query == "-" else open(args.query).read()
-    out = run(args.catalog, text, trace=args.trace)
+    out = run(args.catalog, text, trace=args.trace,
+              write_path=args.write, write_format=args.write_format)
     if args.limit_print is not None:
         out["result"] = out["result"][: args.limit_print]
     json.dump(out, sys.stdout, indent=1)

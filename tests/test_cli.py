@@ -76,3 +76,25 @@ def test_cli_accepts_rml_mappings(spark, tmp_path, capsys):
     )
     names = sorted(b["n"]["value"] for b in out["result"])
     assert names == ["Ada", "Erwin"]
+
+
+def test_cli_write_sink(spark, tmp_path):
+    """--write persists results as a distributed dataset; the driver
+    never collects the bindings."""
+    from ontario_spark.catalog.serde import save
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+    from ontario_spark.cli import run
+
+    cat_path = str(tmp_path / "cat.json")
+    save(tpch_catalog("/root/testdata/sf0.001"), cat_path)
+    out_path = str(tmp_path / "out")
+    out = run(
+        cat_path,
+        "PREFIX ex: <http://ex.org/tpch/> "
+        "SELECT ?name WHERE { ?r a ex:Region ; ex:name ?name }",
+        spark=spark,
+        write_path=out_path,
+    )
+    assert out["written"] == out_path and out["totalRows"] == 5
+    assert "result" not in out  # nothing collected
+    assert spark.read.parquet(out_path).count() == 5
