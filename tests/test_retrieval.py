@@ -1,0 +1,66 @@
+"""BM25 lexical retrieval: validated against an independent pure-Python
+reimplementation with numeric tolerance (ln is transcendental — engines'
+libm may differ in the last ulp, so no hash-exact oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from ontario_spark.operators.retrieval import bm25_scores, term_stats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick quick quick fox"),
+    (3, "lazy afternoons and lazy rivers"),
+    (4, "completely unrelated text about spark engines"),
+]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_reference_implementation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, "doc_id", "text", ["quick", "lazy"]).collect()
+    }
+    exp = _py_bm25(DOCS, ["quick", "lazy"])
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9, (k, got[k], exp[k])
+    # ranking: doc 2 (3x quick, short) beats doc 1 (1 quick + 1 lazy)?
+    ranked = sorted(got, key=got.get, reverse=True)
+    assert ranked[0] in (1, 2) and 4 not in got
+
+
+def test_term_stats_shapes(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ts = term_stats(df, "doc_id", "text")
+    row = ts.filter("doc_id = 2 AND term = 'quick'").collect()[0]
+    assert row["tf"] == 3 and row["dl"] == 4
+
+
+def test_bm25_no_python_eval_in_plan(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = bm25_scores(df, "doc_id", "text", ["quick"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
