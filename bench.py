@@ -77,19 +77,18 @@ def main() -> None:
         "metric": "headline-suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
     }
-    # Full detail (rows, 4-decimal timings) goes to disk; stdout gets one
-    # compact line. The driver captures only the tail of stdout, so the
-    # final line must stay small — with 86 queries the full dict with row
-    # counts is ~6 KB and gets truncated into unparseable JSON.
+    # Full detail (per-query timings + rows) goes to disk; stdout gets ONE
+    # tiny line. The driver captures only the last 2000 chars of stdout, so
+    # the final line must stay well under that — the per-query dict alone
+    # is ~2.7 KB at 90 queries and made rounds 1-3 unparseable.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         json.dump({**payload, "queries": timings, "rows": rows}, f, indent=1)
     line = json.dumps(payload)
-    if len(line) > 3500:
-        payload["queries"] = {}  # belt-and-braces: never emit a truncatable line
-        line = json.dumps(payload)
+    assert len(line) < 400, f"bench stdout line too long: {len(line)}"
     print(line)
     spark.stop()
 
