@@ -4,13 +4,25 @@ The lexical complement to ``operators.similarity``'s embedding ANN —
 corpus curation uses both (near-dup detection wants embeddings;
 keyword-targeted subset mining wants BM25). All relational: one token
 explode, term/document frequencies as aggregations, the score as a
-join + weighted sum. No Python UDFs.
+join + weighted sum. No Python UDFs, and **no driver-side actions**:
+the corpus size and average document length are tiny single-row
+aggregates broadcast-cross-joined onto the term table (the scalar-
+subquery pattern of ``queries/tpch_full.py`` q11/q15), so building the
+plan never scans the corpus eagerly.
 
 Scale notes: df (document frequency) is one small per-term aggregate —
 broadcast to the tf side, so scoring any query is a scan + broadcast
-join, never a shuffle of the corpus. avgdl is a scalar aggregate
-(broadcast cross join). At 100 TB the tf table is the big side and
-stays put; everything joined onto it is tiny.
+join, never a shuffle of the corpus. The expensive ``term_stats``
+explode→aggregate is persisted because three downstream branches (rel,
+avgdl, df) share it. At 100 TB the tf table is the big side and stays
+put; everything joined onto it is tiny.
+
+Determinism: the per-document score is the sum of one contribution per
+query term. Summing them with ``F.sum`` would add partial aggregates in
+shuffle-arrival order — nondeterministic for doubles. Instead each
+term's contribution becomes its own aggregate column (terms are known
+constants) and the final score adds those columns in fixed left-to-
+right order, so the result is bit-stable and DuckDB-reproducible.
 """
 
 from __future__ import annotations
@@ -46,25 +58,114 @@ def bm25_scores(
     """BM25 score of every document against ``query_terms``
     (documents containing none score 0 and are omitted). idf uses the
     standard Robertson-Sparck-Jones form with +1 smoothing."""
-    terms = [t.lower() for t in query_terms]
-    stats = term_stats(df, id_col, text_col)
-    n_docs = df.count()
-    avgdl = (
-        stats.select(id_col, "dl").distinct().agg(F.avg("dl")).collect()[0][0]
-    ) or 1.0
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    stats = term_stats(df, id_col, text_col).persist()
+
+    # Scalar aggregates as broadcast cross joins — one row each, lazy.
+    nd = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n_docs")))
+    ad = F.broadcast(
+        stats.select(id_col, "dl").distinct().agg(F.avg("dl").alias("__avgdl"))
+    )
     rel = stats.filter(F.col("term").isin(*terms))
     dfreq = F.broadcast(
         rel.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     )
-    scored = rel.join(dfreq, "term")
+    scored = rel.join(dfreq, "term").crossJoin(nd).crossJoin(ad)
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("__n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
     )
     tf = F.col("tf").cast("double")
-    denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
-    contrib = idf * tf * (k1 + 1.0) / denom
+    denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
+    contrib = (idf * tf * (k1 + 1.0) / denom).alias("__c")
+
+    # One aggregate column per query term (single-valued per group), then
+    # a fixed-order sum — deterministic double arithmetic.
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, contrib)).alias(f"__c{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
     return (
-        scored.groupBy(id_col)
-        .agg(F.sum(contrib).alias("bm25"))
+        per_term.select(F.col(id_col), score.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k documents by BM25, score rounded to a hash-stable
+    precision and ranked with a unique tiebreak (rounded score desc,
+    id asc) so the selected set is engine-independent."""
+    scored = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b).select(
+        F.col(id_col), F.round(F.col("bm25"), round_to).alias("bm25_r")
+    )
+    w = Window.orderBy(F.desc("bm25_r"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "bm25_r")
+    )
+
+
+def bm25_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle replicating ``bm25_topk`` bit-for-bit: same
+    tokenization, same fixed-order per-term summation, same rounded
+    tiebreak."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    fixed_sum = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN c END), 0.0)" for t in terms
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, lower(unnest(regexp_split_to_array(trim({text_col}), '\\s+'))) AS term
+  FROM {table}
+), stats AS (
+  SELECT {id_col}, term, COUNT(*) AS tf,
+         SUM(COUNT(*)) OVER (PARTITION BY {id_col}) AS dl
+  FROM tok GROUP BY {id_col}, term
+), nd AS (SELECT COUNT(*) AS n_docs FROM {table}),
+ad AS (SELECT AVG(dl) AS avgdl FROM (SELECT DISTINCT {id_col}, dl FROM stats)),
+rel AS (SELECT * FROM stats WHERE term IN ({in_list})),
+dfreq AS (SELECT term, COUNT(DISTINCT {id_col}) AS df FROM rel GROUP BY term),
+contrib AS (
+  SELECT r.{id_col}, r.term,
+         ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * CAST(tf AS DOUBLE) * ({k1} + 1.0)
+           / (CAST(tf AS DOUBLE)
+              + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl)) AS c
+  FROM rel r JOIN dfreq USING (term) CROSS JOIN nd CROSS JOIN ad
+), pv AS (
+  SELECT {id_col}, 0.0 + {fixed_sum} AS bm25
+  FROM contrib GROUP BY {id_col}
+)
+SELECT {id_col},
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(bm25, {round_to}) DESC, {id_col}) AS INT)
+         AS rank,
+       ROUND(bm25, {round_to}) AS bm25_r
+FROM pv
+QUALIFY rank <= {k}
+"""

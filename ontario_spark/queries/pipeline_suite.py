@@ -626,12 +626,73 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_rollup(table(spark, sf_dir, "events"))
 
 
+def sketch_hll_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-able form of the HLL rollup: join the sketch estimate
+    against the exact distinct count and emit the *derived exactness*
+    — sketch-merge structure (daily-sketch count) plus a boolean
+    asserting the estimate lands within 5% of exact. The estimate
+    itself is engine-specific; the bound either holds (hash-matches
+    the oracle's TRUE) or the round fails loudly."""
+    from ontario_spark.operators.sketches import hll_rollup
+
+    events = table(spark, sf_dir, "events")
+    est = hll_rollup(events)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_daily_sketches",
+        (
+            F.abs(
+                F.col("approx_users").cast("double") / F.col("exact_users") - 1.0
+            )
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+SKETCH_HLL_CHECK_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed keyword query — lexical
+    retrieval on the driver surface (operators/retrieval.py)."""
+    from ontario_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["spark", "vector", "merge"],
+        k=20,
+    )
+
+
+def _bm25_sql() -> str:
+    from ontario_spark.operators.retrieval import bm25_sql
+
+    return bm25_sql("documents", "doc_id", "text", ["spark", "vector", "merge"], k=20)
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
     "sample_corpus_mix": sample_corpus_mix,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
+    "sketch_hll_check": sketch_hll_check,
+    "bm25_topk": bm25_topk_docs,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -653,6 +714,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sketch_hll_check": SKETCH_HLL_CHECK_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
