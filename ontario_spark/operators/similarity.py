@@ -5,11 +5,17 @@ Two paths, mirroring how a 100 TB pipeline would tier them:
 - ``brute_force_topk`` — exact cosine top-k. The query set is
   broadcast; the corpus is scanned once, fully parallel; a window
   takes top-k per query. Baseline/verification path.
-- ``sign_lsh`` bucketing — random-hyperplane-style LSH using the
-  axis-aligned sign pattern of the leading dimensions as the bucket
-  key (deterministic, no RNG state to ship). Candidates only pair
-  within a bucket, so the all-pairs product never materializes; the
-  scale path for ANN joins and near-dup detection.
+- ``hyperplane_lsh`` bucketing — random-hyperplane LSH: the bucket key
+  is the sign pattern of projections onto ``bits`` md5-seeded
+  pseudo-random hyperplanes (deterministic, no RNG state to ship, and
+  engine-reproducible so DuckDB oracles can replicate buckets exactly).
+  Candidates only pair within a bucket, so the all-pairs product never
+  materializes; the scale path for ANN joins and near-dup detection.
+  Unlike sign-of-leading-dims bucketing (round 3), random projections
+  mix ALL dimensions, so correlated/non-centered real embeddings don't
+  collapse into one hot bucket; ``neardup_pairs`` additionally caps
+  bucket fan-out (mirroring ``dedup.max_doc_freq``) so one pathological
+  bucket can never turn the self-join quadratic.
 
 Dot products run as ``zip_with`` + ``aggregate`` Column expressions in
 double precision — JVM-side, deterministic left-to-right summation
@@ -93,15 +99,55 @@ def brute_force_topk(
     )
 
 
-def sign_lsh_bucket(vec_col: Column, bits: int = 16) -> Column:
-    """Bucket key: '1'/'0' sign pattern of the first ``bits`` dims."""
-    return F.concat_ws(
-        "",
-        *[
-            F.when(F.element_at(vec_col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(bits)
-        ],
-    )
+LSH_SEED = "hyperplane-lsh"
+
+
+def _hyperplanes(dim: int, bits: int, seed: str = LSH_SEED) -> list[list[float]]:
+    """``bits`` deterministic pseudo-random hyperplanes in R^dim: each
+    component is an md5-derived dyadic rational in [-1, 1) — exactly
+    representable as a double, so Spark literals and DuckDB SQL
+    literals are bit-identical."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def hyperplane_lsh_bucket(
+    vec_col: Column, dim: int, bits: int = 8, seed: str = LSH_SEED
+) -> Column:
+    """Bucket key: '1'/'0' sign pattern of the vector's projection onto
+    ``bits`` seeded hyperplanes. Pure Column arithmetic (bits × dim
+    multiply-adds per row, JVM-side, whole-stage codegen)."""
+    dv = _dvec(vec_col)
+    parts = []
+    for p in _hyperplanes(dim, bits, seed):
+        proj = dot(dv, F.array(*[F.lit(x) for x in p]))
+        parts.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", *parts)
+
+
+def hyperplane_bucket_sql(
+    vec_expr: str, dim: int, bits: int = 8, seed: str = LSH_SEED
+) -> str:
+    """DuckDB expression reproducing ``hyperplane_lsh_bucket`` over a
+    list-of-DOUBLE SQL expression, bit-for-bit (same plane literals,
+    same sequential dot product)."""
+    cases = []
+    for p in _hyperplanes(dim, bits, seed):
+        lits = ", ".join(repr(x) for x in p)
+        cases.append(
+            f"CASE WHEN list_dot_product({vec_expr}, [{lits}]) >= 0"
+            " THEN '1' ELSE '0' END"
+        )
+    return " || ".join(cases)
 
 
 def bucketed_topk(
@@ -111,22 +157,24 @@ def bucketed_topk(
     vec_col: str = "embedding",
     k: int = 3,
     bits: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """ANN top-k: score only within the query's sign-LSH bucket. Trades
-    recall for a bucket-local join instead of a full cross product."""
+    """ANN top-k: score only within the query's hyperplane-LSH bucket.
+    Trades recall for a bucket-local join instead of a full cross
+    product."""
     from ontario_spark.operators.textops import spread
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
-        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
-        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -158,12 +206,12 @@ _quantizer_cache: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
 
 
 def _coarse_quantizer(
-    corpus: DataFrame, vec_col: str, n_lists: int, seed: int
+    corpus: DataFrame, vec_col: str, n_lists: int, seed: int, id_col: str
 ) -> DataFrame:
     """Fit (or fetch) the k-means coarse quantizer; returns the tiny
     ``(cell, center)`` DataFrame that probe joins broadcast."""
     per_corpus = _quantizer_cache.setdefault(corpus, {})
-    key = (vec_col, n_lists, seed)
+    key = (vec_col, n_lists, seed, id_col)
     cached = per_corpus.get(key)
     if cached is not None:
         return cached
@@ -173,11 +221,20 @@ def _coarse_quantizer(
 
     # FAISS-style: train the coarse quantizer on a bounded sample —
     # centroid quality needs O(100) points per cell, not the corpus.
-    # limit() is deterministic here (stable parquet row order) and at
-    # 100 TB keeps training cost independent of corpus size.
+    # Sampled by md5-of-id order (TakeOrderedAndProject: a per-partition
+    # top-n heap + driver merge, never a full sort): deterministic under
+    # ANY input ordering/partitioning AND unbiased — a plain limit()
+    # takes the first partitions, which on a corpus sorted or
+    # partitioned by anything meaningful is a skewed slice. At 100 TB
+    # training cost stays independent of corpus size.
     train = (
-        corpus.select(array_to_vector(_dvec(F.col(vec_col))).alias("features"))
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            array_to_vector(_dvec(F.col(vec_col))).alias("features"),
+        )
+        .orderBy("__h")
         .limit(max(256 * n_lists, 2048))
+        .select("features")
     )
     km = KMeans(k=n_lists, seed=seed, maxIter=10).fit(train)
     centers = [
@@ -207,7 +264,7 @@ def ivf_topk(
     broadcast, the corpus is scanned once to assign cells (at scale this
     assignment is precomputed and stored partitioned-by-cell), and the
     probe join touches n_probe/n_lists of the data."""
-    cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed)
+    cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
 
     def nearest_cells(side: DataFrame, n: int, out: str) -> DataFrame:
         """Assign each vector its n closest centroids (rank ≤ n) via a
@@ -269,17 +326,36 @@ def neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     bits: int = 8,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) with score >=
-    threshold, candidate-limited to shared sign-LSH buckets."""
+    threshold, candidate-limited to shared hyperplane-LSH buckets.
+
+    ``max_bucket_size`` is the corpus-scale skew guard (mirroring
+    ``dedup.ngram_jaccard_pairs``'s ``max_doc_freq``): a bucket holding
+    m vectors fans out m²/2 candidate pairs on ONE join key, so a
+    single hot bucket — possible on real correlated embeddings even
+    with random projections — would concentrate quadratic work on one
+    task. Buckets above the cap are dropped via a broadcast anti-join
+    on the (tiny) heavy-bucket list, bounding per-key fan-out at cap²
+    while the rest of the corpus proceeds unaffected."""
     from ontario_spark.operators.textops import spread
 
     c = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-        sign_lsh_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        heavy = (
+            c.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("bucket")
+        )
+        c = c.join(F.broadcast(heavy), "bucket", "left_anti")
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(

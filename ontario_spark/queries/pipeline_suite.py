@@ -283,23 +283,25 @@ ANN_BRUTEFORCE_SQL = ANN_ORACLE_CTE.format(extra="")
 def ann_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.bucketed_topk(
-        emb, _queries_subset(spark, sf_dir), k=3, bits=4
+        emb, _queries_subset(spark, sf_dir), k=3, bits=4, dim=64
     )
 
 
-ANN_BUCKETED_SQL = """
+def _ann_bucketed_sql() -> str:
+    bucket = similarity.hyperplane_bucket_sql("v", dim=64, bits=4)
+    return f"""
 WITH c AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         array_to_string(list_transform(embedding[1:4],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-), q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 5),
+), cb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM c
+), q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.qv, c.v)
-           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+  SELECT q.query_id, cb.vec_id AS neighbor_id,
+         list_dot_product(q.qv, cb.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cb.v, cb.v)))
            AS score
-  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id
+  FROM cb JOIN q ON cb.bucket = q.bucket AND cb.vec_id != q.query_id
 )
 SELECT query_id, neighbor_id, rank, score FROM (
   SELECT query_id, neighbor_id, score,
@@ -308,6 +310,9 @@ SELECT query_id, neighbor_id, rank, score FROM (
   FROM scored) t
 WHERE rank <= 3
 """
+
+
+ANN_BUCKETED_SQL = _ann_bucketed_sql()
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,26 +326,43 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size caps self-join fan-out per bucket (the skew
+    # guard); 200 is far above any fixture bucket's population, so
+    # results here are exact — and the oracle replicates the cap so the
+    # contract is checked end-to-end.
     return similarity.neardup_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.2, bits=4
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        bits=4,
+        dim=64,
+        max_bucket_size=200,
     )
 
 
-EMB_NEARDUP_SQL = """
-WITH c AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         array_to_string(list_transform(embedding[1:4],
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+def _emb_neardup_sql() -> str:
+    bucket = similarity.hyperplane_bucket_sql("v", dim=64, bits=4)
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
+), c AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM c0
+), ok AS (
+  SELECT bucket FROM c GROUP BY bucket HAVING COUNT(*) <= 200
+), cc AS (
+  SELECT c.* FROM c JOIN ok USING (bucket)
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
          AS score
-FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cc a JOIN cc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
 """
+
+
+EMB_NEARDUP_SQL = _emb_neardup_sql()
 
 
 # --- text analysis ------------------------------------------------------
