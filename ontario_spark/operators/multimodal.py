@@ -202,9 +202,18 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte, not a marker prefix
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            # SOF always precedes SOS in a valid stream; past SOS the
+            # bytes are entropy-coded data where 0xFF pairs are NOT
+            # segments — scanning on would read garbage dimensions
+            # from corrupt/truncated payloads. EOI ends the stream.
+            if marker in (0xDA, 0xD9):
+                break
             seglen = int.from_bytes(b[i + 2 : i + 4], "big")
             # SOF0..SOF15 except DHT(C4)/DAC(CC)/RST carry dimensions
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

@@ -73,6 +73,11 @@ class Dialect:
     name: str
     quote: str  # identifier quote char
     str_cast: str  # type name for CAST(col AS ...)
+    # MySQL's default sql_mode treats backslash as the string escape
+    # char, so a data-derived value ending in '\' would escape the
+    # closing quote (malformed SQL / injection). ANSI engines (DuckDB,
+    # Postgres, Drill) treat backslash literally in standard strings.
+    backslash_escapes: bool = False
 
     def ident(self, name: str) -> str:
         q = self.quote
@@ -83,10 +88,13 @@ class Dialect:
             return "TRUE" if value else "FALSE"
         if isinstance(value, (int, float)):
             return repr(value)
-        return "'" + str(value).replace("'", "''") + "'"
+        s = str(value)
+        if self.backslash_escapes:
+            s = s.replace("\\", "\\\\")
+        return "'" + s.replace("'", "''") + "'"
 
 
-MYSQL = Dialect("mysql", "`", "CHAR")
+MYSQL = Dialect("mysql", "`", "CHAR", backslash_escapes=True)
 ANSI = Dialect("ansi", '"', "VARCHAR")  # DuckDB, Postgres, ...
 DRILL = Dialect("drill", "`", "VARCHAR")
 
@@ -441,10 +449,24 @@ def star_mongo(
     def match_into(path: str, cond):
         tgt = post if "[*]" in path else pre
         f = _mongo_field(path).replace("/", ".")
-        if f in tgt and isinstance(tgt[f], dict) and isinstance(cond, dict):
-            tgt[f].update(cond)
-        else:
+        if f not in tgt:
             tgt[f] = cond
+            return
+        # Merge instead of overwrite: a star can constrain one path
+        # with BOTH a constant equality and a pushed operator dict
+        # (e.g. ?c ex:name "bob" . ?c ex:name ?n + FILTER on ?n) —
+        # dropping either would let extra rows through remotely with
+        # nothing re-checking the constant Spark-side. Scalars become
+        # {'$eq': v} so the two merge; contradictory equalities
+        # collapse to an unsatisfiable match.
+        cur = tgt[f]
+        cur_d = dict(cur) if isinstance(cur, dict) else {"$eq": cur}
+        new_d = dict(cond) if isinstance(cond, dict) else {"$eq": cond}
+        if "$eq" in cur_d and "$eq" in new_d and cur_d["$eq"] != new_d["$eq"]:
+            tgt[f] = {"$in": []}
+            return
+        cur_d.update(new_d)
+        tgt[f] = cur_d
 
     def want_unwind(path: str):
         cur = []

@@ -229,6 +229,30 @@ def test_image_metadata_parses_real_headers(spark):
     assert got[3] == (None, None, None)
 
 
+def test_jpeg_scan_fill_bytes_and_post_sos_garbage():
+    """Round-3 advice: 0xFF fill bytes must be skipped (not parsed as a
+    zero-length segment), and scanning must STOP at SOS/EOI — marker-
+    like byte pairs inside entropy-coded data after SOS are not
+    segments, so a truncated payload yields (None,)*3, not garbage."""
+    import struct
+
+    from ontario_spark.operators.multimodal import parse_image_header
+
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    # fill bytes (FF FF FF) before a real SOF marker: still parsed
+    filled = b"\xff\xd8" + b"\xff\xff" + sof + b"\xff\xd9"
+    assert parse_image_header(filled) == ("jpeg", 640, 480)
+    # truncated: SOS then entropy data containing a fake SOF pair —
+    # must NOT be read as dimensions
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x00" * 6
+    fake_sof_in_data = b"\xff\xc1" + struct.pack(">H", 17) + b"\x99" * 20
+    truncated = b"\xff\xd8" + sos + fake_sof_in_data
+    assert parse_image_header(truncated) == (None, None, None)
+
+
 def test_pipeline_operators_handle_empty_corpus(spark):
     """Empty partitions/corpora are routine at lake scale (a filter can
     eliminate everything); every operator must return an empty result

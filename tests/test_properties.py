@@ -72,3 +72,29 @@ def test_regex_to_like_only_converts_simple_patterns(rx):
 def test_tpl_shape_ignores_column_names():
     assert tpl_shape("http://e/{a}/{b}") == tpl_shape("http://e/{x}/{y}")
     assert tpl_shape("http://e/{a}") != tpl_shape("http://f/{a}")
+
+
+@settings(max_examples=300)
+@given(st.text(max_size=40))
+def test_dialect_lit_is_well_formed(s):
+    """Mirror of test_sparql_value_term_is_well_formed for SQL string
+    literals (round-3 advice): under MySQL's default mode backslash is
+    an escape char, so a data-derived value ending in '\\' must not be
+    able to escape the closing quote."""
+    from ontario_spark.sources.translate import ANSI, DRILL, MYSQL
+
+    for d in (MYSQL, ANSI, DRILL):
+        lit = d.lit(s)
+        assert lit[0] == "'" and lit[-1] == "'"
+        body = lit[1:-1]
+        i = 0
+        while i < len(body):
+            if body[i] == "'":
+                # only as a doubled quote
+                assert i + 1 < len(body) and body[i + 1] == "'"
+                i += 2
+            elif body[i] == "\\" and d.backslash_escapes:
+                assert i + 1 < len(body) and body[i + 1] == "\\"
+                i += 2
+            else:
+                i += 1

@@ -22,13 +22,20 @@ def test_query_matches_oracle(spark, sf_small, name):
 
 
 def test_all_queries_have_oracle_or_are_declared():
-    missing = [n for n in QUERIES if n not in ORACLE]
-    # Non-SQL-expressible ops are allowed to omit oracles, but keep the
-    # list explicit so drift is caught.
-    allowed_missing = {
-        n
-        for n in missing
-        if n.startswith(("stream_", "lsh_", "minhash_", "simhash_", "mm_", "sketch_"))
-        or n == "ann_topk_ivf"  # k-means quantizer — no DuckDB equivalent
-    }
-    assert set(missing) == allowed_missing, f"queries without oracle: {missing}"
+    missing = sorted(n for n in QUERIES if n not in ORACLE)
+    # EXACTLY the three intrinsically engine-specific estimates may
+    # omit oracles (k-means quantizer / sketch estimates have no DuckDB
+    # equivalent; their error bounds are pytest-checked and their
+    # oracle-able forms — ann_topk_bucketed, sketch_hll_check — sit on
+    # the driver surface instead). Anything else missing is a bug.
+    assert missing == ["ann_topk_ivf", "sketch_event_stats", "sketch_hll_rollup"], (
+        f"queries without oracle: {missing}"
+    )
+
+
+def test_registry_counts_are_consistent():
+    """Derived, not hand-maintained (round-3 advice: README/COVERAGE
+    counts drifted): the registry and oracle sizes must track each
+    other exactly, and every oracle key must name a registered query."""
+    assert set(ORACLE) <= set(QUERIES)
+    assert len(ORACLE) == len(QUERIES) - 3  # the three declared above

@@ -167,6 +167,9 @@ def run_pipeline(docs: list[dict], pipeline: list[dict]) -> list[dict]:
                               "$gt": v > arg, "$gte": v >= arg}[op]
                         if not ok:
                             return False
+                    elif op == "$in":
+                        if v not in arg:
+                            return False
                     else:
                         raise AssertionError(f"op {op}")
             elif v != cond:
@@ -381,6 +384,27 @@ def test_mongo_filter_pushdown_in_match():
     assert match["name"]["$ne"] == "bob"
     rows = run_pipeline(MONGO_DOCS, pipeline)
     assert [r["n"] for r in rows] == ["alice"]
+
+
+def test_mongo_constant_and_variable_same_predicate_merge():
+    """A star constraining one path with BOTH a constant equality and a
+    pushed FILTER must keep both in $match — round-3 advice: the cond
+    dict used to overwrite the constant, letting non-'alice' rows
+    through remotely with nothing re-checking the constant Spark-side."""
+    star = star_of('SELECT * WHERE { ?c ex:name "alice" ; ex:name ?n }')
+    conds = _conds_of('FILTER (?n != "bob")')
+    pipeline, _ = star_mongo(MONGO_MAP, star, conditions=conds)
+    match = pipeline[0]["$match"]
+    assert match["name"]["$eq"] == "alice"
+    assert match["name"]["$ne"] == "bob"
+    rows = run_pipeline(MONGO_DOCS, pipeline)
+    assert [r["n"] for r in rows] == ["alice"]
+
+
+def test_mongo_contradictory_constants_match_nothing():
+    star = star_of('SELECT * WHERE { ?c ex:name "alice" ; ex:name "bob" }')
+    pipeline, _ = star_mongo(MONGO_MAP, star)
+    assert run_pipeline(MONGO_DOCS, pipeline) == []
 
 
 def test_cypher_filter_pushdown():
