@@ -240,6 +240,51 @@ def tpch_federated_catalog(sf_dir: str) -> Catalog:
     return cat
 
 
+def tpch_mongo_catalog(sf_dir: str) -> Catalog:
+    """Federation-shaped catalog with the Customer molecule served by a
+    DOCUMENT store: the star is translated to a Mongo aggregation
+    pipeline (``translate.star_mongo``) and executed through the
+    ``sources.docstore`` seam — documents loaded from the same parquet
+    the oracle reads (the Derby-JDBC stand-in pattern; a live
+    deployment swaps in the Spark MongoDB connector,
+    ``docstore.mongo_spark_reader``). Reference:
+    ``ontario/wrappers/mongodb/sparql2mongo.py:68``."""
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        parquet_doc_loader,
+    )
+
+    cat = tpch_catalog(sf_dir)
+    base = _move_map(cat, "CustomerMap")
+    remote = DataSource(name="remote_mongo", dstype="mongodb", base_path="")
+    cat.add(remote, base)
+    cat.executors["remote_mongo"] = executor_from_collections(
+        parquet_doc_loader(sf_dir)
+    )
+    return cat
+
+
+def tpch_cypher_catalog(sf_dir: str) -> Catalog:
+    """Federation-shaped catalog with the Customer molecule served by a
+    GRAPH store: the star is translated to Cypher
+    (``translate.star_cypher``) and executed through the
+    ``sources.graphstore`` interpreter over nodes loaded from parquet
+    (a bolt-driver executor has the identical call convention).
+    Reference: ``ontario/wrappers/neo4j/sparql2cypher.py:129``."""
+    from ontario_spark.sources.docstore import parquet_doc_loader
+    from ontario_spark.sources.graphstore import executor_from_graph
+
+    cat = tpch_catalog(sf_dir)
+    base = _move_map(cat, "CustomerMap")
+    remote = DataSource(name="remote_graph", dstype="neo4j", base_path="")
+    cat.add(remote, base)
+    load = parquet_doc_loader(sf_dir)
+    cat.executors["remote_graph"] = executor_from_graph(
+        lambda: {"Customer": load("customer")}
+    )
+    return cat
+
+
 def tpch_split_catalog(sf_dir: str) -> Catalog:
     """ChEBI-style variant: Customer predicates split across TWO triple
     maps sharing one subject template — exercises the multi-map star

@@ -80,8 +80,10 @@ DRIVER_SURFACE = [
     "stream_events_hourly",
     "stream_user_sessions",
     "stream_user_gaps",
-    # SPARQL 1.1 extensions + federation (previously outside)
-    "sparql_negated_path",
+    # SPARQL 1.1 extensions + federation
+    # (sparql_negated_path moved just past the cap for
+    # sparql_mongo_join — the path family stays represented by
+    # sparql_property_path + sparql_path_closure)
     "sparql_group_by_expr",
     "sparql_agg_distinct",
     "sparql_group_concat",
@@ -91,6 +93,7 @@ DRIVER_SURFACE = [
     "sparql_minus_setop",
     "sparql_exists_filter",
     "sparql_federated_join",
+    "sparql_mongo_join",
     "sparql_service_join",
     # SPARQL core (green in prior rounds; re-verified each round)
     "sparql_star_filter",
@@ -127,8 +130,9 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = all_queries()
     missing = [n for n in DRIVER_SURFACE if n not in q]
     assert not missing, f"DRIVER_SURFACE names not in registry: {missing}"
-    rest = ["sparql_string_functions"] + [
-        n for n in q if n not in DRIVER_SURFACE and n != "sparql_string_functions"
+    near_cap = ["sparql_string_functions", "sparql_negated_path"]
+    rest = near_cap + [
+        n for n in q if n not in DRIVER_SURFACE and n not in near_cap
     ]
     return {n: q[n] for n in [*DRIVER_SURFACE, *rest]}
 

@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ontario_spark.catalog.tpch_rdf import (
     EX,
     tpch_catalog,
+    tpch_cypher_catalog,
     tpch_federated_catalog,
+    tpch_mongo_catalog,
     tpch_nested_catalog,
     tpch_split_catalog,
 )
@@ -32,6 +34,8 @@ _CATALOGS = {
     "split": lambda spark, sf: tpch_split_catalog(sf),
     "nested": tpch_nested_catalog,
     "federated": lambda spark, sf: tpch_federated_catalog(sf),
+    "mongo": lambda spark, sf: tpch_mongo_catalog(sf),
+    "cypher": lambda spark, sf: tpch_cypher_catalog(sf),
 }
 
 
@@ -410,6 +414,36 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
            WHERE c_name IS NOT NULL AND n_name IS NOT NULL
              AND starts_with(n_name, 'NATION_1')""",
         "federated",
+    ),
+    "sparql_mongo_join": (
+        # document-store federation: Customer star translated to a
+        # Mongo aggregation pipeline and EXECUTED through the docstore
+        # seam (sargable ?bal FILTER pushed into $match); joined
+        # Spark-side on template keys against the parquet Order star
+        """SELECT ?name ?oprio WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal .
+             ?o a ex:Order ; ex:customer ?c ; ex:orderpriority ?oprio .
+             FILTER (?bal > 8000.0)
+             FILTER (?oprio = "1-URGENT") }""",
+        """SELECT c_name AS name, o_orderpriority AS oprio
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+             AND c_acctbal > 8000.0 AND o_orderpriority = '1-URGENT'""",
+        "mongo",
+    ),
+    "sparql_cypher_join": (
+        # graph-store federation: Customer star translated to Cypher
+        # and executed through the graphstore interpreter (pushed
+        # STRSTARTS → STARTS WITH); joined against the parquet lake
+        """SELECT ?name ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRSTARTS(?name, "Customer#00000001")) }""",
+        """SELECT c_name AS name, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL
+             AND starts_with(c_name, 'Customer#00000001')""",
+        "cypher",
     ),
 }
 

@@ -1,0 +1,206 @@
+"""Document-store execution seam for the MongoDB wrapper path.
+
+The reference executes its translated pipelines live
+(``ontario/wrappers/mongodb/sparql2mongo.py:68`` —
+``collection.aggregate(pipeline, allowDiskUse=True)``); this sandbox
+has no MongoDB server, so the same seam is served two ways:
+
+- **Production shape** (``mongo_spark_reader``): the Spark MongoDB
+  connector path — ``spark.read.format("mongodb")`` with the
+  aggregation pipeline pushed down — gated behind an import-try since
+  the connector jar isn't available here. Returns a distributed
+  DataFrame that ``compile_star._compile_remote`` lifts without a
+  driver round-trip (same contract as ``sources/jdbc.py``).
+- **Stand-in** (``aggregate`` + ``executor_from_collections``): a
+  clean-room interpreter of exactly the stage subset our translator
+  emits ($match/$unwind/$project/$skip/$limit with the $eq/$ne/
+  $exists/$regex/$lt/$lte/$gt/$gte/$in operators), run over plain
+  Python dicts. Used by the integration tests AND by the
+  ``sparql_mongo_join`` driver query (documents loaded from the same
+  parquet the oracle reads — the Derby-JDBC test pattern). At scale
+  the stand-in's role is played by the connector; everything from the
+  pipeline text to the ColSpec lifting is shared.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable
+
+
+def _get(doc: dict, dotted: str):
+    cur = doc
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def _set(doc: dict, dotted: str, value) -> None:
+    parts = dotted.split(".")
+    cur = doc
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[parts[-1]] = value
+
+
+def _matches(doc: dict, spec: dict) -> bool:
+    for field, cond in spec.items():
+        v = _get(doc, field)
+        if not isinstance(cond, dict):
+            if v != cond:
+                return False
+            continue
+        for op, arg in cond.items():
+            if op == "$exists":
+                if (v is not None) != arg:
+                    return False
+            elif op == "$eq":
+                if v != arg:
+                    return False
+            elif op == "$ne":
+                if v == arg:
+                    return False
+            elif op == "$in":
+                if v not in arg:
+                    return False
+            elif op == "$regex":
+                if v is None or not re.search(arg, str(v)):
+                    return False
+            elif op in ("$lt", "$lte", "$gt", "$gte"):
+                if v is None:
+                    return False
+                ok = {
+                    "$lt": v < arg,
+                    "$lte": v <= arg,
+                    "$gt": v > arg,
+                    "$gte": v >= arg,
+                }[op]
+                if not ok:
+                    return False
+            else:
+                raise ValueError(f"unsupported $match operator {op}")
+    return True
+
+
+def aggregate(docs: Iterable[dict], pipeline: list[dict]) -> list[dict]:
+    """Reference semantics for the emitted aggregation-stage subset
+    (mirrors ``collection.aggregate`` for pipelines our translator can
+    produce; see reference ``sparql2mongo.py:59-64,144-241``)."""
+    out = [dict(d) for d in docs]
+    for stage in pipeline:
+        ((op, arg),) = stage.items()
+        if op == "$match":
+            out = [d for d in out if _matches(d, arg)]
+        elif op == "$unwind":
+            field = arg[1:]  # "$path"
+            nxt = []
+            for d in out:
+                for item in _get(d, field) or []:
+                    nd = dict(d)
+                    _set(nd, field, item)
+                    nxt.append(nd)
+            out = nxt
+        elif op == "$project":
+            nxt = []
+            for d in out:
+                nd = {}
+                for out_name, src in arg.items():
+                    if out_name == "_id":
+                        continue
+                    nd[out_name] = (
+                        _get(d, src[1:]) if isinstance(src, str) else None
+                    )
+                nxt.append(nd)
+            out = nxt
+        elif op == "$skip":
+            out = out[arg:]
+        elif op == "$limit":
+            out = out[:arg]
+        else:
+            raise ValueError(f"unsupported stage {op}")
+    return out
+
+
+def executor_from_collections(
+    collections: dict[str, list[dict]] | Callable[[str], list[dict]],
+) -> Callable[[str, list[dict]], list[dict]]:
+    """Build a ``Catalog.executors`` entry with the mongodb call
+    convention ``executor(collection, pipeline) -> [row dict]``.
+    ``collections`` maps collection name → documents, or is a loader
+    callable (name → documents) for lazy/parquet-backed stand-ins."""
+
+    def execr(collection: str, pipeline: list[dict]) -> list[dict]:
+        docs = (
+            collections(collection)
+            if callable(collections)
+            else collections.get(collection, [])
+        )
+        return aggregate(docs, pipeline)
+
+    return execr
+
+
+def parquet_doc_loader(sf_dir: str) -> Callable[[str], list[dict]]:
+    """Loader serving parquet tables as document collections (the
+    driver-query stand-in for a live Mongo server; decimals cast to
+    DOUBLE so documents carry plain JSON-ish types). Caches per table —
+    the executor may be called once per bound-join batch."""
+    import duckdb
+
+    cache: dict[str, list[dict]] = {}
+
+    def load(name: str) -> list[dict]:
+        if name not in cache:
+            con = duckdb.connect()
+            cur = con.execute(
+                f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+            cols = [
+                d[0] for d in cur.description
+            ]
+            typed = []
+            for r in cur.fetchall():
+                d = dict(zip(cols, r))
+                for k, v in d.items():
+                    # Decimal → float: documents in a real store carry
+                    # JSON numbers, and Spark lifting wants plain types
+                    if type(v).__name__ == "Decimal":
+                        d[k] = float(v)
+                typed.append(d)
+            cache[name] = typed
+            con.close()
+        return cache[name]
+
+    return load
+
+
+def mongo_spark_reader(
+    spark,
+    uri: str,
+    database: str,
+    collection: str,
+    pipeline: list[dict] | None = None,
+):
+    """Production fetch path: Spark MongoDB connector with the
+    aggregation pipeline pushed down — a distributed, partitioned read
+    (partitioner splits on _id ranges), never a driver materialization.
+    Gated: the connector jar isn't shipped in this sandbox."""
+    try:
+        import json
+
+        reader = (
+            spark.read.format("mongodb")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+        )
+        if pipeline:
+            reader = reader.option("aggregation.pipeline", json.dumps(pipeline))
+        return reader.load()
+    except Exception as e:  # pragma: no cover - connector not in sandbox
+        raise NotImplementedError(
+            "MongoDB Spark connector not available in this environment; "
+            "use executor_from_collections for the stand-in path"
+        ) from e

@@ -1,0 +1,178 @@
+"""Graph-store execution seam for the Neo4j wrapper path.
+
+The reference runs its translated Cypher live
+(``ontario/wrappers/neo4j/sparql2cypher.py:129`` via the bolt client at
+``:11-127``); no Neo4j exists in this sandbox, so the seam is served by
+a clean-room interpreter of exactly the Cypher subset
+``translate.star_cypher`` emits:
+
+    MATCH (n:Label) [WHERE c AND ...] RETURN n.p AS x, ... [SKIP n] [LIMIT n]
+
+with conditions ``n.p IS NOT NULL``, comparisons against literals
+(including ``toString(n.p) = '...'`` for template keys), ``IN [...]``,
+and ``CONTAINS`` / ``STARTS WITH`` / ``ENDS WITH``. The interpreter
+runs over an in-memory property graph ``{label: [node dict, ...]}`` —
+the integration-test/driver stand-in; a production deployment swaps in
+a bolt-driver executor with the same ``executor(cypher) -> [row dict]``
+call convention (``compile_star._compile_remote``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+
+def _parse_literal(s: str):
+    s = s.strip()
+    if s.startswith("'"):
+        assert s.endswith("'"), s
+        body = s[1:-1]
+        out = []
+        i = 0
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body):
+                out.append(body[i + 1])
+                i += 2
+            else:
+                out.append(body[i])
+                i += 1
+        return "".join(out)
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    if s.startswith("[") and s.endswith("]"):
+        return [_parse_literal(p) for p in _split_top(s[1:-1], ", ")]
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside single-quoted strings (respecting
+    backslash escapes)."""
+    parts, buf, i, in_str = [], [], 0, False
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                buf.append(s[i + 1])
+                i += 1
+            elif ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif s.startswith(sep, i):
+            parts.append("".join(buf))
+            buf = []
+            i += len(sep)
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    if buf or not parts:
+        parts.append("".join(buf))
+    return parts
+
+
+def _prop_of(expr: str) -> tuple[str, bool]:
+    """'n.prop' or 'toString(n.prop)' → (prop, stringified?)."""
+    expr = expr.strip()
+    if expr.startswith("toString(") and expr.endswith(")"):
+        return expr[len("toString(") : -1].split(".", 1)[1], True
+    return expr.split(".", 1)[1], False
+
+
+def _cond_holds(node: dict, cond: str) -> bool:
+    cond = cond.strip()
+    if cond.endswith(" IS NOT NULL"):
+        prop, _ = _prop_of(cond[: -len(" IS NOT NULL")])
+        return node.get(prop) is not None
+    for op in (" STARTS WITH ", " ENDS WITH ", " CONTAINS ", " IN ",
+               " <> ", " <= ", " >= ", " = ", " < ", " > "):
+        parts = _split_top(cond, op)
+        if len(parts) == 2:
+            prop, stringify = _prop_of(parts[0])
+            v = node.get(prop)
+            if v is None:
+                return False
+            if stringify:
+                v = str(v)
+            lit = _parse_literal(parts[1])
+            key = op.strip()
+            return {
+                "=": lambda: v == lit,
+                "<>": lambda: v != lit,
+                "<": lambda: v < lit,
+                "<=": lambda: v <= lit,
+                ">": lambda: v > lit,
+                ">=": lambda: v >= lit,
+                "IN": lambda: v in lit,
+                "CONTAINS": lambda: lit in str(v),
+                "STARTS WITH": lambda: str(v).startswith(lit),
+                "ENDS WITH": lambda: str(v).endswith(lit),
+            }[key]()
+    raise ValueError(f"unsupported cypher condition: {cond}")
+
+
+def run_cypher(query: str, graph: dict[str, list[dict]]) -> list[dict]:
+    """Execute one emitted-subset Cypher query over the property
+    graph; returns row dicts keyed by the RETURN aliases."""
+    q = query.strip()
+    assert q.startswith("MATCH (n:"), q
+    label, rest = q[len("MATCH (n:") :].split(")", 1)
+    rest = rest.strip()
+
+    skip = limit = None
+    if " LIMIT " in rest:
+        rest, n = rest.rsplit(" LIMIT ", 1)
+        limit = int(n)
+    if " SKIP " in rest:
+        rest, n = rest.rsplit(" SKIP ", 1)
+        skip = int(n)
+
+    conds: list[str] = []
+    if rest.startswith("WHERE "):
+        where, _, items_str = rest[len("WHERE ") :].partition(" RETURN ")
+        conds = _split_top(where, " AND ")
+    else:
+        assert rest.startswith("RETURN "), rest
+        items_str = rest[len("RETURN ") :]
+
+    items: list[tuple[str | None, str]] = []  # (prop, alias)
+    for item in _split_top(items_str, ", "):
+        item = item.strip()
+        if item == "1":
+            items.append((None, "__one"))
+        else:
+            expr, _, alias = item.partition(" AS ")
+            prop, _ = _prop_of(expr)
+            items.append((prop, alias.strip()))
+
+    out = []
+    for node in graph.get(label, []):
+        if all(_cond_holds(node, c) for c in conds):
+            out.append(
+                {alias: (1 if prop is None else node.get(prop)) for prop, alias in items}
+            )
+    if skip:
+        out = out[skip:]
+    if limit is not None:
+        out = out[:limit]
+    return out
+
+
+def executor_from_graph(
+    graph: dict[str, list[dict]] | Callable[[], dict[str, list[dict]]],
+) -> Callable[[str], list[dict]]:
+    """Build a ``Catalog.executors`` entry with the neo4j call
+    convention ``executor(cypher) -> [row dict]``."""
+
+    def execr(cypher: str) -> list[dict]:
+        g = graph() if callable(graph) else graph
+        return run_cypher(cypher, g)
+
+    return execr

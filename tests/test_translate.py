@@ -123,90 +123,10 @@ def test_sql_mysql_dialect_quoting():
 # --- MongoDB -------------------------------------------------------------
 
 
-def run_pipeline(docs: list[dict], pipeline: list[dict]) -> list[dict]:
-    """Interpreter for the emitted stage subset."""
-
-    def get(doc, dotted):
-        cur = doc
-        for part in dotted.split("."):
-            if not isinstance(cur, dict) or part not in cur:
-                return None
-            cur = cur[part]
-        return cur
-
-    def set_(doc, dotted, value):
-        parts = dotted.split(".")
-        cur = doc
-        for p in parts[:-1]:
-            cur = cur.setdefault(p, {})
-        cur[parts[-1]] = value
-
-    def matches(doc, spec):
-        for field, cond in spec.items():
-            v = get(doc, field)
-            if isinstance(cond, dict):
-                for op, arg in cond.items():
-                    if op == "$exists":
-                        if (v is not None) != arg:
-                            return False
-                    elif op == "$ne":
-                        if v == arg:
-                            return False
-                    elif op == "$eq":
-                        if v != arg:
-                            return False
-                    elif op == "$regex":
-                        import re as _re
-
-                        if v is None or not _re.search(arg, str(v)):
-                            return False
-                    elif op in ("$lt", "$lte", "$gt", "$gte"):
-                        if v is None:
-                            return False
-                        ok = {"$lt": v < arg, "$lte": v <= arg,
-                              "$gt": v > arg, "$gte": v >= arg}[op]
-                        if not ok:
-                            return False
-                    elif op == "$in":
-                        if v not in arg:
-                            return False
-                    else:
-                        raise AssertionError(f"op {op}")
-            elif v != cond:
-                return False
-        return True
-
-    out = [dict(d) for d in docs]
-    for stage in pipeline:
-        (op, arg), = stage.items()
-        if op == "$match":
-            out = [d for d in out if matches(d, arg)]
-        elif op == "$unwind":
-            field = arg[1:]
-            nxt = []
-            for d in out:
-                for item in get(d, field) or []:
-                    nd = dict(d)
-                    set_(nd, field, item)
-                    nxt.append(nd)
-            out = nxt
-        elif op == "$project":
-            nxt = []
-            for d in out:
-                nd = {}
-                for out_name, src in arg.items():
-                    if out_name == "_id":
-                        continue
-                    nd[out_name] = get(d, src[1:]) if isinstance(src, str) else None
-                nxt.append(nd)
-            out = nxt
-        elif op == "$skip":
-            out = out[arg:]
-        elif op == "$limit":
-            out = out[:arg]
-        else:
-            raise AssertionError(f"stage {op}")
-    return out
+# The pipeline interpreter now lives in the package (sources/docstore.py
+# — the execution seam the sparql_mongo_join driver query runs through);
+# these tests exercise THAT interpreter, not a test-only copy.
+from ontario_spark.sources.docstore import aggregate as run_pipeline  # noqa: E402
 
 
 MONGO_DOCS = [
@@ -439,3 +359,129 @@ def test_remote_filter_pushdown_end_to_end(spark, sf_small):
     remote_sql = [q for q in seen if "9000.0" in q]
     assert remote_sql, f"filter not pushed; remote saw: {seen[:2]}"
     assert any("LIKE '%Customer%'" in q for q in remote_sql)
+
+
+# --- execution seams: document store + graph store (round 4) -------------
+
+
+def test_mongo_execution_end_to_end(spark, sf_small):
+    """Full engine run with the Customer molecule served by the
+    docstore seam: pipeline translated, executed over parquet-loaded
+    documents, lifted, joined Spark-side — vs plain DuckDB SQL."""
+    from ontario_spark.catalog.tpch_rdf import tpch_mongo_catalog
+
+    cat = tpch_mongo_catalog(sf_small)
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name ?oprio WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal .
+              ?o a ex:Order ; ex:customer ?c ; ex:orderpriority ?oprio .
+              FILTER (?bal > 8000.0) FILTER (?oprio = "1-URGENT") }"""
+    )
+    con = duckdb.connect()
+    duck_tables(sf_small, con)
+    exp = con.execute(
+        """SELECT c_name, o_orderpriority FROM customer
+           JOIN orders ON o_custkey = c_custkey
+           WHERE c_acctbal > 8000.0 AND o_orderpriority = '1-URGENT'"""
+    ).fetchall()
+    got = [(r["name"], r["oprio"]) for r in df.collect()]
+    assert sorted(got) == sorted(exp) and len(exp) > 0
+
+
+def test_mongo_executor_receives_pushed_match(spark, sf_small):
+    """The sargable FILTER must reach the document store as a $match —
+    observed through a spying executor, not inferred from the plan."""
+    from ontario_spark.catalog.tpch_rdf import tpch_mongo_catalog
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        parquet_doc_loader,
+    )
+
+    cat = tpch_mongo_catalog(sf_small)
+    inner = executor_from_collections(parquet_doc_loader(sf_small))
+    seen = []
+
+    def spy(collection, pipeline):
+        seen.append((collection, pipeline))
+        return inner(collection, pipeline)
+
+    cat.executors["remote_mongo"] = spy
+    SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name ;
+              ex:acctbal ?bal . FILTER (?bal > 9000.0) }"""
+    ).collect()
+    ((coll, pipeline),) = seen
+    assert coll == "customer"
+    match = pipeline[0]["$match"]
+    assert match["c_acctbal"].get("$gt") == 9000.0
+
+
+def test_cypher_execution_end_to_end(spark, sf_small):
+    """Full engine run through the graphstore interpreter, pushed
+    STARTS WITH included, joined against the parquet nation star."""
+    from ontario_spark.catalog.tpch_rdf import tpch_cypher_catalog
+
+    cat = tpch_cypher_catalog(sf_small)
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?name ?nname WHERE {
+              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+              ?n a ex:Nation ; ex:name ?nname .
+              FILTER (STRSTARTS(?name, "Customer#00000001")) }"""
+    )
+    con = duckdb.connect()
+    duck_tables(sf_small, con)
+    exp = con.execute(
+        """SELECT c_name, n_name FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE starts_with(c_name, 'Customer#00000001')"""
+    ).fetchall()
+    got = [(r["name"], r["nname"]) for r in df.collect()]
+    assert sorted(got) == sorted(exp) and len(exp) > 0
+
+
+def test_graphstore_interpreter_subset():
+    """Unit semantics of the Cypher-subset interpreter: quoting,
+    escapes, toString keys, IN lists, SKIP/LIMIT."""
+    from ontario_spark.sources.graphstore import run_cypher
+
+    graph = {
+        "Customer": [
+            {"cid": 1, "name": "al'ice", "bal": 10.5},
+            {"cid": 2, "name": "bob", "bal": 3.0},
+            {"cid": 3, "name": None, "bal": 7.0},
+        ]
+    }
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE n.name IS NOT NULL AND n.bal > 1.0 "
+        "RETURN n.name AS name, n.cid AS c__k0",
+        graph,
+    )
+    assert sorted(r["name"] for r in rows) == ["al'ice", "bob"]
+    # escaped quote literal round-trips
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE n.name = 'al\\'ice' RETURN n.cid AS k", graph
+    )
+    assert rows == [{"k": 1}]
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE toString(n.cid) = '2' RETURN n.name AS name",
+        graph,
+    )
+    assert rows == [{"name": "bob"}]
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE n.name IN ['bob', 'zed'] RETURN n.cid AS k",
+        graph,
+    )
+    assert rows == [{"k": 2}]
+    rows = run_cypher(
+        "MATCH (n:Customer) RETURN n.cid AS k SKIP 1 LIMIT 1", graph
+    )
+    assert rows == [{"k": 2}]
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE n.name STARTS WITH 'al' AND n.name CONTAINS 'ice' "
+        "RETURN n.cid AS k",
+        graph,
+    )
+    assert rows == [{"k": 1}]
