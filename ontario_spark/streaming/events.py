@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -233,53 +234,78 @@ GAPS_STATE_SCHEMA = StructType(
         StructField("n", LongType()),
         StructField("last_us", LongType()),
         StructField("maxgap_us", LongType()),
+        StructField("pending_us", ArrayType(LongType())),
     ]
 )
 
 
-def user_event_gaps(stream: DataFrame) -> DataFrame:
+def _fold_gaps(
+    n: int, last_us: int | None, maxgap_us: int | None, sorted_us: list[int]
+) -> tuple[int, int | None, int | None]:
+    """Fold a sorted run of event times into the (count, last seen,
+    max gap) aggregate."""
+    for us in sorted_us:
+        if last_us is not None:
+            g = us - last_us
+            maxgap_us = g if maxgap_us is None else max(maxgap_us, g)
+        last_us = us
+        n += 1
+    return n, last_us, maxgap_us
+
+
+def user_event_gaps(stream: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     event count + maximum inter-event gap (µs). The gap spans batch
     boundaries, so it genuinely needs keyed state (last seen timestamp)
     — not expressible with built-in windowed aggregates alone.
 
-    Events are ordered per batch (arrival order across batches assumed
-    in-order, as with replayed files; production would buffer on the
-    watermark before gap computation). Gaps stay integer microseconds
-    end-to-end so the batch oracle (``epoch_us`` diffs) matches
-    bit-for-bit."""
+    **Watermark-buffered (round 4)** — correct under out-of-order
+    arrival, not just file replay: incoming event times join a per-key
+    pending buffer; only events at or below the current watermark are
+    FINALIZED into the (n, last, maxgap) aggregate, in event-time
+    order. Anything older arriving later would have been dropped by the
+    engine's watermark filter, so finalized gaps can never be
+    contradicted by a late event. Each emission is the provisional fold
+    of finalized state + the sorted pending buffer — i.e. exactly the
+    answer over every event seen so far — so the update-mode sink's
+    last row per key equals the sorted-replay (batch oracle) answer
+    regardless of arrival order. State is bounded by the watermark
+    horizon per key (the standard buffer-on-watermark cost), not by the
+    stream length. Gaps stay integer microseconds end-to-end so the
+    batch oracle (``epoch_us`` diffs) matches bit-for-bit."""
+    from bisect import bisect_right
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n, last_us, maxgap_us = state.get
+            n, last_us, maxgap_us, pending = state.get
+            pending = list(pending or [])
         else:
-            n, last_us, maxgap_us = 0, None, None
+            n, last_us, maxgap_us, pending = 0, None, None, []
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            us = (
-                pd.to_datetime(pdf["ts"])
-                .astype("datetime64[ns]")
-                .astype("int64")
-                .sort_values()
-                // 1000
+            pending.extend(
+                (
+                    pd.to_datetime(pdf["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                ).tolist()
             )
-            gaps = us.diff()
-            if last_us is not None:
-                gaps.iloc[0] = us.iloc[0] - last_us
-            batch_max = gaps.max()
-            if pd.notna(batch_max):
-                batch_max = int(batch_max)
-                maxgap_us = batch_max if maxgap_us is None else max(maxgap_us, batch_max)
-            n += len(us)
-            last_us = int(us.iloc[-1])
-        state.update((n, last_us, maxgap_us))
+        pending.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cut = bisect_right(pending, wm_us)
+        n, last_us, maxgap_us = _fold_gaps(n, last_us, maxgap_us, pending[:cut])
+        pending = pending[cut:]
+        state.update((n, last_us, maxgap_us, pending))
+        pn, _, pmax = _fold_gaps(n, last_us, maxgap_us, pending)
         yield pd.DataFrame(
-            [{"user_id": key[0], "n_events": n, "max_gap_us": maxgap_us}]
+            [{"user_id": key[0], "n_events": pn, "max_gap_us": pmax}]
         )
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    return stream.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=GAPS_OUT_SCHEMA,
         stateStructType=GAPS_STATE_SCHEMA,

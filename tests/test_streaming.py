@@ -155,3 +155,62 @@ def test_stream_dedup_within_watermark_plumbs(spark, sf_small):
     )
     n = df.count()
     assert n == df.dropDuplicates().count() and n > 0
+
+
+def test_user_event_gaps_out_of_order_replay(spark, tmp_path):
+    """Round-4 fix: the gap operator buffers on the watermark, so
+    replaying batches OUT of event-time order yields the identical
+    final answer to sorted replay (previously it assumed in-order
+    arrival across batches)."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ontario_spark.streaming.events import (
+        EVENT_SCHEMA_NANOS,
+        run_available_now,
+        user_event_gaps,
+    )
+
+    us = 1_000  # ns per µs
+    base = 1_700_000_000_000_000_000  # ns epoch
+    t = [base, base + 3_600_000_000 * us, base + 4_000_000_000 * us,
+         base + 10_000_000_000 * us]  # gaps: 3600s, 400s, 6000s
+
+    def replay(order_name, batches):
+        d = str(tmp_path / order_name)
+        os.makedirs(d)
+        for i, rows in enumerate(batches):
+            pdf = pd.DataFrame(
+                [(j, ts, 7, "a", 1.0, "") for j, ts in enumerate(rows)],
+                columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+            )
+            path = f"{d}/b{i}.parquet"
+            pdf.to_parquet(path)
+            mtime = time.time() - 100 + i
+            os.utime(path, (mtime, mtime))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENT_SCHEMA_NANOS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        out = run_available_now(
+            user_event_gaps(raw), f"gaps_{order_name}_sink", output_mode="update"
+        )
+        return max(
+            (r for r in out.collect() if r["user_id"] == 7),
+            key=lambda r: r["n_events"],
+        )
+
+    in_order = replay("inorder", [[t[0], t[1]], [t[2], t[3]]])
+    # batch 1 delivers the LATEST events, batch 2 the earliest — the
+    # boundary-spanning gaps only come out right if event-time order,
+    # not arrival order, drives the fold
+    shuffled = replay("shuffled", [[t[2], t[3]], [t[0], t[1]]])
+    assert in_order["n_events"] == 4 and shuffled["n_events"] == 4
+    assert in_order["max_gap_us"] == 6_000_000_000_000 // 1000
+    assert shuffled["max_gap_us"] == in_order["max_gap_us"]
