@@ -43,9 +43,14 @@ class ExprCompiler:
     ``resolve(var) -> Column`` (the BFrame provides it, handling keyed
     vars) and a ``dtype(var) -> str|None`` probe for EBV decisions."""
 
-    def __init__(self, resolve, dtype=lambda v: None):
+    def __init__(self, resolve, dtype=lambda v: None, has_col=lambda c: False):
         self.resolve = resolve
         self.dtype = dtype
+        # has_col: does the underlying frame carry this raw column?
+        # Used to find SERVICE term-fidelity side columns (var__lang /
+        # var__dt / var__type) so LANG()/DATATYPE() answer from the
+        # remote SPARQL-JSON metadata when it's present.
+        self.has_col = has_col
 
     # --- public ---------------------------------------------------------
 
@@ -178,15 +183,23 @@ class ExprCompiler:
         if op == "sameterm":
             return self.value(a[0]) == self.value(a[1])
         if op == "langmatches":
-            # lang metadata is not carried per-cell in this engine; a
-            # dedicated lang column (ex:lang predicate) is the supported
-            # pattern. LANGMATCHES(x, "*") → x != ''.
+            # first arg is typically LANG(?x), which compiles to the
+            # remote side column when present (see "lang" below) or to
+            # a dedicated lang column. LANGMATCHES(x, "*") → x != ''.
             tag = unwrap(a[1])
             if tag is not None and tag.value == "*":
                 return F.length(self.value(a[0])) > 0
             return F.lower(self.value(a[0])) == F.lit(tag.value.lower())
         if op == "lang":
-            return self.value(a[0])  # see langmatches note
+            # SERVICE results carry the SPARQL-JSON xml:lang per cell
+            # as a side column; LANG() of a plain literal is "" (SPARQL
+            # §17.4.2.6). For local vars, no per-cell lang exists — the
+            # value itself acts as the tag (dedicated-lang-column
+            # pattern).
+            v = unwrap(a[0])
+            if v is not None and v.is_var and self.has_col(f"{v.value}__lang"):
+                return F.coalesce(F.col(f"{v.value}__lang"), F.lit(""))
+            return self.value(a[0])
         if op in ("isiri", "isuri"):
             return self.value(a[0]).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
         if op == "isblank":
@@ -194,12 +207,35 @@ class ExprCompiler:
         if op == "isliteral":
             return ~self.value(a[0]).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
         if op == "datatype":
+            v = unwrap(a[0])
+            if v is not None and v.is_var and self.has_col(f"{v.value}__dt"):
+                # SERVICE results: answer from the SPARQL-JSON term
+                # metadata — explicit datatype wins; lang-tagged →
+                # rdf:langString; plain literal → xsd:string; uri/bnode
+                # → NULL (SPARQL type error → row filtered)
+                ty = F.col(f"{v.value}__type")
+                return F.when(
+                    ty.isin("uri", "bnode"), F.lit(None).cast("string")
+                ).otherwise(
+                    F.coalesce(
+                        F.col(f"{v.value}__dt"),
+                        F.when(
+                            F.col(f"{v.value}__lang").isNotNull(),
+                            F.lit(
+                                "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+                            ),
+                        ),
+                        F.when(
+                            F.col(v.value).isNotNull(),
+                            F.lit("http://www.w3.org/2001/XMLSchema#string"),
+                        ),
+                    )
+                )
             # Native column type → xsd datatype IRI (the reference's
             # Xfilter DATATYPE works on annotated RDF terms; here the
             # engine-internal representation IS the native type, so the
             # Spark dtype is the authority). IRIs have no datatype →
             # NULL (SPARQL type error → row filtered).
-            v = unwrap(a[0])
             dt = self.dtype(v.value) if v is not None and v.is_var else None
             xsd = "http://www.w3.org/2001/XMLSchema#"
             base = (dt or "string").split("(")[0]

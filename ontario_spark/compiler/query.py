@@ -374,7 +374,12 @@ class SparqlEngine:
         )
         executor = self.service_executors.get(sb.endpoint)
         if executor is None:
-            executor = lambda q: paged_bindings(sb.endpoint, q)  # noqa: E731
+            # full_terms: the HTTP path carries SPARQL-JSON
+            # type/lang/datatype per binding (injected executors may
+            # return plain dicts — their side columns stay NULL)
+            executor = lambda q: paged_bindings(  # noqa: E731
+                sb.endpoint, q, full_terms=True
+            )
 
         max_keys = 100_000
         queries = [text]
@@ -405,9 +410,16 @@ class SparqlEngine:
             if not sb.silent:
                 raise
             rows = []
-        schema = ", ".join(f"{v} string" for v in variables)
+        from ontario_spark.sources.sparql_endpoint import TERM_SIDE_SUFFIXES
+
+        cols = [
+            c
+            for v in variables
+            for c in (v, *[f"{v}{s}" for s in TERM_SIDE_SUFFIXES])
+        ]
+        schema = ", ".join(f"`{c}` string" for c in cols)
         df = self.spark.createDataFrame(
-            [tuple(r.get(v) for v in variables) for r in rows], schema=schema
+            [tuple(r.get(c) for c in cols) for r in rows], schema=schema
         )
         bf = BFrame(df, {v: TermMeta(LEXICAL) for v in variables})
         for f in filters:
@@ -616,7 +628,7 @@ class SparqlEngine:
         def dtype(var: str):
             return dtypes.get(var)
 
-        return ExprCompiler(resolve, dtype)
+        return ExprCompiler(resolve, dtype, has_col=lambda c: c in dtypes)
 
     def _select(self, q: Query, bf: BFrame) -> DataFrame:
         sel = q.select

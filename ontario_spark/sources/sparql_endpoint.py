@@ -70,23 +70,50 @@ def _simple_value(term: dict) -> str | None:
     return term.get("value") if term else None
 
 
+# Suffixes for the side columns carrying full SPARQL-JSON term fidelity
+# (reference ships {'type','value','datatype','xml:lang'} dicts end to
+# end, ``wrappers/triplestore/__init__.py:82-102``; here the lexical
+# value is the main column and type/lang/datatype ride as side columns
+# so LANG()/DATATYPE()/LANGMATCHES work on remote bindings).
+TERM_SIDE_SUFFIXES = ("__type", "__lang", "__dt")
+
+
+def _full_term(var: str, term: dict | None) -> dict[str, str | None]:
+    term = term or {}
+    return {
+        var: term.get("value"),
+        f"{var}__type": term.get("type"),
+        f"{var}__lang": term.get("xml:lang"),
+        f"{var}__dt": term.get("datatype"),
+    }
+
+
 def paged_bindings(
     endpoint: str,
     query: str,
     page_size: int = 10000,
     fetcher: Fetcher = http_fetcher,
     max_pages: int = 10000,
+    full_terms: bool = False,
 ) -> Iterator[dict[str, str | None]]:
     """Yield solution mappings, re-issuing with LIMIT/OFFSET until a
     short page (reference :28-46). The input query must not already
-    carry LIMIT/OFFSET."""
+    carry LIMIT/OFFSET. ``full_terms=True`` additionally carries each
+    binding's SPARQL-JSON type/xml:lang/datatype as ``var__type`` /
+    ``var__lang`` / ``var__dt`` keys."""
     offset = 0
     for _ in range(max_pages):
         paged = f"{query}\nLIMIT {page_size} OFFSET {offset}"
         result = fetcher(endpoint, paged)
         rows = result.get("results", {}).get("bindings", [])
         for row in rows:
-            yield {var: _simple_value(term) for var, term in row.items()}
+            if full_terms:
+                out: dict[str, str | None] = {}
+                for var, term in row.items():
+                    out.update(_full_term(var, term))
+                yield out
+            else:
+                yield {var: _simple_value(term) for var, term in row.items()}
         if len(rows) < page_size:
             return
         offset += page_size

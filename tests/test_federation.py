@@ -408,3 +408,73 @@ def test_fetcher_retries_transient_failures():
     with _pytest.raises(HTTPError):
         with_retries(forbidden, retries=3, backoff=0.01)("http://e", "q")
     assert len(calls) == 1  # 4xx: no retry
+
+
+def test_service_term_fidelity_lang_and_datatype(spark, sf_small):
+    """Round-4 fix: SPARQL-JSON type/xml:lang/datatype survive the
+    SERVICE lift as side columns, so LANG()/LANGMATCHES()/DATATYPE()
+    filter remote bindings correctly (the reference ships full term
+    dicts end-to-end, wrappers/triplestore/__init__.py:82-102)."""
+    cat = tpch_catalog(sf_small)
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def endpoint(query):
+        return [
+            {"r": f"{EX}region/0", "r__type": "uri",
+             "rname": "Europa", "rname__type": "literal", "rname__lang": "de"},
+            {"r": f"{EX}region/1", "r__type": "uri",
+             "rname": "Europe", "rname__type": "literal", "rname__lang": "en"},
+            {"r": f"{EX}region/2", "r__type": "uri",
+             "rname": "42", "rname__type": "literal", "rname__dt": xsd_int},
+        ]
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://remote.example/sparql": endpoint}
+    )
+    svc = "SERVICE <http://remote.example/sparql> { ?r ex:name ?rname . %s }"
+    q = lambda f: eng.query(  # noqa: E731
+        PFX + "SELECT ?rname WHERE { " + (svc % f) + " }"
+    )
+    assert [r["rname"] for r in q('FILTER (LANG(?rname) = "en")').collect()] == [
+        "Europe"
+    ]
+    assert [
+        r["rname"]
+        for r in q('FILTER (LANGMATCHES(LANG(?rname), "de"))').collect()
+    ] == ["Europa"]
+    assert [
+        r["rname"]
+        for r in q(f'FILTER (DATATYPE(?rname) = "{xsd_int}")').collect()
+    ] == ["42"]
+    # lang-tagged literals have datatype rdf:langString; plain-dict
+    # executors (no metadata) degrade to xsd:string, never crash
+    got = q(
+        'FILTER (DATATYPE(?rname) = '
+        '"http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")'
+    ).collect()
+    assert sorted(r["rname"] for r in got) == ["Europa", "Europe"]
+
+
+def test_paged_bindings_full_terms():
+    from ontario_spark.sources.sparql_endpoint import paged_bindings
+
+    def fake_fetcher(endpoint, query):
+        return {
+            "results": {
+                "bindings": [
+                    {
+                        "x": {"type": "literal", "value": "hi", "xml:lang": "en"},
+                        "y": {"type": "uri", "value": "http://a/b"},
+                    }
+                ]
+            }
+        }
+
+    (row,) = list(
+        paged_bindings("http://e", "SELECT", fetcher=fake_fetcher, full_terms=True)
+    )
+    assert row["x"] == "hi" and row["x__lang"] == "en"
+    assert row["x__type"] == "literal" and row["x__dt"] is None
+    assert row["y__type"] == "uri"
+    plain = list(paged_bindings("http://e", "SELECT", fetcher=fake_fetcher))
+    assert plain == [{"x": "hi", "y": "http://a/b"}]
