@@ -87,12 +87,21 @@ def run(
             # distributed sink: results land as a partitioned dataset
             # straight from the executors — the driver never holds the
             # result set (the scale path for large answers)
+            from pyspark.sql import functions as F
+            from pyspark.sql.observation import Observation
+
             from ontario_spark.sinks import write_results
 
-            write_results(df, write_path, fmt=write_format)
-            n = spark.read.format(write_format).options(
-                **({"header": True} if write_format == "csv" else {})
-            ).load(write_path).count()
+            # row count observed DURING the write (free — a metric on
+            # the outgoing rows) instead of re-reading the whole
+            # written dataset afterward
+            obs = Observation("written_rows")
+            write_results(
+                df.observe(obs, F.count(F.lit(1)).alias("n")),
+                write_path,
+                fmt=write_format,
+            )
+            n = obs.get["n"]
             return {
                 "vars": df.columns,
                 "written": write_path,

@@ -26,7 +26,7 @@ reference's selectivity heuristics (``Planner.py:102-259``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ontario_spark.catalog.model import Catalog
@@ -106,17 +106,28 @@ class SparqlEngine:
 
     def _var_pred_frame(self, t: Triple) -> BFrame:
         """Triple with a VARIABLE predicate (``?s ?p ?o`` browsing):
-        expand over the catalog's predicate universe + rdf:type, one
-        normally-compiled branch per predicate with ?p bound to the
-        predicate IRI, unioned. Beyond the reference: its decomposer
-        source-selects only on constant predicates and its SQL wrappers
-        cannot translate a variable predicate at all. Bounded by the
-        catalog's predicate count (molecule metadata, not data)."""
+        expand over the catalog's predicate universe + rdf:type.
+        Beyond the reference: its decomposer source-selects only on
+        constant predicates and its SQL wrappers cannot translate a
+        variable predicate at all.
+
+        Fast path (round 4): when subject and object are variables and
+        every map is a plain local table, each source table is scanned
+        ONCE and its predicate columns unpivot via ``stack`` into
+        (s, p, o) rows — one FileScan per map instead of one per
+        catalog predicate (a wide catalog previously multiplied scans
+        of the same table). Remote/nested/constant-term shapes fall
+        back to one normally-compiled branch per predicate, unioned.
+        Either way, bounded by catalog metadata, not data."""
         from ontario_spark.compiler.star import StarCompileError
         from ontario_spark.planner.decomposer import SourceSelectionError
         from ontario_spark.sparql.parser import RDF_TYPE as _RT
 
         pvar = t.p.value
+        if t.s.is_var and t.o.is_var:
+            fast = self._var_pred_unpivot(t.s.value, pvar, t.o.value, _RT)
+            if fast is not None:
+                return fast
         branches: list[BFrame] = []
         for pred in sorted(self.catalog.predicate_index) + [_RT]:
             one = Triple(t.s, Term("iri", pred), t.o)
@@ -140,6 +151,78 @@ class SparqlEngine:
         for b in branches[1:]:
             out = out.union(b)
         return out
+
+    def _var_pred_unpivot(
+        self, svar: str, pvar: str, ovar: str, rdf_type: str
+    ) -> BFrame | None:
+        """One-scan-per-map ``?s ?p ?o`` expansion: unpivot each local
+        map's predicate columns with ``stack`` (subject URI formatted
+        from its template, objects cast to their lexical strings,
+        rdf:type appended as a constant pair). Returns None — caller
+        falls back to per-predicate compilation — if any map needs the
+        remote/nested machinery (the fallback handles ALL maps then, so
+        the two paths never split one answer)."""
+        from ontario_spark.catalog.model import (
+            CONSTANT,
+            REFERENCE,
+            TEMPLATE,
+        )
+
+        def nested(path: str) -> bool:
+            return "/" in path or "[*]" in path
+
+        maps = list(self.catalog.triple_maps.values())
+        if not maps:
+            return None
+        for tm in maps:
+            src = self.catalog.source_of(tm)
+            if src.dstype in self.catalog.REMOTE_TYPES or (
+                tm.source.fmt or src.dstype
+            ) == "rest":
+                return None
+            if tm.source.iterator:
+                return None
+            if tm.subject.kind == CONSTANT or any(
+                nested(c) for c in tm.subject.columns
+            ):
+                return None
+            for _, om in tm.predicates:
+                if om.kind != CONSTANT and any(nested(c) for c in om.columns):
+                    return None
+
+        frames = []
+        for tm in maps:
+            df = self.catalog.load_source_df(self.spark, tm)
+            if tm.subject.kind == TEMPLATE:
+                subj = tm.subject.template.format(col=F.col)
+            else:
+                subj = F.col(tm.subject.value).cast("string")
+            pairs: list[Column] = []
+            for pred, om in tm.predicates:
+                if om.kind == REFERENCE:
+                    obj = F.col(om.value).cast("string")
+                elif om.kind == TEMPLATE:
+                    obj = om.template.format(col=F.col)
+                else:
+                    obj = F.lit(om.value)
+                pairs += [F.lit(pred), obj]
+            if tm.subject_class:
+                pairs += [F.lit(rdf_type), F.lit(tm.subject_class)]
+            if not pairs:
+                continue
+            frames.append(
+                df.select(
+                    subj.alias(svar),
+                    F.stack(F.lit(len(pairs) // 2), *pairs).alias(pvar, ovar),
+                ).filter(F.col(svar).isNotNull() & F.col(ovar).isNotNull())
+            )
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        meta = {v: TermMeta(LEXICAL) for v in (svar, pvar, ovar)}
+        return BFrame(out, meta)
 
     def _group(self, g: Group, key_hint: BFrame | None = None) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]

@@ -68,3 +68,19 @@ def test_whole_stage_codegen_covers_the_agg_path(spark, sf_small):
     assert "*(" in plan
     agg = [l for l in plan.splitlines() if "HashAggregate" in l]
     assert agg and any("*(" in l for l in agg)
+
+
+def test_var_pred_browsing_scans_each_table_once(spark, sf_small):
+    """Round-4 fix: ?s ?p ?o compiles to ONE FileScan per triple map
+    (stack-unpivot of the map's predicate columns) instead of one scan
+    per catalog predicate — previously a wide catalog re-read the same
+    table for every predicate it mapped."""
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    cat = tpch_catalog(sf_small)
+    df = SparqlEngine(spark, cat).query("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+    plan = _plan(df)
+    n_scans = sum(1 for l in plan.splitlines() if "FileScan" in l)
+    assert n_scans == len(cat.triple_maps), (n_scans, len(cat.triple_maps))
+    assert df.limit(1).count() >= 0  # compiles AND executes
