@@ -57,42 +57,67 @@ def bm25_scores(
 ) -> DataFrame:
     """BM25 score of every document against ``query_terms``
     (documents containing none score 0 and are omitted). idf uses the
-    standard Robertson-Sparck-Jones form with +1 smoothing."""
+    standard Robertson-Sparck-Jones form with +1 smoothing.
+
+    Because the query's term set is a small compile-time constant,
+    scoring needs NO corpus shuffle at all: per-document term
+    frequencies are ``size(filter(tokens, = term))`` per-row
+    expressions, document length is ``size(tokens)``, and the only
+    aggregate is ONE row (n_docs, avgdl, df per term) broadcast back
+    onto the compact per-doc frame. The general explode→aggregate
+    inverted index (``term_stats``) remains for index-building use
+    cases, but query scoring never pays for it."""
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
-    stats = term_stats(df, id_col, text_col).persist()
+    toks = spread(df).select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), lambda x: F.lower(x)).alias("__toks"),
+    )
+    # Compact integer profile per document: dl + tf per query term.
+    # Persisted because the corpus-stats aggregate and the scoring scan
+    # both read it; it is one row per doc of (m+2) ints, not the text.
+    # (closure helper: a `lambda x, t=t:` default would be read by
+    # PySpark as the two-arg (element, index) lambda form)
+    def _tf(i: int, t: str):
+        return F.size(F.filter("__toks", lambda x: x == F.lit(t))).alias(f"__tf{i}")
 
-    # Scalar aggregates as broadcast cross joins — one row each, lazy.
-    nd = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n_docs")))
-    ad = F.broadcast(
-        stats.select(id_col, "dl").distinct().agg(F.avg("dl").alias("__avgdl"))
+    per_doc = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("dl"),
+        *[_tf(i, t) for i, t in enumerate(terms)],
+    ).persist()
+    # ONE scalar-aggregate row, broadcast-cross-joined (the q11/q15
+    # scalar-subquery pattern). dl is integer-valued so the double sum
+    # inside avg() is exact and order-independent — deterministic.
+    corpus = F.broadcast(
+        per_doc.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+            *[
+                F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+                for i in range(len(terms))
+            ],
+        )
     )
-    rel = stats.filter(F.col("term").isin(*terms))
-    dfreq = F.broadcast(
-        rel.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    )
-    scored = rel.join(dfreq, "term").crossJoin(nd).crossJoin(ad)
-    idf = F.log(
-        (F.col("__n_docs").cast("double") - F.col("df") + 0.5)
-        / (F.col("df") + 0.5)
-        + 1.0
-    )
-    tf = F.col("tf").cast("double")
-    denom = tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl"))
-    contrib = (idf * tf * (k1 + 1.0) / denom).alias("__c")
-
-    # One aggregate column per query term (single-valued per group), then
-    # a fixed-order sum — deterministic double arithmetic.
-    per_term = scored.groupBy(id_col).agg(
-        *[
-            F.max(F.when(F.col("term") == t, contrib)).alias(f"__c{i}")
-            for i, t in enumerate(terms)
-        ]
-    )
+    scored = per_doc.crossJoin(corpus)
+    # Fixed left-to-right per-term summation — deterministic doubles.
     score = F.lit(0.0)
+    any_hit = F.lit(False)
     for i in range(len(terms)):
-        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+        tf = F.col(f"__tf{i}").cast("double")
+        dfreq = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            (F.col("__n_docs").cast("double") - dfreq + 0.5) / (dfreq + 0.5) + 1.0
+        )
+        denom = tf + k1 * (
+            1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl")
+        )
+        score = score + F.when(
+            F.col(f"__tf{i}") > 0, idf * tf * (k1 + 1.0) / denom
+        ).otherwise(F.lit(0.0))
+        any_hit = any_hit | (F.col(f"__tf{i}") > 0)
     return (
-        per_term.select(F.col(id_col), score.alias("bm25"))
+        scored.filter(any_hit)
+        .select(F.col(id_col), score.alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc(id_col))
     )
 
@@ -109,14 +134,20 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-k documents by BM25, score rounded to a hash-stable
     precision and ranked with a unique tiebreak (rounded score desc,
-    id asc) so the selected set is engine-independent."""
+    id asc) so the selected set is engine-independent.
+
+    The k rows are selected with ``orderBy().limit(k)`` — Spark's
+    distributed ``TakeOrderedAndProject`` (per-partition heaps merged
+    on the driver) — NOT a global row_number window, which would sort
+    the whole scored corpus in one task. The rank window then runs
+    over just the k survivors."""
     scored = bm25_scores(df, id_col, text_col, query_terms, k1=k1, b=b).select(
         F.col(id_col), F.round(F.col("bm25"), round_to).alias("bm25_r")
     )
-    w = Window.orderBy(F.desc("bm25_r"), F.asc(id_col))
+    order = [F.desc("bm25_r"), F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select(id_col, "rank", "bm25_r")
     )
 
