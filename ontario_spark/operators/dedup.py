@@ -233,3 +233,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
     )
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document,
+    the fraction of its distinct word n-gram shingles that appear in
+    ANY benchmark document. Rows with ``overlap >= threshold`` are
+    flagged (returned); training-data pipelines anti-join the flagged
+    ids to decontaminate before training.
+
+    Scale design: the benchmark side (eval sets) is MBs while the
+    corpus is TBs, so the benchmark's distinct shingle-hash set is
+    broadcast — the corpus shuffles only for its own per-doc aggregate,
+    never against the benchmark. Membership is tested on xxhash64 of
+    the shingle (8 bytes/row through the join, not shingle text). A
+    left-semi pre-filter would lose the per-doc denominator, so the
+    broadcast join marks hits and ONE aggregate computes hit count and
+    set size together.
+    """
+    from ontario_spark.operators.textops import exploded_shingles
+
+    bench_set = F.broadcast(
+        exploded_shingles(benchmark, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("k"))
+        .dropDuplicates(["k"])
+        .select("k", F.lit(1).alias("__hit"))
+    )
+    sh = exploded_shingles(corpus, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("k")
+    )
+    per_doc = (
+        sh.join(bench_set, "k", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    overlap = F.col("n_hits").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.round(overlap, 6).alias("overlap"),
+    ).filter(overlap >= threshold)

@@ -206,3 +206,33 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     return hashes.join(
         anchors.withColumnRenamed("id", id_col), id_col, "left_outer"
     ).select(id_col, "content_hash", "shingle_anchor")
+
+
+def frequent_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50
+) -> DataFrame:
+    """Corpus heavy hitters: the top-``k`` vocabulary terms by total
+    occurrences, with document frequency, ranked with a unique
+    (count desc, term asc) tiebreak so the selected set is
+    engine-independent.
+
+    Scale design: one explode feeding a map-side-combinable groupBy on
+    the term (vocabulary cardinality is sublinear in corpus size, so
+    the shuffled aggregate is small); top-k selection is the
+    distributed ``orderBy().limit(k)`` TakeOrderedAndProject path —
+    per-partition heaps, never a global sort. The rank window runs
+    over just the k survivors."""
+    from pyspark.sql.window import Window
+
+    tok = spread(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).select(id_col, F.lower(F.col("term")).alias("term"))
+    agg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    order = [F.desc("n_occurrences"), F.asc("term")]
+    top = agg.orderBy(*order).limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    ).select("term", "rank", "n_occurrences", "n_docs")

@@ -153,6 +153,139 @@ WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-
+    label propagation) over the n-gram-Jaccard pair graph, labeled by
+    the min doc_id per component — the step that turns a similarity
+    join into "keep one canonical doc per cluster"."""
+    from ontario_spark.operators.graph import connected_components
+    from pyspark.sql.window import Window
+
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.35,
+        max_doc_freq=1000,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("n").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+    )
+
+
+# Same shingle/pair CTEs as DEDUP_JACCARD_SQL, then components via a
+# recursive min-reachability CTE (r = every node reachable from n;
+# cluster_id = MIN(r) — identical labeling rule to min propagation).
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), ex AS (
+  SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM sh
+), rare AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+         ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON a.shingle = r.shingle
+  GROUP BY a.doc_id, b.doc_id
+), jac AS (
+  SELECT id_a, id_b FROM pairs
+  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM jac
+  UNION SELECT id_b AS a, id_a AS b FROM jac
+), reach(n, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+), comp AS (
+  SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM comp
+"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs whose distinct-shingle
+    overlap with the (deterministic ``doc_id % 97 == 0``) benchmark
+    slice clears the flag threshold — the pre-training
+    decontamination gate. Threshold 0.08 sits in the tail of the
+    synthetic corpus's overlap distribution (p99 ≈ 0.07 at sf0.01), so
+    the flagged set is small but non-empty at every test SF."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.contamination_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.08,
+    )
+
+
+CONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0
+), per AS (
+  SELECT e.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM ex e LEFT JOIN bench b ON e.shingle = b.shingle
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS overlap
+FROM per
+WHERE CAST(n_hits AS DOUBLE) / n_shingles >= 0.08
+"""
+
+
+def frequent_terms_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.frequent_terms(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=50
+    )
+
+
+FREQUENT_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS term
+  FROM documents
+), agg AS (
+  SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY term
+)
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS INT)
+         AS rank,
+       n_occurrences, n_docs
+FROM agg
+QUALIFY rank <= 50
+"""
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
@@ -717,6 +850,9 @@ QUERIES = {
     "bm25_topk": bm25_topk_docs,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "contamination_check": contamination_check,
+    "frequent_terms": frequent_terms_top,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -743,6 +879,9 @@ ORACLE = {
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "contamination_check": CONTAMINATION_SQL,
+    "frequent_terms": FREQUENT_TERMS_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,

@@ -343,3 +343,57 @@ def test_ivf_invariant_to_input_order(spark, sf_small):
     shuffled = emb.orderBy(F.desc("vec_id")).repartition(7)
     got = sorted(map(tuple, ivf_topk(shuffled, queries, k=2).collect()))
     assert base == got
+
+
+# --- contamination ------------------------------------------------------
+
+
+def test_contamination_overlap_counts(spark):
+    from ontario_spark.operators.dedup import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shingles: abc bcd cde
+            (2, "x y z w"),        # shingles: xyz yzw
+            (3, "a b c q r s"),    # shingles: abc bcq cqr qrs
+        ],
+        schema="doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d")],  # shingles: abc bcd
+        schema="doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["overlap"])
+        for r in contamination_overlap(
+            corpus, bench, "doc_id", "text", threshold=0.0
+        ).collect()
+    }
+    assert rows[1] == (3, 2, round(2 / 3, 6))
+    assert rows[2] == (2, 0, 0.0)
+    assert rows[3] == (4, 1, 0.25)
+
+
+def test_contamination_threshold_filters(spark):
+    from ontario_spark.operators.dedup import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w")], schema="doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e")], schema="doc_id long, text string"
+    )
+    out = contamination_overlap(corpus, bench, "doc_id", "text", threshold=0.5)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_frequent_terms_ranks(spark):
+    from ontario_spark.operators.textops import frequent_terms
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a B c"), (3, "b")],
+        schema="doc_id long, text string",
+    )
+    got = [tuple(r) for r in frequent_terms(df, "doc_id", "text", k=2).collect()]
+    # a: 3 occurrences in 2 docs; b: 3 in 3 docs (lowercased) -> tie, term asc
+    assert got == [("a", 1, 3, 2), ("b", 2, 3, 3)]

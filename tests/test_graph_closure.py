@@ -89,3 +89,35 @@ def test_engine_closure_bound_subject(spark, sf_small):
     locs = {r["loc"] for r in df.collect()}
     assert len(locs) == 2  # its nation and that nation's region
     assert any("/nation/" in x for x in locs) and any("/region/" in x for x in locs)
+
+
+# --- connected components ----------------------------------------------
+
+
+def _cc(spark, pairs):
+    from ontario_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(pairs, schema="src long, dst long")
+    return {(r["n"], r["component"]) for r in connected_components(df).collect()}
+
+
+def test_components_two_clusters(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_components_long_chain_converges(spark):
+    # diameter > 1 round: forces multiple propagation iterations
+    n = 12
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
+def test_components_direction_irrelevant(spark):
+    # edges given high->low still label by the component MIN
+    got = _cc(spark, [(5, 4), (3, 4), (9, 8)])
+    assert got == {(3, 3), (4, 3), (5, 3), (8, 8), (9, 8)}
+
+
+def test_components_empty_and_self_loops(spark):
+    assert _cc(spark, [(7, 7)]) == set()  # self loops are not edges
