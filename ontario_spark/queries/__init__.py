@@ -63,6 +63,10 @@ DRIVER_SURFACE = [
     "sample_corpus_mix",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # pairs→clusters connected components (new round-4 family; its slot
+    # comes from sparql_union, whose UNION semantics stay represented —
+    # and driver-checked — by the strictly-wider sparql_source_union)
+    "dedup_clusters",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_topk_bruteforce",
@@ -99,7 +103,6 @@ DRIVER_SURFACE = [
     "sparql_star_filter",
     "sparql_star_join",
     "sparql_optional",
-    "sparql_union",
     "sparql_source_union",
     "sparql_distinct_orderby_page",
     # (sparql_string_functions moved just past the cap to make room for

@@ -136,6 +136,29 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed counts maintained by the streaming engine; top-k rank
+    per window as the batch serving view over the sink table."""
+    from ontario_spark.streaming.events import trending_topk
+
+    stream = read_event_stream(spark, sf_dir)
+    counts = run_available_now(windowed_counts(stream), "stream_trending_sink")
+    return trending_topk(counts, k=3)
+
+
+STREAM_TRENDING_TOPK_SQL = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hour
+            ORDER BY n_events DESC, event_type) AS INT) AS rank
+FROM c
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
     "stream_click_purchase": stream_click_purchase,
     "stream_dedup": stream_dedup,
@@ -143,6 +166,7 @@ QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_user_sessions": stream_user_sessions,
     "stream_user_gaps": stream_user_gaps,
+    "stream_trending_topk": stream_trending_topk,
 }
 
 ORACLE = {
@@ -152,4 +176,5 @@ ORACLE = {
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
     "stream_user_gaps": STREAM_USER_GAPS_SQL,
+    "stream_trending_topk": STREAM_TRENDING_TOPK_SQL,
 }

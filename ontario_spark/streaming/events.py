@@ -352,3 +352,25 @@ def run_available_now(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def trending_topk(hourly_counts: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k event types per window from the windowed-counts table.
+
+    The streaming stage is ``windowed_counts`` (incremental, watermark-
+    bounded state); ranking is a batch view over the continuously-
+    maintained count table — the standard "trending now" serving
+    pattern, since per-window ranks are not incrementally maintainable
+    in append mode (a late row can displace an earlier rank). The rank
+    window partitions by the hour bucket, so at scale each window ranks
+    independently — no global sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly_counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("hour", "event_type", "n_events", "rank")
+    )

@@ -214,3 +214,25 @@ def test_user_event_gaps_out_of_order_replay(spark, tmp_path):
     assert in_order["n_events"] == 4 and shuffled["n_events"] == 4
     assert in_order["max_gap_us"] == 6_000_000_000_000 // 1000
     assert shuffled["max_gap_us"] == in_order["max_gap_us"]
+
+
+def test_trending_topk_rank_logic(spark):
+    from datetime import datetime
+
+    from ontario_spark.streaming.events import trending_topk
+
+    counts = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0), "click", 10),
+            (datetime(2024, 1, 1, 0), "view", 10),
+            (datetime(2024, 1, 1, 0), "buy", 3),
+            (datetime(2024, 1, 1, 1), "buy", 7),
+        ],
+        schema="hour timestamp, event_type string, n_events long",
+    )
+    got = [tuple(r) for r in trending_topk(counts, k=2).orderBy("hour", "rank").collect()]
+    assert got == [
+        (datetime(2024, 1, 1, 0), "click", 10, 1),  # tie -> type asc
+        (datetime(2024, 1, 1, 0), "view", 10, 2),
+        (datetime(2024, 1, 1, 1), "buy", 7, 1),
+    ]
