@@ -121,35 +121,55 @@ def connected_components(
     strictly decreases until fixpoint and is stable exactly there) —
     ONE tiny aggregate action per round, no pairwise diff join.
     """
-    e = (
+    # Pin the directed pairs BEFORE symmetrizing: both union branches
+    # reference the upstream pair-generation DAG (often an expensive
+    # similarity join), so unioning first would execute it twice.
+    d = _pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
     )
     e = _pin(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        d.unionByName(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .dropDuplicates(["a", "b"])
     )
-    labels = _pin(
-        e.select(F.col("a").alias("n"))
-        .dropDuplicates(["n"])
-        .select("n", F.col("n").alias("label"))
-    )
-    prev_sum = None
-    for _ in range(max_iter):
-        nbr_min = (
-            e.join(labels, e["a"] == labels["n"])
-            .groupBy(F.col("b").alias("n2"))
-            .agg(F.min("label").alias("nbr"))
-        )
+    # Size the iteration's shuffle width to the PINNED edge count
+    # (~1M edges/partition): the session default is tuned for corpus-
+    # sized shuffles, but every propagation round pays fixed per-
+    # partition scheduling/IO overhead — on a small pair graph that
+    # overhead IS the cost (measured 4.7 s → <1 s at sf0.1), and on a
+    # billion-edge graph the same formula yields thousands of
+    # partitions. Restored after the loop (same pattern as
+    # streaming.run_available_now's state-store sizing).
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(prev_parts), e.count() // 1_000_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         labels = _pin(
-            labels.join(nbr_min, labels["n"] == nbr_min["n2"], "left").select(
-                "n",
-                F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
-            )
+            e.select(F.col("a").alias("n"))
+            .dropDuplicates(["n"])
+            .select("n", F.col("n").alias("label"))
         )
-        cur = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        if cur == prev_sum:
-            return labels.select("n", F.col("label").alias("component"))
-        prev_sum = cur
+        prev_sum = None
+        for _ in range(max_iter):
+            nbr_min = (
+                e.join(labels, e["a"] == labels["n"])
+                .groupBy(F.col("b").alias("n2"))
+                .agg(F.min("label").alias("nbr"))
+            )
+            labels = _pin(
+                labels.join(nbr_min, labels["n"] == nbr_min["n2"], "left").select(
+                    "n",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr", "label")
+                    ).alias("label"),
+                )
+            )
+            cur = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+            if cur == prev_sum:
+                return labels.select("n", F.col("label").alias("component"))
+            prev_sum = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     raise ClosureError(f"components did not converge in {max_iter} iterations")
