@@ -51,9 +51,10 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def shingles_of(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a MATERIALIZED token-array
-    column (empty array when fewer than n tokens).
+def grams_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram MULTISET (order-preserving, duplicates kept) from a
+    MATERIALIZED token-array column; empty array when fewer than n
+    tokens.
 
     Important: ``toks`` must be a projected column reference, not an
     inline ``split(...)`` expression — expressions inside higher-order-
@@ -66,9 +67,15 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (see grams_of for the
+    materialization requirement on ``toks``)."""
+    return F.array_distinct(grams_of(toks, n))
 
 
 def with_shingles(
@@ -236,3 +243,46 @@ def frequent_terms(
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
     ).select("term", "rank", "n_occurrences", "n_docs")
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style quality
+    gates): the fraction of duplicate tokens / word-2-grams /
+    word-3-grams within each document. Highly repetitive documents
+    (boilerplate, generation loops, keyword stuffing) score high and
+    get filtered before training.
+
+    Entirely per-row array expressions — NO shuffle, NO explode: each
+    fraction is 1 - |distinct|/|multiset| over arrays materialized once
+    per document, so at 100 TB this is a single map-only pass."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    g = base.select(
+        id_col,
+        F.size("__toks").alias("nt"),
+        F.size(F.array_distinct("__toks")).alias("dt"),
+        *[
+            F.size(grams_of(F.col("__toks"), n)).alias(f"ng{n}")
+            for n in (2, 3)
+        ],
+        *[
+            F.size(F.array_distinct(grams_of(F.col("__toks"), n))).alias(f"dg{n}")
+            for n in (2, 3)
+        ],
+    )
+
+    def frac(total, distinct):
+        return F.round(
+            F.when(
+                total > 0,
+                (total - distinct).cast("double") / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return g.select(
+        F.col(id_col),
+        F.col("nt").alias("n_tokens"),
+        frac(F.col("nt"), F.col("dt")).alias("dup_token_frac"),
+        frac(F.col("ng2"), F.col("dg2")).alias("dup_2gram_frac"),
+        frac(F.col("ng3"), F.col("dg3")).alias("dup_3gram_frac"),
+    )

@@ -262,6 +262,43 @@ WHERE CAST(n_hits AS DOUBLE) / n_shingles >= 0.08
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id, array_length(w) AS nt,
+         array_length(list_distinct(w)) AS dt,
+         CASE WHEN array_length(w) >= 2
+              THEN list_transform(range(1, array_length(w)),
+                                  i -> w[i] || ' ' || w[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS g2,
+         CASE WHEN array_length(w) >= 3
+              THEN list_transform(range(1, array_length(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+)
+SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+  ROUND(CASE WHEN nt > 0
+        THEN (nt - dt) / CAST(nt AS DOUBLE) ELSE 0.0 END, 6)
+    AS dup_token_frac,
+  ROUND(CASE WHEN array_length(g2) > 0
+        THEN (array_length(g2) - array_length(list_distinct(g2)))
+             / CAST(array_length(g2) AS DOUBLE) ELSE 0.0 END, 6)
+    AS dup_2gram_frac,
+  ROUND(CASE WHEN array_length(g3) > 0
+        THEN (array_length(g3) - array_length(list_distinct(g3)))
+             / CAST(array_length(g3) AS DOUBLE) ELSE 0.0 END, 6)
+    AS dup_3gram_frac
+FROM g
+"""
+
+
 def frequent_terms_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.frequent_terms(
         table(spark, sf_dir, "documents"), "doc_id", "text", k=50
@@ -853,6 +890,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "contamination_check": contamination_check,
     "frequent_terms": frequent_terms_top,
+    "text_repetition": text_repetition,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_topk_bruteforce": ann_topk_bruteforce,
@@ -882,6 +920,7 @@ ORACLE = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,

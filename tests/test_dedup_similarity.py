@@ -397,3 +397,22 @@ def test_frequent_terms_ranks(spark):
     got = [tuple(r) for r in frequent_terms(df, "doc_id", "text", k=2).collect()]
     # a: 3 occurrences in 2 docs; b: 3 in 3 docs (lowercased) -> tie, term asc
     assert got == [("a", 1, 3, 2), ("b", 2, 3, 3)]
+
+
+def test_repetition_stats_values(spark):
+    from ontario_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # tokens 5 distinct 2; 2grams: ab ba ab ba -> 4/2; 3grams: aba bab aba -> 3/2
+            (2, "x y z"),      # no repetition
+            (3, "q q"),        # 2 tokens 1 distinct; 1 2gram; no 3gram
+        ],
+        schema="doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1]["dup_token_frac"] == 0.6
+    assert rows[1]["dup_2gram_frac"] == 0.5
+    assert rows[1]["dup_3gram_frac"] == round(1 / 3, 6)
+    assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["dup_3gram_frac"] == 0.0
+    assert rows[3]["dup_token_frac"] == 0.5 and rows[3]["dup_2gram_frac"] == 0.0

@@ -84,3 +84,18 @@ def test_var_pred_browsing_scans_each_table_once(spark, sf_small):
     n_scans = sum(1 for l in plan.splitlines() if "FileScan" in l)
     assert n_scans == len(cat.triple_maps), (n_scans, len(cat.triple_maps))
     assert df.limit(1).count() >= 0  # compiles AND executes
+
+
+def test_round4_operator_plan_shapes(spark, sf_small):
+    """Round-4 additions keep the scale story: contamination joins the
+    benchmark side BROADCAST (corpus never shuffles against it), top-k
+    selections use distributed TakeOrderedAndProject (never a global
+    single-task sort window), and nothing drops to row-wise Python."""
+    q = all_queries()
+    cont = _plan(q["contamination_check"](spark, sf_small))
+    assert "BroadcastHashJoin" in cont
+    assert "SortMergeJoin" not in cont
+    for name in ("frequent_terms", "bm25_topk"):
+        plan = _plan(q[name](spark, sf_small))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BatchEvalPython" not in plan, name
