@@ -51,7 +51,17 @@ def _sql_davg(expr: str, alias: str) -> str:
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = table(spark, sf_dir, "lineitem")
+    # spread(): the fixture's lineitem is ONE parquet row group, so the
+    # scan — and with it q1's whole decimal partial aggregation — is a
+    # single task however split settings are tuned. Round-robin the
+    # pruned scan output across cores first (measured 1.9 s → 1.0 s at
+    # sf0.1); no-op at any real scale where the scan has many splits.
+    # Worth it only for single-table aggregate plans: join plans
+    # shuffle by key immediately, so a prior round-robin exchange would
+    # just double the shuffle count.
+    from ontario_spark.operators.textops import spread
+
+    l = spread(table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -397,8 +407,12 @@ def q_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-set aggregation (beyond the reference — it has no
     GROUP BY at all): revenue at (flag, status), per-flag subtotal, and
     grand total in ONE partial-aggregating pass — Spark expands the
-    grouping sets map-side, so the lineitem scan still happens once."""
-    l = table(spark, sf_dir, "lineitem")
+    grouping sets map-side, so the lineitem scan still happens once.
+    spread(): see q1 — single-table aggregate over a one-row-group
+    fixture scan."""
+    from ontario_spark.operators.textops import spread
+
+    l = spread(table(spark, sf_dir, "lineitem"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.rollup("l_returnflag", "l_linestatus")
