@@ -648,6 +648,88 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 """
 
 
+def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation chain, end-to-end in ONE lazy plan:
+    repetition gate (dup-3-gram fraction ≤ 0.2) → benchmark
+    decontamination (anti-join on the contamination scan) → exact-dedup
+    canonical survivors → per-(source, lang) doc/token budget. The
+    contamination stage's benchmark side is broadcast; the anti-join
+    and semi-join both run on doc_id; no stage collects."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    keep_rep = (
+        textops.repetition_stats(corpus, "doc_id", "text")
+        .filter(F.col("dup_3gram_frac") <= 0.2)
+        .select("doc_id", "n_tokens")
+    )
+    contam = dedup.contamination_overlap(
+        corpus, bench, "doc_id", "text", n=3, threshold=0.08
+    ).select("doc_id")
+    canon = dedup.exact_dedup(corpus, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = (
+        corpus.select("doc_id", "source", "lang")
+        .join(keep_rep, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+        .join(canon, "doc_id", "left_semi")
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+PIPELINE_DECONTAM_SQL = """
+WITH base AS (
+  SELECT doc_id, source, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id % 97 <> 0
+), rep AS (
+  SELECT doc_id, array_length(w) AS n_tokens,
+         CASE WHEN array_length(w) >= 3 THEN
+           list_transform(range(1, array_length(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM base
+), rep_keep AS (
+  SELECT doc_id, n_tokens FROM rep
+  WHERE ROUND(CASE WHEN array_length(g3) > 0
+        THEN (array_length(g3) - array_length(list_distinct(g3)))
+             / CAST(array_length(g3) AS DOUBLE) ELSE 0.0 END, 6) <= 0.2
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0
+), contam AS (
+  SELECT e.doc_id
+  FROM ex e LEFT JOIN bench b ON e.shingle = b.shingle
+  GROUP BY e.doc_id
+  HAVING SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) >= 0.08
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)
+), kept AS (
+  SELECT d.doc_id, d.source, d.lang, r.n_tokens
+  FROM base d JOIN rep_keep r USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND d.doc_id IN (SELECT doc_id FROM canon)
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY source, lang
+"""
+
+
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline a training-data run actually
     executes, end-to-end in ONE lazy plan: exact dedup (keep canonical
@@ -903,6 +985,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_metrics": text_metrics,
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_stats": mm_frame_stats,
@@ -932,6 +1015,7 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_metrics": TEXT_METRICS_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
+    "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_frame_stats": MM_FRAME_STATS_SQL,
