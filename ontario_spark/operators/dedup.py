@@ -284,3 +284,36 @@ def contamination_overlap(
         "n_hits",
         F.round(overlap, 6).alias("overlap"),
     ).filter(overlap >= threshold)
+
+
+def keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    order: list[Column],
+) -> DataFrame:
+    """Exact dedup that keeps the BEST copy per content hash under an
+    explicit ordering (e.g. longest document, most-trusted source)
+    rather than the smallest id — the multi-source merge rule of real
+    corpus builds. ``order`` must end in a unique tiebreak for
+    deterministic survivors.
+
+    One hash-partitioned window (same shuffle as the groupBy form);
+    the payload through the shuffle is (id, hash, ordering keys), not
+    the text."""
+    from pyspark.sql.window import Window
+
+    hashed = df.select("*", F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy(*order)
+    return (
+        hashed.select(
+            id_col,
+            "content_hash",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("content_hash"))
+            .alias("n_copies"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

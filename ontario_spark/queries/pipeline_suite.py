@@ -153,6 +153,29 @@ WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the LONGEST copy per content hash (tiebreak
+    lowest id) — the multi-source merge rule."""
+    return dedup.keep_best(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        order=[F.desc("n_chars"), F.asc("doc_id")],
+    )
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH r AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         ROW_NUMBER() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+)
+SELECT doc_id, content_hash, n_copies FROM r WHERE rn = 1
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-
     label propagation) over the n-gram-Jaccard pair graph, labeled by
@@ -970,6 +993,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "contamination_check": contamination_check,
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
@@ -1001,6 +1025,7 @@ ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

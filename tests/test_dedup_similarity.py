@@ -416,3 +416,26 @@ def test_repetition_stats_values(spark):
     assert rows[1]["dup_3gram_frac"] == round(1 / 3, 6)
     assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["dup_3gram_frac"] == 0.0
     assert rows[3]["dup_token_frac"] == 0.5 and rows[3]["dup_2gram_frac"] == 0.0
+
+
+def test_keep_best_picks_by_ordering(spark):
+    from pyspark.sql import functions as F
+
+    from ontario_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 9),
+            (2, "same text", 20),   # longest copy wins
+            (3, "same text", 20),   # tie -> lowest id
+            (4, "unique", 6),
+        ],
+        schema="doc_id long, text string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: r["n_copies"]
+        for r in keep_best(
+            df, "doc_id", "text", order=[F.desc("n_chars"), F.asc("doc_id")]
+        ).collect()
+    }
+    assert out == {2: 3, 4: 1}

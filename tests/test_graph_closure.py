@@ -121,3 +121,40 @@ def test_components_direction_irrelevant(spark):
 
 def test_components_empty_and_self_loops(spark):
     assert _cc(spark, [(7, 7)]) == set()  # self loops are not edges
+
+
+def test_components_match_union_find(spark):
+    """Randomized cross-check: Spark min-label propagation vs a plain
+    Python union-find over the same edge lists."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes, n_edges = 30, rng.randint(5, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {}
+        for comp in {find(x) for x in touched}:
+            members = [x for x in touched if find(x) == comp]
+            m = min(members)
+            for x in members:
+                expected[x] = m
+        assert _cc(spark, edges) == set(expected.items()), (trial, edges)
