@@ -189,7 +189,12 @@ class ExprCompiler:
             tag = unwrap(a[1])
             if tag is not None and tag.value == "*":
                 return F.length(self.value(a[0])) > 0
-            return F.lower(self.value(a[0])) == F.lit(tag.value.lower())
+            # RFC 4647 basic filtering (SPARQL §17.4.3.1): the range
+            # matches the tag itself OR any tag extending it with
+            # subtags — "en" matches "en" and "en-US".
+            rng = tag.value.lower()
+            lv = F.lower(self.value(a[0]))
+            return (lv == F.lit(rng)) | lv.startswith(rng + "-")
         if op == "lang":
             # SERVICE results carry the SPARQL-JSON xml:lang per cell
             # as a side column; LANG() of a plain literal is "" (SPARQL

@@ -117,7 +117,19 @@ class BFrame:
                 left = left.materialize(v)
                 right = right.materialize(v)
                 on.append(v)
-        df = left.df.join(right.df, on=on, how=how)
+        # SPARQL-JSON term side columns (var__type/__lang/__dt from
+        # SERVICE frames) are physical df columns outside meta; when
+        # BOTH sides carry them for a shared var the join would emit
+        # duplicate names and a later LANG()/DATATYPE() reference would
+        # be ambiguous. Left's metadata wins (matches the meta merge).
+        dup_side = [
+            f"{v}{suf}"
+            for v in shared
+            for suf in ("__type", "__lang", "__dt")
+            if f"{v}{suf}" in left.df.columns and f"{v}{suf}" in right.df.columns
+        ]
+        rdf = right.df.drop(*dup_side) if dup_side else right.df
+        df = left.df.join(rdf, on=on, how=how)
         meta = {**right.meta, **left.meta}  # left rep wins for shared vars
         return BFrame(df, meta)
 

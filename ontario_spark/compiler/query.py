@@ -124,7 +124,14 @@ class SparqlEngine:
         from ontario_spark.sparql.parser import RDF_TYPE as _RT
 
         pvar = t.p.value
-        if t.s.is_var and t.o.is_var:
+        if (
+            t.s.is_var
+            and t.o.is_var
+            and len({t.s.value, pvar, t.o.value}) == 3
+        ):
+            # repeated-variable patterns (?x ?p ?x, ?p ?p ?o) must use
+            # the per-predicate branches: the unpivot would alias two
+            # output columns to one name and lose the implied equality
             fast = self._var_pred_unpivot(t.s.value, pvar, t.o.value, _RT)
             if fast is not None:
                 return fast
@@ -135,12 +142,26 @@ class SparqlEngine:
                 for star in bgp_stars([one]):
                     plan = select_sources(self.catalog, star)
                     bf = compile_star(self.spark, self.catalog, plan)
-                    branches.append(
-                        BFrame(
-                            bf.df.withColumn(pvar, F.lit(pred)),
-                            {**bf.meta, pvar: TermMeta(LEXICAL)},
+                    if pvar in bf.meta:
+                        # ?p shares a name with the subject/object var:
+                        # the predicate IRI must EQUAL that term's
+                        # lexical form — filter instead of re-binding
+                        branches.append(
+                            BFrame(
+                                bf.df.filter(
+                                    bf.lexical_expr(pvar).cast("string")
+                                    == F.lit(pred)
+                                ),
+                                bf.meta,
+                            )
                         )
-                    )
+                    else:
+                        branches.append(
+                            BFrame(
+                                bf.df.withColumn(pvar, F.lit(pred)),
+                                {**bf.meta, pvar: TermMeta(LEXICAL)},
+                            )
+                        )
             except (SourceSelectionError, StarCompileError):
                 continue  # predicate inapplicable to this term shape
         if not branches:
@@ -767,7 +788,10 @@ class SparqlEngine:
             out_meta = {v: TermMeta(LEXICAL) for v in q.group_by + [s.var for s in computed]}
             bf = BFrame(grouped, out_meta)
             if having is not None:
-                hvc = ExprCompiler(lambda v: F.col(v), lambda v: dict(bf.df.dtypes).get(v))
+                hdt = dict(bf.df.dtypes)
+                hvc = ExprCompiler(
+                    lambda v: F.col(v), hdt.get, has_col=lambda c: c in hdt
+                )
                 bf = BFrame(bf.df.filter(hvc.boolean(having)), bf.meta)
             df = bf.df.select(*proj_vars)
         else:
@@ -786,7 +810,9 @@ class SparqlEngine:
             df = df.dropDuplicates()
         if q.order_by:
             dtypes = dict(df.dtypes)
-            oc = ExprCompiler(lambda v: F.col(v), lambda v: dtypes.get(v))
+            oc = ExprCompiler(
+                lambda v: F.col(v), dtypes.get, has_col=lambda c: c in dtypes
+            )
             sort_cols = []
             for item, asc in q.order_by:
                 col = oc.value(item)

@@ -199,9 +199,15 @@ def _compile_map(
 
     def bind_var(var: str, cols: list[str] | None, expr: Column, tmeta: TermMeta):
         """Bind var to column(s); repeated var in the same star becomes
-        an equality condition (e.g. ?x ex:p ?v . ?x ex:q ?v)."""
+        an equality condition (e.g. ?x ex:p ?v . ?x ex:q ?v). Compared
+        on the LEXICAL string forms: SPARQL join compatibility is
+        sameTerm-based (a URI never equals a numeric literal), and the
+        two sides may carry incompatible native types (URI template vs
+        double column) where Spark's implicit ANSI cast would throw."""
         if var in meta:
-            conds.append(bound_exprs[var] == expr)
+            conds.append(
+                bound_exprs[var].cast("string") == expr.cast("string")
+            )
             return
         meta[var] = tmeta
         bound_exprs[var] = expr

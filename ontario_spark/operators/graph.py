@@ -144,6 +144,9 @@ def connected_components(
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     parts = max(1, min(int(prev_parts), e.count() // 1_000_000 + 1))
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(e.schema["a"].dataType, NumericType)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         labels = _pin(
@@ -158,7 +161,7 @@ def connected_components(
                 .groupBy(F.col("b").alias("n2"))
                 .agg(F.min("label").alias("nbr"))
             )
-            labels = _pin(
+            new_labels = _pin(
                 labels.join(nbr_min, labels["n"] == nbr_min["n2"], "left").select(
                     "n",
                     F.least(
@@ -166,10 +169,31 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-            cur = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-            if cur == prev_sum:
+            if numeric_ids:
+                # label-sum fingerprint: min propagation only DECREASES
+                # numeric labels, so the sum strictly decreases until
+                # fixpoint and is stable exactly there — one tiny agg.
+                cur = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+                converged = cur == prev_sum
+                prev_sum = cur
+            else:
+                # non-numeric ids (content hashes, URIs): sum is not
+                # defined, so diff the two PINNED label frames — a
+                # small sized-partition join per round, exact.
+                # fresh attribute ids on one side: when _pin fell back
+                # to persist (no checkpoint), new_labels' lineage still
+                # contains labels and a direct self-join is ambiguous
+                nl = new_labels.select(
+                    F.col("n").alias("__n2"), F.col("label").alias("__l2")
+                )
+                converged = (
+                    nl.join(labels, nl["__n2"] == labels["n"])
+                    .filter(F.col("__l2") != F.col("label"))
+                    .isEmpty()
+                )
+            labels = new_labels
+            if converged:
                 return labels.select("n", F.col("label").alias("component"))
-            prev_sum = cur
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     raise ClosureError(f"components did not converge in {max_iter} iterations")

@@ -38,10 +38,18 @@ def _get(doc: dict, dotted: str):
 
 
 def _set(doc: dict, dotted: str, value) -> None:
+    """Write ``dotted`` path, COPYING each dict along the path first:
+    callers hold shallow top-level copies (``dict(d)`` per $unwind
+    element), so writing through a shared nested dict would alias every
+    unwound row to the LAST element. Only the written path is copied;
+    unrelated subtrees stay shared (read-only)."""
     parts = dotted.split(".")
     cur = doc
     for p in parts[:-1]:
-        cur = cur.setdefault(p, {})
+        nxt = cur.get(p)
+        nxt = dict(nxt) if isinstance(nxt, dict) else {}
+        cur[p] = nxt
+        cur = nxt
     cur[parts[-1]] = value
 
 

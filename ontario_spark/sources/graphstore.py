@@ -126,17 +126,20 @@ def run_cypher(query: str, graph: dict[str, list[dict]]) -> list[dict]:
     label, rest = q[len("MATCH (n:") :].split(")", 1)
     rest = rest.strip()
 
+    # keyword splits must ignore quoted literals: pushed FILTER
+    # constants may legitimately contain " LIMIT "/" SKIP "/" RETURN "
     skip = limit = None
-    if " LIMIT " in rest:
-        rest, n = rest.rsplit(" LIMIT ", 1)
-        limit = int(n)
-    if " SKIP " in rest:
-        rest, n = rest.rsplit(" SKIP ", 1)
-        skip = int(n)
+    parts = _split_top(rest, " LIMIT ")
+    if len(parts) > 1:
+        rest, limit = " LIMIT ".join(parts[:-1]), int(parts[-1])
+    parts = _split_top(rest, " SKIP ")
+    if len(parts) > 1:
+        rest, skip = " SKIP ".join(parts[:-1]), int(parts[-1])
 
     conds: list[str] = []
     if rest.startswith("WHERE "):
-        where, _, items_str = rest[len("WHERE ") :].partition(" RETURN ")
+        parts = _split_top(rest[len("WHERE ") :], " RETURN ")
+        where, items_str = parts[0], " RETURN ".join(parts[1:])
         conds = _split_top(where, " AND ")
     else:
         assert rest.startswith("RETURN "), rest

@@ -478,3 +478,51 @@ def test_paged_bindings_full_terms():
     assert row["y__type"] == "uri"
     plain = list(paged_bindings("http://e", "SELECT", fetcher=fake_fetcher))
     assert plain == [{"x": "hi", "y": "http://a/b"}]
+
+
+def test_langmatches_subtag_and_shared_service_var(spark, sf_small):
+    """RFC 4647 basic filtering: range "en" must match subtagged
+    "en-US" (live once SERVICE term fidelity ships real subtags); and
+    joining two SERVICE frames sharing a variable must not leave
+    duplicate __lang side columns behind (ambiguous reference)."""
+    cat = tpch_catalog(sf_small)
+
+    def ep_a(query):
+        return [
+            {"r": f"{EX}region/1", "r__type": "uri",
+             "a": "color", "a__type": "literal", "a__lang": "en-US"},
+            {"r": f"{EX}region/2", "r__type": "uri",
+             "a": "colour", "a__type": "literal", "a__lang": "en-GB"},
+            {"r": f"{EX}region/3", "r__type": "uri",
+             "a": "Farbe", "a__type": "literal", "a__lang": "de"},
+        ]
+
+    def ep_b(query):
+        return [
+            {"r": f"{EX}region/1", "r__type": "uri",
+             "b": "x", "b__type": "literal"},
+            {"r": f"{EX}region/2", "r__type": "uri",
+             "b": "y", "b__type": "literal"},
+            {"r": f"{EX}region/3", "r__type": "uri",
+             "b": "z", "b__type": "literal"},
+        ]
+
+    eng = SparqlEngine(
+        spark,
+        cat,
+        service_executors={
+            "http://a.example/sparql": ep_a,
+            "http://b.example/sparql": ep_b,
+        },
+    )
+    df = eng.query(
+        PFX
+        + """SELECT ?a ?b WHERE {
+             SERVICE <http://a.example/sparql> { ?r ex:name ?a }
+             SERVICE <http://b.example/sparql> { ?r ex:name ?b }
+             FILTER (LANGMATCHES(LANG(?a), "en")) }"""
+    )
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [
+        ("color", "x"),
+        ("colour", "y"),
+    ]

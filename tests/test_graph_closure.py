@@ -158,3 +158,23 @@ def test_components_match_union_find(spark):
             for x in members:
                 expected[x] = m
         assert _cc(spark, edges) == set(expected.items()), (trial, edges)
+
+
+def test_components_string_ids(spark):
+    """Content-hash-style STRING node ids: the numeric label-sum probe
+    does not apply; the diff-join convergence path must still produce
+    correct components (regression: NULL sum matched the initial None
+    and returned after one round, splitting chains)."""
+    from ontario_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        schema="src string, dst string",
+    )
+    got = {
+        (r["n"], r["component"]) for r in connected_components(df).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }

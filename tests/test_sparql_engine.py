@@ -786,3 +786,20 @@ def test_variable_predicate_joined_star(engine, sf_small):
     # 5 regions x (type + name) = 10 rows
     assert len(rows) == 10
     assert all(r["c"].startswith("http://ex.org/tpch/region/") for r in rows)
+
+
+def test_variable_predicate_repeated_variable(engine, sf_small):
+    """?s ?p ?s — a repeated variable must compile via the per-
+    predicate branches with the implied s==o equality, not the unpivot
+    fast path (which would alias two columns to one name). The TPC-H
+    lake has no self-referential values, so the result is EMPTY — the
+    regression was an AMBIGUOUS_REFERENCE analysis error."""
+    df = engine.query("SELECT ?x WHERE { ?x ?p ?x }")
+    assert df.collect() == []
+
+
+def test_variable_predicate_shared_with_object(engine, sf_small):
+    """?s ?p ?p — predicate var shared with the object var: rows only
+    where the object EQUALS the predicate IRI (none in this lake)."""
+    df = engine.query("SELECT ?p WHERE { ?s ?p ?p }")
+    assert df.collect() == []

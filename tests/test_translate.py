@@ -485,3 +485,40 @@ def test_graphstore_interpreter_subset():
         graph,
     )
     assert rows == [{"k": 1}]
+
+
+def test_docstore_unwind_dotted_path_no_aliasing():
+    """$unwind of a NESTED array must not alias rows: the shallow
+    per-element copy used to share the inner dict, so every row got the
+    LAST element."""
+    from ontario_spark.sources.docstore import aggregate
+
+    docs = [{"a": {"b": [1, 2, 3]}, "k": "x"}]
+    rows = aggregate(docs, [{"$unwind": "$a.b"}])
+    assert [r["a"]["b"] for r in rows] == [1, 2, 3]
+    assert all(r["k"] == "x" for r in rows)
+
+
+def test_graphstore_keywords_inside_literals():
+    """' LIMIT '/' SKIP '/' RETURN ' inside quoted literals must not be
+    treated as clause keywords."""
+    from ontario_spark.sources.graphstore import run_cypher
+
+    graph = {
+        "Customer": [
+            {"cid": 1, "name": "ACME LIMIT 5"},
+            {"cid": 2, "name": "b SKIP 1 RETURN c"},
+            {"cid": 3, "name": "plain"},
+        ]
+    }
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE n.name = 'ACME LIMIT 5' RETURN n.cid AS k",
+        graph,
+    )
+    assert rows == [{"k": 1}]
+    rows = run_cypher(
+        "MATCH (n:Customer) WHERE n.name = 'b SKIP 1 RETURN c' "
+        "RETURN n.cid AS k LIMIT 2",
+        graph,
+    )
+    assert rows == [{"k": 2}]
