@@ -254,20 +254,27 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Entirely per-row array expressions — NO shuffle, NO explode: each
     fraction is 1 - |distinct|/|multiset| over arrays materialized once
-    per document, so at 100 TB this is a single map-only pass."""
-    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    per document, so at 100 TB this is a single map-only pass. Grams
+    are built as ``arrays_zip`` of shifted ``slice``s (an n-gram = a
+    struct of n tokens; ``array_distinct`` dedups struct arrays
+    directly) — all whole-stage-codegen expressions. The equivalent
+    ``transform``-lambda form runs interpreted and is re-evaluated per
+    use (no CSE inside lambdas): measured 31 s vs <1 s at sf0.1."""
+
+    def zgrams(n: int):
+        m = F.size("__toks") - (n - 1)
+        z = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
+        return F.when(F.size("__toks") >= n, z).otherwise(F.array())
+
+    base = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
     g = base.select(
         id_col,
         F.size("__toks").alias("nt"),
         F.size(F.array_distinct("__toks")).alias("dt"),
-        *[
-            F.size(grams_of(F.col("__toks"), n)).alias(f"ng{n}")
-            for n in (2, 3)
-        ],
-        *[
-            F.size(F.array_distinct(grams_of(F.col("__toks"), n))).alias(f"dg{n}")
-            for n in (2, 3)
-        ],
+        *[F.size(zgrams(n)).alias(f"ng{n}") for n in (2, 3)],
+        *[F.size(F.array_distinct(zgrams(n))).alias(f"dg{n}") for n in (2, 3)],
     )
 
     def frac(total, distinct):
