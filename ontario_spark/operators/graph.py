@@ -121,16 +121,22 @@ def connected_components(
     strictly decreases until fixpoint and is stable exactly there) —
     ONE tiny aggregate action per round, no pairwise diff join.
     """
-    # Pin the directed pairs BEFORE symmetrizing: both union branches
-    # reference the upstream pair-generation DAG (often an expensive
-    # similarity join), so unioning first would execute it twice.
-    d = _pin(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .filter(F.col("a") != F.col("b"))
+    # Symmetrize by exploding each directed pair into both directions
+    # INSIDE one projection: the upstream pair-generation DAG (often an
+    # expensive similarity join) is evaluated once and pinned once — a
+    # union of the frame with its flip would reference that DAG twice.
+    directed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("a"), F.col("b")),
+            F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+        )
     )
     e = _pin(
-        d.unionByName(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        directed.select(both.alias("e"))
+        .select("e.a", "e.b")
         .dropDuplicates(["a", "b"])
     )
     # Size the iteration's shuffle width to the PINNED edge count
