@@ -75,7 +75,12 @@ class Template:
         """True iff the literal skeletons are identical (key columns may
         differ) — then equality of the formatted URIs is equivalent to
         equality of the key tuples, and joins can use raw keys."""
-        return _TPL_RE.sub("{}", self.raw) == _TPL_RE.sub("{}", other.raw)
+        return self.shape_key() == other.shape_key()
+
+    def shape_key(self) -> str:
+        """Hashable literal-skeleton key: two templates with equal keys
+        are ``same_shape``."""
+        return _TPL_RE.sub("{}", self.raw)
 
 
 # Term map kinds (reference: TripleMapType, rml_model.py:64-68)

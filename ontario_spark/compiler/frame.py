@@ -101,8 +101,17 @@ class BFrame:
         left, right = self, other
         shared = sorted(left.variables & right.variables)
         if not shared:
+            if how == "left_outer":
+                # LeftJoin with disjoint domains: every pairing is
+                # compatible → Ω1 × Ω2, and Ω1 bare when Ω2 is empty —
+                # exactly a TRUE-condition left outer join (arises e.g.
+                # for OPTIONAL over a failed SERVICE SILENT's identity)
+                return BFrame(
+                    left.df.join(right.df, F.lit(True), "left_outer"),
+                    {**left.meta, **right.meta},
+                )
             if how != "inner":
-                raise ValueError("OPTIONAL without shared variables unsupported")
+                raise ValueError(f"{how} join without shared variables unsupported")
             return BFrame(left.df.crossJoin(right.df), {**left.meta, **right.meta})
         on: list[str] = []
         for v in shared:

@@ -59,6 +59,51 @@ from ontario_spark.sparql.ast import (
 from ontario_spark.sparql.parser import parse
 
 
+def _expr_vars(e) -> set[str]:
+    """Variables referenced anywhere in an expression tree."""
+    if isinstance(e, Expr):
+        out: set[str] = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    if isinstance(e, Term) and e.is_var:
+        return {e.value}
+    return set()
+
+
+def _pattern_vars(el) -> set[str]:
+    """Variables a group element can BIND (filters bind nothing;
+    MINUS/EXISTS bindings don't extend to the enclosing scope)."""
+    if isinstance(el, Triple):
+        return el.variables()
+    if isinstance(el, Bind):
+        return {el.var}
+    if isinstance(el, ValuesBlock):
+        return set(el.variables)
+    if isinstance(el, Group):
+        out: set[str] = set()
+        for x in el.elements:
+            out |= _pattern_vars(x)
+        return out
+    if isinstance(el, UnionBlock):
+        out = set()
+        for b in el.branches:
+            out |= _pattern_vars(b)
+        return out
+    if isinstance(el, OptionalBlock):
+        return _pattern_vars(el.block)
+    if isinstance(el, PathClosure):
+        return _pattern_vars(el.step)
+    if isinstance(el, SubSelect):
+        sel = el.query.select
+        if sel is None:
+            return _pattern_vars(el.query.where)
+        return {s.var for s in sel}
+    if isinstance(el, NegatedPath):
+        return {t.value for t in (el.s, el.o) if t.is_var}
+    return set()
+
+
 def _plan_vars(plan) -> set[str]:
     """All variables a star plan can bind."""
     out: set[str] = set()
@@ -245,6 +290,53 @@ class SparqlEngine:
         meta = {v: TermMeta(LEXICAL) for v in (svar, pvar, ovar)}
         return BFrame(out, meta)
 
+    def _optional(self, bf: BFrame, e: OptionalBlock) -> BFrame:
+        """OPTIONAL = SPARQL LeftJoin(Ω1, Ω2, expr) (§8.3). Filters
+        inside the block referencing only INNER variables stay inside
+        (the standard Filter-pushdown equivalence); filters that also
+        reference OUTER variables are the LeftJoin CONDITION — they
+        can't compile inside the block (out of scope) and can't post-
+        filter a left_outer join (a left row whose every match fails
+        the condition must survive with the optional side unbound, not
+        disappear). For those, compute the inner join, filter it, and
+        union back the left rows with NO surviving match — identified
+        by a row id frozen by pinning (monotonically_increasing_id is
+        only stable across the two branches after materialization)."""
+        bound = set()
+        for el in e.block.elements:
+            bound |= _pattern_vars(el)
+        hoist = [
+            el
+            for el in e.block.elements
+            if isinstance(el, Filter) and not (el.expr.variables() <= bound)
+        ]
+        if not hoist:
+            return bf.join(self._group(e.block, key_hint=bf), "left_outer")
+
+        from ontario_spark.operators.graph import _pin
+
+        rest = Group(
+            [el for el in e.block.elements if not any(el is h for h in hoist)]
+        )
+        right = self._group(rest, key_hint=bf)
+        pinned = BFrame(
+            _pin(bf.df.withColumn("__lj", F.monotonically_increasing_id())),
+            bf.meta,
+        )
+        joined = pinned.join(right, "inner")
+        for f in hoist:
+            vc = self._compiler(joined)
+            joined = BFrame(joined.df.filter(vc.boolean(f.expr)), joined.meta)
+        bare = BFrame(
+            pinned.df.join(
+                joined.df.select("__lj").distinct(), "__lj", "left_anti"
+            ),
+            pinned.meta,
+        )
+        # union aligns on meta variables only, so __lj drops out and
+        # bare rows pad the optional-side variables with NULL (unbound)
+        return joined.union(bare)
+
     def _group(self, g: Group, key_hint: BFrame | None = None) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         var_pred = [t for t in triples if t.p.is_var]
@@ -341,7 +433,7 @@ class SparqlEngine:
 
         for e in g.elements:
             if isinstance(e, OptionalBlock):
-                bf = bf.join(self._group(e.block, key_hint=bf), "left_outer")
+                bf = self._optional(bf, e)
             elif isinstance(e, MinusBlock):
                 other = self._group(e.block, key_hint=bf)
                 if other.variables & bf.variables:
@@ -513,7 +605,12 @@ class SparqlEngine:
         except Exception:
             if not sb.silent:
                 raise
-            rows = []
+            # SILENT + endpoint failure = the SINGLE EMPTY SOLUTION
+            # (SPARQL 1.1 Federation §2.3.2): a join identity — local
+            # rows survive with the service's variables unbound. A
+            # zero-variable one-row frame cross-joins as exactly that;
+            # an empty frame would instead annihilate the group.
+            return BFrame(self.spark.range(1).select(), {})
         from ontario_spark.sources.sparql_endpoint import TERM_SIDE_SUFFIXES
 
         cols = [
@@ -550,13 +647,22 @@ class SparqlEngine:
             # every map for lexical vars (no shape info)
             maps = []
             for tm in self.catalog.triple_maps.values():
+                # reference/constant-subject maps carry no invertible
+                # template: keyed vars can't shape-match them and
+                # constant IRIs can't be inverted, so only lexical vars
+                # (joined on the full URI string) reach them
+                tpl = (
+                    tm.subject.template
+                    if tm.subject.kind == "template"
+                    else None
+                )
                 if d.is_var:
                     m = bf.meta[d.value]
-                    if m.kind == KEYED and not tm.subject.template.same_shape(
-                        m.template
+                    if m.kind == KEYED and (
+                        tpl is None or not tpl.same_shape(m.template)
                     ):
                         continue
-                elif tm.subject.template.extract(d.value) is None:
+                elif tpl is None or tpl.extract(d.value) is None:
                     continue
                 maps.append(tm)
             if d.is_var:
@@ -587,6 +693,11 @@ class SparqlEngine:
                         s_col.alias("s"), F.lit(p).alias("p"), o_col.alias("o")
                     )
                 )
+        if not outs:
+            # DESCRIBE of a resource no map can produce: an empty
+            # description is valid (SPARQL 1.1 §16.4), not an error
+            schema = "s string, p string, o string"
+            return self.spark.createDataFrame([], schema=schema)
         out = outs[0]
         for x in outs[1:]:
             out = out.unionByName(x)
@@ -622,10 +733,11 @@ class SparqlEngine:
                             tm.subject.template
                             for alt in plan.alternatives
                             for tm in alt
+                            if tm.subject.kind == "template"
                         ]
                         preds: set[str] = set()
                         for tm in self.catalog.triple_maps.values():
-                            if any(
+                            if tm.subject.kind == "template" and any(
                                 tm.subject.template.same_shape(s) for s in shapes
                             ):
                                 preds.update(tm.pom)
@@ -747,6 +859,7 @@ class SparqlEngine:
             proj_vars = [s.var for s in sel]
 
         has_agg = bool(q.group_by) or any(is_aggregate(s.expr) for s in computed)
+        sort_extra: list[str] = []
 
         if has_agg:
             for expr, var in q.group_by_binds:
@@ -803,7 +916,17 @@ class SparqlEngine:
                     ndf = ndf.withColumn(s.var, vc.value(s.expr))
                     newmeta[s.var] = TermMeta(LEXICAL)
                 bf = BFrame(ndf, newmeta)
-            bf = bf.project(proj_vars)
+            # ORDER BY may reference non-projected in-scope variables
+            # (legal without DISTINCT, SPARQL 1.1 §15.1): carry them
+            # through the projection for the sort and drop them after.
+            if q.order_by and not q.distinct:
+                seen: set[str] = set()
+                for item, _asc in q.order_by:
+                    seen |= _expr_vars(item)
+                sort_extra = sorted(
+                    (seen - set(proj_vars)) & set(bf.meta)
+                )
+            bf = bf.project(proj_vars + sort_extra)
             df = bf.df
 
         if q.distinct:
@@ -818,6 +941,8 @@ class SparqlEngine:
                 col = oc.value(item)
                 sort_cols.append(col.asc() if asc else col.desc())
             df = df.orderBy(*sort_cols)
+            if not has_agg and sort_extra:
+                df = df.select(*proj_vars)
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:

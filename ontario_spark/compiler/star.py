@@ -73,7 +73,16 @@ def _compile_alternative(
         if not t.p.is_iri:
             raise StarCompileError("variable predicates not supported yet")
         if t.p.value == RDF_TYPE:
-            per_map[maps[0].name].append(t)
+            # a CONSTANT class routes to a map carrying that class (a
+            # star with two type constraints joins one carrier each);
+            # a variable type binds from any map
+            tm_for = maps[0]
+            if t.o.is_iri:
+                tm_for = next(
+                    (tm for tm in maps if tm.subject_class == t.o.value),
+                    maps[0],
+                )
+            per_map[tm_for.name].append(t)
             continue
         for tm in maps:
             if t.p.value in tm.pom:

@@ -106,8 +106,10 @@ def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
                 kept = [
                     alt
                     for alt in target.alternatives
-                    if alt[0].subject.kind == "template"
-                    and any(alt[0].subject.template.same_shape(s) for s in shapes)
+                    # non-template (lexical) subjects hold full URIs the
+                    # emitted shape may well produce: can't reason, keep
+                    if alt[0].subject.kind != "template"
+                    or any(alt[0].subject.template.same_shape(s) for s in shapes)
                 ]
                 if kept:
                     target.alternatives = kept
@@ -157,16 +159,28 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
     else:
         cand_names = set(cat.triple_maps)
 
-    # Group candidates by molecule (= subject class, falling back to
-    # subject template skeleton for classless maps).
-    groups: dict[str, list[TripleMap]] = {}
+    # Group candidates by JOINABLE SUBJECT SHAPE (template skeleton, or
+    # the exact subject for reference/constant subjects): every map in
+    # a group can self-join on the subject, so a group may combine maps
+    # of different classes (a star with two rdf:type constraints joins
+    # one carrier map per class) and maps of the same class but
+    # different shapes land in different groups, each of which gets its
+    # own chance to cover the star (previously the greedy cover could
+    # pick a shape-mixed set, fail the joinability post-check, and
+    # discard the whole class even though a shape-consistent subset
+    # covered it).
+    groups: dict[tuple[str, str], list[TripleMap]] = {}
     for name in sorted(cand_names):
         tm = cat.triple_maps[name]
-        key = tm.subject_class or tm.subject.value
+        if tm.subject.kind == "template":
+            key = ("tpl", tm.subject.template.shape_key())
+        else:
+            key = (tm.subject.kind, str(tm.subject.value))
         groups.setdefault(key, []).append(tm)
 
     alternatives: list[list[TripleMap]] = []
     for _, maps in sorted(groups.items()):
+        # every type constraint needs a carrier map in THIS group
         if classes and not all(
             any(tm.subject_class == cls for tm in maps) for cls in classes
         ):
@@ -176,8 +190,8 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
             covered |= set(tm.pom)
         if not set(preds) <= covered:
             continue
-        # greedy cover: biggest contributors first, all sharing the
-        # subject template shape
+        # greedy cover: biggest contributors first (all joinable by
+        # group construction)
         chosen: list[TripleMap] = []
         need = set(preds)
         for tm in sorted(maps, key=lambda m: -len(set(m.pom) & set(preds))):
@@ -191,14 +205,13 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
             continue
         if not chosen and maps:
             chosen = [maps[0]]
-        base_tpl = chosen[0].subject
-        if any(
-            not (tm.subject.kind == base_tpl.kind == "template"
-                 and tm.subject.template.same_shape(base_tpl.template))
-            and tm.subject != base_tpl
-            for tm in chosen[1:]
-        ):
-            continue  # can't self-join maps with unrelated subjects
+        # each constrained class gets a carrier (the type triple routes
+        # to it in compile_star); subject self-join enforces conjunction
+        for cls in sorted(classes):
+            if not any(tm.subject_class == cls for tm in chosen):
+                chosen.append(
+                    next(tm for tm in maps if tm.subject_class == cls)
+                )
         alternatives.append(chosen)
 
     return StarPlan(star=star, alternatives=alternatives)

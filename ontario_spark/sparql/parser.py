@@ -52,7 +52,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<DTYPE>\^\^)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*)?:(?P<PLOCAL>[A-Za-z0-9_][A-Za-z0-9_.-]*)?
+  | (?P<PNAME>[A-Za-z_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?:(?P<PLOCAL>[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/+\-=<>!|^?])
 """,
@@ -736,10 +736,24 @@ class Parser:
 
     def _add_expr(self):
         left = self._mul_expr()
-        while self.at_op("+", "-"):
-            op = self.next().value
-            left = Expr(op, [left, self._mul_expr()])
-        return left
+        while True:
+            if self.at_op("+", "-"):
+                op = self.next().value
+                left = Expr(op, [left, self._mul_expr()])
+            elif (
+                self.peek().type == "NUMBER"
+                and self.peek().value[0] in "+-"
+            ):
+                # SPARQL grammar: a SIGNED numeric literal flush against
+                # the previous operand continues the additive expression
+                # (AdditiveExpression ::= ... NumericLiteralPositive/
+                # Negative) — '?year-1' means (?year - 1)
+                t = self.next()
+                left = Expr(
+                    t.value[0], [left, _number_term(t.value[1:])]
+                )
+            else:
+                return left
 
     def _mul_expr(self):
         left = self._unary()

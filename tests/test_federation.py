@@ -526,3 +526,27 @@ def test_langmatches_subtag_and_shared_service_var(spark, sf_small):
         ("color", "x"),
         ("colour", "y"),
     ]
+
+
+def test_service_silent_failure_is_join_identity(spark, sf_small):
+    """SERVICE SILENT + endpoint failure = the single empty solution
+    (SPARQL 1.1 Federation): local rows SURVIVE with the service's
+    variables unbound even WITHOUT an OPTIONAL wrapper."""
+    cat = tpch_catalog(sf_small)
+
+    def broken(query: str):
+        raise RuntimeError("endpoint down")
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://down.example/sparql": broken}
+    )
+    df = eng.query(
+        PFX
+        + """SELECT ?n ?x WHERE {
+              ?n a ex:Nation .
+              SERVICE SILENT <http://down.example/sparql> {
+                ?n ex:unknown ?x } }"""
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert all(r["x"] is None for r in rows)

@@ -803,3 +803,109 @@ def test_variable_predicate_shared_with_object(engine, sf_small):
     where the object EQUALS the predicate IRI (none in this lake)."""
     df = engine.query("SELECT ?p WHERE { ?s ?p ?p }")
     assert df.collect() == []
+
+
+# --- round-4 engine review fixes ---------------------------------------
+
+
+def test_order_by_non_projected_variable(engine, sf_small):
+    """ORDER BY may reference in-scope vars outside the SELECT list
+    (legal without DISTINCT, SPARQL 1.1 §15.1); previously the sort
+    column was projected away first → UNRESOLVED_COLUMN."""
+    df = engine.query(
+        PFX
+        + """SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name ;
+             ex:acctbal ?bal } ORDER BY DESC(?bal) ?name LIMIT 3"""
+    )
+    got = [r["name"] for r in df.collect()]
+    import duckdb  # independent expectation
+
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT c_name FROM '{sf_small}/customer.parquet'
+                WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+                ORDER BY c_acctbal DESC, c_name LIMIT 3"""
+        ).fetchall()
+    ]
+    assert got == exp
+    assert list(df.columns) == ["name"]
+
+
+def test_optional_filter_on_outer_variable(engine, sf_small):
+    """FILTER inside OPTIONAL referencing an outer var is the LeftJoin
+    condition: rows failing it keep the outer binding with the
+    optional side UNBOUND — they never disappear."""
+    df = engine.query(
+        PFX
+        + """SELECT ?n ?r WHERE { ?n a ex:Nation ; ex:name ?nm .
+             OPTIONAL { ?n ex:region ?r FILTER (STRLEN(?nm) > 6) } }"""
+    )
+    rows = df.collect()
+    assert len(rows) == 25  # every nation survives exactly once
+    import duckdb
+
+    long_names = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT n_nationkey FROM '{sf_small}/nation.parquet' WHERE length(n_name) > 6"
+        ).fetchall()
+    }
+    bound = {
+        int(r["n"].rsplit("/", 1)[1]) for r in rows if r["r"] is not None
+    }
+    assert bound == long_names
+
+
+def test_describe_unknown_iri_empty(engine, sf_small):
+    """DESCRIBE of a resource no mapping can produce: empty graph
+    (SPARQL §16.4), not an IndexError."""
+    df = engine.query("DESCRIBE <http://nowhere.example/x>")
+    assert df.collect() == []
+
+
+def test_two_type_constraints_same_shape(spark, sf_small):
+    """A star with TWO rdf:type constraints satisfiable via two maps
+    over the same subject shape: the maps self-join on the subject
+    (previously: hard SourceSelectionError)."""
+    from ontario_spark.catalog.model import (
+        Catalog,
+        DataSource,
+        LogicalSource,
+        TripleMap,
+        ref,
+        tpl,
+    )
+    from ontario_spark.compiler.query import SparqlEngine
+
+    EX2 = "http://ex.org/tpch/"
+    cat = Catalog()
+    cat.add(
+        DataSource(name="lake", dstype="parquet", base_path=sf_small),
+        TripleMap(
+            name="CustA",
+            source=LogicalSource(table="customer"),
+            subject=tpl(EX2 + "customer/{c_custkey}"),
+            subject_class=EX2 + "Customer",
+            predicates=((EX2 + "name", ref("c_name")),),
+        ),
+        TripleMap(
+            name="CustB",
+            source=LogicalSource(table="customer"),
+            subject=tpl(EX2 + "customer/{c_custkey}"),
+            subject_class=EX2 + "Party",
+            predicates=((EX2 + "acctbal", ref("c_acctbal")),),
+        ),
+    )
+    eng = SparqlEngine(spark, cat)
+    df = eng.query(
+        PFX
+        + """SELECT ?c ?name WHERE {
+             ?c a ex:Customer ; a ex:Party ; ex:name ?name }"""
+    )
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_small}/customer.parquet' WHERE c_name IS NOT NULL"
+    ).fetchall()[0][0]
+    assert df.count() == n

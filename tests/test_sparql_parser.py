@@ -132,3 +132,34 @@ def test_braced_group_still_parses():
 
     q = parse("SELECT ?s WHERE { { ?s <http://x/p> ?v } }")
     assert q.where.elements
+
+
+def test_pname_does_not_swallow_statement_dot():
+    """PN_LOCAL may not end with '.': 'ex:alice.' is IRI ex:alice
+    followed by the triple terminator, not IRI '…alice.'."""
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        "PREFIX ex: <http://ex.org/> "
+        "SELECT ?s WHERE { ?s ex:knows ex:alice. }"
+    )
+    t = q.where.elements[0]
+    assert t.o.value == "http://ex.org/alice"
+
+
+def test_signed_number_flush_against_operand():
+    """'?year-1' is the additive expression (?year - 1), not a bare
+    variable followed by stray tokens."""
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        "SELECT ?y WHERE { ?s <http://ex.org/y> ?year . "
+        "FILTER(?year-1 > 2000) BIND(?year+2 AS ?y) }"
+    )
+    f = [e for e in q.where.elements if type(e).__name__ == "Filter"][0]
+    cmp_ = f.expr
+    assert cmp_.op == ">"
+    sub = cmp_.args[0]
+    assert sub.op == "-" and sub.args[1].py == 1
+    b = [e for e in q.where.elements if type(e).__name__ == "Bind"][0]
+    assert b.expr.op == "+" and b.expr.args[1].py == 2
