@@ -161,9 +161,12 @@ class ExprCompiler:
                 pat = "(?i)" + pat
             return self.value(a[0]).rlike(pat)
         if op == "replace":
-            return F.regexp_replace(
-                self.value(a[0]), unwrap(a[1]).value, unwrap(a[2]).value
-            )
+            pat, rep = unwrap(a[1]), unwrap(a[2])
+            if pat is None or rep is None:
+                raise FilterCompileError(
+                    "REPLACE pattern/replacement must be constant literals"
+                )
+            return F.regexp_replace(self.value(a[0]), pat.value, rep.value)
         if op == "substr":
             start = self.value(a[1])
             length = self.value(a[2]) if len(a) > 2 else F.lit(1 << 30)
@@ -187,13 +190,23 @@ class ExprCompiler:
             # remote side column when present (see "lang" below) or to
             # a dedicated lang column. LANGMATCHES(x, "*") → x != ''.
             tag = unwrap(a[1])
-            if tag is not None and tag.value == "*":
-                return F.length(self.value(a[0])) > 0
+            lv = F.lower(self.value(a[0]))
+            if tag is None:
+                # dynamic range expression: evaluate RFC 4647 basic
+                # filtering per row, including the "*" wildcard
+                rng_col = F.lower(self.value(a[1]))
+                return F.when(
+                    rng_col == "*", F.length(lv) > 0
+                ).otherwise(
+                    (lv == rng_col)
+                    | lv.startswith(F.concat(rng_col, F.lit("-")))
+                )
+            if tag.value == "*":
+                return F.length(lv) > 0
             # RFC 4647 basic filtering (SPARQL §17.4.3.1): the range
             # matches the tag itself OR any tag extending it with
             # subtags — "en" matches "en" and "en-US".
             rng = tag.value.lower()
-            lv = F.lower(self.value(a[0]))
             return (lv == F.lit(rng)) | lv.startswith(rng + "-")
         if op == "lang":
             # SERVICE results carry the SPARQL-JSON xml:lang per cell

@@ -775,7 +775,15 @@ class SparqlEngine:
             return t.py if t.py is not None else t.value
 
         rows = [tuple(pyval(t) for t in row) for row in v.rows]
-        df = self.spark.createDataFrame(rows, schema=v.variables)
+        # explicit schema: inference fails on an all-UNDEF column
+        # (every value None); type each column from its first non-null
+        # value, string when none exists
+        types = {bool: "boolean", int: "long", float: "double"}
+        fields = []
+        for i, var in enumerate(v.variables):
+            sample = next((r[i] for r in rows if r[i] is not None), None)
+            fields.append(f"`{var}` {types.get(type(sample), 'string')}")
+        df = self.spark.createDataFrame(rows, schema=", ".join(fields))
         return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
 
     def _is_remote_plan(self, plan) -> bool:

@@ -823,14 +823,27 @@ class Parser:
         return self._term()
 
 
+_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+_ESC_MAP = {
+    "n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
 def _unescape(s: str) -> str:
-    return (
-        s.replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace('\\"', '"')
-        .replace("\\'", "'")
-        .replace("\\\\", "\\")
-    )
+    """Single-pass ECHAR + UCHAR unescaping. Sequential str.replace
+    passes corrupt adjacent escapes ('\\\\n' — an escaped backslash
+    then a literal n — became a newline) and \\uXXXX wasn't handled."""
+
+    def sub(m: "re.Match[str]") -> str:
+        g = m.group(1)
+        if g[0] == "u" and len(g) == 5:
+            return chr(int(g[1:], 16))
+        if g[0] == "U" and len(g) == 9:
+            return chr(int(g[1:], 16))
+        return _ESC_MAP.get(g, "\\" + g)
+
+    return _ESC_RE.sub(sub, s)
 
 
 def _number_term(lex: str) -> Term:

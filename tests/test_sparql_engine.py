@@ -909,3 +909,28 @@ def test_two_type_constraints_same_shape(spark, sf_small):
         f"SELECT COUNT(*) FROM '{sf_small}/customer.parquet' WHERE c_name IS NOT NULL"
     ).fetchall()[0][0]
     assert df.count() == n
+
+
+def test_values_all_undef_column(engine, sf_small):
+    """A VALUES column that is UNDEF in every row must not break
+    DataFrame schema inference."""
+    df = engine.query(
+        PFX
+        + """SELECT ?name ?x WHERE {
+             ?r a ex:Region ; ex:name ?name .
+             VALUES (?name ?x) { ("EUROPE" UNDEF) ("ASIA" UNDEF) } }"""
+    )
+    rows = df.collect()
+    assert sorted(r["name"] for r in rows) == ["ASIA", "EUROPE"]
+    assert all(r["x"] is None for r in rows)
+
+
+def test_langmatches_dynamic_range(engine, sf_small):
+    """LANGMATCHES with a computed (non-constant) range argument."""
+    df = engine.query(
+        PFX
+        + """SELECT ?name WHERE {
+             ?r a ex:Region ; ex:name ?name .
+             FILTER (LANGMATCHES("en-US", UCASE("en"))) }"""
+    )
+    assert df.count() == 5  # every region: "en-US" matches range "EN"

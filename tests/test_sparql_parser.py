@@ -163,3 +163,15 @@ def test_signed_number_flush_against_operand():
     assert sub.op == "-" and sub.args[1].py == 1
     b = [e for e in q.where.elements if type(e).__name__ == "Bind"][0]
     assert b.expr.op == "+" and b.expr.args[1].py == 2
+
+
+def test_unescape_escaped_backslash_then_letter():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(r'SELECT ?s WHERE { ?s <http://ex.org/p> "a\\nb" }')
+    # escaped backslash + literal n, NOT a newline
+    assert q.where.elements[0].o.value == "a\\nb"
+    q2 = parse(r'SELECT ?s WHERE { ?s <http://ex.org/p> "ABC" }')
+    assert q2.where.elements[0].o.value == "ABC"
+    q3 = parse(r'SELECT ?s WHERE { ?s <http://ex.org/p> "tab\there" }')
+    assert q3.where.elements[0].o.value == "tab\there"
