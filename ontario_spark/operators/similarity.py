@@ -372,3 +372,200 @@ def neardup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# --- product quantization (PQ) -----------------------------------------
+#
+# The 100 TB vector-search compression tier: vectors become m one-byte
+# codes (32-64× smaller than float32), queries score rows by LOOKUPS
+# into a per-query distance table instead of touching the vectors.
+# Training is offline on a bounded deterministic sample; encode is one
+# map-only pass; search is a broadcast join + m array lookups per row.
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 10,
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each via Lloyd
+    k-means over a bounded md5-ordered sample (same determinism posture
+    as the IVF coarse quantizer: reproducible under any input order,
+    unbiased, cost independent of corpus size). Returns plain Python
+    lists — codebooks[j][c] is the c-th centroid of subspace j — tiny
+    (k × D floats) and embedded into encode/search plans as literals."""
+    import numpy as np
+
+    sample = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            _dvec(F.col(vec_col)).alias("v"),
+        )
+        .orderBy("__h")
+        .limit(max(256 * k, 2048))
+        .select("v")
+        .collect()
+    )
+    # L2-normalize: ranking is by COSINE, and squared L2 on the unit
+    # sphere is 2 - 2cos — monotone with it. PQ on raw vectors would
+    # rank by a distance the ground truth doesn't use.
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        # deterministic init: the k sample points coming first in the
+        # md5 order (the sample is already md5-sorted)
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _unit(vec: Column) -> Column:
+    """L2-normalized copy of the vector (cosine ⇔ unit-sphere L2)."""
+    v = _dvec(vec)
+    n = F.greatest(norm(v), F.lit(1e-12))
+    return F.transform(v, lambda x: x / n)
+
+
+def _sub_sqdist(vec: Column, j: int, sub: int, centroid: list[float]) -> Column:
+    s = F.slice(vec, j * sub + 1, sub)
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code0..code{m-1}): nearest-centroid code per subspace —
+    pure Column expressions (the codebooks are literals), one map-only
+    pass, no Python in the row path. At scale this output is what you
+    persist; the float vectors stay cold."""
+    from ontario_spark.operators.textops import spread
+
+    m = len(books)
+    sub = len(books[0][0])
+    out = spread(corpus).select(
+        F.col(id_col), _unit(F.col(vec_col)).alias("__uv")
+    )
+    for j, book in enumerate(books):
+        best_d = _sub_sqdist(F.col("__uv"), j, sub, book[0])
+        best_c = F.lit(0)
+        for c in range(1, len(book)):
+            dc = _sub_sqdist(F.col("__uv"), j, sub, book[c])
+            best_c = F.when(dc < best_d, F.lit(c)).otherwise(best_c)
+            best_d = F.least(best_d, dc)
+        out = out.withColumn(f"code{j}", best_c.cast("int"))
+    return out.drop("__uv")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 4,
+    n_centroids: int = 16,
+    rerank: int = 4,
+    books: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance (ADC) + exact cosine rerank:
+    each query becomes an (m × k) lookup table of subspace distances to
+    every centroid (computed driver-side from the tiny codebooks,
+    broadcast as one flat literal array per query); candidate scoring
+    is m ``element_at`` lookups per row — no vector math touches the
+    corpus. The top ``rerank×k`` ADC candidates fetch their true
+    vectors for an exact cosine rerank, the standard recall repair.
+    Pass precomputed ``books``/``codes`` to skip the offline phase
+    (how a stored index is used)."""
+    import numpy as np
+
+    if books is None:
+        books = pq_codebooks(corpus, id_col, vec_col, m, n_centroids)
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+    m = len(books)
+    kc = len(books[0])
+    sub = len(books[0][0])
+
+    qrows = queries.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v")).collect()
+    tables = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        flat: list[float] = []
+        for j in range(m):
+            qs = qv[j * sub : (j + 1) * sub]
+            B = np.asarray(books[j], dtype=np.float64)
+            flat.extend(float(x) for x in ((B - qs) ** 2).sum(axis=1))
+        tables.append((r[id_col], flat))
+    qdf = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            tables, schema=f"query_id long, tbl array<double>"
+        )
+    )
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(F.col("tbl"), F.col(f"code{j}") + j * kc + 1)
+    cand = (
+        codes.crossJoin(qdf)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(F.col(id_col).alias("neighbor_id"), "query_id", adc.alias("adc"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    cand = cand.withColumn("crank", F.row_number().over(wc)).filter(
+        F.col("crank") <= rerank * k
+    )
+    # exact rerank: only rerank×k rows per query fetch their vectors
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
+    qvec = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qnorm"),
+        )
+    )
+    scored = (
+        cand.join(cvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _staged_cosine(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
