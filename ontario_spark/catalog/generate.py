@@ -62,13 +62,32 @@ def generate_catalog(
     an object-property link to that molecule.
     """
     keys = dict(keys or {})
+    fmts = fmt if isinstance(fmt, dict) else {t: fmt for t in tables}
     schemas: dict[str, list[str]] = {}
     for t in tables:
         from ontario_spark.data import table as load
 
-        schemas[t] = load(spark, base_path, t).columns if fmt == "parquet" else (
-            spark.read.format(fmt).load(f"{base_path}/{t}").columns
-        )
+        f = fmts.get(t, "parquet")
+        if f == "parquet":
+            schemas[t] = load(spark, base_path, t).columns
+        elif f in ("csv", "tsv", "json"):
+            # probe the REAL file (discover_tables returns stems) with
+            # the SAME reader options load_source_df uses at query time
+            # (header=true), so probed column names match query-time
+            # column names
+            path = f"{base_path}/{t}.{f}"
+            if f == "json":
+                schemas[t] = spark.read.json(path).columns
+            else:
+                sep = "\t" if f == "tsv" else ","
+                schemas[t] = (
+                    spark.read.option("sep", sep)
+                    .option("header", "true")
+                    .csv(path)
+                    .columns
+                )
+        else:
+            raise ValueError(f"cannot probe schema for format {f!r} ({t})")
         keys.setdefault(t, schemas[t][0])
 
     def stem(col: str) -> str:
@@ -77,10 +96,17 @@ def generate_catalog(
     key_owner = {stem(keys[t]): t for t in tables}
 
     cat = Catalog()
-    src = DataSource(name="generated_lake", dstype=fmt, base_path=base_path)
+    default_fmt = (
+        "parquet" if any(f == "parquet" for f in fmts.values()) or not fmts
+        else next(iter(sorted(fmts.values())))
+    )
+    src = DataSource(
+        name="generated_lake", dstype=default_fmt, base_path=base_path
+    )
     maps = []
     for t in tables:
         pk = keys[t]
+        f = fmts.get(t, "parquet")
         preds = []
         for col in schemas[t]:
             if col == pk:
@@ -96,7 +122,10 @@ def generate_catalog(
         maps.append(
             TripleMap(
                 name=f"{_class_name(t)}Gen",
-                source=LogicalSource(table=t),
+                source=LogicalSource(
+                    table=t if f == "parquet" else f"{t}.{f}",
+                    fmt=None if f == "parquet" else f,
+                ),
                 subject=tpl(f"{namespace}{t}/{{{pk}}}"),
                 subject_class=namespace + _class_name(t),
                 predicates=tuple(preds),
@@ -186,9 +215,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         tables = discover_tables(args.lake)
-        fmt = next(iter(tables.values()), "parquet")
         cat = generate_catalog(
-            spark, args.lake, sorted(tables), args.namespace, fmt=fmt
+            spark, args.lake, sorted(tables), args.namespace, fmt=tables
         )
         save(cat, args.out)
         if args.summary:

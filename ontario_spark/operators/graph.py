@@ -77,6 +77,12 @@ def transitive_closure(
             .dropDuplicates(["src", "dst"])
         )
         new = _pin(step.join(acc, on=["src", "dst"], how="left_anti"))
+        # step fed only `new` (now materialized): release it so the
+        # persist-fallback path doesn't accumulate a cached frame per
+        # iteration (no-op for checkpointed frames). Deltas folded into
+        # acc stay pinned — acc's plan references them until the caller
+        # consumes the closure.
+        step.unpersist()
         if new.isEmpty():
             break
         acc = acc.unionByName(new)
@@ -197,8 +203,10 @@ def connected_components(
                     .filter(F.col("__l2") != F.col("label"))
                     .isEmpty()
                 )
+            labels.unpersist()  # superseded; new_labels is materialized
             labels = new_labels
             if converged:
+                e.unpersist()
                 return labels.select("n", F.col("label").alias("component"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -47,7 +47,14 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization; trim first so no empty edge tokens."""
+    """Whitespace tokenization; trim first so interior/edge whitespace
+    never yields empty tokens. Deliberate edge: an EMPTY (or all-
+    whitespace) document tokenizes to ``[""]`` — one empty token, not
+    ``[]`` — because ``split("", pat)`` behaves that way in BOTH Spark
+    and DuckDB (``regexp_split_to_array``), and every oracle-checked
+    consumer (token stats, BM25 dl/avgdl, language-ID) relies on the
+    two engines agreeing. Callers that need true emptiness filter
+    ``trim(col) != ''`` first."""
     return F.split(F.trim(col), r"\s+")
 
 

@@ -88,6 +88,10 @@ def _prop_of(expr: str) -> tuple[str, bool]:
 
 def _cond_holds(node: dict, cond: str) -> bool:
     cond = cond.strip()
+    if cond == "false":
+        return False
+    if cond == "true":
+        return True
     if cond.endswith(" IS NOT NULL"):
         prop, _ = _prop_of(cond[: -len(" IS NOT NULL")])
         return node.get(prop) is not None

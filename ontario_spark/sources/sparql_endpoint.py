@@ -138,16 +138,28 @@ def endpoint_df(
 
 def sharded_queries(query: str, shard_var: str, n_shards: int) -> list[str]:
     """Split a SPARQL query into N disjoint shards via a deterministic
-    hash-mod filter on one variable — each shard is independently
-    pageable and fetchable in parallel."""
-    out = []
+    hash filter on one variable — each shard is independently pageable
+    and fetchable in parallel. Built from SPARQL 1.1 builtins ONLY
+    (MD5 + SUBSTR + IN): shard membership is the leading hex digits of
+    MD5(STR(?v)) partitioned round-robin across shards, so any
+    spec-compliant endpoint (Jena/Virtuoso/Blazegraph/GraphDB) accepts
+    the query. 1 < n_shards ≤ 256."""
+    if not 1 < n_shards <= 256:
+        raise ValueError("n_shards must be in (1, 256]")
     marker = "}"
     idx = query.rstrip().rfind(marker)
     if idx < 0:
         raise ValueError("query has no group graph pattern to shard")
+    width = 1 if n_shards <= 16 else 2
+    buckets = [f"{b:0{width}x}" for b in range(16**width)]
+    out = []
     for s in range(n_shards):
+        mine = ", ".join(
+            f'"{h}"' for i, h in enumerate(buckets) if i % n_shards == s
+        )
         shard_filter = (
-            f" FILTER (MOD(ABS(HASH(STR(?{shard_var}))), {n_shards}) = {s}) "
+            f" FILTER (SUBSTR(MD5(STR(?{shard_var})), 1, {width})"
+            f" IN ({mine})) "
         )
         out.append(query[:idx] + shard_filter + query[idx:])
     return out

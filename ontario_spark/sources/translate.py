@@ -194,7 +194,11 @@ def extract_remote_conds(exprs: list) -> dict[str, list[RemoteCond]]:
             elif c.op in ("contains", "strstarts", "strends"):
                 if a.is_var and not b.is_var:
                     s = str(b.value)
-                    if s and "%" not in s and "_" not in s:
+                    # backslash-bearing constants stay Spark-side: LIKE
+                    # strips backslashes a second time at match (MySQL),
+                    # so a pushed pattern would over-prune — and dropped
+                    # rows never reach the local re-check
+                    if s and "%" not in s and "_" not in s and "\\" not in s:
                         pat = {
                             "contains": f"%{s}%",
                             "strstarts": f"{s}%",
@@ -204,7 +208,7 @@ def extract_remote_conds(exprs: list) -> dict[str, list[RemoteCond]]:
             elif c.op == "regex" and len(c.args) == 2:
                 if a.is_var and not b.is_var:
                     pat = _regex_to_like(str(b.value))
-                    if pat is not None:
+                    if pat is not None and "\\" not in pat:
                         add(a.value, RemoteCond("like", pat))
     return out
 
@@ -602,8 +606,14 @@ def star_cypher(
         return "'" + str(value).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
     ref_props: dict[str, str] = {}  # REFERENCE-bound var → property expr
+    bound_vars: set[str] = set()
 
     def bind(var: str, cols: list[str], kind: str, tpl: str | None):
+        if var in bound_vars:
+            # same posture as the mongo translator: per-row equality of
+            # two projections is not expressible in the emitted subset
+            raise TranslateError("repeated variable not supported for cypher")
+        bound_vars.add(var)
         if kind == REFERENCE:
             ref_props[var] = prop(cols[0])
         for i, c in enumerate(cols):
@@ -636,8 +646,14 @@ def star_cypher(
             bind(star.subject.value, list(tm.subject.template.columns), TEMPLATE, tm.subject.value)
         else:
             keys = tm.subject.template.extract(star.subject.value)
-            for c, v in zip(tm.subject.template.columns, keys or ()):
-                where.append(f"toString({prop(c)}) = {clit(v)}")
+            if keys is None:
+                # constant URI this map can never produce: unsatisfiable
+                # (SQL emits 1=0, mongo an impossible $match — without
+                # this the MATCH would return EVERY node)
+                where.append("false")
+            else:
+                for c, v in zip(tm.subject.template.columns, keys):
+                    where.append(f"toString({prop(c)}) = {clit(v)}")
     else:
         if star.subject.is_var:
             bind(star.subject.value, [tm.subject.value], REFERENCE, None)
@@ -657,11 +673,27 @@ def star_cypher(
                 bind(t.o.value, list(om.template.columns), TEMPLATE, om.value)
             else:
                 keys = om.template.extract(t.o.value)
-                for c, v in zip(om.template.columns, keys or ()):
-                    where.append(f"toString({prop(c)}) = {clit(v)}")
+                if keys is None:
+                    where.append("false")
+                else:
+                    for c, v in zip(om.template.columns, keys):
+                        where.append(f"toString({prop(c)}) = {clit(v)}")
         else:
             if t.o.is_var:
+                if t.o.value in bound_vars:
+                    raise TranslateError(
+                        "repeated variable not supported for cypher"
+                    )
+                bound_vars.add(t.o.value)
                 specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
+            elif om.value != (
+                t.o.py
+                if (not t.o.is_iri and t.o.py is not None)
+                else t.o.value
+            ):
+                # CONSTANT map vs mismatching constant object:
+                # unsatisfiable (parity with SQL 1=0 / mongo __none__)
+                where.append("false")
 
     for var, conds in (conditions or {}).items():
         expr = ref_props.get(var)
@@ -691,7 +723,16 @@ def _sparql_term(t: Term) -> str:
         return f"?{t.value}"
     if t.is_iri:
         return f"<{t.value}>"
-    lex = t.value.replace("\\", "\\\\").replace('"', '\\"')
+    # ECHAR-escape control characters too: SPARQL forbids raw
+    # newline/CR/tab inside quoted strings (parity with
+    # pushdown.sparql_value_term)
+    lex = (
+        t.value.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
     if t.datatype:
         return f'"{lex}"^^<{t.datatype}>'
     if t.lang:
@@ -745,7 +786,11 @@ def df_to_bframe(df, specs: list[ColSpec]):
     if real:
         df = df.select(*[F.col(s.out).cast("string").alias(s.out) for s in real])
     else:
-        df = df.sparkSession.range(1).select()
+        # zero projected columns (all-constant star, e.g. an ASK-shaped
+        # probe): KEEP the remote row count — select() drops columns
+        # but not rows, so an unsatisfied star stays empty instead of
+        # fabricating one phantom row
+        df = df.select()
     meta: dict[str, TermMeta] = {}
     for s in real:
         if s.kind == TEMPLATE:
@@ -767,5 +812,10 @@ def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
     cols = [s.out for s in real]
     data = [tuple(r.get(c) for c in cols) for r in rows]
     schema = ", ".join(f"{c} string" for c in cols)
-    df = spark.createDataFrame(data, schema=schema) if cols else spark.range(1).select()
+    if not cols:
+        # no projected columns: one row per REMOTE row (never a
+        # fabricated singleton — an empty remote answer must stay empty)
+        df = spark.range(len(rows)).select()
+    else:
+        df = spark.createDataFrame(data, schema=schema)
     return df_to_bframe(df, specs)

@@ -62,10 +62,24 @@ def test_endpoint_df(spark):
 
 
 def test_sharded_queries_disjoint():
+    """Shard predicates use only SPARQL 1.1 builtins (MD5/SUBSTR/IN)
+    and partition the hex-digit space disjointly and completely."""
+    import re as _re
+
     qs = sharded_queries("SELECT ?s WHERE { ?s a <C> }", "s", 4)
     assert len(qs) == 4
-    assert all("MOD(ABS(HASH(STR(?s))), 4)" in q for q in qs)
-    assert [f"= {i}" in q for i, q in enumerate(qs)] == [True] * 4
+    assert all("SUBSTR(MD5(STR(?s)), 1, 1) IN (" in q for q in qs)
+    seen: list[str] = []
+    for q in qs:
+        seen += _re.findall(r'"([0-9a-f])"', q)
+    assert sorted(seen) == sorted("0123456789abcdef")  # disjoint + complete
+    # >16 shards widen to two hex chars
+    qs2 = sharded_queries("SELECT ?s WHERE { ?s a <C> }", "s", 20)
+    assert all("SUBSTR(MD5(STR(?s)), 1, 2) IN (" in q for q in qs2)
+    seen2: list[str] = []
+    for q in qs2:
+        seen2 += _re.findall(r'"([0-9a-f]{2})"', q)
+    assert len(seen2) == 256 and len(set(seen2)) == 256
 
 
 # --- bound-join pushdown ------------------------------------------------

@@ -522,3 +522,58 @@ def test_graphstore_keywords_inside_literals():
         graph,
     )
     assert rows == [{"k": 2}]
+
+
+def test_cypher_unsatisfiable_constant_subject():
+    """A constant URI the map's template cannot produce must emit an
+    unsatisfiable WHERE (previously: NO constraint → every node)."""
+    from ontario_spark.sources.graphstore import run_cypher
+
+    star = star_of(f"SELECT * WHERE {{ <{EX}nation/7> ex:name ?n }}")
+    q, _ = star_cypher(MONGO_MAP, star)
+    assert "false" in q
+    rows = run_cypher(q, {"Customer": [{"cid": 1, "name": "alice"}]})
+    assert rows == []
+
+
+def test_cypher_constant_object_mismatch_unsatisfiable():
+    from ontario_spark.catalog.model import const
+    from ontario_spark.sources.graphstore import run_cypher
+
+    cmap = TripleMap(
+        name="MC2",
+        source=LogicalSource(table="customers"),
+        subject=tpl(EX + "customer/{cid}"),
+        subject_class=EX + "Customer",
+        predicates=((EX + "tier", const("gold")), (EX + "name", ref("name"))),
+    )
+    star = star_of('SELECT * WHERE { ?c a ex:Customer ; ex:tier "silver" ; ex:name ?n }')
+    q, _ = star_cypher(cmap, star)
+    assert "false" in q
+    assert run_cypher(q, {"Customer": [{"cid": 1, "name": "a"}]}) == []
+    # matching constant: satisfiable, no false
+    star_ok = star_of('SELECT * WHERE { ?c a ex:Customer ; ex:tier "gold" ; ex:name ?n }')
+    q_ok, _ = star_cypher(cmap, star_ok)
+    assert "false" not in q_ok
+
+
+def test_cypher_repeated_variable_raises():
+    import pytest as _pytest
+
+    from ontario_spark.sources.translate import TranslateError
+
+    star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?x ; ex:mktsegment ?x }")
+    with _pytest.raises(TranslateError):
+        star_cypher(MONGO_MAP, star)
+
+
+def test_rows_to_bframe_preserves_row_count_without_columns(spark):
+    """All-constant stars project NO columns; the frame must mirror the
+    REMOTE row count (0 stays 0 — no phantom singleton)."""
+    from ontario_spark.sources.translate import ColSpec, rows_to_bframe
+
+    specs = [ColSpec("", "v", "constant", "gold")]
+    assert rows_to_bframe(spark, [], specs).df.count() == 0
+    bf = rows_to_bframe(spark, [{}, {}], specs)
+    assert bf.df.count() == 2
+    assert bf.df.select("v").distinct().collect()[0]["v"] == "gold"
