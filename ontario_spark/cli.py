@@ -159,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
     text = sys.stdin.read() if args.query == "-" else open(args.query).read()
     out = run(args.catalog, text, trace=args.trace,
               write_path=args.write, write_format=args.write_format)
-    if args.limit_print is not None:
+    if args.limit_print is not None and "result" in out:
+        # --write mode returns write stats, not materialized bindings
         out["result"] = out["result"][: args.limit_print]
     json.dump(out, sys.stdout, indent=1)
     print()

@@ -30,7 +30,8 @@ def _load():
     for modname in _MODULES:
         mod = importlib.import_module(modname)
         for name, fn in getattr(mod, "QUERIES", {}).items():
-            assert name not in queries, f"duplicate query name {name}"
+            if name in queries:  # not assert: must survive python -O
+                raise ValueError(f"duplicate query name {name}")
             queries[name] = fn
         oracle.update(getattr(mod, "ORACLE", {}))
     return queries, oracle
@@ -132,7 +133,8 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ever outside the exported surface."""
     q = all_queries()
     missing = [n for n in DRIVER_SURFACE if n not in q]
-    assert not missing, f"DRIVER_SURFACE names not in registry: {missing}"
+    if missing:  # not assert: must survive python -O
+        raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = ["sparql_string_functions", "sparql_negated_path"]
     rest = near_cap + [
         n for n in q if n not in DRIVER_SURFACE and n not in near_cap

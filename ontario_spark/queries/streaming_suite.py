@@ -65,11 +65,15 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("user_id", "session_start", "n_events", "session_value")
 
 
+# Session boundary: Spark's session_window is end-EXCLUSIVE [t, t+gap),
+# so a gap of EXACTLY `gap` seconds starts a NEW session — the oracle
+# must use >=, not > (a fixture with an exact-gap pair would otherwise
+# hash-mismatch).
 STREAM_USER_SESSIONS_SQL = """
 WITH x AS (
   SELECT user_id, ts, value,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), y AS (

@@ -21,7 +21,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from ontario_spark.cli import sparql_json_term
+from ontario_spark.cli import sparql_json_term, to_sparql_json
 
 
 class SparqlHTTPServer:
@@ -29,9 +29,11 @@ class SparqlHTTPServer:
     /nextresult until ``stop()``. Port 0 picks an ephemeral port
     (exposed as ``.port``)."""
 
+    MAX_PENDING = 64  # abandoned non-blocking queries evict oldest-first
+
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
         self.engine = engine
-        self._pending: dict[str, dict] = {}
+        self._pending: dict[str, dict] = {}  # insertion-ordered
         self._lock = threading.Lock()
         outer = self
 
@@ -91,26 +93,25 @@ class SparqlHTTPServer:
         if (q.get("mode") or ["blocking"])[0] == "non-blocking":
             qid = uuid.uuid4().hex
             with self._lock:
+                # bound driver state: a client that abandons a qid
+                # without draining to EOF would otherwise leak its
+                # iterator forever; evict oldest entries past the cap
+                while len(self._pending) >= self.MAX_PENDING:
+                    self._pending.pop(next(iter(self._pending)))
                 self._pending[qid] = {
                     "vars": df.columns,
                     "it": df.toLocalIterator(),
+                    "qlock": threading.Lock(),
                 }
             return {"qid": qid, "vars": df.columns}
         first = df.limit(1).collect()
         t_first = time.perf_counter() - t0
         rows = df.collect()
         t_all = time.perf_counter() - t0
-        result = []
-        for row in rows:
-            b = {}
-            for c in df.columns:
-                t = sparql_json_term(row[c])
-                if t is not None:
-                    b[c] = t
-            result.append(b)
+        payload = to_sparql_json(rows, df.columns)
         return {
             "vars": df.columns,
-            "result": result,
+            "result": payload["results"]["bindings"],
             "execTime": round(t_all, 4),
             "firstResult": round(t_first if first else t_all, 4),
             "totalRows": len(rows),
@@ -122,8 +123,12 @@ class SparqlHTTPServer:
             entry = self._pending.get(qid)
         if entry is None:
             raise ValueError(f"unknown qid {qid!r}")
+        # per-query lock: ThreadingHTTPServer serves each request on
+        # its own thread, and next() on a shared generator from two
+        # threads raises "generator already executing"
         try:
-            row = next(entry["it"])
+            with entry["qlock"]:
+                row = next(entry["it"])
         except StopIteration:
             with self._lock:
                 self._pending.pop(qid, None)

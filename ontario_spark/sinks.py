@@ -15,16 +15,25 @@ from pyspark.sql import functions as F
 
 
 def _term_nt(col: F.Column) -> F.Column:
-    """RDF term → N-Triples token: IRIs angle-bracketed, blank nodes
-    passed through, anything else a quoted literal with ``\\`` and
-    ``"`` escaped (the two escapes N-Triples requires for plain
-    strings)."""
+    """RDF term → N-Triples token: IRIs angle-bracketed (hierarchical
+    ``scheme://`` forms plus the scheme-only ``urn:`` family the CLI's
+    SPARQL-JSON sink also treats as uri), blank nodes passed through,
+    anything else a quoted literal with the full ECHAR set escaped —
+    backslash, quote, and the control characters (LF/CR/TAB) that would
+    otherwise split a triple across physical lines and break every
+    line-oriented N-Triples parser."""
     s = col.cast("string")
     escaped = F.regexp_replace(
         F.regexp_replace(s, r"\\", r"\\\\"), '"', r"\\\""
     )
+    escaped = F.regexp_replace(escaped, "\n", r"\\n")
+    escaped = F.regexp_replace(escaped, "\r", r"\\r")
+    escaped = F.regexp_replace(escaped, "\t", r"\\t")
     return (
-        F.when(s.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), F.concat(F.lit("<"), s, F.lit(">")))
+        F.when(
+            s.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://") | s.startswith("urn:"),
+            F.concat(F.lit("<"), s, F.lit(">")),
+        )
         .when(s.startswith("_:"), s)
         .otherwise(F.concat(F.lit('"'), escaped, F.lit('"')))
     )

@@ -60,6 +60,11 @@ def salted_join(
     Use when one key's row count dwarfs the rest; plain AQE skew-join
     only splits map-side partitions and cannot help when a single key
     exceeds one task's capacity on BOTH sides."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # right/full outer would emit each unmatched right row once PER
+        # SALT value — refuse instead of silently corrupting
+        raise ValueError(f"salted_join does not support how={how!r}")
     salt_col = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt))
     l = left.withColumn("__salt", salt_col.cast("int"))
     r = right.withColumn(

@@ -79,3 +79,48 @@ def test_bad_query_is_400(server):
     with pytest.raises(HTTPError) as ei:
         _get(f"http://127.0.0.1:{server.port}/sparql?{q}")
     assert ei.value.code == 400
+
+
+def test_concurrent_nextresult_no_generator_race(server):
+    """ThreadingHTTPServer serves each request on its own thread: two
+    clients polling the same qid simultaneously must serialize on the
+    per-query lock instead of hitting 'generator already executing'."""
+    import threading
+    from urllib.parse import urlencode
+
+    base = f"http://127.0.0.1:{server.port}"
+    out = _get(
+        f"{base}/sparql?" + urlencode({"query": QUERY, "mode": "non-blocking"})
+    )
+    qid = out["qid"]
+    results, errors = [], []
+
+    def drain():
+        try:
+            while True:
+                r = _get(f"{base}/nextresult?qid={qid}")
+                if r.get("result") == "EOF" or "error" in r:
+                    if "error" in r:
+                        errors.append(r["error"])
+                    return
+                results.append(r["result"])
+        except Exception as ex:  # pragma: no cover
+            errors.append(str(ex))
+
+    threads = [threading.Thread(target=drain) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # unknown-qid errors are fine after EOF cleanup; generator races not
+    assert not any("generator" in e for e in errors), errors
+    assert len(results) == 5
+
+
+def test_pending_is_bounded(server):
+    from urllib.parse import urlencode
+
+    base = f"http://127.0.0.1:{server.port}"
+    for _ in range(3):
+        _get(f"{base}/sparql?" + urlencode({"query": QUERY, "mode": "non-blocking"}))
+    assert len(server._pending) <= SparqlHTTPServer.MAX_PENDING
