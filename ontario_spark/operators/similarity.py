@@ -461,7 +461,13 @@ def pq_encode(
     """(id, code0..code{m-1}): nearest-centroid code per subspace —
     pure Column expressions (the codebooks are literals), one map-only
     pass, no Python in the row path. At scale this output is what you
-    persist; the float vectors stay cold."""
+    persist; the float vectors stay cold.
+
+    Expression shape matters: ONE ``transform`` over the subspace's
+    centroid-matrix literal computes all k distances in a single pass
+    and ``array_position(array_min)`` picks the argmin — m HOF
+    expressions total. The per-centroid-expression form (m×k separate
+    aggregates + a k-deep when-chain) took ~20 s vs ~2 s at sf0.1."""
     from ontario_spark.operators.textops import spread
 
     m = len(books)
@@ -470,13 +476,20 @@ def pq_encode(
         F.col(id_col), _unit(F.col(vec_col)).alias("__uv")
     )
     for j, book in enumerate(books):
-        best_d = _sub_sqdist(F.col("__uv"), j, sub, book[0])
-        best_c = F.lit(0)
-        for c in range(1, len(book)):
-            dc = _sub_sqdist(F.col("__uv"), j, sub, book[c])
-            best_c = F.when(dc < best_d, F.lit(c)).otherwise(best_c)
-            best_d = F.least(best_d, dc)
-        out = out.withColumn(f"code{j}", best_c.cast("int"))
+        s = F.slice(F.col("__uv"), j * sub + 1, sub)
+        mat = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        )
+        dists = F.transform(
+            mat,
+            lambda c: F.aggregate(
+                F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        code = F.array_position(dists, F.array_min(dists)) - 1
+        out = out.withColumn(f"code{j}", code.cast("int"))
     return out.drop("__uv")
 
 

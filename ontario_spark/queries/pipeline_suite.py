@@ -518,6 +518,17 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (codebook ADC + exact rerank). No SQL
+    oracle — DuckDB has no k-means; recall-vs-bruteforce, determinism
+    under input shuffling, and the no-Python encode plan are
+    pytest-covered (tests/test_dedup_similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, _queries_subset(spark, sf_dir), k=3, m=16, n_centroids=16, rerank=8
+    )
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size caps self-join fan-out per bucket (the skew
     # guard); 200 is far above any fixture bucket's population, so
@@ -1002,6 +1013,7 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_pq": ann_topk_pq,
     "emb_neardup_pairs": emb_neardup_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,

@@ -28,7 +28,7 @@ def test_all_queries_have_oracle_or_are_declared():
     # equivalent; their error bounds are pytest-checked and their
     # oracle-able forms — ann_topk_bucketed, sketch_hll_check — sit on
     # the driver surface instead). Anything else missing is a bug.
-    assert missing == ["ann_topk_ivf", "sketch_event_stats", "sketch_hll_rollup"], (
+    assert missing == ["ann_topk_ivf", "ann_topk_pq", "sketch_event_stats", "sketch_hll_rollup"], (
         f"queries without oracle: {missing}"
     )
 
@@ -38,4 +38,4 @@ def test_registry_counts_are_consistent():
     counts drifted): the registry and oracle sizes must track each
     other exactly, and every oracle key must name a registered query."""
     assert set(ORACLE) <= set(QUERIES)
-    assert len(ORACLE) == len(QUERIES) - 3  # the three declared above
+    assert len(ORACLE) == len(QUERIES) - 4  # the four declared above
