@@ -98,3 +98,33 @@ def test_cli_write_sink(spark, tmp_path):
     assert out["written"] == out_path and out["totalRows"] == 5
     assert "result" not in out  # nothing collected
     assert spark.read.parquet(out_path).count() == 5
+
+
+def test_cli_write_with_limit_print(monkeypatch, tmp_path):
+    """--write + --limit-print: the stats payload has no 'result' list;
+    main() must not crash slicing it (regression). run() is stubbed so
+    the shared test session isn't torn down by the CLI's own session
+    lifecycle."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    import ontario_spark.cli as cli
+
+    stats = {"vars": ["name"], "written": "/x", "format": "parquet",
+             "totalRows": 5, "execTime": 0.1}
+    monkeypatch.setattr(cli, "run", lambda *a, **k: dict(stats))
+    qf = tmp_path / "q.sparql"
+    qf.write_text("SELECT ?s WHERE { ?s ?p ?o }")
+    old = sys.stdout
+    sys.stdout = StringIO()
+    try:
+        rc = cli.main([
+            "--catalog", "c.json", "--query", str(qf),
+            "--write", "/x", "--limit-print", "2",
+        ])
+        payload = _json.loads(sys.stdout.getvalue())
+    finally:
+        sys.stdout = old
+    assert rc == 0 and payload["written"] == "/x"
+    assert "result" not in payload

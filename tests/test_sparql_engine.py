@@ -934,3 +934,15 @@ def test_langmatches_dynamic_range(engine, sf_small):
              FILTER (LANGMATCHES("en-US", UCASE("en"))) }"""
     )
     assert df.count() == 5  # every region: "en-US" matches range "EN"
+
+
+def test_optional_containing_only_outer_filter(engine, sf_small):
+    """OPTIONAL { FILTER(outer-var expr) }: LeftJoin against the empty
+    pattern — rows passing keep themselves, failing rows also survive
+    (nothing optional to bind). Degenerate but spec-legal."""
+    df = engine.query(
+        PFX
+        + """SELECT ?name WHERE { ?r a ex:Region ; ex:name ?name .
+             OPTIONAL { FILTER (STRLEN(?name) > 4) } }"""
+    )
+    assert df.count() == 5  # all regions survive

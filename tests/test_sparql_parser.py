@@ -175,3 +175,34 @@ def test_unescape_escaped_backslash_then_letter():
     assert q2.where.elements[0].o.value == "ABC"
     q3 = parse(r'SELECT ?s WHERE { ?s <http://ex.org/p> "tab\there" }')
     assert q3.where.elements[0].o.value == "tab\there"
+
+
+def test_unescape_unicode_escapes():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(r'SELECT ?s WHERE { ?s <http://ex.org/p> "\u0041\U00000042c" }')
+    assert q.where.elements[0].o.value == "ABc"
+
+
+def test_unescape_property_roundtrip():
+    """Escaping then parsing any string round-trips (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontario_spark.sparql.parser import parse
+
+    printable = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+    )
+
+    def escape(s: str) -> str:
+        out = s.replace("\\", "\\\\").replace('"', '\\"')
+        return out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+    @settings(max_examples=150)
+    @given(printable)
+    def check(s):
+        q = parse(f'SELECT ?s WHERE {{ ?s <http://ex.org/p> "{escape(s)}" }}')
+        assert q.where.elements[0].o.value == s
+
+    check()
