@@ -317,3 +317,75 @@ def keep_best(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def chunk_lines(
+    df: DataFrame, id_col: str, text_col: str, chunk: int = 4
+) -> DataFrame:
+    """Explode each document into fixed-size word chunks ("lines" for a
+    corpus whose text carries no newlines): (id, pos, line) where pos
+    is the 0-based word offset. Pure Column ops — split once, then
+    ``transform`` over a stride sequence with ``slice``."""
+    ws = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(chunk)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("pos"),
+            F.array_join(F.slice(ws, s + 1, chunk), " ").alias("line"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, F.col("c.pos").alias("pos"), F.col("c.line").alias("line")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 4,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """Line-level (chunk-level) boilerplate removal, the CCNet-style
+    counterpart to document dedup: drop every line that appears in
+    >= ``min_doc_freq`` DISTINCT documents, reassemble the survivors in
+    order, and report per-doc removal stats plus the md5 of the cleaned
+    text (compact, hash-comparable output).
+
+    Scale shape: document frequency is one groupBy on md5(line) — the
+    16-byte hash shuffles, never the line text. The boilerplate set is
+    bounded by total_lines / min_doc_freq and in practice tiny (high-df
+    lines are by definition few distinct strings), so it re-joins the
+    exploded corpus as a BROADCAST left join; the reassembly groupBy
+    rides the same doc-id partitioning with ``collect_list`` of
+    (pos, line) structs sorted in-memory per doc — per-doc state, never
+    a global sort."""
+    lines = chunk_lines(df, id_col, text_col, chunk).withColumn(
+        "line_hash", F.md5(F.col("line"))
+    )
+    boiler = (
+        lines.groupBy("line_hash")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("line_hash", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(F.broadcast(boiler), "line_hash", "left")
+    kept = F.when(
+        F.col("is_boiler").isNull(),
+        F.struct(F.col("pos"), F.col("line")),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["line"]
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )

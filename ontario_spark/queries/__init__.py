@@ -18,6 +18,7 @@ _MODULES = [
     "ontario_spark.queries.tpch_shapes",
     "ontario_spark.queries.sparql_suite",
     "ontario_spark.queries.pipeline_suite",
+    "ontario_spark.queries.events_suite",
     "ontario_spark.queries.streaming_suite",
 ]
 
@@ -68,6 +69,10 @@ DRIVER_SURFACE = [
     # comes from sparql_union, whose UNION semantics stay represented —
     # and driver-checked — by the strictly-wider sparql_source_union)
     "dedup_clusters",
+    # line-level (chunk) boilerplate removal — round-4 family; slot
+    # from sparql_nested_star_join (nested-source semantics stay
+    # driver-checked via sparql_nested_iterator)
+    "dedup_boilerplate",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_topk_bruteforce",
@@ -76,8 +81,14 @@ DRIVER_SURFACE = [
     "text_metrics",
     "bm25_topk",
     "mm_decode_stats",
-    "mm_frame_stats",
     "sketch_hll_check",
+    # temporal joins — round-4 family (as-of via union+running-last,
+    # range via time-bucketed equality join); slots from mm_frame_stats
+    # (multimodal plumbing stays represented by mm_decode_stats) and
+    # sparql_property_path (the path family stays represented by
+    # sparql_path_closure)
+    "events_asof_join",
+    "events_range_pairs",
     # structured streaming (previously outside the checked set)
     "stream_click_purchase",
     "stream_dedup",
@@ -86,9 +97,8 @@ DRIVER_SURFACE = [
     "stream_user_sessions",
     "stream_user_gaps",
     # SPARQL 1.1 extensions + federation
-    # (sparql_negated_path moved just past the cap for
-    # sparql_mongo_join — the path family stays represented by
-    # sparql_property_path + sparql_path_closure)
+    # (sparql_negated_path and sparql_property_path sit just past the
+    # cap — the path family stays represented by sparql_path_closure)
     "sparql_group_by_expr",
     "sparql_agg_distinct",
     "sparql_group_concat",
@@ -116,8 +126,6 @@ DRIVER_SURFACE = [
     "sparql_aggregate",
     "sparql_lineitem_star",
     "sparql_nested_iterator",
-    "sparql_nested_star_join",
-    "sparql_property_path",
     "sparql_describe",
     # relational shapes not evidenced by the SPARQL/pipeline entries
     "q1_pricing_summary",
@@ -135,7 +143,14 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     missing = [n for n in DRIVER_SURFACE if n not in q]
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
-    near_cap = ["sparql_string_functions", "sparql_negated_path"]
+    near_cap = [
+        "sparql_string_functions",
+        "sparql_negated_path",
+        "sparql_property_path",
+        "sparql_nested_star_join",
+        "mm_frame_stats",
+        "events_json_stats",
+    ]
     rest = near_cap + [
         n for n in q if n not in DRIVER_SURFACE and n not in near_cap
     ]

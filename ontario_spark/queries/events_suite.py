@@ -1,0 +1,146 @@
+"""Temporal-join and semi-structured queries over the ``events`` table:
+as-of join (point-in-time-correct feature alignment), bounded range
+join (bucketed, never a nested loop), and JSON property extraction.
+
+Beyond-reference scope (SURVEY.md §2.5). Oracles: DuckDB 1.0 has native
+``ASOF LEFT JOIN`` with the same inclusive-backward semantics as
+``asof_join(direction="backward")``, so the as-of entry is checked
+against the real thing rather than a window re-derivation; the range
+join oracles against a plain inequality join (DuckDB plans an IEJoin —
+fine at oracle scale; the Spark side deliberately does NOT use the
+inequality-join formulation because Spark would plan it as a
+broadcast-nested-loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.operators.asof import asof_join, range_join, ts_micros
+
+FIVE_MIN_US = 5 * 60 * 1_000_000
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click annotated with the user's most recent prior (or
+    simultaneous) purchase: purchase value + age of that purchase in
+    microseconds. Clicks with no prior purchase keep NULLs."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_value").alias("purchase_value"),
+        (ts_micros(F.col("ts")) - ts_micros(F.col("r_ts"))).alias(
+            "purchase_age_us"
+        ),
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.value AS purchase_value,
+       date_diff('microsecond', p.ts, c.ts) AS purchase_age_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def events_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often does event type B follow event type A for the same
+    user within 5 minutes? Bucketed range self-join, then a pair-type
+    rollup (value sums decimal-exact for the cross-engine hash)."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select("user_id", "ts", "event_type", "value")
+    b = ev.select("user_id", "ts", "event_type", "event_id")
+    pairs = range_join(
+        a, b, on="user_id", lower_micros=0, upper_micros=FIVE_MIN_US
+    )
+    return (
+        pairs.groupBy(
+            F.col("event_type").alias("type_a"),
+            F.col("r_event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_a_value"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_RANGE_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(a.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_a_value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats over the JSON ``props`` payload: the extraction
+    runs JVM-side (``get_json_object``), the mean derives from an exact
+    integer sum so the double is cross-engine deterministic."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "events_asof_join": events_asof_join,
+    "events_range_pairs": events_range_pairs,
+    "events_json_stats": events_json_stats,
+}
+
+ORACLE = {
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_range_pairs": EVENTS_RANGE_SQL,
+    "events_json_stats": EVENTS_JSON_SQL,
+}

@@ -176,6 +176,43 @@ SELECT doc_id, content_hash, n_copies FROM r WHERE rn = 1
 """
 
 
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup: drop 4-word chunks appearing in
+    >= 3 distinct documents, reassemble, report removal stats + the
+    cleaned text's md5 (compact hash-comparable output)."""
+    return dedup.remove_boilerplate(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk=4,
+        min_doc_freq=3,
+    )
+
+
+DEDUP_BOILERPLATE_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, s AS pos, array_to_string(ws[s+1:s+4], ' ') AS line
+  FROM w, LATERAL unnest(range(0, len(ws), 4)) AS t(s)
+), lines AS (
+  SELECT doc_id, pos, line, md5(line) AS line_hash FROM chunks
+), boiler AS (
+  SELECT line_hash FROM lines GROUP BY line_hash
+  HAVING COUNT(DISTINCT doc_id) >= 3
+)
+SELECT l.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN b.line_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(
+         CASE WHEN b.line_hash IS NULL THEN l.line END, ' ' ORDER BY l.pos),
+         '')) AS clean_hash
+FROM lines l LEFT JOIN boiler b ON l.line_hash = b.line_hash
+GROUP BY l.doc_id
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-
     label propagation) over the n-gram-Jaccard pair graph, labeled by
@@ -1005,6 +1042,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_boilerplate": dedup_boilerplate,
     "contamination_check": contamination_check,
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
@@ -1038,6 +1076,7 @@ ORACLE = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

@@ -1,0 +1,120 @@
+"""Unit tests for the temporal join operators (operators/asof.py):
+semantics that the registry-level DuckDB gate can't isolate —
+direction, tolerance, chimera-row protection, bucket-boundary
+coverage in the range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontario_spark.operators.asof import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _t(10), "l10"), (1, _t(20), "l20"), (2, _t(5), "l5")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(8), 8.0), (1, _t(20), 20.0), (1, _t(30), 30.0), (3, _t(1), 1.0)],
+        "k int, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_unmatched(spark, frames):
+    left, right = frames
+    out = {
+        (r["k"], r["tag"]): (r["r_v"], r["r_ts"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert out[(1, "l10")] == (8.0, _t(8))  # latest right <= 10
+    assert out[(1, "l20")] == (20.0, _t(20))  # equal ts matches (inclusive)
+    assert out[(2, "l5")] == (None, None)  # key with no right rows
+    assert len(out) == 3  # left row count preserved
+
+
+def test_forward_direction(spark, frames):
+    left, right = frames
+    out = {
+        (r["k"], r["tag"]): r["r_v"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert out[(1, "l10")] == 20.0  # earliest right >= 10
+    assert out[(1, "l20")] == 20.0  # inclusive
+    assert out[(2, "l5")] is None
+
+
+def test_tolerance_nulls_distant_matches(spark, frames):
+    left, right = frames
+    out = {
+        (r["k"], r["tag"]): r["r_v"]
+        for r in asof_join(
+            left, right, on="k", tolerance=F.expr("INTERVAL 1 SECOND")
+        ).collect()
+    }
+    assert out[(1, "l10")] is None  # match at t=8 is 2s away
+    assert out[(1, "l20")] == 20.0  # exact-time match survives
+
+
+def test_no_chimera_rows_from_null_right_fields(spark):
+    """A later right row with a NULL field must NOT inherit the field
+    of an earlier row: the payload travels as one struct."""
+    left = spark.createDataFrame([(1, _t(100))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(1), 7.0, "early"), (1, _t(50), None, "late")],
+        "k int, ts timestamp, v double, tag string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["r_tag"] == "late"
+    assert row["r_v"] is None  # NOT 7.0 welded in from the earlier row
+
+
+def test_range_join_boundaries(spark):
+    """Exact window (l, l+upper]: the strict lower bound excludes the
+    simultaneous row, the inclusive upper keeps the boundary row, and
+    rows in the adjacent time bucket are still found."""
+    left = spark.createDataFrame([(1, _t(0), "a")], "k int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _t(0), "same"), (1, _t(300), "edge"), (1, _t(300.000001), "past"),
+         (1, _t(299), "in"), (2, _t(10), "otherkey")],
+        "k int, ts timestamp, tag string",
+    )
+    got = sorted(
+        r["r_tag"]
+        for r in range_join(
+            left, right, on="k", lower_micros=0, upper_micros=300_000_000
+        ).collect()
+    )
+    assert got == ["edge", "in"]
+
+
+def test_range_join_no_duplicate_pairs(spark, sf_small):
+    """The 2-bucket left expansion must never double-count a pair."""
+    from ontario_spark.data import table
+
+    ev = table(spark, sf_small, "events").select("user_id", "ts", "event_id")
+    pairs = range_join(ev, ev, on="user_id", upper_micros=300_000_000)
+    n = pairs.count()
+    n_distinct = pairs.select("event_id", "r_event_id").distinct().count()
+    assert n == n_distinct > 0
+
+
+def test_asof_plan_has_no_nested_loop(spark, sf_small):
+    """The scale contract: one shuffle + window, never a broadcast
+    nested-loop (what a naive range-condition join would plan)."""
+    from ontario_spark.queries.events_suite import events_asof_join
+
+    plan = events_asof_join(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -25,6 +25,7 @@ FAMILIES = (
     "mm_",
     "sketch_",
     "stream_",
+    "events_",  # temporal joins (as-of / range)
     "sparql_",
     "q",  # relational
 )
