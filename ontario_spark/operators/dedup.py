@@ -325,7 +325,12 @@ def chunk_lines(
     """Explode each document into fixed-size word chunks ("lines" for a
     corpus whose text carries no newlines): (id, pos, line) where pos
     is the 0-based word offset. Pure Column ops — split once, then
-    ``transform`` over a stride sequence with ``slice``."""
+    ``transform`` over a stride sequence with ``slice``; ``spread``
+    guarantees full-core parallelism when the corpus arrives as one
+    parquet split."""
+    from ontario_spark.operators.textops import spread
+
+    df = spread(df)
     ws = F.split(F.col(text_col), " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(ws) - 1, F.lit(0)), F.lit(chunk)

@@ -121,17 +121,34 @@ def _hyperplanes(dim: int, bits: int, seed: str = LSH_SEED) -> list[list[float]]
 
 
 def hyperplane_lsh_bucket(
-    vec_col: Column, dim: int, bits: int = 8, seed: str = LSH_SEED
+    vec_expr: str, dim: int, bits: int = 8, seed: str = LSH_SEED
 ) -> Column:
     """Bucket key: '1'/'0' sign pattern of the vector's projection onto
-    ``bits`` seeded hyperplanes. Pure Column arithmetic (bits × dim
-    multiply-adds per row, JVM-side, whole-stage codegen)."""
-    dv = _dvec(vec_col)
+    ``bits`` seeded hyperplanes, over a SQL array expression (usually
+    just the column name — same convention as
+    ``hyperplane_bucket_sql``, its DuckDB mirror).
+
+    Built as ONE ``F.expr`` SQL string rather than composed Column
+    objects: the plane matrix is bits × dim literals, and building
+    that tree through the Python Column API costs ~500 py4j round
+    trips PER CALL — measured ~1.4 s of driver-side construction +
+    analysis at bits=8/dim=64, re-paid every time a query function is
+    invoked. The single parsed string takes the same plan through one
+    py4j call (~0.3 s total, and execution is unchanged: the per-plane
+    ``aggregate`` fold keeps the strict i=0..dim-1 order, so
+    projections stay bit-identical to the oracle's
+    ``list_dot_product``)."""
+    planes = _hyperplanes(dim, bits, seed)
+    dv = f"transform({vec_expr}, x -> CAST(x AS DOUBLE))"
     parts = []
-    for p in _hyperplanes(dim, bits, seed):
-        proj = dot(dv, F.array(*[F.lit(x) for x in p]))
-        parts.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat_ws("", *parts)
+    for j in range(bits):
+        arr = "array(" + ", ".join(f"{w!r}D" for w in planes[j]) + ")"
+        proj = (
+            f"aggregate(zip_with({dv}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(parts) + ")")
 
 
 def hyperplane_bucket_sql(
@@ -168,13 +185,13 @@ def bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qnorm"),
-        hyperplane_lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        hyperplane_lsh_bucket(vec_col, dim, bits).alias("bucket"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
-        hyperplane_lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        hyperplane_lsh_bucket(vec_col, dim, bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -346,7 +363,7 @@ def neardup_pairs(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
-        hyperplane_lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        hyperplane_lsh_bucket(vec_col, dim, bits).alias("bucket"),
     )
     if max_bucket_size is not None:
         heavy = (
@@ -381,6 +398,38 @@ def neardup_pairs(
 # into a per-query distance table instead of touching the vectors.
 # Training is offline on a bounded deterministic sample; encode is one
 # map-only pass; search is a broadcast join + m array lookups per row.
+
+
+# Trained PQ codebooks + encoded corpus, keyed weakly on the corpus
+# DataFrame (plan identity — stable via the table registry). Same
+# offline/online split as the IVF quantizer cache: codebook training
+# and corpus encoding are index CONSTRUCTION; at 100 TB the codes are
+# persisted and queries only probe, so repeated queries must not repay
+# the fit + encode.
+_pq_cache: "WeakKeyDictionary[DataFrame, dict[tuple, tuple]]" = (
+    WeakKeyDictionary()
+)
+
+
+def pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 10,
+) -> "tuple[list[list[list[float]]], DataFrame]":
+    """Train-or-fetch the (codebooks, encoded-corpus) pair for a
+    corpus — the cached offline half of PQ search."""
+    per_corpus = _pq_cache.setdefault(corpus, {})
+    key = (id_col, vec_col, m, k, iters)
+    cached = per_corpus.get(key)
+    if cached is None:
+        books = pq_codebooks(corpus, id_col, vec_col, m, k, iters)
+        codes = pq_encode(corpus, books, id_col, vec_col)
+        codes.persist()
+        cached = per_corpus[key] = (books, codes)
+    return cached
 
 
 def pq_codebooks(
@@ -463,34 +512,42 @@ def pq_encode(
     pass, no Python in the row path. At scale this output is what you
     persist; the float vectors stay cold.
 
-    Expression shape matters: ONE ``transform`` over the subspace's
-    centroid-matrix literal computes all k distances in a single pass
-    and ``array_position(array_min)`` picks the argmin — m HOF
-    expressions total. The per-centroid-expression form (m×k separate
-    aggregates + a k-deep when-chain) took ~20 s vs ~2 s at sf0.1."""
+    Expression shape matters twice over: ONE ``transform`` over the
+    subspace's centroid-matrix literal computes all k distances in a
+    single pass and ``array_position(array_min)`` picks the argmin — m
+    HOF expressions total (the per-centroid form, m×k separate
+    aggregates + a k-deep when-chain, took ~20 s vs ~2 s at sf0.1).
+    And each subspace expression is ONE parsed ``F.expr`` string: the
+    m × k × sub centroid literals built through the Python Column API
+    cost ~1000 py4j round trips of driver-side plan construction per
+    call (the hyperplane-LSH lesson, similarity.py:123)."""
     from ontario_spark.operators.textops import spread
 
-    m = len(books)
     sub = len(books[0][0])
     out = spread(corpus).select(
         F.col(id_col), _unit(F.col(vec_col)).alias("__uv")
     )
+    code_exprs = []
     for j, book in enumerate(books):
-        s = F.slice(F.col("__uv"), j * sub + 1, sub)
-        mat = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
+        mat = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+                for c in book
+            )
+            + ")"
         )
-        dists = F.transform(
-            mat,
-            lambda c: F.aggregate(
-                F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+        dists = (
+            f"transform({mat}, c -> aggregate("
+            f"zip_with(slice(__uv, {j * sub + 1}, {sub}), c, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
         )
-        code = F.array_position(dists, F.array_min(dists)) - 1
-        out = out.withColumn(f"code{j}", code.cast("int"))
-    return out.drop("__uv")
+        code_exprs.append(
+            F.expr(
+                f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+            ).alias(f"code{j}")
+        )
+    return out.select(F.col(id_col), *code_exprs)
 
 
 def pq_topk(
@@ -516,9 +573,11 @@ def pq_topk(
     (how a stored index is used)."""
     import numpy as np
 
-    if books is None:
+    if books is None and codes is None:
+        books, codes = pq_index(corpus, id_col, vec_col, m, n_centroids)
+    elif books is None:
         books = pq_codebooks(corpus, id_col, vec_col, m, n_centroids)
-    if codes is None:
+    elif codes is None:
         codes = pq_encode(corpus, books, id_col, vec_col)
     m = len(books)
     kc = len(books[0])

@@ -293,7 +293,7 @@ def test_hyperplane_buckets_mix_all_dims(spark, sf_small):
         r["vec_id"]: r["b"]
         for r in df.select(
             "vec_id",
-            hyperplane_lsh_bucket(F.col("embedding"), dim=64, bits=8).alias("b"),
+            hyperplane_lsh_bucket("embedding", dim=64, bits=8).alias("b"),
         ).collect()
     }
     assert got[1] != got[2]
@@ -322,7 +322,7 @@ def test_neardup_bucket_cap_bounds_fanout(spark):
         df, threshold=-1.0, bits=4, dim=64, max_bucket_size=10
     )
     buckets = (
-        df.select(hyperplane_lsh_bucket(F.col("embedding"), 64, 4).alias("b"))
+        df.select(hyperplane_lsh_bucket("embedding", 64, 4).alias("b"))
         .groupBy("b").count().filter(F.col("count") > 10).count()
     )
     assert buckets >= 1  # the planted hot bucket really was over cap
