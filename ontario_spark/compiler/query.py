@@ -60,15 +60,12 @@ from ontario_spark.sparql.parser import parse
 
 
 def _expr_vars(e) -> set[str]:
-    """Variables referenced anywhere in an expression tree."""
-    if isinstance(e, Expr):
-        out: set[str] = set()
-        for a in e.args:
-            out |= _expr_vars(a)
-        return out
-    if isinstance(e, Term) and e.is_var:
-        return {e.value}
-    return set()
+    """Variables referenced anywhere in an expression tree — delegates
+    to the AST's own ``variables()`` and only adds the bare-Term
+    top-level case (ORDER BY / projection items can be lone Terms)."""
+    if isinstance(e, Term):
+        return {e.value} if e.is_var else set()
+    return e.variables() if isinstance(e, Expr) else set()
 
 
 def _pattern_vars(el) -> set[str]:
@@ -776,13 +773,34 @@ class SparqlEngine:
 
         rows = [tuple(pyval(t) for t in row) for row in v.rows]
         # explicit schema: inference fails on an all-UNDEF column
-        # (every value None); type each column from its first non-null
-        # value, string when none exists
-        types = {bool: "boolean", int: "long", float: "double"}
+        # (every value None). Type each column from ALL its values, not
+        # the first non-null one — first-value typing made
+        # VALUES ?x { 1 true } silently store true as 1 (bool is an int
+        # subclass, so it passes LongType verification) while the
+        # reversed order crashed: order-dependent corruption.
         fields = []
         for i, var in enumerate(v.variables):
-            sample = next((r[i] for r in rows if r[i] is not None), None)
-            fields.append(f"`{var}` {types.get(type(sample), 'string')}")
+            kinds = {type(r[i]) for r in rows if r[i] is not None}
+            if not kinds:
+                t = "string"  # all-UNDEF column
+            elif kinds == {bool}:
+                t = "boolean"
+            elif kinds == {int}:
+                t = "long"
+            elif kinds <= {int, float}:
+                t = "double"  # mixed numerics widen (rows coerced below)
+                rows = [
+                    (*r[:i], float(r[i]) if r[i] is not None else None, *r[i + 1 :])
+                    for r in rows
+                ]
+            elif kinds == {str}:
+                t = "string"
+            else:
+                names = sorted(k.__name__ for k in kinds)
+                raise ValueError(
+                    f"VALUES ?{var} mixes incompatible literal types {names}"
+                )
+            fields.append(f"`{var}` {t}")
         df = self.spark.createDataFrame(rows, schema=", ".join(fields))
         return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
 

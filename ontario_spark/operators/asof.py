@@ -161,6 +161,11 @@ def range_join(
     """
     if upper_micros <= lower_micros:
         raise ValueError("upper_micros must be > lower_micros")
+    clash = sorted(
+        {f"r_{c}" for c in right.columns if c != on} & set(left.columns)
+    )
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {clash}")
     width = upper_micros - lower_micros
     l_us = ts_micros(F.col(left_ts))
     r_us = ts_micros(F.col(right_ts))

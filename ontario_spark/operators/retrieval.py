@@ -47,6 +47,31 @@ def term_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Persisted per-doc profiles, bounded LRU: repeated queries (a server
+# issuing the same or overlapping term sets) reuse the cached frame
+# instead of stacking a fresh persist() per call — unbounded persisted
+# frames were a storage leak. Eviction unpersists. The key pins the
+# corpus DataFrame (value holds a ref) so id() stays valid while cached.
+_PER_DOC_CACHE: "dict[tuple, tuple[DataFrame, DataFrame]]" = {}
+_PER_DOC_CACHE_MAX = 8
+
+
+def _cached_per_doc(df: DataFrame, key: tuple, build) -> DataFrame:
+    hit = _PER_DOC_CACHE.get(key)
+    if hit is not None:
+        _PER_DOC_CACHE[key] = _PER_DOC_CACHE.pop(key)  # refresh LRU
+        return hit[1]
+    per_doc = build().persist()
+    while len(_PER_DOC_CACHE) >= _PER_DOC_CACHE_MAX:
+        _, old = _PER_DOC_CACHE.pop(next(iter(_PER_DOC_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _PER_DOC_CACHE[key] = (df, per_doc)
+    return per_doc
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,
@@ -80,11 +105,15 @@ def bm25_scores(
     def _tf(i: int, t: str):
         return F.size(F.filter("__toks", lambda x: x == F.lit(t))).alias(f"__tf{i}")
 
-    per_doc = toks.select(
-        F.col(id_col),
-        F.size("__toks").alias("dl"),
-        *[_tf(i, t) for i, t in enumerate(terms)],
-    ).persist()
+    per_doc = _cached_per_doc(
+        df,
+        (id(df), id_col, text_col, tuple(terms)),
+        lambda: toks.select(
+            F.col(id_col),
+            F.size("__toks").alias("dl"),
+            *[_tf(i, t) for i, t in enumerate(terms)],
+        ),
+    )
     # ONE scalar-aggregate row, broadcast-cross-joined (the q11/q15
     # scalar-subquery pattern). dl is integer-valued so the double sum
     # inside avg() is exact and order-independent — deterministic.

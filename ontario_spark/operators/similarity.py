@@ -148,7 +148,17 @@ def hyperplane_lsh_bucket(
             "0.0D, (acc, x) -> acc + x)"
         )
         parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(parts) + ")")
+    # Guard the declared dim against the actual vector length: zip_with
+    # NULL-pads a mismatched vector, every projection goes NULL, and
+    # every row would silently share one all-'0' bucket — turning the
+    # bucket-local join into the full cross product the LSH exists to
+    # avoid. Fail loudly instead.
+    return F.expr(
+        f"CASE WHEN size({vec_expr}) = {dim} THEN concat("
+        + ", ".join(parts)
+        + f") ELSE raise_error(concat('hyperplane_lsh_bucket: vector length ', "
+        f"CAST(size({vec_expr}) AS STRING), ' != dim {dim}')) END"
+    )
 
 
 def hyperplane_bucket_sql(
@@ -594,9 +604,18 @@ def pq_topk(
             B = np.asarray(books[j], dtype=np.float64)
             flat.extend(float(x) for x in ((B - qs) ** 2).sum(axis=1))
         tables.append((r[id_col], flat))
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    # id type follows the caller's id column (string/int ids both work)
     qdf = F.broadcast(
         corpus.sparkSession.createDataFrame(
-            tables, schema=f"query_id long, tbl array<double>"
+            tables,
+            schema=StructType(
+                [
+                    StructField("query_id", queries.schema[id_col].dataType),
+                    StructField("tbl", ArrayType(DoubleType())),
+                ]
+            ),
         )
     )
     adc = F.lit(0.0)

@@ -11,6 +11,8 @@ anywhere in this module.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,15 +37,31 @@ def spread(df: DataFrame) -> DataFrame:
     hashing/shingling would run on a single core. Only repartitions when
     the input has FEWER partitions than cores — at real scale the input
     is already thousands of splits and a forced repartition would be a
-    full-corpus shuffle for nothing."""
+    full-corpus shuffle for nothing.
+
+    The partition probe (``df.rdd``) runs full physical planning
+    (~50 ms per call), so the result is memoized per input DataFrame —
+    a hit every time the caller passes a registry-stable table
+    (``ontario_spark.data.table`` caches those); derived frames just
+    re-probe. The already-parallel case caches a sentinel, not the
+    frame itself: a value that references its own weak key would pin
+    the entry forever."""
+    cached = _spread_cache.get(df)
+    if cached is not None:
+        return df if cached is _ALREADY_SPREAD else cached
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= target:
-            return df
+        wide_enough = df.rdd.getNumPartitions() >= target
     except Exception:
-        pass
-    return df.repartition(target)
+        wide_enough = False  # unknown → repartition (the safe side)
+    out = df if wide_enough else df.repartition(target)
+    _spread_cache[df] = _ALREADY_SPREAD if wide_enough else out
+    return out
+
+
+_ALREADY_SPREAD = object()  # sentinel: input needs no repartition
+_spread_cache: "WeakKeyDictionary[DataFrame, object]" = WeakKeyDictionary()
 
 
 def tokens(col: Column) -> Column:

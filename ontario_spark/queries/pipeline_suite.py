@@ -1007,6 +1007,52 @@ FROM events GROUP BY event_type
 """
 
 
+def sketch_stats_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-exactness form of ``sketch_event_stats`` (the
+    ``sketch_hll_check`` pattern): the HLL++ distinct estimate and the
+    approximate quantiles are engine-specific, so what hash-matches is
+    each estimate's BOUND — distinct within 5% of exact, approx p50
+    inside the exact [p25, p75], approx p95 inside [p85, max]. The
+    booleans either hold (matching the oracle's literal TRUE) or the
+    round fails loudly. Bounds are deliberately wide so only a broken
+    sketch — not float interpolation at a boundary — can flip them."""
+    from ontario_spark.operators.sketches import approx_event_stats
+
+    events = table(spark, sf_dir, "events")
+    est = approx_event_stats(events)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, array(0.25, 0.75, 0.85))").alias("__p"),
+        F.max("value").alias("__vmax"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double") / F.col("exact_users") - 1.0
+            )
+            <= 0.05
+        ).alias("users_ok"),
+        F.col("p50_value").between(F.col("__p")[0], F.col("__p")[1]).alias(
+            "p50_ok"
+        ),
+        F.col("p95_value").between(F.col("__p")[2], F.col("__vmax")).alias(
+            "p95_ok"
+        ),
+    ).orderBy("event_type")
+
+
+SKETCH_STATS_CHECK_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 for a fixed keyword query — lexical
     retrieval on the driver surface (operators/retrieval.py)."""
@@ -1037,6 +1083,7 @@ QUERIES = {
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
+    "sketch_stats_check": sketch_stats_check,
     "bm25_topk": bm25_topk_docs,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1068,6 +1115,7 @@ QUERIES = {
 
 ORACLE = {
     "sketch_hll_check": SKETCH_HLL_CHECK_SQL,
+    "sketch_stats_check": SKETCH_STATS_CHECK_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,

@@ -29,7 +29,7 @@ class SparqlHTTPServer:
     /nextresult until ``stop()``. Port 0 picks an ephemeral port
     (exposed as ``.port``)."""
 
-    MAX_PENDING = 64  # abandoned non-blocking queries evict oldest-first
+    MAX_PENDING = 64  # abandoned non-blocking queries evict LRU-first
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
         self.engine = engine
@@ -95,7 +95,10 @@ class SparqlHTTPServer:
             with self._lock:
                 # bound driver state: a client that abandons a qid
                 # without draining to EOF would otherwise leak its
-                # iterator forever; evict oldest entries past the cap
+                # iterator forever; evict LEAST-RECENTLY-TOUCHED past
+                # the cap (every /nextresult refreshes recency, so an
+                # actively-draining client is never killed mid-result
+                # unless all 64 slots are actively draining)
                 while len(self._pending) >= self.MAX_PENDING:
                     self._pending.pop(next(iter(self._pending)))
                 self._pending[qid] = {
@@ -121,6 +124,8 @@ class SparqlHTTPServer:
         qid = (q.get("qid") or [""])[0]
         with self._lock:
             entry = self._pending.get(qid)
+            if entry is not None:  # refresh recency (dict = LRU order)
+                self._pending[qid] = self._pending.pop(qid)
         if entry is None:
             raise ValueError(f"unknown qid {qid!r}")
         # per-query lock: ThreadingHTTPServer serves each request on

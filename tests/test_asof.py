@@ -118,3 +118,10 @@ def test_asof_plan_has_no_nested_loop(spark, sf_small):
     plan = events_asof_join(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_prefix_collision(spark):
+    left = spark.createDataFrame([(1, T0, T0)], "k int, ts timestamp, r_ts timestamp")
+    right = spark.createDataFrame([(1, T0)], "k int, ts timestamp")
+    with pytest.raises(ValueError, match="collide"):
+        range_join(left, right, on="k")

@@ -273,6 +273,26 @@ def test_pipeline_operators_handle_empty_corpus(spark):
     out = pack_sequences(empty, "doc_id", "n_chars", budget=100)
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "shard", "bin", "offset"}
+    assert dedup.remove_boilerplate(empty, "doc_id", "text").count() == 0
+
+
+def test_temporal_joins_handle_empty_sides(spark):
+    from ontario_spark.operators.asof import asof_join, range_join
+
+    left = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 5.0)],
+        "k int, ts timestamp, v double",
+    )
+    empty = spark.createDataFrame([], "k int, ts timestamp, v double")
+    # empty right: left rows survive with NULL payload
+    rows = asof_join(left, empty, on="k").collect()
+    assert len(rows) == 1 and rows[0]["r_v"] is None
+    # empty left: no rows, full schema
+    out = asof_join(empty, left, on="k")
+    assert out.count() == 0
+    assert "r_v" in out.columns
+    assert range_join(left, empty, on="k").count() == 0
+    assert range_join(empty, left, on="k").count() == 0
 
 
 # --- hyperplane LSH (round 4: replaces sign-of-leading-dims) -------------

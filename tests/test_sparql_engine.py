@@ -946,3 +946,23 @@ def test_optional_containing_only_outer_filter(engine, sf_small):
              OPTIONAL { FILTER (STRLEN(?name) > 4) } }"""
     )
     assert df.count() == 5  # all regions survive
+
+
+def test_values_mixed_bool_int_rejected_any_order(engine):
+    """Typing a VALUES column from its FIRST value made
+    { 1 true } silently store true as 1 while { true 1 } crashed —
+    both orders must now raise the same clear error."""
+    import pytest
+
+    for vals in ("1 true", "true 1"):
+        with pytest.raises(Exception, match="incompatible literal types"):
+            engine.query(
+                "SELECT ?x WHERE { VALUES ?x { %s } }" % vals
+            ).collect()
+
+
+def test_values_mixed_numerics_widen(engine):
+    rows = engine.query(
+        "SELECT ?x WHERE { VALUES ?x { 1 2.5 } }"
+    ).collect()
+    assert sorted(r["x"] for r in rows) == [1.0, 2.5]
