@@ -43,6 +43,7 @@ from ontario_spark.sparql.ast import (
     ExistsFilter,
     Expr,
     Filter,
+    GraphBlock,
     Group,
     MinusBlock,
     NegatedPath,
@@ -98,6 +99,11 @@ def _pattern_vars(el) -> set[str]:
         return {s.var for s in sel}
     if isinstance(el, NegatedPath):
         return {t.value for t in (el.s, el.o) if t.is_var}
+    if isinstance(el, GraphBlock):
+        out = _pattern_vars(el.block)
+        if el.graph.is_var:
+            out |= {el.graph.value}
+        return out
     return set()
 
 
@@ -287,7 +293,12 @@ class SparqlEngine:
         meta = {v: TermMeta(LEXICAL) for v in (svar, pvar, ovar)}
         return BFrame(out, meta)
 
-    def _optional(self, bf: BFrame, e: OptionalBlock) -> BFrame:
+    def _optional(
+        self,
+        bf: BFrame,
+        e: OptionalBlock,
+        source_filter: str | None = None,
+    ) -> BFrame:
         """OPTIONAL = SPARQL LeftJoin(Ω1, Ω2, expr) (§8.3). Filters
         inside the block referencing only INNER variables stay inside
         (the standard Filter-pushdown equivalence); filters that also
@@ -308,14 +319,17 @@ class SparqlEngine:
             if isinstance(el, Filter) and not (el.expr.variables() <= bound)
         ]
         if not hoist:
-            return bf.join(self._group(e.block, key_hint=bf), "left_outer")
+            return bf.join(
+                self._group(e.block, key_hint=bf, source_filter=source_filter),
+                "left_outer",
+            )
 
         from ontario_spark.operators.graph import _pin
 
         rest = Group(
             [el for el in e.block.elements if not any(el is h for h in hoist)]
         )
-        right = self._group(rest, key_hint=bf)
+        right = self._group(rest, key_hint=bf, source_filter=source_filter)
         pinned = BFrame(
             _pin(bf.df.withColumn("__lj", F.monotonically_increasing_id())),
             bf.meta,
@@ -334,10 +348,73 @@ class SparqlEngine:
         # bare rows pad the optional-side variables with NULL (unbound)
         return joined.union(bare)
 
-    def _group(self, g: Group, key_hint: BFrame | None = None) -> BFrame:
+    GRAPH_PREFIX = "urn:graph:"
+
+    def _graph_source(self, iri: str) -> str | None:
+        """Resolve a graph IRI to a catalog source name (each federation
+        member is a named graph): ``urn:graph:<source>`` or the bare
+        source name; unknown graphs → None (empty pattern)."""
+        name = (
+            iri[len(self.GRAPH_PREFIX):]
+            if iri.startswith(self.GRAPH_PREFIX)
+            else iri
+        )
+        return name if name in self.catalog.sources else None
+
+    def _empty_group_frame(self, g: Group) -> BFrame:
+        """Zero rows with the group's bindable variables as (unbound)
+        lexical columns — the result of a pattern scoped to a graph
+        that cannot answer it."""
+        vars_ = sorted(_pattern_vars(g))
+        df = self.spark.range(0).select(
+            *[F.lit(None).cast("string").alias(v) for v in vars_]
+        )
+        return BFrame(df, {v: TermMeta(LEXICAL) for v in vars_})
+
+    def _graph_block(self, e: GraphBlock) -> BFrame:
+        if e.graph.is_iri:
+            name = self._graph_source(e.graph.value)
+            if name is None:
+                return self._empty_group_frame(e.block)
+            return self._group(e.block, source_filter=name)
+        # variable graph: the pattern evaluates once per source, the
+        # variable binds to that source's graph IRI, branches union.
+        # Sources that statically cannot answer the pattern contribute
+        # the (plan-time) empty frame — no wasted scans.
+        var = e.graph.value
+        if var in _pattern_vars(e.block):
+            raise QueryCompileError(
+                f"GRAPH variable ?{var} may not also occur inside the block"
+            )
+        branches: list[BFrame] = []
+        for name in sorted(self.catalog.sources):
+            f = self._group(e.block, source_filter=name)
+            branches.append(
+                BFrame(
+                    f.df.withColumn(
+                        var, F.lit(self.GRAPH_PREFIX + name)
+                    ),
+                    {**f.meta, var: TermMeta(LEXICAL)},
+                )
+            )
+        u = branches[0]
+        for b in branches[1:]:
+            u = u.union(b)
+        return u
+
+    def _group(
+        self,
+        g: Group,
+        key_hint: BFrame | None = None,
+        source_filter: str | None = None,
+    ) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         var_pred = [t for t in triples if t.p.is_var]
         triples = [t for t in triples if not t.p.is_var]
+        if source_filter is not None and var_pred:
+            raise QueryCompileError(
+                "variable predicates inside GRAPH are unsupported"
+            )
         frames: list[BFrame] = [self._var_pred_frame(t) for t in var_pred]
         # Sargable FILTER conjuncts push into remote-source stars
         # (reference wrappers compile FILTERs to source SQL;
@@ -352,6 +429,21 @@ class SparqlEngine:
             select_sources(self.catalog, star) for star in bgp_stars(triples)
         ]
         pruned = prune_connected(plans)
+        if source_filter is not None:
+            # GRAPH scoping: only alternatives answered ENTIRELY by the
+            # named source survive (each federation member is a named
+            # graph); a star the source can't answer empties the group.
+            for plan in pruned:
+                plan.alternatives = [
+                    alt
+                    for alt in plan.alternatives
+                    if all(
+                        self.catalog.map_source[tm.name] == source_filter
+                        for tm in alt
+                    )
+                ]
+            if any(not p.alternatives for p in pruned):
+                return self._empty_group_frame(g)
         # Wrapper-source stars compile AFTER the local frames are
         # joined (below), so observed join keys push down as IN-lists —
         # NestedHashJoinFilter posture for SQL/Mongo/Cypher sources,
@@ -364,20 +456,33 @@ class SparqlEngine:
                 )
         for e in g.elements:
             if isinstance(e, Group):
-                frames.append(self._group(e))
+                frames.append(self._group(e, source_filter=source_filter))
             elif isinstance(e, UnionBlock):
-                branches = [self._group(b) for b in e.branches]
+                branches = [
+                    self._group(b, source_filter=source_filter)
+                    for b in e.branches
+                ]
                 u = branches[0]
                 for b in branches[1:]:
                     u = u.union(b)
                 frames.append(u)
             elif isinstance(e, ValuesBlock):
                 frames.append(self._values(e))
+            elif isinstance(e, GraphBlock):
+                frames.append(self._graph_block(e))
             elif isinstance(e, PathClosure):
+                if source_filter is not None:
+                    raise QueryCompileError(
+                        "property-path closure inside GRAPH is unsupported"
+                    )
                 frames.append(self._closure(e))
             elif isinstance(e, NegatedPath):
                 frames.append(self._negated_path(e, plans))
             elif isinstance(e, SubSelect):
+                if source_filter is not None:
+                    raise QueryCompileError(
+                        "subquery inside GRAPH is unsupported"
+                    )
                 # nested SELECT compiles through the full pipeline and
                 # joins into the group on its projected variables;
                 # projection already materialized everything lexical
@@ -430,15 +535,17 @@ class SparqlEngine:
 
         for e in g.elements:
             if isinstance(e, OptionalBlock):
-                bf = self._optional(bf, e)
+                bf = self._optional(bf, e, source_filter=source_filter)
             elif isinstance(e, MinusBlock):
-                other = self._group(e.block, key_hint=bf)
+                other = self._group(
+                    e.block, key_hint=bf, source_filter=source_filter
+                )
                 if other.variables & bf.variables:
                     bf = bf.restrict(other, "left_anti")
                 # disjoint domains → MINUS removes nothing (SPARQL §8.3)
             elif isinstance(e, ExistsFilter):
                 bf = bf.restrict(
-                    self._group(e.block, key_hint=bf),
+                    self._group(e.block, key_hint=bf, source_filter=source_filter),
                     "left_anti" if e.negated else "left_semi",
                 )
         for e in g.elements:

@@ -101,7 +101,10 @@ DRIVER_SURFACE = [
     # cap — the path family stays represented by sparql_path_closure)
     "sparql_group_by_expr",
     "sparql_agg_distinct",
-    "sparql_group_concat",
+    # GRAPH / named-graph scoping — round-4 family; slot from
+    # sparql_group_concat (the aggregate family stays represented by
+    # sparql_aggregate, sparql_agg_distinct, and sparql_group_by_expr)
+    "sparql_named_graph",
     "sparql_subquery",
     "sparql_path_closure",
     "sparql_values_inline",
@@ -144,6 +147,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        "sparql_group_concat",
         "sparql_string_functions",
         "sparql_negated_path",
         "sparql_property_path",

@@ -415,6 +415,22 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND starts_with(n_name, 'NATION_1')""",
         "federated",
     ),
+    "sparql_named_graph": (
+        # SPARQL 1.1 dataset clause over the federation: each member
+        # source is a named graph (urn:graph:<source>); GRAPH ?g
+        # evaluates the Customer star once per source (only the remote
+        # SQL member can answer it — the lake branch is statically
+        # empty), binds ?g, and the result joins the lake's Nation star
+        """SELECT ?g ?name ?nname WHERE {
+             GRAPH ?g { ?c a ex:Customer ; ex:name ?name ; ex:nation ?n }
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRSTARTS(?nname, "NATION_1")) }""",
+        """SELECT 'urn:graph:remote_sql' AS g, c_name AS name, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND n_name IS NOT NULL
+             AND starts_with(n_name, 'NATION_1')""",
+        "federated",
+    ),
     "sparql_mongo_join": (
         # document-store federation: Customer star translated to a
         # Mongo aggregation pipeline and EXECUTED through the docstore

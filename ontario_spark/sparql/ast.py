@@ -152,6 +152,22 @@ class NegatedPath:
 
 
 @dataclass
+class GraphBlock:
+    """SPARQL 1.1 dataset clause: ``GRAPH (<iri>|?var) { ... }``.
+
+    Beyond-reference scope: the reference has no dataset support. In a
+    federation, each member data source IS a named graph, so the graph
+    name maps onto the catalog's source name (``urn:graph:<source>``,
+    or the bare source name as an IRI): ``GRAPH <iri>`` restricts
+    source selection for the inner pattern to that source; a variable
+    graph evaluates the pattern once per candidate source, binds the
+    variable to the source's graph IRI, and unions the branches."""
+
+    graph: Term  # iri or var
+    block: "Group"
+
+
+@dataclass
 class ServiceBlock:
     """SPARQL 1.1 federation: ``SERVICE [SILENT] <endpoint> { ... }``.
     The reference federates implicitly via source selection; SERVICE is

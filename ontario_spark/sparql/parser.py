@@ -20,6 +20,7 @@ from ontario_spark.sparql.ast import (
     ExistsFilter,
     Expr,
     Filter,
+    GraphBlock,
     Group,
     MinusBlock,
     NegatedPath,
@@ -338,6 +339,14 @@ class Parser:
             elif self.at_kw("values"):
                 self.next()
                 g.elements.append(self._values())
+            elif self.at_kw("graph"):
+                self.next()
+                gt = self._term()
+                if not (gt.is_var or gt.is_iri):
+                    raise SparqlSyntaxError(
+                        "GRAPH name must be an IRI or variable"
+                    )
+                g.elements.append(GraphBlock(gt, self._group()))
             elif self.at_kw("service"):
                 self.next()
                 silent = False

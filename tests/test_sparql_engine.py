@@ -966,3 +966,68 @@ def test_values_mixed_numerics_widen(engine):
         "SELECT ?x WHERE { VALUES ?x { 1 2.5 } }"
     ).collect()
     assert sorted(r["x"] for r in rows) == [1.0, 2.5]
+
+
+# --- GRAPH (named graphs = federation members, round 4) -----------------
+
+
+def test_graph_iri_scopes_to_source(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name WHERE {
+             GRAPH <urn:graph:tpch_lake> { ?n a ex:Nation ; ex:name ?name } }""",
+        "SELECT n_name AS name FROM nation WHERE n_name IS NOT NULL",
+        "graph_iri",
+    )
+
+
+def test_graph_unknown_iri_is_empty(engine):
+    df = engine.query(
+        PFX
+        + """SELECT ?name WHERE {
+              GRAPH <urn:graph:nowhere> { ?n a ex:Nation ; ex:name ?name } }"""
+    )
+    assert df.count() == 0
+    assert df.columns == ["name"]
+
+
+def test_graph_variable_binds_source(engine, sf_small):
+    check(
+        engine,
+        sf_small,
+        """SELECT ?g ?name WHERE {
+             GRAPH ?g { ?n a ex:Nation ; ex:name ?name } }""",
+        """SELECT 'urn:graph:tpch_lake' AS g, n_name AS name
+           FROM nation WHERE n_name IS NOT NULL""",
+        "graph_var",
+    )
+
+
+def test_graph_variable_reuse_inside_block_rejected(engine):
+    from ontario_spark.compiler.query import QueryCompileError
+
+    with pytest.raises(QueryCompileError, match="GRAPH variable"):
+        engine.query(
+            PFX
+            + "SELECT ?g WHERE { GRAPH ?g { ?g a ex:Nation } }"
+        )
+
+
+def test_graph_scopes_nested_optional(spark, sf_small):
+    """The restriction must reach patterns nested inside the GRAPH
+    block: Customer lives only on the remote source, so an OPTIONAL
+    Customer pattern inside GRAPH <lake> stays unbound."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    rows = eng.query(
+        PFX
+        + """SELECT ?name ?cname WHERE {
+              GRAPH <urn:graph:tpch_lake> {
+                ?n a ex:Nation ; ex:name ?name .
+                OPTIONAL { ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n }
+              } }"""
+    ).collect()
+    assert len(rows) == 25
+    assert all(r["cname"] is None for r in rows)
