@@ -135,12 +135,45 @@ class SparqlEngine:
         # SERVICE endpoint URL → callable(query_text) -> iterable of
         # binding dicts; endpoints not listed here go over HTTP
         self.service_executors = service_executors or {}
+        # dataset state for the query being compiled (§13.2): FROM
+        # sources restricting the default graph, FROM NAMED sources
+        # restricting what GRAPH ranges over. None → unrestricted.
+        # Set per top-level query(); subqueries inherit (spec: one
+        # dataset per query).
+        self._dataset_default: set | None = None
+        self._dataset_named: set | None = None
+        # compilation mutates the dataset state above and the HTTP
+        # server calls query() from one thread per request — serialize
+        # COMPILATION (driver-side, milliseconds); execution of the
+        # returned DataFrames still overlaps freely
+        import threading
+
+        self._compile_lock = threading.Lock()
 
     def query(self, text: str) -> DataFrame:
-        return self.compile(parse(text))
+        with self._compile_lock:
+            self._dataset_default = None
+            self._dataset_named = None
+            return self.compile(parse(text))
 
     def compile(self, q: Query) -> DataFrame:
-        bf = self._group(q.where)
+        if q.from_graphs:
+            self._dataset_default = {
+                n
+                for n in (self._graph_source(i) for i in q.from_graphs)
+                if n is not None
+            }
+            if self._dataset_named is None:
+                # FROM without FROM NAMED: the dataset has NO named
+                # graphs — GRAPH matches nothing (§13.2)
+                self._dataset_named = set()
+        if q.from_named:
+            self._dataset_named = {
+                n
+                for n in (self._graph_source(i) for i in q.from_named)
+                if n is not None
+            }
+        bf = self._group(q.where, source_filter=self._dataset_default)
         if q.query_type == "ask":
             probe = bf.df.limit(1).select(F.lit(1).alias("__x"))
             return probe.agg((F.count("__x") > 0).alias("ask"))
@@ -297,7 +330,7 @@ class SparqlEngine:
         self,
         bf: BFrame,
         e: OptionalBlock,
-        source_filter: str | None = None,
+        source_filter: "str | set | None" = None,
     ) -> BFrame:
         """OPTIONAL = SPARQL LeftJoin(Ω1, Ω2, expr) (§8.3). Filters
         inside the block referencing only INNER variables stay inside
@@ -372,9 +405,14 @@ class SparqlEngine:
         return BFrame(df, {v: TermMeta(LEXICAL) for v in vars_})
 
     def _graph_block(self, e: GraphBlock) -> BFrame:
+        named = (
+            self._dataset_named
+            if self._dataset_named is not None
+            else set(self.catalog.sources)
+        )
         if e.graph.is_iri:
             name = self._graph_source(e.graph.value)
-            if name is None:
+            if name is None or name not in named:
                 return self._empty_group_frame(e.block)
             return self._group(e.block, source_filter=name)
         # variable graph: the pattern evaluates once per source, the
@@ -387,7 +425,7 @@ class SparqlEngine:
                 f"GRAPH variable ?{var} may not also occur inside the block"
             )
         branches: list[BFrame] = []
-        for name in sorted(self.catalog.sources):
+        for name in sorted(named):
             f = self._group(e.block, source_filter=name)
             branches.append(
                 BFrame(
@@ -396,6 +434,12 @@ class SparqlEngine:
                     ),
                     {**f.meta, var: TermMeta(LEXICAL)},
                 )
+            )
+        if not branches:  # dataset with no named graphs
+            empty = self._empty_group_frame(e.block)
+            return BFrame(
+                empty.df.withColumn(var, F.lit(None).cast("string")),
+                {**empty.meta, var: TermMeta(LEXICAL)},
             )
         u = branches[0]
         for b in branches[1:]:
@@ -406,7 +450,7 @@ class SparqlEngine:
         self,
         g: Group,
         key_hint: BFrame | None = None,
-        source_filter: str | None = None,
+        source_filter: "str | set | None" = None,
     ) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         var_pred = [t for t in triples if t.p.is_var]
@@ -430,15 +474,22 @@ class SparqlEngine:
         ]
         pruned = prune_connected(plans)
         if source_filter is not None:
-            # GRAPH scoping: only alternatives answered ENTIRELY by the
-            # named source survive (each federation member is a named
-            # graph); a star the source can't answer empties the group.
+            # GRAPH / FROM scoping: only alternatives answered entirely
+            # by the allowed source(s) survive (each federation member
+            # is a named graph; FROM merges several into the default
+            # graph); a star no allowed source answers empties the
+            # group.
+            allowed = (
+                {source_filter}
+                if isinstance(source_filter, str)
+                else source_filter
+            )
             for plan in pruned:
                 plan.alternatives = [
                     alt
                     for alt in plan.alternatives
                     if all(
-                        self.catalog.map_source[tm.name] == source_filter
+                        self.catalog.map_source[tm.name] in allowed
                         for tm in alt
                     )
                 ]

@@ -214,6 +214,10 @@ class Query:
     prefixes: dict[str, str] = field(default_factory=dict)
     select: list[SelectExpr] | None = None  # None → SELECT *
     distinct: bool = False
+    # dataset clauses: FROM <g> merges named-graph sources into the
+    # default graph; FROM NAMED <g> limits what GRAPH may range over
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
     where: Group = field(default_factory=Group)
     group_by: list[str] = field(default_factory=list)
     # GROUP BY (expr AS ?v) entries: (Expr, varname) bound pre-grouping

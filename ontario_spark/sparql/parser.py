@@ -201,14 +201,33 @@ class Parser:
             if not sel:
                 raise SparqlSyntaxError(f"empty SELECT list at {self.peek().pos}")
             q.select = sel
+        self._dataset_clauses(q)
         self.eat_kw("where")
         q.where = self._group()
         self._solution_modifiers(q)
         return q
 
+    def _dataset_clauses(self, q: Query) -> None:
+        """``FROM <g>`` / ``FROM NAMED <g>`` (SPARQL §13.2): graph IRIs
+        recorded verbatim; the compiler maps them onto catalog
+        sources."""
+        while self.at_kw("from"):
+            self.next()
+            named = False
+            if self.at_kw("named"):
+                self.next()
+                named = True
+            t = self.next()
+            if t.type != "IRIREF":
+                raise SparqlSyntaxError(
+                    f"FROM needs an IRI at {t.pos}, got {t.value!r}"
+                )
+            (q.from_named if named else q.from_graphs).append(t.value[1:-1])
+
     def _ask(self) -> Query:
         self.eat_kw("ask")
         q = Query(query_type="ask")
+        self._dataset_clauses(q)
         if self.at_kw("where"):
             self.next()
         q.where = self._group()
@@ -236,6 +255,7 @@ class Parser:
         if any(not isinstance(t, Triple) for t in q.construct_template):
             raise SparqlSyntaxError("property paths not allowed in CONSTRUCT template")
         self.eat_op("}")
+        self._dataset_clauses(q)
         self.eat_kw("where")
         q.where = self._group()
         self._solution_modifiers(q)
@@ -259,6 +279,7 @@ class Parser:
                 break
         if not q.describe_terms:
             raise SparqlSyntaxError(f"DESCRIBE needs a var or IRI at {self.peek().pos}")
+        self._dataset_clauses(q)
         if self.at_kw("where"):
             self.next()
             q.where = self._group()

@@ -1031,3 +1031,70 @@ def test_graph_scopes_nested_optional(spark, sf_small):
     ).collect()
     assert len(rows) == 25
     assert all(r["cname"] is None for r in rows)
+
+
+def test_from_merges_default_graph(spark, sf_small):
+    """FROM <g> restricts the default graph to that member; FROM of
+    both members merges them (§13.2)."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    lake_only = eng.query(
+        PFX
+        + """SELECT ?name FROM <urn:graph:tpch_lake> WHERE {
+              ?c a ex:Customer ; ex:name ?name }"""
+    )
+    assert lake_only.count() == 0  # Customer lives on the remote member
+    both = eng.query(
+        PFX
+        + """SELECT ?name FROM <urn:graph:tpch_lake>
+             FROM <urn:graph:remote_sql> WHERE {
+              ?c a ex:Customer ; ex:name ?name }"""
+    )
+    assert both.count() == 150
+
+
+def test_from_without_named_disables_graph(engine):
+    df = engine.query(
+        PFX
+        + """SELECT ?g ?name FROM <urn:graph:tpch_lake> WHERE {
+              GRAPH ?g { ?n a ex:Nation ; ex:name ?name } }"""
+    )
+    assert df.count() == 0
+
+
+def test_from_named_limits_graph_range(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    rows = eng.query(
+        PFX
+        + """SELECT ?g ?name FROM NAMED <urn:graph:remote_sql> WHERE {
+              GRAPH ?g { ?c a ex:Customer ; ex:name ?name } }"""
+    ).collect()
+    assert len(rows) == 150
+    assert {r["g"] for r in rows} == {"urn:graph:remote_sql"}
+    assert (
+        eng.query(
+            PFX
+            + """SELECT ?g FROM NAMED <urn:graph:tpch_lake> WHERE {
+                  GRAPH ?g { ?c a ex:Customer } }"""
+        ).count()
+        == 0
+    )
+
+
+def test_dataset_state_resets_between_queries(engine, sf_small):
+    """A FROM-restricted query must not leak its dataset into the next
+    query on the same engine."""
+    engine.query(
+        PFX
+        + "SELECT ?name FROM <urn:graph:nowhere> WHERE { ?n ex:name ?name }"
+    )
+    check(
+        engine,
+        sf_small,
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name }",
+        "SELECT n_name AS name FROM nation WHERE n_name IS NOT NULL",
+        "dataset_reset",
+    )
