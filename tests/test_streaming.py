@@ -236,3 +236,76 @@ def test_trending_topk_rank_logic(spark):
         (datetime(2024, 1, 1, 0), "view", 10, 2),
         (datetime(2024, 1, 1, 1), "buy", 7, 1),
     ]
+
+
+def test_checkpoint_recovery_resumes_mid_stream(spark, sf_small, tmp_path):
+    """Kill a streaming aggregation mid-replay and restart it from the
+    SAME checkpoint: the recovered run must consume only the remaining
+    files and still produce exactly the uninterrupted answer — the
+    exactly-once contract a production restart depends on."""
+    import time
+
+    from ontario_spark.streaming.events import EVENT_SCHEMA
+
+    # events split into 4 parquet files -> 4 AvailableNow micro-batches
+    src = str(tmp_path / "events_split")
+    events = table(spark, sf_small, "events")
+    total = events.count()
+    events.repartition(4).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            return (
+                windowed_counts(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # phase 1: stop after the first completed batch, before the last
+    q = start("t_recover_a")
+    for _ in range(600):
+        done = [p for p in q.recentProgress if p["numInputRows"] is not None]
+        if len(done) >= 1:
+            break
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination()
+    consumed_before = sum(p["numInputRows"] for p in q.recentProgress)
+    assert consumed_before < total  # genuinely interrupted mid-stream
+
+    # phase 2: restart from the same checkpoint; must finish the rest
+    q2 = start("t_recover_b")
+    q2.awaitTermination()
+    consumed_after = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert consumed_before + consumed_after == total  # no replays, no gaps
+
+    got = spark.table("t_recover_b").collect()
+    batch = (
+        table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events", "total_value"
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
