@@ -139,22 +139,34 @@ class SparqlEngine:
         # sources restricting the default graph, FROM NAMED sources
         # restricting what GRAPH ranges over. None → unrestricted.
         # Set per top-level query(); subqueries inherit (spec: one
-        # dataset per query).
-        self._dataset_default: set | None = None
-        self._dataset_named: set | None = None
-        # compilation mutates the dataset state above and the HTTP
-        # server calls query() from one thread per request — serialize
-        # COMPILATION (driver-side, milliseconds); execution of the
-        # returned DataFrames still overlaps freely
+        # dataset per query). THREAD-LOCAL because the HTTP server
+        # compiles from one thread per request — compilation can run
+        # Spark jobs (bound-join key collection), so a lock here would
+        # serialize whole queries, not milliseconds.
         import threading
 
-        self._compile_lock = threading.Lock()
+        self._tls = threading.local()
+
+    @property
+    def _dataset_default(self) -> set | None:
+        return getattr(self._tls, "dataset_default", None)
+
+    @_dataset_default.setter
+    def _dataset_default(self, v) -> None:
+        self._tls.dataset_default = v
+
+    @property
+    def _dataset_named(self) -> set | None:
+        return getattr(self._tls, "dataset_named", None)
+
+    @_dataset_named.setter
+    def _dataset_named(self, v) -> None:
+        self._tls.dataset_named = v
 
     def query(self, text: str) -> DataFrame:
-        with self._compile_lock:
-            self._dataset_default = None
-            self._dataset_named = None
-            return self.compile(parse(text))
+        self._dataset_default = None
+        self._dataset_named = None
+        return self.compile(parse(text))
 
     def compile(self, q: Query) -> DataFrame:
         if q.from_graphs:
@@ -173,6 +185,10 @@ class SparqlEngine:
                 for n in (self._graph_source(i) for i in q.from_named)
                 if n is not None
             }
+            if not q.from_graphs and self._dataset_default is None:
+                # FROM NAMED without FROM: the default graph is EMPTY
+                # (§13.2) — only GRAPH-scoped patterns can match
+                self._dataset_default = set()
         bf = self._group(q.where, source_filter=self._dataset_default)
         if q.query_type == "ask":
             probe = bf.df.limit(1).select(F.lit(1).alias("__x"))
@@ -185,7 +201,9 @@ class SparqlEngine:
 
     # --- graph pattern assembly ----------------------------------------
 
-    def _var_pred_frame(self, t: Triple) -> BFrame:
+    def _var_pred_frame(
+        self, t: Triple, source_filter: "str | set | None" = None
+    ) -> BFrame:
         """Triple with a VARIABLE predicate (``?s ?p ?o`` browsing):
         expand over the catalog's predicate universe + rdf:type.
         Beyond the reference: its decomposer source-selects only on
@@ -205,6 +223,11 @@ class SparqlEngine:
         from ontario_spark.sparql.parser import RDF_TYPE as _RT
 
         pvar = t.p.value
+        allowed = (
+            {source_filter}
+            if isinstance(source_filter, str)
+            else source_filter
+        )
         if (
             t.s.is_var
             and t.o.is_var
@@ -213,7 +236,9 @@ class SparqlEngine:
             # repeated-variable patterns (?x ?p ?x, ?p ?p ?o) must use
             # the per-predicate branches: the unpivot would alias two
             # output columns to one name and lose the implied equality
-            fast = self._var_pred_unpivot(t.s.value, pvar, t.o.value, _RT)
+            fast = self._var_pred_unpivot(
+                t.s.value, pvar, t.o.value, _RT, allowed
+            )
             if fast is not None:
                 return fast
         branches: list[BFrame] = []
@@ -222,6 +247,17 @@ class SparqlEngine:
             try:
                 for star in bgp_stars([one]):
                     plan = select_sources(self.catalog, star)
+                    if allowed is not None:
+                        plan.alternatives = [
+                            alt
+                            for alt in plan.alternatives
+                            if all(
+                                self.catalog.map_source[tm.name] in allowed
+                                for tm in alt
+                            )
+                        ]
+                        if not plan.alternatives:
+                            continue  # predicate outside the dataset
                     bf = compile_star(self.spark, self.catalog, plan)
                     if pvar in bf.meta:
                         # ?p shares a name with the subject/object var:
@@ -246,6 +282,10 @@ class SparqlEngine:
             except (SourceSelectionError, StarCompileError):
                 continue  # predicate inapplicable to this term shape
         if not branches:
+            if allowed is not None:
+                # a graph-scoped browse over a member with no matching
+                # maps is an empty answer, not an error
+                return self._empty_group_frame(Group([t]))
             raise QueryCompileError(
                 f"variable predicate ?{pvar}: no applicable predicates"
             )
@@ -255,7 +295,12 @@ class SparqlEngine:
         return out
 
     def _var_pred_unpivot(
-        self, svar: str, pvar: str, ovar: str, rdf_type: str
+        self,
+        svar: str,
+        pvar: str,
+        ovar: str,
+        rdf_type: str,
+        allowed: set | None = None,
     ) -> BFrame | None:
         """One-scan-per-map ``?s ?p ?o`` expansion: unpivot each local
         map's predicate columns with ``stack`` (subject URI formatted
@@ -273,7 +318,11 @@ class SparqlEngine:
         def nested(path: str) -> bool:
             return "/" in path or "[*]" in path
 
-        maps = list(self.catalog.triple_maps.values())
+        maps = [
+            tm
+            for tm in self.catalog.triple_maps.values()
+            if allowed is None or self.catalog.map_source[tm.name] in allowed
+        ]
         if not maps:
             return None
         for tm in maps:
@@ -455,11 +504,9 @@ class SparqlEngine:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         var_pred = [t for t in triples if t.p.is_var]
         triples = [t for t in triples if not t.p.is_var]
-        if source_filter is not None and var_pred:
-            raise QueryCompileError(
-                "variable predicates inside GRAPH are unsupported"
-            )
-        frames: list[BFrame] = [self._var_pred_frame(t) for t in var_pred]
+        frames: list[BFrame] = [
+            self._var_pred_frame(t, source_filter) for t in var_pred
+        ]
         # Sargable FILTER conjuncts push into remote-source stars
         # (reference wrappers compile FILTERs to source SQL;
         # sparqltosql.py:585-634). The same FILTERs still run
@@ -522,22 +569,30 @@ class SparqlEngine:
             elif isinstance(e, GraphBlock):
                 frames.append(self._graph_block(e))
             elif isinstance(e, PathClosure):
-                if source_filter is not None:
-                    raise QueryCompileError(
-                        "property-path closure inside GRAPH is unsupported"
-                    )
-                frames.append(self._closure(e))
+                frames.append(self._closure(e, source_filter=source_filter))
             elif isinstance(e, NegatedPath):
-                frames.append(self._negated_path(e, plans))
+                frames.append(
+                    self._negated_path(e, plans, source_filter=source_filter)
+                )
             elif isinstance(e, SubSelect):
-                if source_filter is not None:
-                    raise QueryCompileError(
-                        "subquery inside GRAPH is unsupported"
-                    )
                 # nested SELECT compiles through the full pipeline and
                 # joins into the group on its projected variables;
-                # projection already materialized everything lexical
-                sdf = self.compile(e.query)
+                # projection already materialized everything lexical.
+                # The enclosing scope (GRAPH source / FROM set) becomes
+                # the nested query's dataset default, saved/restored so
+                # a subquery's own FROM can't leak back out.
+                saved_d, saved_n = self._dataset_default, self._dataset_named
+                if source_filter is not None:
+                    self._dataset_default = (
+                        {source_filter}
+                        if isinstance(source_filter, str)
+                        else source_filter
+                    )
+                try:
+                    sdf = self.compile(e.query)
+                finally:
+                    self._dataset_default = saved_d
+                    self._dataset_named = saved_n
                 frames.append(
                     BFrame(sdf, {c: TermMeta(LEXICAL) for c in sdf.columns})
                 )
@@ -612,7 +667,11 @@ class SparqlEngine:
                 bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
         return bf
 
-    def _closure(self, pc: PathClosure) -> BFrame:
+    def _closure(
+        self,
+        pc: PathClosure,
+        source_filter: "str | set | None" = None,
+    ) -> BFrame:
         """Transitive path ``p+``/``p*``: compile the single-step
         pattern as an ordinary group (so all source-selection and
         template machinery applies), project it to a lexical edge
@@ -622,7 +681,7 @@ class SparqlEngine:
         single key shape to join on."""
         from ontario_spark.operators.graph import transitive_closure
 
-        step = self._group(pc.step)
+        step = self._group(pc.step, source_filter=source_filter)
         step = step.materialize(pc.src_var).materialize(pc.dst_var)
         edges = step.df.select(
             F.col(pc.src_var).alias("src"), F.col(pc.dst_var).alias("dst")
@@ -793,6 +852,7 @@ class SparqlEngine:
         filters and variable resources key-join against the WHERE
         frame."""
         RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        allowed = self._dataset_default  # FROM restriction, if any
         outs: list[DataFrame] = []
         for d in q.describe_terms:
             if d.is_var and d.value not in bf.meta:
@@ -802,6 +862,11 @@ class SparqlEngine:
             # every map for lexical vars (no shape info)
             maps = []
             for tm in self.catalog.triple_maps.values():
+                if (
+                    allowed is not None
+                    and self.catalog.map_source[tm.name] not in allowed
+                ):
+                    continue
                 # reference/constant-subject maps carry no invertible
                 # template: keyed vars can't shape-match them and
                 # constant IRIs can't be inverted, so only lexical vars
@@ -830,7 +895,10 @@ class SparqlEngine:
             branches = [(p, Term("var", "__dsc_o")) for p in preds]
             branches += [(RDF_TYPE, Term("iri", c)) for c in classes]
             for p, o_term in branches:
-                frame = self._group(Group([Triple(d, Term("iri", p), o_term)]))
+                frame = self._group(
+                    Group([Triple(d, Term("iri", p), o_term)]),
+                    source_filter=allowed,
+                )
                 if d.is_var:
                     frame = subj.join(frame)
                 s_col = (
@@ -858,7 +926,12 @@ class SparqlEngine:
             out = out.unionByName(x)
         return out.dropDuplicates()
 
-    def _negated_path(self, np: NegatedPath, plans=()) -> BFrame:
+    def _negated_path(
+        self,
+        np: NegatedPath,
+        plans=(),
+        source_filter: "str | set | None" = None,
+    ) -> BFrame:
         """Negated property set: union of single-triple branches over
         the predicate universe minus the excluded IRIs — the Spark-side
         analogue of the reference scanning every TripleMap for a
@@ -913,9 +986,9 @@ class SparqlEngine:
             raise QueryCompileError(
                 "negated property set excludes every known predicate"
             )
-        u = self._group(branches[0])
+        u = self._group(branches[0], source_filter=source_filter)
         for b in branches[1:]:
-            u = u.union(self._group(b))
+            u = u.union(self._group(b, source_filter=source_filter))
         return u
 
     def _values(self, v: ValuesBlock) -> BFrame:

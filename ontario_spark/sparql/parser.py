@@ -236,10 +236,11 @@ class Parser:
     def _construct(self) -> Query:
         self.eat_kw("construct")
         q = Query(query_type="construct")
-        if self.at_kw("where"):
-            # CONSTRUCT WHERE { ... } shorthand (§10.2.3): the pattern
-            # (plain triples only) is also the template
-            self.next()
+        if self.at_kw("where", "from"):
+            # CONSTRUCT [dataset] WHERE { ... } shorthand (§10.2.3):
+            # the pattern (plain triples only) is also the template
+            self._dataset_clauses(q)
+            self.eat_kw("where")
             self.eat_op("{")
             q.construct_template = self._triples_block(stop_on_keywords=False)
             if any(not isinstance(t, Triple) for t in q.construct_template):
@@ -467,7 +468,8 @@ class Parser:
             if t.type == "EOF" or self.at_op("}", "{"):
                 break
             if stop_on_keywords and self.at_kw(
-                "optional", "filter", "bind", "union", "values", "minus", "service"
+                "optional", "filter", "bind", "union", "values", "minus",
+                "service", "graph",
             ):
                 break
             s = self._term()

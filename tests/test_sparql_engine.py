@@ -1098,3 +1098,117 @@ def test_dataset_state_resets_between_queries(engine, sf_small):
         "SELECT n_name AS name FROM nation WHERE n_name IS NOT NULL",
         "dataset_reset",
     )
+
+
+def test_graph_after_triples_parses(engine, sf_small):
+    """GRAPH following plain triples in the same group (round-4 review:
+    'graph' was missing from the triples-block stop keywords)."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?g WHERE {
+             ?n a ex:Nation ; ex:name ?name .
+             GRAPH ?g { ?n ex:region ?r } }""",
+        """SELECT n_name AS name, 'urn:graph:tpch_lake' AS g
+           FROM nation WHERE n_name IS NOT NULL""",
+        "graph_after_triples",
+    )
+
+
+def test_from_named_only_empties_default_graph(spark, sf_small):
+    """FROM NAMED without FROM: the default graph is EMPTY (§13.2) —
+    non-GRAPH patterns match nothing, GRAPH patterns still work."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    plain = eng.query(
+        PFX
+        + """SELECT ?name FROM NAMED <urn:graph:remote_sql> WHERE {
+              ?c a ex:Customer ; ex:name ?name }"""
+    )
+    assert plain.count() == 0
+    scoped = eng.query(
+        PFX
+        + """SELECT ?name FROM NAMED <urn:graph:remote_sql> WHERE {
+              GRAPH <urn:graph:remote_sql> { ?c a ex:Customer ; ex:name ?name } }"""
+    )
+    assert scoped.count() == 150
+
+
+def test_negated_path_scoped_by_graph(spark, sf_small):
+    """!(...) inside GRAPH must not leak triples from other members
+    (round-4 review: branches compiled unrestricted)."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    # Customer lives only on remote_sql: inside GRAPH <lake> a negated
+    # path from a Customer subject must bind nothing
+    rows = eng.query(
+        PFX
+        + """SELECT ?o WHERE {
+              GRAPH <urn:graph:tpch_lake> { ?c !ex:nothing ?o .
+                ?c a ex:Customer } }"""
+    )
+    assert rows.count() == 0
+
+
+def test_subquery_inside_graph_is_scoped(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    # subquery over Customer inside GRAPH <lake>: empty (Customer is
+    # remote); inside GRAPH <remote_sql>: full
+    empty = eng.query(
+        PFX
+        + """SELECT ?name WHERE { GRAPH <urn:graph:tpch_lake> {
+              { SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name } } } }"""
+    )
+    assert empty.count() == 0
+    full = eng.query(
+        PFX
+        + """SELECT ?name WHERE { GRAPH <urn:graph:remote_sql> {
+              { SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name } } } }"""
+    )
+    assert full.count() == 150
+
+
+def test_path_closure_under_from(engine, sf_small):
+    """FROM no longer breaks property-path closures (the guard used to
+    raise 'inside GRAPH' even for FROM)."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name FROM <urn:graph:tpch_lake> WHERE {
+             ?n a ex:Nation ; ex:name ?name ; ex:region+ ?r . }""",
+        "SELECT n_name AS name FROM nation WHERE n_name IS NOT NULL",
+        "closure_under_from",
+    )
+
+
+def test_describe_honors_from(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    uri = "http://ex.org/tpch/customer/1"
+    unrestricted = eng.query(f"DESCRIBE <{uri}>")
+    assert unrestricted.count() > 0
+    excluded = eng.query(f"DESCRIBE <{uri}> FROM <urn:graph:tpch_lake>")
+    assert excluded.count() == 0
+
+
+def test_var_pred_inside_graph_scoped(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    lake = eng.query(
+        PFX
+        + """SELECT ?p WHERE { GRAPH <urn:graph:tpch_lake> {
+              <http://ex.org/tpch/nation/1> ?p ?o } }"""
+    ).collect()
+    assert len(lake) > 0
+    remote = eng.query(
+        PFX
+        + """SELECT ?p WHERE { GRAPH <urn:graph:remote_sql> {
+              <http://ex.org/tpch/nation/1> ?p ?o } }"""
+    )
+    assert remote.count() == 0  # Nation is not on the remote member
