@@ -199,3 +199,42 @@ def range_join(
         .filter(lower_ok & (delta <= F.lit(upper_micros)))
         .drop("__bucket", "__r_on")
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: one row per (key, attribute-state) EPISODE, with
+    ``valid_from`` / ``valid_to`` (NULL = open) and ``is_current`` —
+    the standard lakehouse dimension-versioning shape.
+
+    Consecutive log rows with identical attributes collapse into one
+    episode (change detection via a null-safe ``lag`` struct compare);
+    episode end times come from ``lead`` over the surviving change
+    rows. Requires unique (key, ts) pairs — simultaneous conflicting
+    changes for one key have no defined order.
+
+    Scale: two window passes over the SAME (key)-partitioned sort —
+    one shuffle total, no self-join, state bounded per key. At 100 TB
+    the changelog shuffles once on the dimension key; history emission
+    is map-side from there."""
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changes = (
+        df.select(key, ts_col, *attr_cols)
+        .withColumn("__prev", F.lag(attrs).over(w))
+        .filter(~attrs.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(ts_col)
+    return changes.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -133,14 +133,45 @@ ORDER BY event_type
 """
 
 
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event-type state: consecutive
+    same-type events collapse into one episode with
+    [valid_from, valid_to) bounds and a current flag — the changelog →
+    versioned-dimension build (one key shuffle, two window passes)."""
+    from ontario_spark.operators.asof import scd2_from_changelog
+
+    ev = table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, key="user_id", ts_col="ts", attr_cols=["event_type"]
+    )
+
+
+EVENTS_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+FROM changes
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
+    "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
 }
 
 ORACLE = {
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,
 }

@@ -125,3 +125,30 @@ def test_range_join_rejects_prefix_collision(spark):
     right = spark.createDataFrame([(1, T0)], "k int, ts timestamp")
     with pytest.raises(ValueError, match="collide"):
         range_join(left, right, on="k")
+
+
+def test_scd2_collapses_episodes_and_marks_current(spark):
+    from ontario_spark.operators.asof import scd2_from_changelog
+
+    log = spark.createDataFrame(
+        [
+            (1, _t(0), "a"),
+            (1, _t(10), "a"),   # same state — collapses into episode 1
+            (1, _t(20), "b"),
+            (1, _t(30), "a"),   # back to 'a': a NEW episode, not merged
+            (2, _t(5), "x"),
+        ],
+        "k int, ts timestamp, state string",
+    )
+    rows = sorted(
+        map(
+            tuple,
+            scd2_from_changelog(log, "k", "ts", ["state"]).collect(),
+        )
+    )
+    assert rows == [
+        (1, "a", _t(0), _t(20), False),
+        (1, "a", _t(30), None, True),
+        (1, "b", _t(20), _t(30), False),
+        (2, "x", _t(5), None, True),
+    ]
