@@ -99,3 +99,34 @@ def test_round4_operator_plan_shapes(spark, sf_small):
         plan = _plan(q[name](spark, sf_small))
         assert "TakeOrderedAndProject" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_temporal_joins_never_plan_nested_loops(spark, sf_small):
+    """asof/range/scd2 compile to shuffles + windows / equality joins —
+    a range-condition formulation would plan a BroadcastNestedLoopJoin
+    and melt at scale."""
+    q = all_queries()
+    for name in ["events_asof_join", "events_range_pairs", "events_scd2_history"]:
+        plan = _plan(q[name](spark, sf_small))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_boilerplate_removal_broadcasts_the_removal_set(spark, sf_small):
+    """The high-df line set must come back as a broadcast join — the
+    corpus-side explode never shuffles against it."""
+    plan = _plan(all_queries()["dedup_boilerplate"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_scd2_uses_one_key_shuffle(spark, sf_small):
+    """Change detection + episode bounds ride ONE (key)-partitioned
+    sort: exactly one exchange below the window operators."""
+    plan = _plan(all_queries()["events_scd2_history"](spark, sf_small))
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, exchanges
