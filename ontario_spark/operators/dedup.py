@@ -394,3 +394,63 @@ def remove_boilerplate(
             )
         ).alias("clean_hash"),
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy match over a string column: DISTINCT
+    value pairs (name_a < name_b) within Levenshtein ``max_dist``,
+    candidate-limited to pairs sharing at least one character ``q``-gram
+    — the classic q-gram blocking + edit-distance verify.
+
+    Strings shorter than ``q`` emit no grams and never pair (document
+    or pad upstream if they matter). ``max_gram_freq`` mirrors the
+    other dedup skew guards: a gram appearing in d values fans out d²
+    candidates on one join key, so ubiquitous grams (e.g. a shared
+    prefix at corpus scale) can be dropped before the self-join,
+    bounding any key at cap² — with the documented recall trade.
+
+    Scale shape: blocking is a self-join on 3-byte gram keys over the
+    DISTINCT value set (typically ≪ corpus rows); the O(len²)
+    ``levenshtein`` runs only on surviving candidates, JVM-side."""
+    names = df.select(F.col(text_col).alias("name")).distinct()
+    starts = F.when(
+        F.length("name") >= q,
+        F.sequence(F.lit(1), F.length("name") - q + 1),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda i: F.col("name").substr(i, F.lit(q)))
+            )
+        ).alias("gram"),
+    )
+    if max_gram_freq is not None:
+        heavy = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_gram_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(heavy), "gram", "left_anti")
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= max_dist)

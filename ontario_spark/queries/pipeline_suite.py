@@ -213,6 +213,29 @@ GROUP BY l.doc_id
 """
 
 
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: distinct part-name pairs within
+    Levenshtein 3, q-gram-blocked (operators/dedup.py)."""
+    return dedup.fuzzy_string_pairs(
+        table(spark, sf_dir, "part"), "p_name", max_dist=3, q=3
+    )
+
+
+FUZZY_PART_NAMES_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+grams AS (
+  SELECT name, unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(name) - 1, 1)), i -> substr(name, i, 3)))) AS gram
+  FROM names
+), cand AS (
+  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.name < b.name
+)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 3
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-
     label propagation) over the n-gram-Jaccard pair graph, labeled by
@@ -1090,6 +1113,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_boilerplate": dedup_boilerplate,
+    "fuzzy_part_names": fuzzy_part_names,
     "contamination_check": contamination_check,
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
@@ -1125,6 +1149,7 @@ ORACLE = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
+    "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
