@@ -274,6 +274,7 @@ def test_pipeline_operators_handle_empty_corpus(spark):
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "shard", "bin", "offset"}
     assert dedup.remove_boilerplate(empty, "doc_id", "text").count() == 0
+    assert dedup.fuzzy_string_pairs(empty, "text").count() == 0
 
 
 def test_temporal_joins_handle_empty_sides(spark):
