@@ -1212,3 +1212,41 @@ def test_var_pred_inside_graph_scoped(spark, sf_small):
               <http://ex.org/tpch/nation/1> ?p ?o } }"""
     )
     assert remote.count() == 0  # Nation is not on the remote member
+
+
+def test_concurrent_compiles_isolate_dataset_state(spark, sf_small):
+    """The dataset scope is thread-local (the HTTP server compiles from
+    one thread per request): a FROM-restricted query compiling in one
+    thread must never leak its restriction into another thread's
+    unrestricted query."""
+    import threading
+
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    restricted = PFX + (
+        "SELECT ?name FROM <urn:graph:tpch_lake> WHERE "
+        "{ ?c a ex:Customer ; ex:name ?name }"
+    )
+    unrestricted = PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+    results: dict[str, int] = {}
+    errors: list[Exception] = []
+
+    def run(tag, q, n_iter):
+        try:
+            for _ in range(n_iter):
+                results[tag] = eng.query(q).count()
+        except Exception as ex:  # surface on the main thread
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=run, args=("restricted", restricted, 5)),
+        threading.Thread(target=run, args=("unrestricted", unrestricted, 5)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results["restricted"] == 0  # Customer lives on the remote member
+    assert results["unrestricted"] == 150
