@@ -216,7 +216,10 @@ def scd2_from_changelog(
     episode (change detection via a null-safe ``lag`` struct compare);
     episode end times come from ``lead`` over the surviving change
     rows. Requires unique (key, ts) pairs — simultaneous conflicting
-    changes for one key have no defined order.
+    changes for one key have no defined order. Rows with NULL ``ts``
+    are dropped (an untimed change has no place in a history; engines
+    also disagree on NULL sort order, so keeping them would make the
+    result engine-dependent).
 
     Scale: two window passes over the SAME (key)-partitioned sort —
     one shuffle total, no self-join, state bounded per key. At 100 TB
@@ -226,15 +229,15 @@ def scd2_from_changelog(
     w = Window.partitionBy(key).orderBy(ts_col)
     changes = (
         df.select(key, ts_col, *attr_cols)
+        .filter(F.col(ts_col).isNotNull())
         .withColumn("__prev", F.lag(attrs).over(w))
         .filter(~attrs.eqNullSafe(F.col("__prev")))
         .drop("__prev")
     )
-    w2 = Window.partitionBy(key).orderBy(ts_col)
     return changes.select(
         key,
         *attr_cols,
         F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
-        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
     )

@@ -408,8 +408,13 @@ def fuzzy_string_pairs(
     candidate-limited to pairs sharing at least one character ``q``-gram
     — the classic q-gram blocking + edit-distance verify.
 
-    Strings shorter than ``q`` emit no grams and never pair (document
-    or pad upstream if they matter). ``max_gram_freq`` mirrors the
+    Recall is bounded by the blocking, not just the distance: a pair
+    within ``max_dist`` that shares NO ``q``-gram is never returned.
+    Guaranteed-safe only when min string length >= q*(max_dist+1)+q-1
+    (the pigeonhole bound — e.g. 'aaa'/'aab' at q=3 share no trigram
+    despite distance 1); strings shorter than ``q`` emit no grams and
+    never pair at all. Size q to the shortest strings that matter, or
+    pad upstream. ``max_gram_freq`` mirrors the
     other dedup skew guards: a gram appearing in d values fans out d²
     candidates on one join key, so ubiquitous grams (e.g. a shared
     prefix at corpus scale) can be dropped before the self-join,

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ontario_spark.data import table
-from ontario_spark.operators.asof import asof_join, range_join, ts_micros
+from ontario_spark.operators.asof import (
+    asof_join,
+    range_join,
+    scd2_from_changelog,
+    ts_micros,
+)
 
 FIVE_MIN_US = 5 * 60 * 1_000_000
 
@@ -138,8 +143,6 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-type events collapse into one episode with
     [valid_from, valid_to) bounds and a current flag — the changelog →
     versioned-dimension build (one key shuffle, two window passes)."""
-    from ontario_spark.operators.asof import scd2_from_changelog
-
     ev = table(spark, sf_dir, "events")
     return scd2_from_changelog(
         ev, key="user_id", ts_col="ts", attr_cols=["event_type"]

@@ -215,7 +215,9 @@ GROUP BY l.doc_id
 
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy match: distinct part-name pairs within
-    Levenshtein 3, q-gram-blocked (operators/dedup.py)."""
+    Levenshtein 3 that share a character trigram (q-gram blocking —
+    recall caveat in operators/dedup.py; the oracle mirrors the
+    blocking so the contract is checked end-to-end)."""
     return dedup.fuzzy_string_pairs(
         table(spark, sf_dir, "part"), "p_name", max_dist=3, q=3
     )

@@ -1232,10 +1232,16 @@ def test_concurrent_compiles_isolate_dataset_state(spark, sf_small):
     results: dict[str, int] = {}
     errors: list[Exception] = []
 
+    expected = {"restricted": 0, "unrestricted": 150}
+
     def run(tag, q, n_iter):
         try:
             for _ in range(n_iter):
-                results[tag] = eng.query(q).count()
+                # assert EVERY iteration: a transient cross-thread leak
+                # must not be masked by a later clean run
+                n = eng.query(q).count()
+                assert n == expected[tag], (tag, n)
+                results[tag] = n
         except Exception as ex:  # surface on the main thread
             errors.append(ex)
 
