@@ -213,6 +213,109 @@ GROUP BY l.doc_id
 """
 
 
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the daily pipeline shape: a NEW batch
+    (docs with doc_id % 10 == 7, the stand-in for today's crawl) is
+    checked against the HISTORICAL corpus (everything else) and each
+    new doc is accepted or rejected with a reason and the blocking
+    corpus doc:
+
+    1. exact duplicate of a corpus doc (md5 content hash join), else
+    2. near-duplicate (n-gram Jaccard >= 0.35 vs corpus — new×corpus
+       pairs only, never corpus×corpus: the historical index is
+       already deduped, so incremental cost scales with the BATCH),
+    3. else accepted.
+
+    One lazy plan; the shingle joins carry 8-byte hashed keys like
+    ``dedup.ngram_jaccard_pairs``."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 10) == 7
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+
+    nh = new.select("doc_id", F.md5("text").alias("h"))
+    ch = corpus.select(F.col("doc_id").alias("cid"), F.md5("text").alias("h"))
+    exact = (
+        nh.join(ch, "h")
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("exact_dup_of"))
+    )
+
+    sn = exploded_shingles(new, "doc_id", "text", 3)
+    sc = exploded_shingles(corpus, "doc_id", "text", 3)
+    kn = sn.select(F.col("id").alias("doc_id"), F.xxhash64("shingle").alias("k"))
+    kc = sc.select(F.col("id").alias("cid"), F.xxhash64("shingle").alias("k"))
+    nsz = kn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    csz = kc.groupBy("cid").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = kn.join(kc, "k").groupBy("doc_id", "cid").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    near = (
+        inter.join(F.broadcast(nsz), "doc_id")
+        .join(F.broadcast(csz), "cid")
+        .filter(jac >= 0.35)
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("near_dup_of"))
+    )
+
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_dup_of").isNotNull(), "exact_dup")
+            .when(F.col("near_dup_of").isNotNull(), "near_dup")
+            .otherwise("accepted")
+            .alias("status"),
+            F.coalesce("exact_dup_of", "near_dup_of").alias("dup_of"),
+        )
+    )
+
+
+PIPELINE_INCREMENTAL_SQL = """
+WITH new_docs AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+exact AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS exact_dup_of
+  FROM new_docs n JOIN corpus c ON md5(n.text) = md5(c.text)
+  GROUP BY n.doc_id
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE len(trim(text)) > 0)
+), ex AS (
+  SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM sh
+), near AS (
+  SELECT doc_id, MIN(cid) AS near_dup_of FROM (
+    SELECT a.doc_id AS doc_id, b.doc_id AS cid, COUNT(*) AS n_common,
+           ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+    FROM ex a JOIN ex b ON a.shingle = b.shingle
+    WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    GROUP BY a.doc_id, b.doc_id
+  ) pairs
+  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
+  GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_dup_of IS NOT NULL THEN 'near_dup'
+            ELSE 'accepted' END AS status,
+       COALESCE(e.exact_dup_of, nr.near_dup_of) AS dup_of
+FROM new_docs n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near nr ON nr.doc_id = n.doc_id
+"""
+
+
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy match: distinct part-name pairs within
     Levenshtein 3 that share a character trigram (q-gram blocking —
@@ -1116,6 +1219,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_boilerplate": dedup_boilerplate,
     "fuzzy_part_names": fuzzy_part_names,
+    "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "contamination_check": contamination_check,
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
@@ -1152,6 +1256,7 @@ ORACLE = {
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
+    "pipeline_incremental_ingest": PIPELINE_INCREMENTAL_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
