@@ -35,6 +35,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floordiv(x: Column, w: int) -> Column:
+    """Exact ``floor(x / w)`` for a long column and positive int
+    literal. ``floor()`` over double division mis-buckets once the
+    true quotient needs more than 53 mantissa bits — for
+    microsecond epochs (~1.7e15) and small widths, ``x/w`` can round
+    UP across an integer boundary and a left row's candidate bucket
+    then disagrees with the right row's, silently dropping a matching
+    pair. Subtracting the non-negative remainder first makes the
+    numerator an exact multiple of ``w``; dividing as DECIMAL keeps
+    the (integral) quotient exact at any magnitude."""
+    exact = (x.cast("long") - F.pmod(x.cast("long"), F.lit(w))).cast("decimal(38,0)")
+    return (exact / F.lit(w)).cast("long")
+
+
 def ts_micros(c: Column) -> Column:
     """Microseconds-since-epoch from either TIMESTAMP or TIMESTAMP_NTZ
     (``unix_micros`` rejects NTZ; the cast applies the session zone
@@ -75,6 +89,13 @@ def asof_join(
     after the in-partition sort — supply a deduplicated right side if
     that matters (mirrors DuckDB ASOF JOIN, which is similarly
     unspecified on duplicate times).
+
+    NULL event times: right rows with NULL ``right_ts`` are dropped
+    (an untimed observation is never "the nearest" — and engines
+    disagree on NULL sort order, so keeping them would make matches
+    engine-dependent); left rows with NULL ``left_ts`` are kept (row
+    count preserved) but match nothing — mirrors
+    ``scd2_from_changelog``'s NULL handling.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -85,7 +106,7 @@ def asof_join(
         raise ValueError(f"prefixed right columns collide with left: {clash}")
 
     left_payload = [c for c in left.columns if c != on]
-    r_side = right.select(
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -118,6 +139,9 @@ def asof_join(
         l_side.unionByName(r_side)
         .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
+        # NULL left_ts sorts first (asc) / last (desc): either way its
+        # carried-forward payload is undefined — null the match out.
+        .withColumn("__m", F.when(F.col("__ts").isNotNull(), F.col("__m")))
     )
     if tolerance is not None:
         m_ts = F.col("__m").getField(renamed[right_ts])
@@ -173,8 +197,8 @@ def range_join(
     lo = l_us + F.lit(lower_micros)
     buckets = F.array_distinct(
         F.array(
-            F.floor(lo / F.lit(width)),
-            F.floor((l_us + F.lit(upper_micros)) / F.lit(width)),
+            _floordiv(lo, width),
+            _floordiv(l_us + F.lit(upper_micros), width),
         )
     )
     l_exp = left.select(
@@ -184,7 +208,7 @@ def range_join(
     )
     r_tag = right.select(
         F.col(on).alias("__r_on"),
-        F.floor(r_us / F.lit(width)).alias("__bucket"),
+        _floordiv(r_us, width).alias("__bucket"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
     )
     delta = ts_micros(F.col(f"r_{right_ts}")) - ts_micros(F.col(left_ts))

@@ -166,6 +166,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup join: band the signature, bucket-join per
     band, then filter candidates by estimated Jaccard (= fraction of
@@ -173,7 +174,16 @@ def minhash_lsh_pairs(
 
     With r = num_hashes/bands rows per band, the usual S-curve
     guarantees apply; candidate generation is linear in corpus size ×
-    band count, never quadratic."""
+    band count, never quadratic — PER BUCKET it is still m²/2, so
+    ``max_bucket_size`` is the corpus-scale skew guard (mirroring
+    ``neardup_pairs`` / ``ngram_jaccard_pairs``): a million identical
+    boilerplate docs land in the same bucket in EVERY band, and one
+    such hot key would concentrate quadratic work on one task.
+    (band, bucket) groups above the cap are dropped via a broadcast
+    anti-join on the tiny heavy-bucket list — pairs in an over-cap
+    bucket can still surface through their other bands, and a group of
+    exact duplicates that large is better handled by ``exact_dedup``
+    first (the documented recall trade)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
@@ -191,6 +201,16 @@ def minhash_lsh_pairs(
         .select(id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket"))
         .persist()
     )
+    if max_bucket_size is not None:
+        heavy = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(heavy), ["band", "bucket"], "left_anti"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -362,12 +382,15 @@ def remove_boilerplate(
 
     Scale shape: document frequency is one groupBy on md5(line) — the
     16-byte hash shuffles, never the line text. The boilerplate set is
-    bounded by total_lines / min_doc_freq and in practice tiny (high-df
-    lines are by definition few distinct strings), so it re-joins the
-    exploded corpus as a BROADCAST left join; the reassembly groupBy
-    rides the same doc-id partitioning with ``collect_list`` of
-    (pos, line) structs sorted in-memory per doc — per-doc state, never
-    a global sort."""
+    bounded by total_lines / min_doc_freq — at corpus scale with a low
+    ``min_doc_freq`` that bound can be a large fraction of all distinct
+    lines, which does NOT reliably fit in a broadcast, so the re-join
+    carries no forced hint: AQE broadcasts when the set is actually
+    small (observed at bench scale) and falls back to a shuffled hash
+    join when it isn't, instead of OOMing the build side at 100×. The
+    reassembly groupBy rides the same doc-id partitioning with
+    ``collect_list`` of (pos, line) structs sorted in-memory per doc —
+    per-doc state, never a global sort."""
     lines = chunk_lines(df, id_col, text_col, chunk).withColumn(
         "line_hash", F.md5(F.col("line"))
     )
@@ -377,7 +400,7 @@ def remove_boilerplate(
         .filter(F.col("doc_freq") >= min_doc_freq)
         .select("line_hash", F.lit(True).alias("is_boiler"))
     )
-    marked = lines.join(F.broadcast(boiler), "line_hash", "left")
+    marked = lines.join(boiler, "line_hash", "left")
     kept = F.when(
         F.col("is_boiler").isNull(),
         F.struct(F.col("pos"), F.col("line")),

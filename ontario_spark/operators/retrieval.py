@@ -27,6 +27,8 @@ right order, so the result is bit-stable and DuckDB-reproducible.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -52,23 +54,39 @@ def term_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # instead of stacking a fresh persist() per call — unbounded persisted
 # frames were a storage leak. Eviction unpersists. The key pins the
 # corpus DataFrame (value holds a ref) so id() stays valid while cached.
+# The HTTP server compiles queries from worker threads, so all dict
+# mutation + unpersist bookkeeping happens under a lock (plan BUILDING
+# stays outside it — only the publish/evict steps are serialized; two
+# threads racing on the same cold key may both build, the loser's frame
+# is unpersisted instead of published).
 _PER_DOC_CACHE: "dict[tuple, tuple[DataFrame, DataFrame]]" = {}
 _PER_DOC_CACHE_MAX = 8
+_PER_DOC_LOCK = threading.Lock()
 
 
 def _cached_per_doc(df: DataFrame, key: tuple, build) -> DataFrame:
-    hit = _PER_DOC_CACHE.get(key)
-    if hit is not None:
-        _PER_DOC_CACHE[key] = _PER_DOC_CACHE.pop(key)  # refresh LRU
-        return hit[1]
+    with _PER_DOC_LOCK:
+        hit = _PER_DOC_CACHE.get(key)
+        if hit is not None:
+            _PER_DOC_CACHE[key] = _PER_DOC_CACHE.pop(key)  # refresh LRU
+            return hit[1]
     per_doc = build().persist()
-    while len(_PER_DOC_CACHE) >= _PER_DOC_CACHE_MAX:
-        _, old = _PER_DOC_CACHE.pop(next(iter(_PER_DOC_CACHE)))
+    evicted: list[DataFrame] = []
+    with _PER_DOC_LOCK:
+        hit = _PER_DOC_CACHE.get(key)
+        if hit is not None:  # lost the build race — keep the winner
+            evicted.append(per_doc)
+            per_doc = hit[1]
+        else:
+            while len(_PER_DOC_CACHE) >= _PER_DOC_CACHE_MAX:
+                _, old = _PER_DOC_CACHE.pop(next(iter(_PER_DOC_CACHE)))
+                evicted.append(old)
+            _PER_DOC_CACHE[key] = (df, per_doc)
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
-    _PER_DOC_CACHE[key] = (df, per_doc)
     return per_doc
 
 

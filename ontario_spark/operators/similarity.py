@@ -24,6 +24,7 @@ double precision — JVM-side, deterministic left-to-right summation
 
 from __future__ import annotations
 
+import threading
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import Column, DataFrame
@@ -415,10 +416,17 @@ def neardup_pairs(
 # offline/online split as the IVF quantizer cache: codebook training
 # and corpus encoding are index CONSTRUCTION; at 100 TB the codes are
 # persisted and queries only probe, so repeated queries must not repay
-# the fit + encode.
+# the fit + encode. Bounded LRU per corpus with unpersist-on-eviction
+# (mirroring retrieval._PER_DOC_CACHE): distinct (m, k, iters) combos
+# must not accumulate persisted frames — WeakKeyDictionary eviction
+# alone only drops the Python entry while Spark's CacheManager keeps
+# the cached data alive JVM-side. Lock-guarded for the multi-threaded
+# HTTP-server path; the expensive fit/encode stays outside the lock.
 _pq_cache: "WeakKeyDictionary[DataFrame, dict[tuple, tuple]]" = (
     WeakKeyDictionary()
 )
+_PQ_CACHE_MAX_PER_CORPUS = 4
+_PQ_LOCK = threading.Lock()
 
 
 def pq_index(
@@ -431,15 +439,33 @@ def pq_index(
 ) -> "tuple[list[list[list[float]]], DataFrame]":
     """Train-or-fetch the (codebooks, encoded-corpus) pair for a
     corpus — the cached offline half of PQ search."""
-    per_corpus = _pq_cache.setdefault(corpus, {})
     key = (id_col, vec_col, m, k, iters)
-    cached = per_corpus.get(key)
-    if cached is None:
-        books = pq_codebooks(corpus, id_col, vec_col, m, k, iters)
-        codes = pq_encode(corpus, books, id_col, vec_col)
-        codes.persist()
-        cached = per_corpus[key] = (books, codes)
-    return cached
+    with _PQ_LOCK:
+        per_corpus = _pq_cache.setdefault(corpus, {})
+        cached = per_corpus.get(key)
+        if cached is not None:
+            per_corpus[key] = per_corpus.pop(key)  # refresh LRU
+            return cached
+    books = pq_codebooks(corpus, id_col, vec_col, m, k, iters)
+    codes = pq_encode(corpus, books, id_col, vec_col).persist()
+    evicted: list[DataFrame] = []
+    with _PQ_LOCK:
+        per_corpus = _pq_cache.setdefault(corpus, {})
+        hit = per_corpus.get(key)
+        if hit is not None:  # lost a build race — keep the winner
+            evicted.append(codes)
+            result = hit
+        else:
+            while len(per_corpus) >= _PQ_CACHE_MAX_PER_CORPUS:
+                _, old_codes = per_corpus.pop(next(iter(per_corpus)))
+                evicted.append(old_codes)
+            result = per_corpus[key] = (books, codes)
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return result
 
 
 def pq_codebooks(

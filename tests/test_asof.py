@@ -80,6 +80,57 @@ def test_no_chimera_rows_from_null_right_fields(spark):
     assert row["r_v"] is None  # NOT 7.0 welded in from the earlier row
 
 
+def test_null_event_times_never_match(spark):
+    """Round-5 ADVICE fix: NULL right_ts rows are dropped (ascending
+    sort puts NULLs first, so an untimed payload would otherwise be
+    carried forward as 'the most recent prior' match); NULL left_ts
+    rows are kept — left row count preserved — but match nothing."""
+    left = spark.createDataFrame(
+        [(1, _t(10), "ok"), (1, None, "untimed")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, _t(8), 8.0)], "k int, ts timestamp, v double"
+    )
+    out_b = {
+        r["tag"]: r["r_v"] for r in asof_join(left, right, on="k").collect()
+    }
+    assert len(out_b) == 2
+    assert out_b["ok"] == 8.0  # NOT the untimed 99.0 payload
+    assert out_b["untimed"] is None
+    out_f = {
+        r["tag"]: r["r_v"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert len(out_f) == 2
+    assert out_f["ok"] is None  # no timed right row >= t(10)
+    assert out_f["untimed"] is None
+
+
+def test_range_bucket_division_is_exact_at_epoch_magnitudes(spark):
+    """Round-5 ADVICE fix: floor() over double division mis-buckets
+    once 1/width falls under half an ulp of the quotient — the left
+    row's candidate buckets then disagree with the right row's and a
+    matching pair is silently dropped. _floordiv must agree with
+    Python's exact // across magnitudes and signs."""
+    from ontario_spark.operators.asof import _floordiv
+
+    w = 17
+    k = 1_700_000_000_000_000  # quotient magnitude where ulp = 0.25
+    xs = [w * k - 1, w * k, w * k + 1, -5, -w, 0, 1_705_000_000_123_456]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r["x"]: r["q"]
+        for r in df.select("x", _floordiv(F.col("x"), w).alias("q")).collect()
+    }
+    for x in xs:
+        assert got[x] == x // w, (x, got[x], x // w)
+    # the failure really exists in the double path at this magnitude
+    import math
+
+    assert math.floor((w * k - 1) / w) != (w * k - 1) // w
+
+
 def test_range_join_boundaries(spark):
     """Exact window (l, l+upper]: the strict lower bound excludes the
     simultaneous row, the inclusive upper keeps the boundary row, and

@@ -350,6 +350,31 @@ def test_neardup_bucket_cap_bounds_fanout(spark):
     assert kept.count() <= 10 * 9 / 2 * 16 + 1
 
 
+def test_minhash_bucket_cap_bounds_fanout(spark):
+    """Round-5 fix (mirrors neardup_pairs): a duplicate-heavy corpus —
+    many identical docs landing in ONE bucket in EVERY band — must not
+    fan out m²/2 candidates when max_bucket_size caps it; distinct
+    near-dup pairs in normal buckets survive."""
+    from ontario_spark.operators.dedup import minhash_lsh_pairs
+
+    hot = [(i, "the same boilerplate line repeated everywhere") for i in range(40)]
+    pair = [
+        (100, "a genuinely distinctive document about spark shuffles"),
+        (101, "a genuinely distinctive document about spark shuffled"),
+    ]
+    df = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    out = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.3, max_bucket_size=10
+    ).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert 100 in ids and 101 in ids  # normal near-dup pair kept
+    assert not (ids & set(range(40)))  # hot-bucket docs dropped
+    # uncapped, the hot bucket pairs all 40 duplicates
+    full = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    full_ids = {r["id_a"] for r in full} | {r["id_b"] for r in full}
+    assert set(range(40)) <= full_ids
+
+
 def test_ivf_invariant_to_input_order(spark, sf_small):
     """The quantizer trains on an md5-ordered sample, so IVF results
     must be identical whether the corpus arrives sorted, reversed, or

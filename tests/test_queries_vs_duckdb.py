@@ -25,7 +25,7 @@ def test_query_matches_oracle(spark, sf_small, name):
 
 def test_all_queries_have_oracle_or_are_declared():
     missing = sorted(n for n in QUERIES if n not in ORACLE)
-    # EXACTLY the three intrinsically engine-specific estimates may
+    # EXACTLY the four intrinsically engine-specific estimates may
     # omit oracles (k-means quantizer / sketch estimates have no DuckDB
     # equivalent; their error bounds are pytest-checked and their
     # oracle-able forms — ann_topk_bucketed, sketch_hll_check — sit on
