@@ -469,21 +469,27 @@ class SparqlEngine:
         # Sources that statically cannot answer the pattern contribute
         # the (plan-time) empty frame — no wasted scans.
         var = e.graph.value
-        if var in _pattern_vars(e.block):
-            raise QueryCompileError(
-                f"GRAPH variable ?{var} may not also occur inside the block"
-            )
         branches: list[BFrame] = []
         for name in sorted(named):
             f = self._group(e.block, source_filter=name)
-            branches.append(
-                BFrame(
-                    f.df.withColumn(
-                        var, F.lit(self.GRAPH_PREFIX + name)
-                    ),
-                    {**f.meta, var: TermMeta(LEXICAL)},
+            iri = self.GRAPH_PREFIX + name
+            if var in f.meta:
+                # SPARQL 1.1 §13.3: ?g reused inside the block — the
+                # branch is eval(P, g) ⋈ {?g → g}: a solution binding
+                # the inner ?g to anything but the active graph's IRI
+                # drops; an unbound inner ?g (OPTIONAL) takes the IRI.
+                f = f.materialize(var)
+                fdf = f.df.filter(
+                    F.col(var).isNull() | (F.col(var) == F.lit(iri))
+                ).withColumn(var, F.lit(iri))
+                branches.append(BFrame(fdf, f.meta))
+            else:
+                branches.append(
+                    BFrame(
+                        f.df.withColumn(var, F.lit(iri)),
+                        {**f.meta, var: TermMeta(LEXICAL)},
+                    )
                 )
-            )
         if not branches:  # dataset with no named graphs
             empty = self._empty_group_frame(e.block)
             return BFrame(

@@ -113,8 +113,12 @@ DRIVER_SURFACE = [
     "sparql_federated_join",
     "sparql_mongo_join",
     "sparql_service_join",
+    # Cypher execution seam — round-5 rotation (VERDICT r4 task 5): its
+    # oracle-backed query never fit the 50-slot surface before; slot
+    # from sparql_ask (trivial-head family represented by every other
+    # sparql_* row's SELECT head + pytest)
+    "sparql_cypher_join",
     # SPARQL core (green in prior rounds; re-verified each round)
-    "sparql_star_filter",
     "sparql_star_join",
     "sparql_optional",
     "sparql_source_union",
@@ -123,13 +127,22 @@ DRIVER_SURFACE = [
     # bm25_topk — same fn-library family as sparql_filter_functions,
     # still first among the post-cap registry entries + pytest-gated)
     "sparql_filter_functions",
-    "sparql_date_filter_bind",
-    "sparql_construct",
-    "sparql_ask",
     "sparql_aggregate",
     "sparql_lineitem_star",
     "sparql_nested_iterator",
     "sparql_describe",
+    # round-5 rotation: rows green three straight rounds and
+    # represented by surface siblings rotate out for families external
+    # verification never covered — SCD2 dimension versioning (slot from
+    # sparql_construct), q-gram-blocked fuzzy matching (slot from
+    # sparql_star_filter; FILTER semantics stay driver-checked via
+    # sparql_filter_functions), keep-best priority dedup (slot from
+    # sparql_date_filter_bind; date/BIND stays in the filter-functions
+    # family). The displaced rows lead the post-cap registry
+    # (near_cap) and stay under the pytest golden gate.
+    "events_scd2_history",
+    "fuzzy_part_names",
+    "dedup_keep_best",
     # relational shapes not evidenced by the SPARQL/pipeline entries
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,6 +160,12 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        # round-5 rotated-out rows first: still the next to re-enter if
+        # the driver's cap semantics ever change
+        "sparql_star_filter",
+        "sparql_construct",
+        "sparql_ask",
+        "sparql_date_filter_bind",
         "sparql_group_concat",
         "sparql_string_functions",
         "sparql_negated_path",

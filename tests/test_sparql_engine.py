@@ -1004,14 +1004,41 @@ def test_graph_variable_binds_source(engine, sf_small):
     )
 
 
-def test_graph_variable_reuse_inside_block_rejected(engine):
-    from ontario_spark.compiler.query import QueryCompileError
+def test_graph_variable_reuse_constrains_inner_term(engine):
+    """SPARQL 1.1: reusing the graph variable inside the block is a
+    conforming query (round-5 ADVICE fix — previously rejected); the
+    inner occurrence is constrained to the active graph's IRI."""
+    # bound-and-different: nation names never equal the graph IRI → ∅
+    df = engine.query(
+        PFX
+        + "SELECT ?g WHERE { GRAPH ?g { ?n a ex:Nation ; ex:name ?g } }"
+    )
+    assert df.count() == 0
+    # bound-and-equal (VALUES pins the inner ?g to the lake IRI) →
+    # every nation row survives with ?g = the graph IRI
+    df = engine.query(
+        PFX
+        + """SELECT ?g ?name WHERE {
+              GRAPH ?g { ?n a ex:Nation ; ex:name ?name .
+                         VALUES ?g { <urn:graph:tpch_lake> } } }"""
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert {r["g"] for r in rows} == {"urn:graph:tpch_lake"}
 
-    with pytest.raises(QueryCompileError, match="GRAPH variable"):
-        engine.query(
-            PFX
-            + "SELECT ?g WHERE { GRAPH ?g { ?g a ex:Nation } }"
-        )
+
+def test_graph_variable_reuse_optional_inner_takes_iri(engine):
+    """An inner ?g left unbound (OPTIONAL never matches) is compatible
+    with the graph binding — ?g comes back as the graph IRI."""
+    df = engine.query(
+        PFX
+        + """SELECT ?g ?name WHERE {
+              GRAPH ?g { ?n a ex:Nation ; ex:name ?name .
+                         OPTIONAL { ?n ex:no_such_pred ?g } } }"""
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert {r["g"] for r in rows} == {"urn:graph:tpch_lake"}
 
 
 def test_graph_scopes_nested_optional(spark, sf_small):
