@@ -311,6 +311,87 @@ class ExprCompiler:
             return self.value(a[0]).cast("string")
         if op == "now":
             return F.current_timestamp()
+        if op == "strdt":
+            # STRDT(lexical, dtIRI): the engine's internal term
+            # representation IS the native Spark type, so "construct a
+            # typed literal" = cast the lexical form to the native type
+            # of a known xsd datatype; unknown datatypes keep the
+            # lexical string. BIND additionally records the IRI in the
+            # var__dt side column so DATATYPE() answers it (query.py).
+            dt_iri = unwrap(a[1])
+            if dt_iri is None or not dt_iri.is_iri:
+                raise FilterCompileError("STRDT needs a constant datatype IRI")
+            xsd = "http://www.w3.org/2001/XMLSchema#"
+            local = (
+                dt_iri.value[len(xsd):]
+                if dt_iri.value.startswith(xsd)
+                else None
+            )
+            cast = {
+                "integer": "bigint", "int": "int", "long": "bigint",
+                "decimal": "decimal(18,6)", "double": "double",
+                "float": "float", "boolean": "boolean", "date": "date",
+                "dateTime": "timestamp", "string": "string",
+            }.get(local or "")
+            s = self.value(a[0]).cast("string")
+            return s.cast(cast) if cast else s
+        if op == "strlang":
+            # value is the lexical form; BIND records the tag in the
+            # var__lang side column so LANG()/DATATYPE() see it
+            tag = unwrap(a[1])
+            if tag is None:
+                raise FilterCompileError("STRLANG needs a constant language tag")
+            return self.value(a[0]).cast("string")
+        if op in ("uuid", "struuid"):
+            # non-deterministic per call site (SPARQL §17.4.2.3-4)
+            u = F.expr("uuid()")
+            return F.concat(F.lit("urn:uuid:"), u) if op == "uuid" else u
+        if op == "bnode":
+            # fresh blank node per solution; the 1-arg form maps equal
+            # labels within one solution to one node — a per-row nonce
+            # + label hash satisfies that (distinct rows stay distinct)
+            if a:
+                return F.concat(
+                    F.lit("_:b"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", self.value(a[0]).cast("string"), F.expr("uuid()")
+                        )
+                    ),
+                )
+            return F.concat(F.lit("_:b"), F.expr("uuid()"))
+        if op == "rand":
+            return F.rand()
+        if op in ("tz", "timezone"):
+            v = unwrap(a[0])
+            dt = self.dtype(v.value) if v is not None and v.is_var else None
+            if dt in ("timestamp", "timestamp_ntz", "date"):
+                # native temporal columns are session-zone instants —
+                # the original lexical zone is not stored → UTC
+                z = F.when(self.value(a[0]).isNotNull(), F.lit("Z"))
+            else:
+                z = F.regexp_extract(
+                    self.value(a[0]).cast("string"),
+                    r"(Z|[+-]\d{2}:\d{2})$", 1,
+                )
+            if op == "tz":
+                return z  # simple literal; "" when no zone (§17.4.5.8)
+            # TIMEZONE → canonical xsd:dayTimeDuration; a zoneless
+            # dateTime is a type error → NULL → row filtered (§17.4.5.7)
+            sign = F.when(z.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+            hh = F.regexp_extract(z, r"^[+-](\d{2}):", 1).cast("int")
+            mm = F.regexp_extract(z, r":(\d{2})$", 1).cast("int")
+            dur = F.when(
+                (hh == 0) & (mm == 0), F.lit("PT0S")
+            ).otherwise(
+                F.concat(
+                    sign,
+                    F.lit("PT"),
+                    F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                    F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+                )
+            )
+            return F.when(z == "Z", F.lit("PT0S")).when(z.rlike("^[+-]"), dur)
         raise FilterCompileError(f"unsupported operator {op!r}")
 
 

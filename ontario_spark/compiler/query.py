@@ -663,10 +663,36 @@ class SparqlEngine:
         for e in g.elements:
             if isinstance(e, Bind):
                 vc = self._compiler(bf)
-                bf = BFrame(
-                    bf.df.withColumn(e.var, vc.value(e.expr)),
-                    {**bf.meta, e.var: TermMeta(LEXICAL)},
-                )
+                df = bf.df.withColumn(e.var, vc.value(e.expr))
+                # STRDT/STRLANG construct TYPED/TAGGED literals: the
+                # value column carries the (native) lexical form; the
+                # datatype IRI / language tag ride the same __type/
+                # __lang/__dt side columns SERVICE results use, so
+                # LANG()/DATATYPE() downstream answer from them.
+                inner = e.expr
+                while isinstance(inner, Expr) and inner.op == "ident":
+                    inner = inner.args[0]
+                if isinstance(inner, Expr) and inner.op in ("strdt", "strlang"):
+                    from ontario_spark.compiler.filters import unwrap
+
+                    second = unwrap(inner.args[1])
+                    is_dt = inner.op == "strdt"
+                    df = (
+                        df.withColumn(f"{e.var}__type", F.lit("literal"))
+                        .withColumn(
+                            f"{e.var}__lang",
+                            F.lit(None).cast("string")
+                            if is_dt
+                            else F.lit(second.value.lower()),
+                        )
+                        .withColumn(
+                            f"{e.var}__dt",
+                            F.lit(second.value)
+                            if is_dt
+                            else F.lit(None).cast("string"),
+                        )
+                    )
+                bf = BFrame(df, {**bf.meta, e.var: TermMeta(LEXICAL)})
         for e in g.elements:
             if isinstance(e, Filter):
                 vc = self._compiler(bf)

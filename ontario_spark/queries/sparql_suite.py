@@ -150,6 +150,32 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND length(name) > 5""",
         False,
     ),
+    "sparql_term_functions": (
+        # round-5 function tail (§17.4 completeness beyond the
+        # reference's closed functor list): STRDT constructs a typed
+        # literal whose datatype DATATYPE() reads back via the __dt
+        # side column; STRLANG tags a literal LANG() reads back;
+        # TZ/TIMEZONE on a native timestamp column (session-zone
+        # instants → UTC). UUID/STRUUID/BNODE/RAND are the
+        # non-deterministic rest of the tail — pytest-only.
+        """SELECT ?o ?d ?p2 ?lang ?dtype ?zone ?tzd WHERE {
+             ?o a ex:Order ; ex:orderdate ?d ; ex:totalprice ?p .
+             BIND (STRDT(STR(?p), <http://www.w3.org/2001/XMLSchema#double>) AS ?p2)
+             BIND (STRLANG("chat", "en-US") AS ?tagged)
+             BIND (LANG(?tagged) AS ?lang)
+             BIND (DATATYPE(?p2) AS ?dtype)
+             BIND (TZ(?d) AS ?zone)
+             BIND (TIMEZONE(?d) AS ?tzd)
+             FILTER (?p > 400000.0) }""",
+        f"""SELECT {URI_O} AS o, o_orderdate AS d, o_totalprice AS p2,
+               'en-us' AS lang,
+               'http://www.w3.org/2001/XMLSchema#double' AS dtype,
+               'Z' AS zone, 'PT0S' AS tzd
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_totalprice > 400000.0""",
+        False,
+    ),
     "sparql_date_filter_bind": (
         """SELECT ?o ?d ?rounded WHERE {
              ?o a ex:Order ; ex:orderdate ?d ; ex:totalprice ?p .

@@ -100,6 +100,10 @@ _BUILTINS = {
     "coalesce", "strbefore", "strafter", "encode_for_uri", "md5", "sha1",
     "sha256", "sha384", "sha512", "hours", "minutes", "seconds",
     "isnumeric", "iri", "uri", "now",
+    # round-5 tail (completes SPARQL 1.1 §17.4 vs the reference's
+    # closed functor list at ontario/sparql/parser/services.py:1259-1325)
+    "strdt", "strlang", "uuid", "struuid", "tz", "timezone", "bnode",
+    "rand",
 }
 
 

@@ -1283,3 +1283,78 @@ def test_concurrent_compiles_isolate_dataset_state(spark, sf_small):
     assert not errors, errors
     assert results["restricted"] == 0  # Customer lives on the remote member
     assert results["unrestricted"] == 150
+
+
+# --- SPARQL 1.1 function tail (round 5) ---------------------------------
+
+
+def test_nondeterministic_term_functions(engine):
+    """UUID/STRUUID/BNODE/RAND (§17.4 tail): fresh per solution, right
+    shapes — no oracle possible, checked structurally."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?u ?su ?b ?b2 ?r WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              BIND (UUID() AS ?u)
+              BIND (STRUUID() AS ?su)
+              BIND (BNODE() AS ?b)
+              BIND (BNODE(?name) AS ?b2)
+              BIND (RAND() AS ?r) }"""
+    ).collect()
+    assert len(rows) == 25
+    us = [r["u"] for r in rows]
+    assert all(u.startswith("urn:uuid:") for u in us)
+    assert len(set(us)) == 25  # fresh per solution
+    sus = [r["su"] for r in rows]
+    assert len(set(sus)) == 25
+    assert not sus[0].startswith("urn:")
+    for col in ("b", "b2"):
+        bs = [r[col] for r in rows]
+        assert all(b.startswith("_:b") for b in bs)
+        assert len(set(bs)) == 25
+    assert all(0.0 <= r["r"] < 1.0 for r in rows)
+
+
+def test_tz_timezone_on_lexical_datetime(engine):
+    """TZ/TIMEZONE over plain-string lexical dateTimes exercise the
+    offset-parsing path (native timestamp columns go through the
+    UTC branch, covered by the sparql_term_functions oracle)."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?z ?d ?z0 ?d0 ?zn ?dn WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              FILTER (?name = "NATION_7")
+              BIND (TZ("2024-05-01T10:00:00-05:30") AS ?z)
+              BIND (TIMEZONE("2024-05-01T10:00:00-05:30") AS ?d)
+              BIND (TZ("2024-05-01T10:00:00+00:00") AS ?z0)
+              BIND (TIMEZONE("2024-05-01T10:00:00+00:00") AS ?d0)
+              BIND (TZ("2024-05-01T10:00:00") AS ?zn)
+              BIND (TIMEZONE("2024-05-01T10:00:00") AS ?dn) }"""
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["z"] == "-05:30" and r["d"] == "-PT5H30M"
+    assert r["z0"] == "+00:00" and r["d0"] == "PT0S"
+    assert r["zn"] == "" and r["dn"] is None  # zoneless: TZ="" / TIMEZONE=error
+
+
+def test_strdt_strlang_feed_lang_and_datatype(engine):
+    """STRDT/STRLANG constructed terms answer LANG()/DATATYPE() via the
+    __lang/__dt side columns, and STRDT casts known xsd types native."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?name ?n2 ?lang ?dt ?num WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              FILTER (?name = "NATION_7")
+              BIND (STRLANG(?name, "en-US") AS ?tagged)
+              BIND (LANG(?tagged) AS ?lang)
+              BIND (STR(?tagged) AS ?n2)
+              BIND (STRDT("42", <http://www.w3.org/2001/XMLSchema#integer>) AS ?num)
+              BIND (DATATYPE(?num) AS ?dt) }"""
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n2"] == "NATION_7"
+    assert r["lang"] == "en-us"
+    assert r["dt"] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert r["num"] == 42  # native integer, not the lexical string
