@@ -275,6 +275,36 @@ def _coarse_quantizer(
     return cdf
 
 
+def _nearest_cells(
+    side: DataFrame,
+    cdf: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Assign each vector its n closest centroids (rank ≤ n) via a
+    broadcast centroid join — O(n_lists) comparisons per row."""
+    scored = side.withColumn("__vnorm", norm(F.col(vec_col))).crossJoin(
+        F.broadcast(cdf)
+    ).withColumn(
+        "__d",
+        _staged_cosine(
+            F.col("center"),
+            F.col(vec_col),
+            F.col("center_norm"),
+            F.col("__vnorm"),
+        ),
+    )
+    w = Window.partitionBy(side[id_col]).orderBy(F.desc("__d"), F.asc("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .drop("center", "center_norm", "__vnorm", "__d", "__r")
+        .withColumnRenamed("cell", out)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -295,26 +325,7 @@ def ivf_topk(
     cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
 
     def nearest_cells(side: DataFrame, n: int, out: str) -> DataFrame:
-        """Assign each vector its n closest centroids (rank ≤ n) via a
-        broadcast centroid join — O(n_lists) comparisons per row."""
-        scored = side.withColumn("__vnorm", norm(F.col(vec_col))).crossJoin(
-            F.broadcast(cdf)
-        ).withColumn(
-            "__d",
-            _staged_cosine(
-                F.col("center"),
-                F.col(vec_col),
-                F.col("center_norm"),
-                F.col("__vnorm"),
-            ),
-        )
-        w = Window.partitionBy(side[id_col]).orderBy(F.desc("__d"), F.asc("cell"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .drop("center", "center_norm", "__vnorm", "__d", "__r")
-            .withColumnRenamed("cell", out)
-        )
+        return _nearest_cells(side, cdf, id_col, vec_col, n, out)
 
     c = nearest_cells(corpus, 1, "cell").select(
         F.col(id_col).alias("neighbor_id"),
@@ -586,77 +597,50 @@ def pq_encode(
     return out.select(F.col(id_col), *code_exprs)
 
 
-def pq_topk(
+def _adc_table_expr(books: list[list[list[float]]], vec: str = "__uv") -> Column:
+    """Flat (m × k) ADC lookup table as ONE Column expression over the
+    unit-normalized query vector column: entry ``j*k + c`` is the
+    squared L2 distance between query subvector j and centroid c.
+    Executor-side — the round-4 implementation collected every query to
+    the driver and built the tables in numpy, putting the driver on the
+    per-query path; the codebooks are literals, so the same arithmetic
+    (identical sequential fold order) runs where the queries are. Same
+    single-``F.expr``-string construction as ``pq_encode`` (the
+    hyperplane-LSH py4j lesson, similarity.py:131)."""
+    sub = len(books[0][0])
+    parts = []
+    for j, book in enumerate(books):
+        mat = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+                for c in book
+            )
+            + ")"
+        )
+        parts.append(
+            f"transform({mat}, c -> aggregate("
+            f"zip_with(slice({vec}, {j * sub + 1}, {sub}), c, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x))"
+        )
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def _adc_rank_and_rerank(
+    cand: DataFrame,
     corpus: DataFrame,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 3,
-    m: int = 4,
-    n_centroids: int = 16,
-    rerank: int = 4,
-    books: list[list[list[float]]] | None = None,
-    codes: DataFrame | None = None,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rerank: int,
 ) -> DataFrame:
-    """PQ ANN top-k by asymmetric distance (ADC) + exact cosine rerank:
-    each query becomes an (m × k) lookup table of subspace distances to
-    every centroid (computed driver-side from the tiny codebooks,
-    broadcast as one flat literal array per query); candidate scoring
-    is m ``element_at`` lookups per row — no vector math touches the
-    corpus. The top ``rerank×k`` ADC candidates fetch their true
-    vectors for an exact cosine rerank, the standard recall repair.
-    Pass precomputed ``books``/``codes`` to skip the offline phase
-    (how a stored index is used)."""
-    import numpy as np
-
-    if books is None and codes is None:
-        books, codes = pq_index(corpus, id_col, vec_col, m, n_centroids)
-    elif books is None:
-        books = pq_codebooks(corpus, id_col, vec_col, m, n_centroids)
-    elif codes is None:
-        codes = pq_encode(corpus, books, id_col, vec_col)
-    m = len(books)
-    kc = len(books[0])
-    sub = len(books[0][0])
-
-    qrows = queries.select(F.col(id_col), _dvec(F.col(vec_col)).alias("v")).collect()
-    tables = []
-    for r in qrows:
-        qv = np.asarray(r["v"], dtype=np.float64)
-        qv = qv / max(float(np.linalg.norm(qv)), 1e-12)
-        flat: list[float] = []
-        for j in range(m):
-            qs = qv[j * sub : (j + 1) * sub]
-            B = np.asarray(books[j], dtype=np.float64)
-            flat.extend(float(x) for x in ((B - qs) ** 2).sum(axis=1))
-        tables.append((r[id_col], flat))
-    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
-
-    # id type follows the caller's id column (string/int ids both work)
-    qdf = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            tables,
-            schema=StructType(
-                [
-                    StructField("query_id", queries.schema[id_col].dataType),
-                    StructField("tbl", ArrayType(DoubleType())),
-                ]
-            ),
-        )
-    )
-    adc = F.lit(0.0)
-    for j in range(m):
-        adc = adc + F.element_at(F.col("tbl"), F.col(f"code{j}") + j * kc + 1)
-    cand = (
-        codes.crossJoin(qdf)
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(F.col(id_col).alias("neighbor_id"), "query_id", adc.alias("adc"))
-    )
+    """Shared PQ tail: keep the ``rerank×k`` best-ADC candidates per
+    query, fetch only their true vectors, exact-cosine rerank."""
     wc = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     cand = cand.withColumn("crank", F.row_number().over(wc)).filter(
         F.col("crank") <= rerank * k
     )
-    # exact rerank: only rerank×k rows per query fetch their vectors
     cvec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -686,3 +670,116 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def _adc_expr(m: int, kc: int) -> Column:
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(F.col("tbl"), F.col(f"code{j}") + j * kc + 1)
+    return adc
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 4,
+    n_centroids: int = 16,
+    rerank: int = 4,
+    books: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance (ADC) + exact cosine rerank:
+    each query becomes an (m × k) lookup table of subspace distances to
+    every centroid — built EXECUTOR-side from the codebook literals
+    (round-5: no driver collect of queries, so a 10⁶-query offline
+    scoring job keeps the driver out of the per-query path); candidate
+    scoring is m ``element_at`` lookups per row — no vector math
+    touches the corpus. The top ``rerank×k`` ADC candidates fetch their
+    true vectors for an exact cosine rerank, the standard recall
+    repair. Pass precomputed ``books``/``codes`` to skip the offline
+    phase (how a stored index is used). For large corpora compose with
+    coarse cells via ``ivfpq_topk`` — this full-scan form ADC-scans
+    every code per query."""
+    if books is None and codes is None:
+        books, codes = pq_index(corpus, id_col, vec_col, m, n_centroids)
+    elif books is None:
+        books = pq_codebooks(corpus, id_col, vec_col, m, n_centroids)
+    elif codes is None:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+    m, kc = len(books), len(books[0])
+
+    qdf = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__uv")
+        ).select("query_id", _adc_table_expr(books).alias("tbl"))
+    )
+    cand = (
+        codes.crossJoin(qdf)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col(id_col).alias("neighbor_id"), "query_id",
+            _adc_expr(m, kc).alias("adc"),
+        )
+    )
+    return _adc_rank_and_rerank(cand, corpus, queries, id_col, vec_col, k, rerank)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m: int = 4,
+    n_centroids: int = 16,
+    rerank: int = 4,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    books: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF × PQ — the full FAISS-style tiering composed (round-5): the
+    coarse quantizer prunes candidates to each query's ``n_probe``
+    nearest cells, PQ ADC lookups score ONLY the probed cells' codes
+    (n_probe/n_lists of the corpus instead of a full code scan), and
+    the exact cosine rerank repairs recall. Both offline halves are
+    cached/stored artifacts (``_coarse_quantizer``, ``pq_index``); the
+    query path is a broadcast of (query cell probes ⋈ ADC tables) —
+    all executor-side, no driver collect of queries. At 100 TB the
+    codes live partitioned by cell, so the cell join is partition
+    pruning, not a shuffle."""
+    if books is None and codes is None:
+        books, codes = pq_index(corpus, id_col, vec_col, m, n_centroids)
+    elif books is None:
+        books = pq_codebooks(corpus, id_col, vec_col, m, n_centroids)
+    elif codes is None:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+    m, kc = len(books), len(books[0])
+    cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
+
+    ccell = _nearest_cells(corpus, cdf, id_col, vec_col, 1, "cell").select(
+        F.col(id_col), "cell"
+    )
+    coded = codes.join(ccell, id_col)
+    q_adc = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__uv")
+    ).select("query_id", _adc_table_expr(books).alias("tbl"))
+    qcells = _nearest_cells(queries, cdf, id_col, vec_col, n_probe, "cell").select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    # corpus rows sit in exactly one cell and a query's probed cells are
+    # distinct → (query, neighbor) pairs are already unique, no dedup
+    qdf = F.broadcast(qcells.join(q_adc, "query_id"))
+    cand = (
+        coded.join(qdf, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            F.col(id_col).alias("neighbor_id"), "query_id",
+            _adc_expr(m, kc).alias("adc"),
+        )
+    )
+    return _adc_rank_and_rerank(cand, corpus, queries, id_col, vec_col, k, rerank)

@@ -694,6 +694,19 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ composed (round-5): coarse cells prune to n_probe
+    lists, ADC scores only those cells' codes, exact rerank repairs
+    recall. No SQL oracle — DuckDB has no k-means; recall-vs-bruteforce
+    and the no-driver-collect query path are pytest-covered
+    (tests/test_dedup_similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, _queries_subset(spark, sf_dir), k=3, m=16, n_centroids=16,
+        rerank=8, n_lists=8, n_probe=3,
+    )
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size caps self-join fan-out per bucket (the skew
     # guard); 200 is far above any fixture bucket's population, so
@@ -1229,6 +1242,7 @@ QUERIES = {
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "emb_neardup_pairs": emb_neardup_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,

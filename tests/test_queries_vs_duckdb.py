@@ -25,14 +25,15 @@ def test_query_matches_oracle(spark, sf_small, name):
 
 def test_all_queries_have_oracle_or_are_declared():
     missing = sorted(n for n in QUERIES if n not in ORACLE)
-    # EXACTLY the four intrinsically engine-specific estimates may
+    # EXACTLY the five intrinsically engine-specific estimates may
     # omit oracles (k-means quantizer / sketch estimates have no DuckDB
     # equivalent; their error bounds are pytest-checked and their
     # oracle-able forms — ann_topk_bucketed, sketch_hll_check — sit on
     # the driver surface instead). Anything else missing is a bug.
-    assert missing == ["ann_topk_ivf", "ann_topk_pq", "sketch_event_stats", "sketch_hll_rollup"], (
-        f"queries without oracle: {missing}"
-    )
+    assert missing == [
+        "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_pq",
+        "sketch_event_stats", "sketch_hll_rollup",
+    ], f"queries without oracle: {missing}"
 
 
 def test_registry_counts_are_consistent():
@@ -40,7 +41,7 @@ def test_registry_counts_are_consistent():
     counts drifted): the registry and oracle sizes must track each
     other exactly, and every oracle key must name a registered query."""
     assert set(ORACLE) <= set(QUERIES)
-    assert len(ORACLE) == len(QUERIES) - 4  # the four declared above
+    assert len(ORACLE) == len(QUERIES) - 5  # the five declared above
 
 
 @pytest.mark.skipif(

@@ -1,0 +1,120 @@
+"""Scale probe runner (round-5): times the skew-sensitive operator
+families + TPC-H headliners at 1× and 10× (datasets from
+``tools/gen_scale_probe.py``) and reports per-query wall time, output
+rows, and the big/small time ratio.
+
+Interpretation: data grows 10×, the box stays local[32] — so ~10× time
+is per-core-linear scaling (perfect would need 10× the cores), < 10×
+means fixed overheads still dominate at this size, and >> 10× flags a
+superlinear operator (quadratic candidate generation, a hot task, a
+driver bottleneck). Results land in ``SCALE_PROBE.json``; SCALE.md
+carries the table.
+
+Usage: python tools/run_scale_probe.py [probe_dir] [q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ontario_scale_probe"
+
+PROBE_QUERIES = [
+    # dedup family (skew-sensitive candidate generation)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "dedup_clusters",
+    "dedup_boilerplate",
+    "dedup_keep_best",
+    "contamination_check",
+    "fuzzy_part_names",
+    # similarity / retrieval
+    "emb_neardup_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_bucketed",
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "bm25_topk",
+    # text
+    "text_metrics",
+    "frequent_terms",
+    # temporal + streaming
+    "events_asof_join",
+    "events_range_pairs",
+    "events_scd2_history",
+    "stream_events_hourly",
+    "stream_user_sessions",
+    # composed pipelines
+    "pipeline_decontaminated_corpus",
+    "pipeline_incremental_ingest",
+    # TPC-H headliners
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_top_orders_per_customer",
+    "q_rollup_flag_status",
+]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_QUERIES
+
+    from pyspark.sql import functions as F
+
+    from ontario_spark.data import TABLES, table
+    from ontario_spark.queries import all_queries
+    from ontario_spark.session import get_spark
+
+    spark = get_spark("ontario-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # same warmups as bench.py: JVM/codegen/Arrow pool + parquet footers
+    for scale in ("small", "big"):
+        for t in TABLES:
+            try:
+                table(spark, f"{BASE}/{scale}", t).limit(1).collect()
+            except Exception:
+                pass
+    spark.range(10_000).agg(F.sum(F.col("id").cast("decimal(18,6)"))).collect()
+    spark.range(1_000).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        rec: dict[str, float | int | str | None] = {}
+        for scale in ("small", "big"):
+            spark.catalog.clearCache()
+            best, nrows = float("inf"), -1
+            try:
+                for _ in range(2):  # best-of-2, like bench.py
+                    t0 = time.perf_counter()
+                    nrows = len(queries[name](spark, f"{BASE}/{scale}").collect())
+                    best = min(best, time.perf_counter() - t0)
+                rec[f"{scale}_sec"] = round(best, 3)
+                rec[f"{scale}_rows"] = nrows
+            except Exception as ex:  # record, keep probing the rest
+                rec[f"{scale}_err"] = f"{type(ex).__name__}: {ex}"[:200]
+        if "small_sec" in rec and "big_sec" in rec:
+            rec["ratio"] = round(rec["big_sec"] / max(rec["small_sec"], 1e-9), 2)
+        out[name] = rec
+        print(json.dumps({name: rec}), flush=True)
+
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "SCALE_PROBE.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
