@@ -551,13 +551,23 @@ class SparqlEngine:
         # Wrapper-source stars compile AFTER the local frames are
         # joined (below), so observed join keys push down as IN-lists —
         # NestedHashJoinFilter posture for SQL/Mongo/Cypher sources,
-        # matching what SERVICE already does with VALUES.
-        remote_star_plans = [p for p in pruned if self._is_remote_plan(p)]
-        for plan in pruned:
-            if plan not in remote_star_plans:
-                frames.append(
-                    compile_star(self.spark, self.catalog, plan, remote_conds)
-                )
+        # matching what SERVICE already does with VALUES. Both groups
+        # compile in COST-RANKED order (round-5, reference Tree.py
+        # leaf sort): the most selective local star anchors
+        # _join_greedy, and among several remote stars the most
+        # selective one fetches first so later remote fetches receive
+        # IN-lists bounded by its (smaller) results.
+        remote_star_plans = sorted(
+            (p for p in pruned if self._is_remote_plan(p)),
+            key=self._star_rank,
+        )
+        for plan in sorted(
+            (p for p in pruned if not self._is_remote_plan(p)),
+            key=self._star_rank,
+        ):
+            frames.append(
+                compile_star(self.spark, self.catalog, plan, remote_conds)
+            )
         for e in g.elements:
             if isinstance(e, Group):
                 frames.append(self._group(e, source_filter=source_filter))
@@ -1074,6 +1084,54 @@ class SparqlEngine:
             self.catalog.source_of(tm).dstype in _Cat.REMOTE_TYPES
             for alt in plan.alternatives
             for tm in alt
+        )
+
+    # Source-type fetch scores mirroring the reference's hand-tuned
+    # table (``ontario/mediator/Tree.py:getdsscore`` — clean-room: only
+    # the ranking criteria are reused): higher = the source answers a
+    # selective pushed-down query more capably, so it should anchor
+    # earlier and feed its observed keys to the weaker sources.
+    _DS_SCORE = {
+        "sparql": 20, "mysql": 18, "ansi": 18, "jdbc": 18,
+        "mongodb": 15, "neo4j": 15, "drill": 12,
+        "csv": 12, "parquet": 10, "view": 10, "json": 8, "xml": 5,
+    }
+
+    def _star_rank(self, plan) -> tuple:
+        """Cost rank for leaf ordering (semantics of the reference's
+        bushy-tree leaf sort, ``ontario/mediator/Tree.py:343-419``):
+        (1) higher constant percentage first — the most selective star
+        anchors the join tree and becomes the bound-join build side;
+        (2) more triples first (a bigger star constrains more);
+        (3) fewer subject/object variables first; (4) higher
+        source-type score first. Ascending sort key. Intra-Spark join
+        quality is AQE's job; this ordering decides CROSS-SOURCE fetch
+        order — which remote star fetches first and therefore which
+        direction the observed-key IN-lists flow."""
+        triples = plan.star.triples
+        positions = 3 * len(triples)
+        constants = sum(
+            (0 if t.s.is_var else 1)
+            + (0 if t.p.is_var else 1)
+            + (0 if t.o.is_var else 1)
+            for t in triples
+        )
+        so_vars = {t.s.value for t in triples if t.s.is_var} | {
+            t.o.value for t in triples if t.o.is_var
+        }
+        score = max(
+            (
+                self._DS_SCORE.get(self.catalog.source_of(tm).dstype, 0)
+                for alt in plan.alternatives
+                for tm in alt
+            ),
+            default=0,
+        )
+        return (
+            -(constants / positions if positions else 0.0),
+            -len(triples),
+            len(so_vars),
+            -score,
         )
 
     def _bound_key_conds(self, bf: BFrame, star_vars: set[str], max_keys: int = 1000):

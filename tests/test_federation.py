@@ -550,3 +550,45 @@ def test_service_silent_failure_is_join_identity(spark, sf_small):
     rows = df.collect()
     assert len(rows) == 25
     assert all(r["x"] is None for r in rows)
+
+
+def test_cost_ranked_ordering_flips_in_list_direction(spark, sf_small):
+    """Round-5 (reference Tree.py leaf sort): with TWO remote SQL
+    stars, the MORE-CONSTANT star must fetch first regardless of its
+    position in the query text, so the other remote star's SQL carries
+    an IN-list of the observed keys. The query below lists the
+    unconstrained Order star FIRST; document-order compilation would
+    fetch orders unfiltered — cost ranking makes the constant-heavy
+    Customer star the build side instead."""
+    from ontario_spark.catalog.tpch_rdf import _move_map, duckdb_sql_executor
+
+    cat = tpch_catalog(sf_small)
+    cmap = _move_map(cat, "CustomerMap")
+    omap = _move_map(cat, "OrderMap")
+    cat.add(DataSource(name="remote_sql_c", dstype="ansi", base_path=""), cmap)
+    cat.add(DataSource(name="remote_sql_o", dstype="ansi", base_path=""), omap)
+    seen: dict[str, list[str]] = {"c": [], "o": []}
+    c_ex = duckdb_sql_executor(sf_small, ("customer",))
+    o_ex = duckdb_sql_executor(sf_small, ("orders",))
+    cat.executors["remote_sql_c"] = lambda q: (seen["c"].append(q), c_ex(q))[1]
+    cat.executors["remote_sql_o"] = lambda q: (seen["o"].append(q), o_ex(q))[1]
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?o ?name WHERE {
+              ?o a ex:Order ; ex:customer ?c .
+              ?c a ex:Customer ; ex:name ?name ; ex:mktsegment "BUILDING" . }"""
+    )
+    rows = df.collect()
+    assert seen["c"] and seen["o"]
+    # the customer fetch goes out WITHOUT observed-key bounds (it is
+    # the build side); the orders fetch carries the IN-list
+    assert all("IN (" not in q for q in seen["c"]), seen["c"]
+    assert any("IN (" in q for q in seen["o"]), seen["o"]
+    # correctness unchanged vs the all-local catalog
+    local = SparqlEngine(spark, tpch_catalog(sf_small)).query(
+        PFX
+        + """SELECT ?o ?name WHERE {
+              ?o a ex:Order ; ex:customer ?c .
+              ?c a ex:Customer ; ex:name ?name ; ex:mktsegment "BUILDING" . }"""
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, local.collect()))
