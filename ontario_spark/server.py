@@ -5,11 +5,12 @@
 ``/nextresult`` pops one binding per call :49-81, ``'EOF'`` at end).
 
 Stdlib-only (no Flask in this environment): a ThreadingHTTPServer over
-one shared SparkSession/engine. Non-blocking mode holds a
-``toLocalIterator()`` per query id — rows stream from executors on
-demand instead of a driver-side ``collect()``, which is the Spark
-analogue of the reference's queue-parking and what keeps the driver's
-memory bounded for large results.
+one shared SparkSession/engine. BOTH modes stream from
+``toLocalIterator()`` — non-blocking holds the iterator per query id
+(one binding per /nextresult call); blocking (round-5) streams the
+rows straight into a chunked HTTP response — so the driver never
+materializes a full result set in either mode, the Spark analogue of
+the reference's queue-parking with bounded memory for large results.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from ontario_spark.cli import sparql_json_term, to_sparql_json
+from ontario_spark.cli import sparql_json_term
 
 
 class SparqlHTTPServer:
@@ -38,6 +39,10 @@ class SparqlHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer (the streaming blocking path) needs 1.1;
+            # all fixed replies still send Content-Length
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -48,6 +53,22 @@ class SparqlHTTPServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _reply_chunked(self, chunks) -> None:
+                """Stream an iterable of JSON text fragments as one
+                chunked 200 response — driver memory stays bounded by
+                one row, not the result set."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for chunk in chunks:
+                    data = chunk.encode()
+                    if data:
+                        self.wfile.write(
+                            f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                        )
+                self.wfile.write(b"0\r\n\r\n")
 
             def do_GET(self):
                 self._handle(parse_qs(urlparse(self.path).query))
@@ -68,7 +89,11 @@ class SparqlHTTPServer:
                 path = urlparse(self.path).path
                 try:
                     if path == "/sparql":
-                        self._reply(200, outer._sparql(q))
+                        out = outer._sparql(q)
+                        if isinstance(out, dict):
+                            self._reply(200, out)
+                        else:  # blocking mode streams its result rows
+                            self._reply_chunked(out)
                     elif path == "/nextresult":
                         self._reply(200, outer._nextresult(q))
                     else:
@@ -107,18 +132,37 @@ class SparqlHTTPServer:
                     "qlock": threading.Lock(),
                 }
             return {"qid": qid, "vars": df.columns}
-        first = df.limit(1).collect()
-        t_first = time.perf_counter() - t0
-        rows = df.collect()
+        return self._blocking_chunks(df, t0)
+
+    def _blocking_chunks(self, df, t0: float):
+        """Blocking-mode body as a stream of JSON fragments: same
+        payload shape as before (vars/result/execTime/firstResult/
+        totalRows — the trailing stats keys are emitted once the rows
+        have streamed), but rows come through ``toLocalIterator()`` one
+        partition at a time instead of a driver-side ``collect()`` —
+        a big SELECT no longer OOMs the driver (round-5; the reference
+        Flask app drains its whole queue into one response,
+        ``app/query.py:147``)."""
+        cols = df.columns
+        yield '{"vars": %s, "result": [' % json.dumps(cols)
+        n = 0
+        t_first = None
+        for row in df.toLocalIterator():
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+            b = {}
+            for c in cols:
+                t = sparql_json_term(row[c])
+                if t is not None:
+                    b[c] = t
+            yield ("," if n else "") + json.dumps(b)
+            n += 1
         t_all = time.perf_counter() - t0
-        payload = to_sparql_json(rows, df.columns)
-        return {
-            "vars": df.columns,
-            "result": payload["results"]["bindings"],
-            "execTime": round(t_all, 4),
-            "firstResult": round(t_first if first else t_all, 4),
-            "totalRows": len(rows),
-        }
+        yield '], "execTime": %s, "firstResult": %s, "totalRows": %d}' % (
+            round(t_all, 4),
+            round(t_first if t_first is not None else t_all, 4),
+            n,
+        )
 
     def _nextresult(self, q: dict) -> dict:
         qid = (q.get("qid") or [""])[0]

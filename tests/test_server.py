@@ -124,3 +124,34 @@ def test_pending_is_bounded(server):
     for _ in range(3):
         _get(f"{base}/sparql?" + urlencode({"query": QUERY, "mode": "non-blocking"}))
     assert len(server._pending) <= SparqlHTTPServer.MAX_PENDING
+
+
+def test_blocking_mode_streams_without_collect(server, spark):
+    """Round-5: blocking /sparql must serve through toLocalIterator —
+    never a driver-side collect() of the result set. Proven by
+    poisoning DataFrame.collect for the request window (the server
+    shares this process) and fetching a NO-LIMIT result bigger than
+    one partition batch; the chunked payload must still be complete
+    and correctly shaped."""
+    from urllib.parse import urlencode
+
+    from pyspark.sql import DataFrame
+
+    q = (
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?c ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+    )
+    orig = DataFrame.collect
+    def poisoned(self):
+        raise AssertionError("blocking /sparql called DataFrame.collect()")
+    DataFrame.collect = poisoned
+    try:
+        out = _get(
+            f"http://127.0.0.1:{server.port}/sparql?" + urlencode({"query": q})
+        )
+    finally:
+        DataFrame.collect = orig
+    assert out["vars"] == ["c", "name"]
+    assert out["totalRows"] == len(out["result"]) == 150
+    assert out["execTime"] >= out["firstResult"] >= 0
+    assert out["result"][0]["c"]["type"] == "uri"
