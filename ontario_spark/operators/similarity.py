@@ -367,6 +367,7 @@ def neardup_pairs(
     bits: int = 8,
     dim: int = 64,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "split",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) with score >=
     threshold, candidate-limited to shared hyperplane-LSH buckets.
@@ -376,30 +377,62 @@ def neardup_pairs(
     m vectors fans out m²/2 candidate pairs on ONE join key, so a
     single hot bucket — possible on real correlated embeddings even
     with random projections — would concentrate quadratic work on one
-    task. Buckets above the cap are dropped via a broadcast anti-join
-    on the (tiny) heavy-bucket list, bounding per-key fan-out at cap²
-    while the rest of the corpus proceeds unaffected."""
+    task. Two policies for over-cap buckets:
+
+    - ``hot_bucket="split"`` (default): subdivide the bucket into
+      ``ceil(m/cap)`` salted sub-buckets by a deterministic md5 hash of
+      the id; pairs form only within a sub-bucket. Fan-out per join key
+      stays ≤ cap², TOTAL work in a hot bucket stays ≤ m·cap/2
+      (linear in m, not m²), and recall degrades gracefully to ~cap/m
+      within that bucket instead of collapsing. The round-5 scale
+      probe found the old drop policy returning ZERO pairs at 10×
+      scale — average bucket population crossed the cap and the entire
+      corpus was discarded; splitting is cliff-free: buckets under the
+      cap get one sub-bucket and results are IDENTICAL to uncapped.
+    - ``hot_bucket="drop"``: the round-4 behavior — over-cap buckets
+      are removed via a broadcast anti-join (maximal throughput, zero
+      recall inside the hot bucket).
+    """
     from ontario_spark.operators.textops import spread
 
+    if hot_bucket not in ("split", "drop"):
+        raise ValueError(f"hot_bucket must be split|drop, got {hot_bucket!r}")
     c = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("nrm"),
         hyperplane_lsh_bucket(vec_col, dim, bits).alias("bucket"),
     )
-    if max_bucket_size is not None:
-        heavy = (
-            c.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("bucket")
-        )
-        c = c.join(F.broadcast(heavy), "bucket", "left_anti")
+    if max_bucket_size is None:
+        c = c.withColumn("__sub", F.lit(0).cast("long"))
+    else:
+        counts = c.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+        if hot_bucket == "drop":
+            heavy = counts.filter(F.col("__n") > max_bucket_size).select("bucket")
+            c = c.join(F.broadcast(heavy), "bucket", "left_anti").withColumn(
+                "__sub", F.lit(0).cast("long")
+            )
+        else:
+            # ≤ 2^bits buckets → the count table is tiny, broadcast it;
+            # md5-derived sub id is engine-reproducible (DuckDB oracle)
+            h = F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+            ).cast("long")
+            k = F.greatest(
+                F.ceil(F.col("__n") / F.lit(max_bucket_size)).cast("long"),
+                F.lit(1),
+            )
+            c = (
+                c.join(F.broadcast(counts), "bucket")
+                .withColumn("__sub", F.pmod(h, k))
+                .drop("__n")
+            )
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -709,9 +709,11 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket_size caps self-join fan-out per bucket (the skew
-    # guard); 200 is far above any fixture bucket's population, so
-    # results here are exact — and the oracle replicates the cap so the
-    # contract is checked end-to-end.
+    # guard); over-cap buckets split into salted sub-buckets (round-5:
+    # the 10x scale probe showed the old drop policy discarding the
+    # whole corpus once average bucket population crossed the cap).
+    # The oracle replicates the split exactly (same md5-derived sub
+    # ids), so the contract is checked end-to-end.
     return similarity.neardup_pairs(
         table(spark, sf_dir, "embeddings"),
         threshold=0.2,
@@ -729,16 +731,20 @@ WITH c0 AS (
   FROM embeddings
 ), c AS (
   SELECT vec_id, v, {bucket} AS bucket FROM c0
-), ok AS (
-  SELECT bucket FROM c GROUP BY bucket HAVING COUNT(*) <= 200
+), cnt AS (
+  SELECT bucket, COUNT(*) AS n FROM c GROUP BY bucket
 ), cc AS (
-  SELECT c.* FROM c JOIN ok USING (bucket)
+  SELECT c.vec_id, c.v, c.bucket,
+         CAST(('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % GREATEST(CAST(ceil(CAST(n AS DOUBLE) / 200) AS BIGINT), 1) AS sub
+  FROM c JOIN cnt USING (bucket)
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
          AS score
-FROM cc a JOIN cc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cc a JOIN cc b
+  ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
 """

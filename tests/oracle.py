@@ -4,24 +4,62 @@ column names, and order-insensitive values."""
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 
 import duckdb
 import pandas as pd
 
 from ontario_spark.data import TABLES
 
+# Disk cache for oracle results, keyed on (sql, data files' mtime+size):
+# the sf0.1 gate re-runs ~110 DuckDB queries (~35 s) every pytest
+# session over parquet that never changes — caching them makes the
+# default-on gate pay only for the Spark side it exists to check. A
+# stale-cache false MATCH is impossible (the cache only feeds the
+# oracle side; a corrupted entry makes the comparison fail loudly).
+_CACHE_DIR = os.environ.get("ONTARIO_ORACLE_CACHE", "/tmp/ontario_oracle_cache")
+
+
+def _cache_path(sql: str, sf_dir: str) -> str | None:
+    try:
+        sig = [sql, sf_dir]
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            st = os.stat(p)
+            sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        key = hashlib.md5("|".join(sig).encode()).hexdigest()
+        return os.path.join(_CACHE_DIR, f"{key}.parquet")
+    except OSError:
+        return None
+
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    path = _cache_path(sql, sf_dir)
+    if path and os.path.exists(path):
+        try:
+            return pd.read_parquet(path)
+        except Exception:
+            pass  # unreadable entry → recompute
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        return con.execute(sql).df()
+        df = con.execute(sql).df()
     finally:
         con.close()
+    if path:
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            df.to_parquet(tmp)
+            os.replace(tmp, path)  # atomic under concurrent pytest
+        except Exception:
+            pass  # non-parquet-able dtype etc. → just skip caching
+    return df
 
 
 def _canon(df: pd.DataFrame) -> list[tuple]:

@@ -321,9 +321,12 @@ def test_hyperplane_buckets_mix_all_dims(spark, sf_small):
 
 
 def test_neardup_bucket_cap_bounds_fanout(spark):
-    """With max_bucket_size=m, no bucket contributes more than
-    m*(m-1)/2 pairs — a planted hot bucket (many identical vectors)
-    must be dropped entirely, while normal pairs survive."""
+    """max_bucket_size policies on a planted hot bucket (many identical
+    vectors): 'drop' removes it entirely (round-4 behavior); 'split'
+    (round-5 default, after the 10x probe caught drop discarding the
+    whole corpus) subdivides it into salted sub-buckets — bounded
+    fan-out, partial recall instead of zero. Normal pairs survive
+    either way."""
     from ontario_spark.operators.similarity import (
         hyperplane_lsh_bucket,
         neardup_pairs,
@@ -332,22 +335,39 @@ def test_neardup_bucket_cap_bounds_fanout(spark):
     hot = [(i, [1.0, 2.0, 3.0, 4.0] * 16) for i in range(40)]
     pair = [(100, [9.0, -1.0, 2.0, 0.5] * 16), (101, [9.0, -1.0, 2.0, 0.5] * 16)]
     df = spark.createDataFrame(hot + pair, "vec_id long, embedding array<float>")
-    out = neardup_pairs(
-        df, threshold=0.5, bits=4, dim=64, max_bucket_size=10
-    ).collect()
-    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
-    assert ids == {100, 101}  # hot bucket (40 > cap) dropped, pair kept
-    # per-bucket candidate fan-out is bounded by cap^2 by construction:
-    # the surviving corpus has no bucket above the cap
-    kept = neardup_pairs(
-        df, threshold=-1.0, bits=4, dim=64, max_bucket_size=10
-    )
     buckets = (
         df.select(hyperplane_lsh_bucket("embedding", 64, 4).alias("b"))
         .groupBy("b").count().filter(F.col("count") > 10).count()
     )
-    assert buckets >= 1  # the planted hot bucket really was over cap
-    assert kept.count() <= 10 * 9 / 2 * 16 + 1
+    assert buckets >= 1  # the planted hot bucket really is over cap
+
+    dropped = neardup_pairs(
+        df, threshold=0.5, bits=4, dim=64, max_bucket_size=10, hot_bucket="drop"
+    ).collect()
+    ids = {r["id_a"] for r in dropped} | {r["id_b"] for r in dropped}
+    assert ids == {100, 101}  # hot bucket (40 > cap) dropped, pair kept
+
+    split = neardup_pairs(
+        df, threshold=0.5, bits=4, dim=64, max_bucket_size=10
+    ).collect()
+    split_ids = {r["id_a"] for r in split} | {r["id_b"] for r in split}
+    assert {100, 101} <= split_ids  # normal pair still there
+    assert split_ids & set(range(40))  # hot-bucket recall no longer zero
+    # fan-out bound: ceil(40/10)=4 sub-buckets of ~10 → ≤ 4·C(10.. ,2)
+    # pairs from the hot bucket, far under the uncapped C(40,2)=780
+    n_hot = sum(
+        1 for r in split if r["id_a"] in range(40) and r["id_b"] in range(40)
+    )
+    assert 0 < n_hot < 40 * 39 / 2 / 2
+    # under-cap corpora: split is the IDENTITY (one sub-bucket) —
+    # results equal the uncapped run
+    small = [(i, [float(i % 7) + 1, 2.0, -1.0, 0.5] * 16) for i in range(12)]
+    sdf = spark.createDataFrame(small, "vec_id long, embedding array<float>")
+    capped = neardup_pairs(sdf, threshold=0.0, bits=4, dim=64, max_bucket_size=500)
+    uncapped = neardup_pairs(sdf, threshold=0.0, bits=4, dim=64)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
 
 
 def test_minhash_bucket_cap_bounds_fanout(spark):

@@ -45,14 +45,16 @@ def test_registry_counts_are_consistent():
 
 
 @pytest.mark.skipif(
-    not os.environ.get("ONTARIO_SF01_GATE"),
-    reason="10x-scale oracle gate: set ONTARIO_SF01_GATE=1 (adds ~5 min)",
+    bool(os.environ.get("ONTARIO_SKIP_SF01_GATE")),
+    reason="10x-scale oracle gate disabled via ONTARIO_SKIP_SF01_GATE",
 )
 def test_all_oracles_match_at_sf01(spark):
     """Every oracle-backed query hash-matches DuckDB at sf0.1 — ten
     times the driver's gate scale, catching tie-break or float
-    nondeterminism that only appears with more data. Verified green as
-    of round 4 (98/98)."""
+    nondeterminism that only appears with more data. Default-ON since
+    round 5: oracle results are disk-cached across sessions
+    (tests/oracle.py), so the test pays mostly for the Spark side it
+    exists to check. Opt out with ONTARIO_SKIP_SF01_GATE=1."""
     from ontario_spark.queries import all_oracle_sql, all_queries
 
     q, o = all_queries(), all_oracle_sql()

@@ -107,12 +107,17 @@ def main() -> None:
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
 
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "SCALE_PROBE.json"),
-        "w",
-    ) as f:
-        json.dump(out, f, indent=1)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.json",
+    )
+    merged: dict[str, dict] = {}
+    if os.path.exists(path):  # partial reruns update, not clobber
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     spark.stop()
 
 
