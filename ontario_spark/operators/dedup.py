@@ -167,6 +167,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "split",
 ) -> DataFrame:
     """MinHash LSH near-dup join: band the signature, bucket-join per
     band, then filter candidates by estimated Jaccard (= fraction of
@@ -178,13 +179,18 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` is the corpus-scale skew guard (mirroring
     ``neardup_pairs`` / ``ngram_jaccard_pairs``): a million identical
     boilerplate docs land in the same bucket in EVERY band, and one
-    such hot key would concentrate quadratic work on one task.
-    (band, bucket) groups above the cap are dropped via a broadcast
-    anti-join on the tiny heavy-bucket list — pairs in an over-cap
-    bucket can still surface through their other bands, and a group of
-    exact duplicates that large is better handled by ``exact_dedup``
-    first (the documented recall trade)."""
+    such hot key would concentrate quadratic work on one task. Over-cap
+    (band, bucket) groups follow the same two policies as
+    ``similarity.neardup_pairs``: ``"split"`` (default) subdivides them
+    into ``ceil(m/cap)`` salted md5(id) sub-buckets — bounded fan-out,
+    recall ~cap/m inside the hot group (the sub assignment depends only
+    on the id, so it is the SAME in every band — no cross-band rescue
+    for a specific pair, same trade as neardup); ``"drop"`` removes
+    them outright. A duplicate group that large is better handled by
+    ``exact_dedup`` first either way."""
     assert num_hashes % bands == 0
+    if hot_bucket not in ("split", "drop"):
+        raise ValueError(f"hot_bucket must be split|drop, got {hot_bucket!r}")
     r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
@@ -201,22 +207,45 @@ def minhash_lsh_pairs(
         .select(id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket"))
         .persist()
     )
-    if max_bucket_size is not None:
-        heavy = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "bucket")
+    if max_bucket_size is None:
+        banded = banded.withColumn("__sub", F.lit(0).cast("long"))
+    else:
+        counts = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
         )
-        banded = banded.join(
-            F.broadcast(heavy), ["band", "bucket"], "left_anti"
-        )
+        # unlike neardup's ≤2^bits buckets, (band, bucket) cardinality
+        # here is ~corpus × bands — only the HEAVY groups (≤ rows/cap,
+        # tiny in practice) ever broadcast; under-cap groups default to
+        # one sub-bucket via the left-join miss
+        heavy = counts.filter(F.col("__n") > max_bucket_size)
+        if hot_bucket == "drop":
+            banded = banded.join(
+                F.broadcast(heavy.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_anti",
+            ).withColumn("__sub", F.lit(0).cast("long"))
+        else:
+            h = F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+            ).cast("long")
+            k = F.greatest(
+                F.ceil(
+                    F.coalesce(F.col("__n"), F.lit(0)) / F.lit(max_bucket_size)
+                ).cast("long"),
+                F.lit(1),
+            )
+            banded = (
+                banded.join(F.broadcast(heavy), ["band", "bucket"], "left")
+                .withColumn("__sub", F.pmod(h, k))
+                .drop("__n")
+            )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(*_pair_cols(id_col), *[

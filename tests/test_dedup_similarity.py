@@ -371,10 +371,12 @@ def test_neardup_bucket_cap_bounds_fanout(spark):
 
 
 def test_minhash_bucket_cap_bounds_fanout(spark):
-    """Round-5 fix (mirrors neardup_pairs): a duplicate-heavy corpus —
+    """Round-5 (mirrors neardup_pairs): a duplicate-heavy corpus —
     many identical docs landing in ONE bucket in EVERY band — must not
-    fan out m²/2 candidates when max_bucket_size caps it; distinct
-    near-dup pairs in normal buckets survive."""
+    fan out m²/2 candidates when max_bucket_size caps it. 'drop'
+    removes the hot group outright; 'split' (default) keeps bounded
+    partial recall. Distinct near-dup pairs in normal buckets survive
+    either way."""
     from ontario_spark.operators.dedup import minhash_lsh_pairs
 
     hot = [(i, "the same boilerplate line repeated everywhere") for i in range(40)]
@@ -383,16 +385,34 @@ def test_minhash_bucket_cap_bounds_fanout(spark):
         (101, "a genuinely distinctive document about spark shuffled"),
     ]
     df = spark.createDataFrame(hot + pair, "doc_id long, text string")
-    out = minhash_lsh_pairs(
-        df, "doc_id", "text", threshold=0.3, max_bucket_size=10
+    dropped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.3, max_bucket_size=10,
+        hot_bucket="drop",
     ).collect()
-    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    ids = {r["id_a"] for r in dropped} | {r["id_b"] for r in dropped}
     assert 100 in ids and 101 in ids  # normal near-dup pair kept
     assert not (ids & set(range(40)))  # hot-bucket docs dropped
+
+    split = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.3, max_bucket_size=10
+    ).collect()
+    split_ids = {r["id_a"] for r in split} | {r["id_b"] for r in split}
+    assert {100, 101} <= split_ids
+    assert split_ids & set(range(40))  # partial hot-group recall
+    n_hot = sum(
+        1 for r in split if r["id_a"] in range(40) and r["id_b"] in range(40)
+    )
+    assert 0 < n_hot < 40 * 39 / 2 / 2  # far below uncapped C(40,2)
+
     # uncapped, the hot bucket pairs all 40 duplicates
     full = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.3).collect()
     full_ids = {r["id_a"] for r in full} | {r["id_b"] for r in full}
     assert set(range(40)) <= full_ids
+    # under-cap corpora: the cap is the identity
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.3, max_bucket_size=500
+    ).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, full))
 
 
 def test_ivf_invariant_to_input_order(spark, sf_small):
