@@ -203,3 +203,100 @@ def test_scd2_collapses_episodes_and_marks_current(spark):
         (1, "b", _t(20), _t(30), False),
         (2, "x", _t(5), None, True),
     ]
+
+
+def test_asof_join_matches_bruteforce_reference(spark):
+    """Randomized cross-check: asof_join (union + running-last window)
+    must agree with a per-row brute-force reference on mixed keys,
+    duplicate timestamps across sides, and NULL event times — both
+    directions. Fixed seed, three trials."""
+    import random
+
+    rnd = random.Random(12345)
+    for trial in range(3):
+        left = [
+            (
+                rnd.randint(1, 4),
+                _t(rnd.randint(0, 50)) if rnd.random() > 0.1 else None,
+                i,
+            )
+            for i in range(40)
+        ]
+        right_raw = [
+            (
+                rnd.randint(1, 4),
+                _t(rnd.randint(0, 50)) if rnd.random() > 0.1 else None,
+                100 + i,
+            )
+            for i in range(40)
+        ]
+        # unique (k, ts) on the right: duplicate-time tie-break is
+        # documented as unspecified
+        seen, right = set(), []
+        for k, ts, v in right_raw:
+            if (k, ts) not in seen:
+                seen.add((k, ts))
+                right.append((k, ts, v))
+        ldf = spark.createDataFrame(left, "k int, ts timestamp, lid int")
+        rdf = spark.createDataFrame(right, "k int, ts timestamp, rv int")
+        for direction in ("backward", "forward"):
+            out = {
+                r["lid"]: r["r_rv"]
+                for r in asof_join(
+                    ldf, rdf, on="k", direction=direction
+                ).collect()
+            }
+            assert len(out) == len(left)  # row count preserved
+            for k, ts, lid in left:
+                if ts is None:
+                    exp = None
+                else:
+                    if direction == "backward":
+                        cands = [
+                            (rts, rv)
+                            for rk, rts, rv in right
+                            if rk == k and rts is not None and rts <= ts
+                        ]
+                        exp = max(cands)[1] if cands else None
+                    else:
+                        cands = [
+                            (rts, rv)
+                            for rk, rts, rv in right
+                            if rk == k and rts is not None and rts >= ts
+                        ]
+                        exp = min(cands)[1] if cands else None
+                assert out[lid] == exp, (trial, direction, lid)
+
+
+def test_range_join_matches_bruteforce_reference(spark):
+    """Randomized cross-check for the bucketed range join against the
+    exact predicate evaluated per pair."""
+    import random
+
+    rnd = random.Random(54321)
+    lower, upper = 0, 7_000_000  # 7 s window in micros
+    for trial in range(3):
+        left = [(rnd.randint(1, 3), _t(rnd.randint(0, 60)), i) for i in range(30)]
+        right = [
+            (rnd.randint(1, 3), _t(rnd.randint(0, 60) + rnd.random()), 100 + i)
+            for i in range(30)
+        ]
+        ldf = spark.createDataFrame(left, "k int, ts timestamp, lid int")
+        rdf = spark.createDataFrame(right, "k int, ts timestamp, rid int")
+        got = {
+            (r["lid"], r["r_rid"])
+            for r in range_join(
+                ldf, rdf, on="k", lower_micros=lower, upper_micros=upper
+            ).collect()
+        }
+        exp = {
+            (lid, rid)
+            for lk, lts, lid in left
+            for rk, rts, rid in right
+            if lk == rk
+            and lower
+            < (rts - lts).total_seconds() * 1e6
+            + (0 if rts >= lts else 0)  # timedelta handles sign
+            <= upper
+        }
+        assert got == exp, (trial, got ^ exp)

@@ -33,7 +33,11 @@ import numpy as np
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ontario_scale_probe"
-TILE = 10
+# small = 1x (sf0.1-sized), big = 10x; pass "huge" as argv[2] to also
+# build the 100x tier (~2 GB of parquet, a couple of minutes)
+SCALES: dict[str, int] = {"small": 1, "big": 10}
+if len(sys.argv) > 2 and sys.argv[2] == "huge":
+    SCALES["huge"] = 100
 
 # (table, [key columns to offset per tile copy])
 TILED = {
@@ -62,7 +66,7 @@ _STRIDE_OF = {
 }
 
 
-def tile_tpch(con: duckdb.DuckDBPyConnection) -> None:
+def tile_tpch(con: duckdb.DuckDBPyConnection, scale: str, tile: int) -> None:
     strides = {
         key: con.sql(
             f"SELECT max({col}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
@@ -81,9 +85,9 @@ def tile_tpch(con: duckdb.DuckDBPyConnection) -> None:
         )
         con.sql(
             f"""COPY (SELECT {sel}
-                      FROM read_parquet('{SRC}/{tbl}.parquet'), range({TILE}) t(i)
+                      FROM read_parquet('{SRC}/{tbl}.parquet'), range({tile}) t(i)
                       ORDER BY i)
-                TO '{OUT}/big/{tbl}.parquet' (FORMAT PARQUET)"""
+                TO '{OUT}/{scale}/{tbl}.parquet' (FORMAT PARQUET)"""
         )
 
 
@@ -173,21 +177,30 @@ def gen_embeddings(n: int, seed: int, path: str) -> None:
 
 
 def main() -> None:
-    for scale in ("small", "big"):
+    for scale in SCALES:
         os.makedirs(f"{OUT}/{scale}", exist_ok=True)
     con = duckdb.connect()
-    # small: TPC-H + events are the real sf0.1 files (tiling at 1× is
-    # the identity, so copying keeps the two points distribution-equal)
-    for tbl in list(TILED) + COPIED:
-        shutil.copyfile(f"{SRC}/{tbl}.parquet", f"{OUT}/small/{tbl}.parquet")
-    for tbl in COPIED:
-        shutil.copyfile(f"{SRC}/{tbl}.parquet", f"{OUT}/big/{tbl}.parquet")
-    tile_tpch(con)
-    gen_documents(5_000, 421, f"{OUT}/small/documents.parquet", con)
-    gen_documents(50_000, 422, f"{OUT}/big/documents.parquet", con)
-    gen_embeddings(2_000, 423, f"{OUT}/small/embeddings.parquet")
-    gen_embeddings(20_000, 424, f"{OUT}/big/embeddings.parquet")
-    for scale in ("small", "big"):
+    for scale, tile in SCALES.items():
+        if os.path.exists(f"{OUT}/{scale}/embeddings.parquet"):
+            print(f"{scale}: exists, skipping")
+            continue
+        for tbl in COPIED:
+            shutil.copyfile(f"{SRC}/{tbl}.parquet", f"{OUT}/{scale}/{tbl}.parquet")
+        if tile == 1:
+            # tiling at 1× is the identity — copy the real sf0.1 files
+            for tbl in TILED:
+                shutil.copyfile(
+                    f"{SRC}/{tbl}.parquet", f"{OUT}/{scale}/{tbl}.parquet"
+                )
+        else:
+            tile_tpch(con, scale, tile)
+        doc_seed = {"small": 421, "big": 422, "huge": 425}[scale]
+        emb_seed = {"small": 423, "big": 424, "huge": 426}[scale]
+        gen_documents(
+            5_000 * tile, doc_seed, f"{OUT}/{scale}/documents.parquet", con
+        )
+        gen_embeddings(2_000 * tile, emb_seed, f"{OUT}/{scale}/embeddings.parquet")
+    for scale in SCALES:
         for f in sorted(os.listdir(f"{OUT}/{scale}")):
             p = f"{OUT}/{scale}/{f}"
             nrows = con.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]

@@ -10,7 +10,10 @@ superlinear operator (quadratic candidate generation, a hot task, a
 driver bottleneck). Results land in ``SCALE_PROBE.json``; SCALE.md
 carries the table.
 
-Usage: python tools/run_scale_probe.py [probe_dir] [q1,q2,...]
+Usage: python tools/run_scale_probe.py [probe_dir] [q1,q2,...] [scaleA,scaleB]
+
+The third arg picks the two probe points (default ``small,big`` → 10×;
+``small,huge`` probes the 100× tier into ``SCALE_PROBE_100X.json``).
 """
 
 from __future__ import annotations
@@ -60,12 +63,26 @@ PROBE_QUERIES = [
     "q3_shipping_priority",
     "q_top_orders_per_customer",
     "q_rollup_flag_status",
+    # SPARQL engine (template-keyed joins + aggregation over the lake)
+    "sparql_star_join",
+    "sparql_lineitem_star",
+    "sparql_aggregate",
 ]
 
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    names = sys.argv[2].split(",") if len(sys.argv) > 2 else PROBE_QUERIES
+    names = (
+        sys.argv[2].split(",")
+        if len(sys.argv) > 2 and sys.argv[2]
+        else PROBE_QUERIES
+    )
+    scales = tuple(
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ("small", "big")
+    )
+    outfile = (
+        "SCALE_PROBE.json" if scales == ("small", "big") else "SCALE_PROBE_100X.json"
+    )
 
     from pyspark.sql import functions as F
 
@@ -78,7 +95,7 @@ def main() -> None:
     queries = all_queries()
 
     # same warmups as bench.py: JVM/codegen/Arrow pool + parquet footers
-    for scale in ("small", "big"):
+    for scale in scales:
         for t in TABLES:
             try:
                 table(spark, f"{BASE}/{scale}", t).limit(1).collect()
@@ -90,7 +107,7 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in names:
         rec: dict[str, float | int | str | None] = {}
-        for scale in ("small", "big"):
+        for scale in scales:
             spark.catalog.clearCache()
             best, nrows = float("inf"), -1
             try:
@@ -102,14 +119,14 @@ def main() -> None:
                 rec[f"{scale}_rows"] = nrows
             except Exception as ex:  # record, keep probing the rest
                 rec[f"{scale}_err"] = f"{type(ex).__name__}: {ex}"[:200]
-        if "small_sec" in rec and "big_sec" in rec:
-            rec["ratio"] = round(rec["big_sec"] / max(rec["small_sec"], 1e-9), 2)
+        a, b = f"{scales[0]}_sec", f"{scales[1]}_sec"
+        if a in rec and b in rec:
+            rec["ratio"] = round(rec[b] / max(rec[a], 1e-9), 2)
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
 
     path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALE_PROBE.json",
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), outfile
     )
     merged: dict[str, dict] = {}
     if os.path.exists(path):  # partial reruns update, not clobber
