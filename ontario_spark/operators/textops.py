@@ -318,3 +318,50 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         frac(F.col("ng2"), F.col("dg2")).alias("dup_2gram_frac"),
         frac(F.col("ng3"), F.col("dg3")).alias("dup_3gram_frac"),
     )
+
+
+# PII patterns, applied in DICT ORDER for redaction (emails first so an
+# IP-shaped mail domain is consumed by [EMAIL] before the ipv4 pass).
+# ASCII character classes only — identical semantics under Java regex
+# (Spark) and RE2 (DuckDB), so oracles replicate counts and redactions
+# exactly. Leftmost non-overlapping matching in both engines.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{9,15}\b",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction over a text column — the
+    data-curation gate that runs before a corpus ships to training:
+    per-document match counts per category (email / SSN-shaped /
+    IPv4 / international-phone-shaped), a total, and the md5 of the
+    REDACTED text (each match replaced by its ``[CATEGORY]`` tag) so
+    the cleaned form is verifiable without materializing it.
+
+    Scale shape: pure per-row ``regexp_count``/``regexp_replace``
+    column expressions — map-only, whole-stage codegen, zero shuffles,
+    zero Python. Patterns are deliberately ASCII/RE2-safe so the DuckDB
+    oracle reproduces every count and the redaction hash bit-for-bit.
+    Precision/recall of the regexes is the standard trade (SSN/phone
+    shapes over-match) — the operator's contract is deterministic
+    flagging, not NER."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{k}")
+        for k, p in PII_PATTERNS.items()
+    ]
+    red = F.col(text_col)
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"[{k.upper()}]")
+    total = None
+    for k in PII_PATTERNS:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return (
+        spread(df)
+        .select(F.col(id_col), *counts, F.md5(red).alias("redacted_hash"))
+        .select(id_col, *[f"n_{k}" for k in PII_PATTERNS],
+                total.alias("n_pii"), "redacted_hash")
+    )

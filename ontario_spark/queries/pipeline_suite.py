@@ -866,6 +866,76 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 """
 
 
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction gate (round 5). The synthetic corpus
+    carries no PII, so deterministic fakes are planted first (emails /
+    IPv4s / phone / SSN shapes keyed on doc_id residues — both engines
+    construct the identical text), making every count column and the
+    redacted-text hash data-dependent and oracle-checked."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0, F.lit(" call +4915123456789 ok")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0, F.lit(" ssn 123-45-6789.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.pii_scan(planted, "doc_id", "text")
+
+
+def _pii_sql() -> str:
+    pats = textops.PII_PATTERNS
+    red = "text"
+    for k, p in pats.items():
+        red = f"regexp_replace({red}, '{p}', '[{k.upper()}]', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{k}"
+        for k, p in pats.items()
+    )
+    total = " + ".join(f"n_{k}" for k in pats)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' call +4915123456789 ok' ELSE '' END
+    || CASE WHEN doc_id % 19 = 0 THEN ' ssn 123-45-6789.' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       CAST({total} AS INT) AS n_pii,
+       md5({red}) AS redacted_hash
+FROM planted
+"""
+
+
+TEXT_PII_SQL = _pii_sql()
+
+
 def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 curation chain, end-to-end in ONE lazy plan:
     repetition gate (dup-3-gram fraction ≤ 0.2) → benchmark
@@ -1255,6 +1325,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_metrics": text_metrics,
+    "text_pii_scan": text_pii_scan,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1290,6 +1361,7 @@ ORACLE = {
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_metrics": TEXT_METRICS_SQL,
+    "text_pii_scan": TEXT_PII_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,

@@ -678,3 +678,33 @@ def test_ivfpq_recall_and_plan(spark, sf_small):
     )._jdf.queryExecution().optimizedPlan().toString()
     # the code-table candidate join keys on the probed cell
     assert "cell" in plan
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    """pii_scan (round 5): planted PII of each category is counted and
+    redacted; clean text scores zero; redaction applies in declared
+    order (an email with an IP-shaped domain is consumed by [EMAIL])."""
+    from ontario_spark.operators.textops import pii_scan
+
+    rows = [
+        (1, "write to alice.smith+x@corp.example.org or bob@1.2.3.4 today"),
+        (2, "server 192.168.0.12 and 10.0.0.1 rebooted"),
+        (3, "ssn 123-45-6789 phone +4915123456789 done"),
+        (4, "perfectly clean text with numbers 1234 and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scan(df, "doc_id", "text").collect()}
+    # bob@1.2.3.4 is NOT an email (no alphabetic TLD) — its numeric
+    # domain is instead flagged as an IPv4
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_email"] == 0
+    assert out[3]["n_ssn"] == 1 and out[3]["n_phone"] == 1
+    assert out[4]["n_pii"] == 0
+    assert out[1]["n_pii"] == 2 and out[3]["n_pii"] == 2
+    # redacted hash equals the hash of the expected redacted text
+    import hashlib
+
+    exp = "write to [EMAIL] or bob@[IPV4] today"
+    assert out[1]["redacted_hash"] == hashlib.md5(exp.encode()).hexdigest()
+    # clean text: hash unchanged
+    assert out[4]["redacted_hash"] == hashlib.md5(rows[3][1].encode()).hexdigest()
