@@ -99,3 +99,98 @@ def sql_hash_predicate(key_expr: str, rate: float, salt: str = "") -> str:
         f"substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, {_HEXW})"
         f" < '{_threshold(rate)}'"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.3,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual/data-mixture
+    resampling recipe): target share of stratum s ∝ n_s^alpha, so
+    alpha=1 keeps natural proportions, alpha→0 flattens toward uniform
+    — small sources are UP-weighted relative to their natural share.
+    ``target_frac`` sets the overall kept fraction; per-stratum keep
+    rates are capped at 1 (no upsampling — a row appears at most once).
+
+    Fully distributed AND engine-deterministic: per-stratum counts are
+    one tiny aggregate broadcast back onto the scan; the per-row
+    decision is the same md5-prefix predicate as ``hash_sample``
+    compared against ``rate × 16^6``. Cross-engine float identity is
+    preserved by (a) using IEEE-correctly-rounded ops only (sqrt for
+    the default alpha=0.5 — ``pow`` is NOT correctly rounded and may
+    differ between JVM and C runtimes in the last ulp; other alphas are
+    supported but the oracle contract is documented for 0.5), and
+    (b) summing the per-stratum weights in a WINDOW ordered by stratum
+    (fixed left-to-right order on both engines, not shuffle-arrival
+    order)."""
+    from pyspark.sql.window import Window
+
+    # NB: Spark resolves column names case-insensitively by default, so
+    # the weight/total pairs use distinct lowercase names (__w vs __W
+    # would silently collide)
+    stats = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    full = Window.orderBy(stratum).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = (
+        stats.withColumn("__wt", w)
+        .withColumn("__wsum", F.sum("__wt").over(full))
+        .withColumn("__nsum", F.sum("__n").over(full))
+        .select(
+            stratum,
+            F.least(
+                F.lit(1.0),
+                F.col("__wt")
+                / F.col("__wsum")
+                * F.lit(float(target_frac))
+                * F.col("__nsum").cast("double")
+                / F.col("__n").cast("double"),
+            ).alias("__rate"),
+        )
+    )
+    pref = F.conv(_prefix(F.col(key), salt), 16, 10).cast("double")
+    return (
+        df.join(F.broadcast(rates), stratum)
+        .filter(pref < F.col("__rate") * F.lit(float(_SPACE)))
+        .drop("__rate")
+    )
+
+
+def temperature_mix_sql(
+    table: str, key_expr: str, stratum: str, target_frac: float, salt: str = "temp"
+) -> str:
+    """DuckDB oracle for ``temperature_mix`` at alpha=0.5 — identical
+    expression shape and operation order, so every double is
+    bit-identical and the selected row set matches exactly."""
+    return f"""
+WITH stats AS (
+  SELECT {stratum}, COUNT(*) AS n FROM {table} GROUP BY {stratum}
+), rates AS (
+  SELECT {stratum},
+         LEAST(1.0,
+               sqrt(CAST(n AS DOUBLE))
+               / (SUM(sqrt(CAST(n AS DOUBLE)))
+                    OVER (ORDER BY {stratum}
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING))
+               * {float(target_frac)!r}
+               * CAST((SUM(n) OVER (ORDER BY {stratum}
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING)) AS DOUBLE)
+               / CAST(n AS DOUBLE)) AS rate
+  FROM stats
+)
+SELECT t.* FROM {table} t JOIN rates r USING ({stratum})
+WHERE CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'),
+                           1, {_HEXW})) AS BIGINT)
+      < r.rate * {float(_SPACE)!r}
+"""

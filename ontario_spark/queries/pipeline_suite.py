@@ -866,6 +866,30 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 """
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixing (round 5): per-language keep rates
+    ∝ sqrt(n_lang) flatten the language distribution toward uniform at
+    an overall ~40% budget — the multilingual resampling recipe, fully
+    deterministic (md5-prefix decisions, window-ordered weight sums)."""
+    from ontario_spark.operators.sampling import temperature_mix
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(
+        docs, key="doc_id", stratum="lang", alpha=0.5, target_frac=0.4
+    )
+
+
+def _temperature_mix_sql() -> str:
+    from ontario_spark.operators.sampling import temperature_mix_sql
+
+    return temperature_mix_sql(
+        "(SELECT doc_id, lang FROM documents)", "doc_id", "lang", 0.4
+    )
+
+
+SAMPLE_TEMPERATURE_MIX_SQL = _temperature_mix_sql()
+
+
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection/redaction gate (round 5). The synthetic corpus
     carries no PII, so deterministic fakes are planted first (emails /
@@ -1297,6 +1321,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
     "sample_corpus_mix": sample_corpus_mix,
+    "sample_temperature_mix": sample_temperature_mix,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
@@ -1341,6 +1366,7 @@ ORACLE = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
+    "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

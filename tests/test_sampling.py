@@ -94,3 +94,39 @@ def test_sql_predicate_matches_spark(spark, sf_small):
         ).fetchall()
     ]
     assert spark_ids == duck_ids
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_small):
+    """alpha=0.5 temperature mixing (round 5): every stratum keeps a
+    subset (never upsampled), the smallest language keeps a HIGHER
+    fraction of itself than the largest (the flattening property), and
+    the decision is hash-deterministic across runs."""
+    from ontario_spark.data import table
+    from ontario_spark.operators.sampling import temperature_mix
+
+    docs = table(spark, sf_small, "documents").select("doc_id", "lang")
+    nat = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    args = dict(key="doc_id", stratum="lang", alpha=0.5, target_frac=0.4)
+    got = {
+        r["lang"]: r["n"]
+        for r in temperature_mix(docs, **args)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in nat.items():
+        assert 0 < got.get(lang, 0) <= n
+    small = min(nat, key=nat.get)
+    big = max(nat, key=nat.get)
+    assert got[small] / nat[small] > got[big] / nat[big]
+    again = {
+        r["lang"]: r["n"]
+        for r in temperature_mix(docs, **args)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == got
