@@ -347,15 +347,25 @@ class ExprCompiler:
             u = F.expr("uuid()")
             return F.concat(F.lit("urn:uuid:"), u) if op == "uuid" else u
         if op == "bnode":
-            # fresh blank node per solution; the 1-arg form maps equal
-            # labels within one solution to one node — a per-row nonce
-            # + label hash satisfies that (distinct rows stay distinct)
+            # §17.4.2.9: the 1-arg form maps EQUAL labels within one
+            # solution to the SAME blank node, distinct solutions to
+            # distinct nodes. The per-row nonce must therefore be
+            # shared by every BNODE(label) in the row — uuid() is
+            # fresh per EXPRESSION instance and would break sameTerm
+            # (BNODE(?x), BNODE(?x)); monotonically_increasing_id()
+            # instances agree per row within a stage (partition index +
+            # row position), giving a shared nonce. (Caveat: BINDs
+            # separated by a shuffle could renumber — acceptable for
+            # the common same-group case.) 0-arg BNODE() is fresh per
+            # call per solution → uuid() is exactly right there.
             if a:
                 return F.concat(
                     F.lit("_:b"),
                     F.md5(
                         F.concat_ws(
-                            "|", self.value(a[0]).cast("string"), F.expr("uuid()")
+                            "|",
+                            self.value(a[0]).cast("string"),
+                            F.monotonically_increasing_id().cast("string"),
                         )
                     ),
                 )
@@ -369,6 +379,13 @@ class ExprCompiler:
                 # native temporal columns are session-zone instants —
                 # the original lexical zone is not stored → UTC
                 z = F.when(self.value(a[0]).isNotNull(), F.lit("Z"))
+            elif v is not None and not v.is_var and v.kind == "literal":
+                # constant literal: read the zone off the ORIGINAL
+                # lexical form — _term casts typed dateTime literals to
+                # timestamp, whose string rendering drops the zone
+                z = F.regexp_extract(
+                    F.lit(v.value), r"(Z|[+-]\d{2}:\d{2})$", 1
+                )
             else:
                 z = F.regexp_extract(
                     self.value(a[0]).cast("string"),

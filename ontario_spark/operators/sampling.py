@@ -115,6 +115,8 @@ def temperature_mix(
     — small sources are UP-weighted relative to their natural share.
     ``target_frac`` sets the overall kept fraction; per-stratum keep
     rates are capped at 1 (no upsampling — a row appears at most once).
+    Rows whose stratum is NULL are dropped (documented semantics; see
+    the in-code note).
 
     Fully distributed AND engine-deterministic: per-stratum counts are
     one tiny aggregate broadcast back onto the scan; the per-row
@@ -129,9 +131,15 @@ def temperature_mix(
     order)."""
     from pyspark.sql.window import Window
 
+    # Rows with a NULL stratum are dropped UP FRONT (an unclassified
+    # row has no defined mixing weight; leaving the NULL group in the
+    # weight sum while the equi-join silently drops its rows would both
+    # lose rows invisibly AND break cross-engine bit-parity — Spark
+    # orders NULLs first in the weight window, DuckDB last).
     # NB: Spark resolves column names case-insensitively by default, so
     # the weight/total pairs use distinct lowercase names (__w vs __W
     # would silently collide)
+    df = df.filter(F.col(stratum).isNotNull())
     stats = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
     w = (
         F.sqrt(F.col("__n").cast("double"))
@@ -173,7 +181,8 @@ def temperature_mix_sql(
     bit-identical and the selected row set matches exactly."""
     return f"""
 WITH stats AS (
-  SELECT {stratum}, COUNT(*) AS n FROM {table} GROUP BY {stratum}
+  SELECT {stratum}, COUNT(*) AS n FROM {table}
+  WHERE {stratum} IS NOT NULL GROUP BY {stratum}
 ), rates AS (
   SELECT {stratum},
          LEAST(1.0,

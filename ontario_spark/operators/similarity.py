@@ -305,6 +305,60 @@ def _nearest_cells(
     )
 
 
+# Persisted corpus→cell assignments, the OTHER stored half of an IVF
+# index (the coarse quantizer cache holds the centroids; this holds
+# which cell each corpus vector lives in). Without it every ivf/ivfpq
+# call re-paid a corpus × centroids scan + a corpus-wide window before
+# any probing happened. Same bounded-LRU + unpersist-on-eviction +
+# lock discipline as _pq_cache.
+_cells_cache: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+_CELLS_CACHE_MAX_PER_CORPUS = 4
+
+
+def _corpus_cells(
+    corpus: DataFrame,
+    cdf: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+) -> DataFrame:
+    """Cached persisted (id, cell) assignment of every corpus vector to
+    its nearest coarse centroid — at 100 TB this is precomputed and
+    stored partitioned by cell; here the cache plays that role."""
+    key = (id_col, vec_col, n_lists, seed)
+    with _PQ_LOCK:
+        per = _cells_cache.setdefault(corpus, {})
+        hit = per.get(key)
+        if hit is not None:
+            per[key] = per.pop(key)  # refresh LRU
+            return hit
+    cells = (
+        _nearest_cells(corpus, cdf, id_col, vec_col, 1, "cell")
+        .select(F.col(id_col), "cell")
+        .persist()
+    )
+    evicted: list[DataFrame] = []
+    with _PQ_LOCK:
+        per = _cells_cache.setdefault(corpus, {})
+        hit = per.get(key)
+        if hit is not None:  # lost a build race — keep the winner
+            evicted.append(cells)
+            result = hit
+        else:
+            while len(per) >= _CELLS_CACHE_MAX_PER_CORPUS:
+                evicted.append(per.pop(next(iter(per))))
+            result = per[key] = cells
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return result
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -327,7 +381,11 @@ def ivf_topk(
     def nearest_cells(side: DataFrame, n: int, out: str) -> DataFrame:
         return _nearest_cells(side, cdf, id_col, vec_col, n, out)
 
-    c = nearest_cells(corpus, 1, "cell").select(
+    # corpus side rides the cached stored-index assignment; only the
+    # (small) query side computes nearest cells per call
+    c = corpus.join(
+        _corpus_cells(corpus, cdf, id_col, vec_col, n_lists, seed), id_col
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
@@ -794,9 +852,7 @@ def ivfpq_topk(
     m, kc = len(books), len(books[0])
     cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
 
-    ccell = _nearest_cells(corpus, cdf, id_col, vec_col, 1, "cell").select(
-        F.col(id_col), "cell"
-    )
+    ccell = _corpus_cells(corpus, cdf, id_col, vec_col, n_lists, seed)
     coded = codes.join(ccell, id_col)
     q_adc = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__uv")

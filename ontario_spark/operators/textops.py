@@ -345,15 +345,18 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     column expressions — map-only, whole-stage codegen, zero shuffles,
     zero Python. Patterns are deliberately ASCII/RE2-safe so the DuckDB
     oracle reproduces every count and the redaction hash bit-for-bit.
-    Precision/recall of the regexes is the standard trade (SSN/phone
-    shapes over-match) — the operator's contract is deterministic
-    flagging, not NER."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{k}")
-        for k, p in PII_PATTERNS.items()
-    ]
+    Counts are taken SEQUENTIALLY on the progressively-redacted text
+    (each category counted after the previous categories' spans were
+    replaced), so a span matching two categories — a phone shape inside
+    an email's local part, an IP-shaped mail domain — is counted
+    exactly once and ``n_pii`` always equals the number of redaction
+    tags in the text ``redacted_hash`` attests. Precision/recall of the
+    regexes is the standard trade (SSN/phone shapes over-match) — the
+    operator's contract is deterministic flagging, not NER."""
+    counts = []
     red = F.col(text_col)
     for k, p in PII_PATTERNS.items():
+        counts.append(F.regexp_count(red, F.lit(p)).alias(f"n_{k}"))
         red = F.regexp_replace(red, p, f"[{k.upper()}]")
     total = None
     for k in PII_PATTERNS:

@@ -927,13 +927,17 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pii_sql() -> str:
     pats = textops.PII_PATTERNS
+    # sequential counting, mirroring pii_scan: each category is counted
+    # on the text with all PREVIOUS categories already redacted, so
+    # cross-category double matches are impossible
     red = "text"
+    count_exprs = []
     for k, p in pats.items():
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({red}, '{p}')) AS INT) AS n_{k}"
+        )
         red = f"regexp_replace({red}, '{p}', '[{k.upper()}]', 'g')"
-    counts = ",\n       ".join(
-        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{k}"
-        for k, p in pats.items()
-    )
+    counts = ",\n       ".join(count_exprs)
     total = " + ".join(f"n_{k}" for k in pats)
     return f"""
 WITH planted AS (

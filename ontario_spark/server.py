@@ -57,17 +57,38 @@ class SparqlHTTPServer:
             def _reply_chunked(self, chunks) -> None:
                 """Stream an iterable of JSON text fragments as one
                 chunked 200 response — driver memory stays bounded by
-                one row, not the result set."""
+                one row, not the result set.
+
+                Mid-stream execution errors (a lazily-evaluated cast,
+                a dead SERVICE endpoint, an executor failure) arrive
+                AFTER the 200 + headers are out, so a status change is
+                impossible; instead the error terminates the payload as
+                well-formed JSON (every fragment is a complete JSON
+                element, so appending ``], "error": ..}`` is always
+                valid), the chunked encoding is closed properly, and
+                the connection is NOT kept alive — a pipelined client
+                never reads garbage."""
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
-                for chunk in chunks:
-                    data = chunk.encode()
+
+                def emit(text: str) -> None:
+                    data = text.encode()
                     if data:
                         self.wfile.write(
                             f"{len(data):X}\r\n".encode() + data + b"\r\n"
                         )
+
+                try:
+                    for chunk in chunks:
+                        emit(chunk)
+                except Exception as ex:
+                    emit(
+                        '], "error": %s, "truncated": true}'
+                        % json.dumps(str(ex)[:500])
+                    )
+                    self.close_connection = True
                 self.wfile.write(b"0\r\n\r\n")
 
             def do_GET(self):
@@ -87,19 +108,27 @@ class SparqlHTTPServer:
 
             def _handle(self, q: dict) -> None:
                 path = urlparse(self.path).path
+                streaming = False
                 try:
                     if path == "/sparql":
                         out = outer._sparql(q)
                         if isinstance(out, dict):
                             self._reply(200, out)
                         else:  # blocking mode streams its result rows
+                            streaming = True
                             self._reply_chunked(out)
                     elif path == "/nextresult":
                         self._reply(200, outer._nextresult(q))
                     else:
                         self._reply(404, {"error": f"no route {path}"})
-                except Exception as ex:  # surface compile errors as 400
-                    self._reply(400, {"error": str(ex)})
+                except Exception as ex:
+                    if streaming:
+                        # headers already went out; a second status
+                        # line would corrupt the chunk stream — this is
+                        # a socket-level failure, just drop the link
+                        self.close_connection = True
+                    else:  # surface compile errors as 400
+                        self._reply(400, {"error": str(ex)})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_address[1]

@@ -708,3 +708,21 @@ def test_pii_scan_detects_and_redacts(spark):
     assert out[1]["redacted_hash"] == hashlib.md5(exp.encode()).hexdigest()
     # clean text: hash unchanged
     assert out[4]["redacted_hash"] == hashlib.md5(rows[3][1].encode()).hexdigest()
+
+
+def test_pii_counts_are_sequential_no_double_count(spark):
+    """A span matching two categories is counted once: a phone shape
+    inside an email's local part is consumed by [EMAIL] before the
+    phone pass, so n_pii equals the number of tags in the redacted
+    text (review fix, round 5)."""
+    from ontario_spark.operators.textops import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "mail a+4915123456789@x.com now")], "doc_id long, text string"
+    )
+    r = pii_scan(df, "doc_id", "text").collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+    assert r["n_pii"] == 1
+    import hashlib
+
+    assert r["redacted_hash"] == hashlib.md5(b"mail [EMAIL] now").hexdigest()

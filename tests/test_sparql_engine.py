@@ -1358,3 +1358,33 @@ def test_strdt_strlang_feed_lang_and_datatype(engine):
     assert r["lang"] == "en-us"
     assert r["dt"] == "http://www.w3.org/2001/XMLSchema#integer"
     assert r["num"] == 42  # native integer, not the lexical string
+
+
+def test_bnode_same_label_same_node_within_solution(engine):
+    """§17.4.2.9 (review fix): two BNODE(?x) calls in one solution must
+    return the SAME blank node; different solutions differ."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?name ?a ?b WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              BIND (BNODE(?name) AS ?a)
+              BIND (BNODE(?name) AS ?b) }"""
+    ).collect()
+    assert len(rows) == 25
+    assert all(r["a"] == r["b"] for r in rows)
+    assert len({r["a"] for r in rows}) == 25  # distinct across solutions
+
+
+def test_tz_on_typed_datetime_literal(engine):
+    """Review fix: a ^^xsd:dateTime literal's zone must come from its
+    ORIGINAL lexical form (the native timestamp cast drops it)."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?z ?d WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              FILTER (?name = "NATION_7")
+              BIND (TZ("2024-05-01T10:00:00-05:30"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?z)
+              BIND (TIMEZONE("2024-05-01T10:00:00-05:30"^^<http://www.w3.org/2001/XMLSchema#dateTime>) AS ?d) }"""
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["z"] == "-05:30" and rows[0]["d"] == "-PT5H30M"
