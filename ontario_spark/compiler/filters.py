@@ -26,6 +26,18 @@ from ontario_spark.sparql.ast import Expr, Term
 _CMP = {"=", "!=", "<", ">", "<=", ">="}
 _ARITH = {"+", "-", "*", "/"}
 
+# result-type tables for EBV of function-valued expressions (§17.2.2)
+_STRING_VALUED_OPS = {
+    "str", "ucase", "lcase", "concat", "replace", "substr", "strbefore",
+    "strafter", "encode_for_uri", "md5", "sha1", "sha256", "sha384",
+    "sha512", "lang", "strlang", "uuid", "struuid", "bnode", "tz",
+    "timezone", "iri", "uri", "group_concat",
+}
+_NUMERIC_VALUED_OPS = {
+    "strlen", "abs", "ceil", "floor", "round", "year", "month", "day",
+    "hours", "minutes", "seconds", "rand",
+}
+
 
 class FilterCompileError(Exception):
     pass
@@ -36,6 +48,17 @@ def unwrap(e):
     while isinstance(e, Expr) and e.op == "ident":
         e = e.args[0]
     return e if isinstance(e, Term) else None
+
+
+def unwrap_const(e):
+    """Like ``unwrap`` but ONLY for constant terms: a VARIABLE argument
+    returns None. Call sites that need a compile-time constant (regex
+    patterns, datatype IRIs, separators) must use this — plain
+    ``unwrap`` also returns variable Terms, and treating ?pat as the
+    constant string 'pat' silently matches the wrong thing (round-5
+    review fix)."""
+    t = unwrap(e)
+    return t if t is not None and not t.is_var else None
 
 
 class ExprCompiler:
@@ -108,8 +131,28 @@ class ExprCompiler:
             "isnumeric",
         ):
             return self._expr(e)
-        # numeric-valued expression in boolean position
-        return self._expr(e) != F.lit(0)
+        if op == "if":
+            return F.when(self._ebv(a[0]), self._ebv(a[1])).otherwise(
+                self._ebv(a[2])
+            )
+        if op == "coalesce":
+            return F.coalesce(*[self._ebv(x) for x in a])
+        # EBV of a function-valued expression follows the function's
+        # RESULT type (§17.2.2): string-valued → length > 0,
+        # numeric-valued → != 0. The old blanket `expr != 0` both
+        # crashed under Spark 4's default ANSI mode for strings AND got
+        # string EBV wrong (round-5 review fix).
+        if op in _STRING_VALUED_OPS:
+            return F.length(self._expr(e)) > 0
+        if op in _NUMERIC_VALUED_OPS or op in _ARITH or op == "neg":
+            return self._expr(e) != F.lit(0)
+        # unknown result type: numeric test when the value parses as a
+        # number, string-length EBV otherwise (ANSI-safe via try_cast)
+        v = self._expr(e)
+        num = v.cast("string").try_cast("double")
+        return F.when(num.isNotNull(), num != F.lit(0.0)).otherwise(
+            F.length(v.cast("string")) > 0
+        )
 
     def _expr(self, e) -> Column:
         if isinstance(e, Term):
@@ -152,21 +195,34 @@ class ExprCompiler:
         if op == "strends":
             return self.value(a[0]).endswith(self.value(a[1]))
         if op == "regex":
-            pattern = unwrap(a[1])
-            flags = unwrap(a[2]) if len(a) > 2 else None
+            pattern = unwrap_const(a[1])
+            flags = unwrap_const(a[2]) if len(a) > 2 else None
+            if len(a) > 2 and flags is None:
+                raise FilterCompileError("REGEX flags must be a constant literal")
             if pattern is None:
-                raise FilterCompileError("REGEX pattern must be a literal")
+                # dynamic pattern (a variable / computed expression):
+                # evaluate per row — JVM-side regexp_like accepts a
+                # pattern COLUMN (round-5 review fix: the variable's
+                # NAME was previously matched as the pattern)
+                pat_col = self.value(a[1]).cast("string")
+                if flags is not None and "i" in flags.value:
+                    pat_col = F.concat(F.lit("(?i)"), pat_col)
+                return F.regexp_like(self.value(a[0]).cast("string"), pat_col)
             pat = pattern.value
             if flags is not None and "i" in flags.value:
                 pat = "(?i)" + pat
             return self.value(a[0]).rlike(pat)
         if op == "replace":
-            pat, rep = unwrap(a[1]), unwrap(a[2])
-            if pat is None or rep is None:
-                raise FilterCompileError(
-                    "REPLACE pattern/replacement must be constant literals"
-                )
-            return F.regexp_replace(self.value(a[0]), pat.value, rep.value)
+            pat, rep = unwrap_const(a[1]), unwrap_const(a[2])
+            if pat is not None and rep is not None:
+                return F.regexp_replace(self.value(a[0]), pat.value, rep.value)
+            # dynamic pattern/replacement: per-row columns (regexp_replace
+            # accepts Column arguments)
+            return F.regexp_replace(
+                self.value(a[0]).cast("string"),
+                self.value(a[1]).cast("string"),
+                self.value(a[2]).cast("string"),
+            )
         if op == "substr":
             start = self.value(a[1])
             length = self.value(a[2]) if len(a) > 2 else F.lit(1 << 30)
@@ -189,7 +245,7 @@ class ExprCompiler:
             # first arg is typically LANG(?x), which compiles to the
             # remote side column when present (see "lang" below) or to
             # a dedicated lang column. LANGMATCHES(x, "*") → x != ''.
-            tag = unwrap(a[1])
+            tag = unwrap_const(a[1])
             lv = F.lower(self.value(a[0]))
             if tag is None:
                 # dynamic range expression: evaluate RFC 4647 basic
@@ -276,18 +332,26 @@ class ExprCompiler:
                 return F.when(col.isNotNull() & ~is_iri, lit)
             return F.when(col.isNotNull(), lit)
         if op in ("strbefore", "strafter"):
-            sub = unwrap(a[1])
-            if sub is None:
-                raise FilterCompileError(f"{op.upper()} needs a literal 2nd arg")
+            sub_t = unwrap_const(a[1])
             s = self.value(a[0]).cast("string")
-            if sub.value == "":  # SPARQL §17.4.3.4: empty-pattern edge cases
-                return F.lit("") if op == "strbefore" else s
-            pos = F.instr(s, sub.value)
+            if sub_t is not None:
+                if sub_t.value == "":  # SPARQL §17.4.3.4 empty-pattern edges
+                    return F.lit("") if op == "strbefore" else s
+                pos = F.instr(s, sub_t.value)
+                if op == "strbefore":
+                    hit = F.substring_index(s, sub_t.value, 1)
+                else:
+                    hit = s.substr(pos + len(sub_t.value), F.lit(1 << 30))
+                return F.when(pos > 0, hit).otherwise("")
+            # dynamic needle (variable / computed): per-row instr
+            sub = self.value(a[1]).cast("string")
+            pos = F.call_function("instr", s, sub)
+            empty = F.length(sub) == 0
             if op == "strbefore":
-                hit = F.substring_index(s, sub.value, 1)
-            else:
-                hit = s.substr(pos + len(sub.value), F.lit(1 << 30))
-            return F.when(pos > 0, hit).otherwise("")
+                hit = s.substr(F.lit(1), pos - 1)
+                return F.when(empty, F.lit("")).when(pos > 0, hit).otherwise("")
+            hit = s.substr(pos + F.length(sub), F.lit(1 << 30))
+            return F.when(empty, s).when(pos > 0, hit).otherwise("")
         if op == "encode_for_uri":
             # url_encode is form-encoding; patch the two RFC 3986
             # divergences SPARQL cares about (space → %20, keep '~')
@@ -306,7 +370,10 @@ class ExprCompiler:
             fn = {"hours": F.hour, "minutes": F.minute, "seconds": F.second}[op]
             return fn(self.value(a[0]))
         if op == "isnumeric":
-            return self.value(a[0]).cast("double").isNotNull()
+            # try_cast, NOT cast: under Spark 4's default ANSI mode a
+            # plain cast THROWS on non-numeric input — the exact values
+            # this function exists to test (round-5 review fix)
+            return self.value(a[0]).try_cast("double").isNotNull()
         if op in ("iri", "uri"):
             return self.value(a[0]).cast("string")
         if op == "now":
@@ -338,7 +405,7 @@ class ExprCompiler:
         if op == "strlang":
             # value is the lexical form; BIND records the tag in the
             # var__lang side column so LANG()/DATATYPE() see it
-            tag = unwrap(a[1])
+            tag = unwrap_const(a[1])
             if tag is None:
                 raise FilterCompileError("STRLANG needs a constant language tag")
             return self.value(a[0]).cast("string")
@@ -423,9 +490,13 @@ def is_aggregate(e) -> bool:
     return any(is_aggregate(a) for a in e.args if isinstance(a, Expr))
 
 
-def compile_aggregate(e: Expr, vc: ExprCompiler) -> Column:
+def compile_aggregate(
+    e: Expr, vc: ExprCompiler, star_cols: "list[Column] | None" = None
+) -> Column:
     """SPARQL aggregate → Spark aggregate Column. SUM/AVG use the
-    decimal-cast pattern for deterministic distributed addition."""
+    decimal-cast pattern for deterministic distributed addition.
+    ``star_cols`` (the in-scope variables' value columns) enables
+    COUNT(DISTINCT *) = distinct SOLUTIONS, not plain row count."""
     DEC = "decimal(18,6)"
     name = e.op[len("agg_"):]
     distinct = name.endswith("_distinct")
@@ -436,6 +507,12 @@ def compile_aggregate(e: Expr, vc: ExprCompiler) -> Column:
     col = None if star else vc.value(arg)
     if name == "count":
         if star:
+            if distinct:
+                if not star_cols:
+                    raise FilterCompileError(
+                        "COUNT(DISTINCT *) needs frame context"
+                    )
+                return F.countDistinct(F.struct(*star_cols))
             return F.count(F.lit(1))
         return F.countDistinct(col) if distinct else F.count(col)
     if name == "sum":
@@ -452,7 +529,9 @@ def compile_aggregate(e: Expr, vc: ExprCompiler) -> Column:
     if name == "sample":
         return F.first(col)
     if name == "group_concat":
-        sep_t = unwrap(e.args[1]) if len(e.args) > 1 else None
+        sep_t = unwrap_const(e.args[1]) if len(e.args) > 1 else None
+        if len(e.args) > 1 and sep_t is None:
+            raise FilterCompileError("GROUP_CONCAT separator must be a literal")
         sep = sep_t.value if sep_t is not None else " "
         # sorted for deterministic output (SPARQL leaves order
         # unspecified; distributed collect_list order is not stable)

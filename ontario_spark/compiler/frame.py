@@ -193,6 +193,18 @@ class BFrame:
                     lm.kind == KEYED
                     and rm.kind == KEYED
                     and lm.template.same_shape(rm.template)
+                    # same-shape templates over sources with DIFFERENT
+                    # native key dtypes (int parquet vs string csv)
+                    # cannot union raw key columns under ANSI — fall
+                    # through to materialize (round-5 review fix)
+                    and [
+                        left.df.schema[c].dataType
+                        for c in key_cols(v, lm.nkeys)
+                    ]
+                    == [
+                        right.df.schema[c].dataType
+                        for c in key_cols(v, rm.nkeys)
+                    ]
                 ) or (lm.kind == LEXICAL and rm.kind == LEXICAL)
                 if not compatible:
                     left = left.materialize(v)

@@ -655,6 +655,13 @@ class SparqlEngine:
         if bf is None:
             bf = BFrame(self.spark.range(1).select(), {})
 
+        # OPTIONAL / MINUS / BIND apply in DOCUMENT order (round-5
+        # review fix: a BIND preceding an OPTIONAL is in scope for it —
+        # SPARQL §18.2's left-to-right group translation; running all
+        # OPTIONALs first broke { BIND(..) OPTIONAL { .. FILTER(?bound
+        # var) } }). FILTER and FILTER (NOT) EXISTS are *filters* and
+        # apply over the FINISHED group (§18.2.2.2), so they move to
+        # the final pass regardless of textual position.
         for e in g.elements:
             if isinstance(e, OptionalBlock):
                 bf = self._optional(bf, e, source_filter=source_filter)
@@ -665,49 +672,51 @@ class SparqlEngine:
                 if other.variables & bf.variables:
                     bf = bf.restrict(other, "left_anti")
                 # disjoint domains → MINUS removes nothing (SPARQL §8.3)
+            elif isinstance(e, Bind):
+                bf = self._apply_bind(bf, e)
+        for e in g.elements:
+            if isinstance(e, Filter):
+                vc = self._compiler(bf)
+                bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
             elif isinstance(e, ExistsFilter):
                 bf = bf.restrict(
                     self._group(e.block, key_hint=bf, source_filter=source_filter),
                     "left_anti" if e.negated else "left_semi",
                 )
-        for e in g.elements:
-            if isinstance(e, Bind):
-                vc = self._compiler(bf)
-                df = bf.df.withColumn(e.var, vc.value(e.expr))
-                # STRDT/STRLANG construct TYPED/TAGGED literals: the
-                # value column carries the (native) lexical form; the
-                # datatype IRI / language tag ride the same __type/
-                # __lang/__dt side columns SERVICE results use, so
-                # LANG()/DATATYPE() downstream answer from them.
-                inner = e.expr
-                while isinstance(inner, Expr) and inner.op == "ident":
-                    inner = inner.args[0]
-                if isinstance(inner, Expr) and inner.op in ("strdt", "strlang"):
-                    from ontario_spark.compiler.filters import unwrap
-
-                    second = unwrap(inner.args[1])
-                    is_dt = inner.op == "strdt"
-                    df = (
-                        df.withColumn(f"{e.var}__type", F.lit("literal"))
-                        .withColumn(
-                            f"{e.var}__lang",
-                            F.lit(None).cast("string")
-                            if is_dt
-                            else F.lit(second.value.lower()),
-                        )
-                        .withColumn(
-                            f"{e.var}__dt",
-                            F.lit(second.value)
-                            if is_dt
-                            else F.lit(None).cast("string"),
-                        )
-                    )
-                bf = BFrame(df, {**bf.meta, e.var: TermMeta(LEXICAL)})
-        for e in g.elements:
-            if isinstance(e, Filter):
-                vc = self._compiler(bf)
-                bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
         return bf
+
+    def _apply_bind(self, bf: BFrame, e: Bind) -> BFrame:
+        vc = self._compiler(bf)
+        df = bf.df.withColumn(e.var, vc.value(e.expr))
+        # STRDT/STRLANG construct TYPED/TAGGED literals: the value
+        # column carries the (native) lexical form; the datatype IRI /
+        # language tag ride the same __type/__lang/__dt side columns
+        # SERVICE results use, so LANG()/DATATYPE() downstream answer
+        # from them.
+        inner = e.expr
+        while isinstance(inner, Expr) and inner.op == "ident":
+            inner = inner.args[0]
+        if isinstance(inner, Expr) and inner.op in ("strdt", "strlang"):
+            from ontario_spark.compiler.filters import unwrap_const
+
+            second = unwrap_const(inner.args[1])
+            is_dt = inner.op == "strdt"
+            df = (
+                df.withColumn(f"{e.var}__type", F.lit("literal"))
+                .withColumn(
+                    f"{e.var}__lang",
+                    F.lit(None).cast("string")
+                    if is_dt
+                    else F.lit(second.value.lower()),
+                )
+                .withColumn(
+                    f"{e.var}__dt",
+                    F.lit(second.value)
+                    if is_dt
+                    else F.lit(None).cast("string"),
+                )
+            )
+        return BFrame(df, {**bf.meta, e.var: TermMeta(LEXICAL)})
 
     def _closure(
         self,
@@ -1069,10 +1078,22 @@ class SparqlEngine:
             elif kinds == {str}:
                 t = "string"
             else:
-                names = sorted(k.__name__ for k in kinds)
-                raise ValueError(
-                    f"VALUES ?{var} mixes incompatible literal types {names}"
-                )
+                # heterogeneous column (VALUES ?x { 1 "a" } — legal
+                # SPARQL: any RDF terms may share a column): fall back
+                # to the lexical string form for every value (round-5
+                # review fix: previously a hard ValueError). Booleans
+                # take their SPARQL lexical forms.
+                t = "string"
+                def lex(x):
+                    if x is None:
+                        return None
+                    if isinstance(x, bool):
+                        return "true" if x else "false"
+                    return str(x)
+                rows = [
+                    (*r[:i], lex(r[i]), *r[i + 1 :])
+                    for r in rows
+                ]
             fields.append(f"`{var}` {t}")
         df = self.spark.createDataFrame(rows, schema=", ".join(fields))
         return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
@@ -1207,6 +1228,7 @@ class SparqlEngine:
 
         has_agg = bool(q.group_by) or any(is_aggregate(s.expr) for s in computed)
         sort_extra: list[str] = []
+        order_by = q.order_by
 
         if has_agg:
             for expr, var in q.group_by_binds:
@@ -1220,9 +1242,65 @@ class SparqlEngine:
                 bf.lexical_expr(v).alias(v) if bf.meta[v].kind != LEXICAL else F.col(v)
                 for v in q.group_by
             ]
-            aggs = [compile_aggregate(s.expr, vc).alias(s.var) for s in computed]
-            if not aggs:
+            # COUNT(DISTINCT *) counts distinct SOLUTIONS — the frame's
+            # in-scope variable values, supplied as context
+            star_cols = [
+                bf.lexical_expr(v).alias(v)
+                if bf.meta[v].kind != LEXICAL
+                else F.col(v)
+                for v in sorted(bf.variables)
+                if not v.startswith("__")
+            ]
+            # Projections may be (a) bare aggregates, (b) expressions
+            # CONTAINING aggregates ((COUNT(?x)+1) AS ?c), or (c) pure
+            # functions of the group keys (UCASE(?a) AS ?u). (b)/(c)
+            # hoist inner aggregates into __sN agg columns and evaluate
+            # the outer expression AFTER the groupBy (round-5 review
+            # fix: everything non-bare previously crashed compile).
+            aggs: list = []
+            post: list = []  # (var, aggregate-hoisted expr)
+            hoist_i = 0
+
+            def hoist_sel(e):
+                nonlocal hoist_i
+                if isinstance(e, Expr):
+                    if e.op.startswith("agg_"):
+                        name = f"__s{hoist_i}"
+                        hoist_i += 1
+                        aggs.append(
+                            compile_aggregate(e, vc, star_cols).alias(name)
+                        )
+                        return Term("var", name)
+                    return Expr(e.op, [hoist_sel(x) for x in e.args])
+                return e
+
+            for s in computed:
+                inner = s.expr
+                while isinstance(inner, Expr) and inner.op == "ident":
+                    inner = inner.args[0]
+                if isinstance(inner, Expr) and inner.op.startswith("agg_"):
+                    aggs.append(
+                        compile_aggregate(inner, vc, star_cols).alias(s.var)
+                    )
+                else:
+                    post.append((s.var, hoist_sel(s.expr)))
+            if not aggs and not post:
                 raise QueryCompileError("GROUP BY without aggregates")
+            # ORDER BY may contain aggregates (ORDER BY DESC(COUNT(?x)))
+            # — hoist them into __sN agg columns too and sort on the
+            # rewritten expression; the extra columns ride to the sort
+            # and are dropped after (not with DISTINCT, whose dedup runs
+            # over the projection only)
+            if q.order_by and any(is_aggregate(i) for i, _ in q.order_by):
+                if q.distinct:
+                    raise QueryCompileError(
+                        "aggregates in ORDER BY are not supported with DISTINCT"
+                    )
+                before = hoist_i
+                order_by = [(hoist_sel(i), asc) for i, asc in q.order_by]
+                sort_extra = [f"__s{j}" for j in range(before, hoist_i)]
+            else:
+                order_by = q.order_by
             having = q.having
             if having is not None:
                 # Inline aggregates in HAVING (e.g. HAVING (COUNT(?c) >
@@ -1241,10 +1319,22 @@ class SparqlEngine:
 
                 having = hoist(having)
                 aggs += [
-                    compile_aggregate(e, vc).alias(f"__h{i}")
+                    compile_aggregate(e, vc, star_cols).alias(f"__h{i}")
                     for i, e in enumerate(hoisted)
                 ]
-            grouped = bf.df.groupBy(*keys).agg(*aggs)
+            # Spark's agg() needs >= 1 aggregate; a GROUP BY whose
+            # computed columns are all key functions gets a dropped
+            # placeholder count
+            grouped = bf.df.groupBy(*keys).agg(
+                *(aggs or [F.count(F.lit(1)).alias("__gcnt")])
+            )
+            if post:
+                pdt = dict(grouped.dtypes)
+                pvc = ExprCompiler(
+                    lambda v: F.col(v), pdt.get, has_col=lambda c: c in pdt
+                )
+                for var, e in post:
+                    grouped = grouped.withColumn(var, pvc.value(e))
             out_meta = {v: TermMeta(LEXICAL) for v in q.group_by + [s.var for s in computed]}
             bf = BFrame(grouped, out_meta)
             if having is not None:
@@ -1253,7 +1343,7 @@ class SparqlEngine:
                     lambda v: F.col(v), hdt.get, has_col=lambda c: c in hdt
                 )
                 bf = BFrame(bf.df.filter(hvc.boolean(having)), bf.meta)
-            df = bf.df.select(*proj_vars)
+            df = bf.df.select(*proj_vars, *sort_extra)
         else:
             if computed:
                 vc = self._compiler(bf)
@@ -1278,17 +1368,17 @@ class SparqlEngine:
 
         if q.distinct:
             df = df.dropDuplicates()
-        if q.order_by:
+        if order_by:
             dtypes = dict(df.dtypes)
             oc = ExprCompiler(
                 lambda v: F.col(v), dtypes.get, has_col=lambda c: c in dtypes
             )
             sort_cols = []
-            for item, asc in q.order_by:
+            for item, asc in order_by:
                 col = oc.value(item)
                 sort_cols.append(col.asc() if asc else col.desc())
             df = df.orderBy(*sort_cols)
-            if not has_agg and sort_extra:
+            if sort_extra:
                 df = df.select(*proj_vars)
         if q.offset:
             df = df.offset(q.offset)

@@ -252,8 +252,13 @@ def _compile_map(
             else:
                 for c, v in zip(tm.subject.template.columns, keys):
                     conds.append(cref(c).cast("string") == F.lit(v))
-        else:
+        elif tm.subject.kind == REFERENCE:
             conds.append(cref(tm.subject.value) == F.lit(subject.value))
+        else:
+            # CONSTANT-subject map queried with a constant subject:
+            # both sides are plan-time constants — cref() of the IRI
+            # would reference a nonexistent column (round-5 review fix)
+            conds.append(F.lit(tm.subject.value == subject.value))
 
     # predicate-object patterns
     for t in triples:

@@ -948,17 +948,20 @@ def test_optional_containing_only_outer_filter(engine, sf_small):
     assert df.count() == 5  # all regions survive
 
 
-def test_values_mixed_bool_int_rejected_any_order(engine):
-    """Typing a VALUES column from its FIRST value made
-    { 1 true } silently store true as 1 while { true 1 } crashed —
-    both orders must now raise the same clear error."""
-    import pytest
-
+def test_values_mixed_kinds_widen_to_lexical(engine):
+    """Heterogeneous VALUES columns are legal SPARQL (round-5 review
+    fix — previously a hard error; before round 4, order-dependent
+    corruption): mixed kinds fall back to lexical string forms,
+    identically in either order."""
     for vals in ("1 true", "true 1"):
-        with pytest.raises(Exception, match="incompatible literal types"):
-            engine.query(
-                "SELECT ?x WHERE { VALUES ?x { %s } }" % vals
-            ).collect()
+        rows = engine.query(
+            "SELECT ?x WHERE { VALUES ?x { %s } }" % vals
+        ).collect()
+        assert sorted(r["x"] for r in rows) == ["1", "true"], vals
+    rows = engine.query(
+        'SELECT ?x WHERE { VALUES ?x { 1 "a" UNDEF } }'
+    ).collect()
+    assert sorted(r["x"] or "" for r in rows) == ["", "1", "a"]
 
 
 def test_values_mixed_numerics_widen(engine):
@@ -1388,3 +1391,111 @@ def test_tz_on_typed_datetime_literal(engine):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["z"] == "-05:30" and rows[0]["d"] == "-PT5H30M"
+
+
+# --- round-5 compiler review fixes ---------------------------------------
+
+
+def test_group_by_expression_projections(engine, sf_small):
+    """GROUP BY projections beyond bare aggregates (review fix):
+    expressions CONTAINING aggregates, pure key functions, and
+    aggregates in ORDER BY all compile and match the oracle."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg (UCASE(?seg) AS ?u) ((COUNT(?c) + 1) AS ?n1)
+           WHERE { ?c a ex:Customer ; ex:mktsegment ?seg }
+           GROUP BY ?seg ORDER BY DESC(COUNT(?c)) ?seg""",
+        """SELECT c_mktsegment AS seg, upper(c_mktsegment) AS u,
+                  COUNT(*) + 1 AS n1
+           FROM customer WHERE c_mktsegment IS NOT NULL
+           GROUP BY c_mktsegment ORDER BY COUNT(*) DESC, seg""",
+        "group_by_expr_projections",
+    )
+
+
+def test_count_distinct_star(engine, sf_small):
+    """COUNT(DISTINCT *) counts distinct SOLUTIONS (review fix:
+    DISTINCT was silently ignored)."""
+    rows = engine.query(
+        PFX
+        + """SELECT (COUNT(DISTINCT *) AS ?n) WHERE {
+              ?c a ex:Customer ; ex:mktsegment ?seg }
+            GROUP BY ?seg"""
+    ).collect()
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey, c_mktsegment
+            FROM read_parquet('{"/root/testdata/sf0.001"}/customer.parquet')
+            WHERE c_mktsegment IS NOT NULL)"""
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == exp
+
+
+def test_bind_scopes_into_following_optional(engine, sf_small):
+    """A BIND preceding an OPTIONAL is in scope for it (review fix:
+    OPTIONALs previously all ran before any BIND, so the OPTIONAL's
+    FILTER hit 'unbound variable ?t')."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?name ?r WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              BIND (8 AS ?t)
+              OPTIONAL { ?n ex:region ?r . FILTER (STRLEN(?name) > ?t) }
+            }"""
+    ).collect()
+    assert len(rows) == 25  # all nations survive (left join)
+    bound = {r["name"] for r in rows if r["r"] is not None}
+    # NATION_0..9 have strlen 8 (not > 8) → unbound; NATION_10.. bound
+    assert bound == {f"NATION_{i}" for i in range(10, 25)}
+
+
+def test_filter_exists_applies_to_whole_group(engine, sf_small):
+    """FILTER EXISTS correlates against the FINISHED group regardless
+    of textual position (§18.2.2.2; review fix)."""
+    q_first = PFX + """SELECT ?name WHERE {
+          FILTER EXISTS { ?n ex:region ?r }
+          ?n a ex:Nation ; ex:name ?name .
+          OPTIONAL { ?n ex:region ?r } }"""
+    q_last = PFX + """SELECT ?name WHERE {
+          ?n a ex:Nation ; ex:name ?name .
+          OPTIONAL { ?n ex:region ?r }
+          FILTER EXISTS { ?n ex:region ?r } }"""
+    a = sorted(r["name"] for r in engine.query(q_first).collect())
+    b = sorted(r["name"] for r in engine.query(q_last).collect())
+    assert a == b and len(a) == 25
+
+
+def test_dynamic_regex_and_string_functions(engine, sf_small):
+    """REGEX/REPLACE/STRBEFORE with VARIABLE arguments evaluate per
+    row (review fix: the variable's NAME was used as the constant)."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?name ?hit ?rep ?before WHERE {
+              ?n a ex:Nation ; ex:name ?name .
+              BIND ("NATION_1[0-9]" AS ?pat)
+              BIND (REGEX(?name, ?pat) AS ?hit)
+              BIND ("_" AS ?needle)
+              BIND (REPLACE(?name, ?needle, "-") AS ?rep)
+              BIND (STRBEFORE(?name, ?needle) AS ?before) }"""
+    ).collect()
+    assert len(rows) == 25
+    for r in rows:
+        n = r["name"]  # NATION_0..NATION_24
+        assert r["hit"] == (n.startswith("NATION_1") and len(n) == 9)
+        assert r["rep"] == n.replace("_", "-")
+        assert r["before"] == "NATION"
+
+
+def test_isnumeric_and_string_ebv_ansi_safe(engine, sf_small):
+    """ISNUMERIC over genuinely non-numeric strings and a
+    string-valued function in boolean position must not crash under
+    Spark 4's default ANSI mode (review fix)."""
+    rows = engine.query(
+        PFX
+        + """SELECT ?name WHERE {
+              ?r a ex:Region ; ex:name ?name .
+              FILTER (!ISNUMERIC(?name) && CONCAT(?name, "x")) }"""
+    ).collect()
+    assert len(rows) == 5  # non-numeric names pass; non-empty string EBV true
