@@ -839,7 +839,10 @@ class SparqlEngine:
             # type/lang/datatype per binding (injected executors may
             # return plain dicts — their side columns stay NULL)
             executor = lambda q: paged_bindings(  # noqa: E731
-                sb.endpoint, q, full_terms=True
+                # order_vars: one stable solution order across OFFSET
+                # windows — unordered paging on order-unstable
+                # endpoints duplicates/skips bindings past page one
+                sb.endpoint, q, full_terms=True, order_vars=variables
             )
 
         max_keys = 100_000
@@ -847,14 +850,16 @@ class SparqlEngine:
         shared = sorted(set(variables) & (build.variables if build else set()))
         if shared:
             v = shared[0]
+            # NULLs filtered BEFORE the limit so they can't mask the
+            # max_keys+1 overflow sentinel (round-5 review fix)
+            mdf = build.materialize(v).df
             keys = [
                 r[0]
-                for r in build.materialize(v)
-                .df.select(v)
+                for r in mdf.select(v)
+                .filter(mdf[v].isNotNull())
                 .distinct()
                 .limit(max_keys + 1)
                 .collect()
-                if r[0] is not None
             ]
             if len(keys) <= max_keys:
                 # each key classified IRI-vs-literal individually and
@@ -1178,9 +1183,13 @@ class SparqlEngine:
             else:
                 continue
             rows = (
-                bf.df.select(col).distinct().limit(max_keys + 1).collect()
+                bf.df.select(col)
+                .filter(bf.df[col].isNotNull())
+                .distinct()
+                .limit(max_keys + 1)
+                .collect()
             )
-            keys = [r[0] for r in rows if r[0] is not None]
+            keys = [r[0] for r in rows]
             if 0 < len(keys) <= max_keys:
                 out[v] = [RemoteCond("in", tuple(sorted(keys, key=str)), tpl)]
         return out

@@ -107,22 +107,35 @@ def bound_join_fetch(
     ``max_keys`` guards the driver: beyond it, fall back to the
     unfiltered remote query (same fallback posture as the reference's
     non-selective path)."""
+    # NULLs are filtered BEFORE the limit: filtering after could let a
+    # NULL row mask the max_keys+1 overflow sentinel and silently drop
+    # join keys past the cap (round-5 review fix)
     keys = [
         r[0]
-        for r in build.select(join_var).distinct().limit(max_keys + 1).collect()
-        if r[0] is not None
+        for r in build.select(join_var)
+        .filter(build[join_var].isNotNull())
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
     ]
-    if len(keys) > max_keys:
-        queries = [remote_query]
+    if not keys:
+        # empty (or all-NULL) build side: the inner join is empty — an
+        # unbatched fetch would pull the whole remote relation for
+        # nothing, and zero batches crashed the thread pool
+        rows: list[tuple] = []
     else:
-        keys.sort(key=str)
-        queries = [
-            instantiate_query(remote_query, join_var, keys[i : i + window_size])
-            for i in range(0, len(keys), window_size)
+        if len(keys) > max_keys:
+            queries = [remote_query]
+        else:
+            keys.sort(key=str)
+            queries = [
+                instantiate_query(remote_query, join_var, keys[i : i + window_size])
+                for i in range(0, len(keys), window_size)
+            ]
+        rows = [
+            tuple(b.get(v) for v in remote_vars)
+            for b in fetch_all(executor, queries)
         ]
-    rows = [
-        tuple(b.get(v) for v in remote_vars) for b in fetch_all(executor, queries)
-    ]
     schema = ", ".join(f"{v} string" for v in remote_vars)
     return spark.createDataFrame(rows, schema=schema)
 

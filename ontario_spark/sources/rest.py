@@ -50,6 +50,14 @@ def rest_executor(base_url: str, **fetch_kw):
 
 def rows_to_df(spark: SparkSession, rows: list) -> DataFrame:
     """JSON rows → DataFrame with inferred nested schema (structs and
-    arrays survive, so iterator/paths work downstream)."""
+    arrays survive, so iterator/paths work downstream). An EMPTY
+    payload produces an empty (0-row) frame — schema inference needs a
+    document, so a placeholder infers the (empty) schema and limit(0)
+    drops it (round-5 review fix: the placeholder used to survive as a
+    phantom row, fabricating a result for all-constant maps)."""
     payload = [json.dumps(r) for r in rows]
-    return spark.read.json(spark.sparkContext.parallelize(payload or ["{}"], 1))
+    if not payload:
+        return spark.read.json(
+            spark.sparkContext.parallelize(["{}"], 1)
+        ).limit(0)
+    return spark.read.json(spark.sparkContext.parallelize(payload, 1))

@@ -95,15 +95,29 @@ def paged_bindings(
     fetcher: Fetcher = http_fetcher,
     max_pages: int = 10000,
     full_terms: bool = False,
+    order_vars: "list[str] | None" = None,
 ) -> Iterator[dict[str, str | None]]:
     """Yield solution mappings, re-issuing with LIMIT/OFFSET until a
     short page (reference :28-46). The input query must not already
     carry LIMIT/OFFSET. ``full_terms=True`` additionally carries each
     binding's SPARQL-JSON type/xml:lang/datatype as ``var__type`` /
-    ``var__lang`` / ``var__dt`` keys."""
+    ``var__lang`` / ``var__dt`` keys.
+
+    ``order_vars`` appends ``ORDER BY`` so successive OFFSET windows
+    see ONE stable solution order — SPARQL endpoints (Virtuoso
+    notoriously) do not guarantee order across separate executions, so
+    unordered paging can duplicate or silently skip bindings past the
+    first page (round-5 review fix; the endpoint pays a sort, which is
+    the price of correct paging). Exhausting ``max_pages`` with a full
+    final page raises instead of silently truncating the result."""
     offset = 0
+    suffix = (
+        "\nORDER BY " + " ".join(f"?{v}" for v in order_vars)
+        if order_vars
+        else ""
+    )
     for _ in range(max_pages):
-        paged = f"{query}\nLIMIT {page_size} OFFSET {offset}"
+        paged = f"{query}{suffix}\nLIMIT {page_size} OFFSET {offset}"
         result = fetcher(endpoint, paged)
         rows = result.get("results", {}).get("bindings", [])
         for row in rows:
@@ -117,6 +131,11 @@ def paged_bindings(
         if len(rows) < page_size:
             return
         offset += page_size
+    raise RuntimeError(
+        f"paged_bindings: result exceeds max_pages={max_pages} × "
+        f"page_size={page_size}; raise the limits (silent truncation "
+        "would be a wrong answer)"
+    )
 
 
 def endpoint_df(
@@ -130,7 +149,9 @@ def endpoint_df(
     """Paged fetch → DataFrame with one string column per variable."""
     rows = [
         tuple(b.get(v) for v in variables)
-        for b in paged_bindings(endpoint, query, page_size, fetcher)
+        for b in paged_bindings(
+            endpoint, query, page_size, fetcher, order_vars=variables
+        )
     ]
     schema = ", ".join(f"{v} string" for v in variables)
     return spark.createDataFrame(rows, schema=schema)

@@ -227,8 +227,12 @@ def _cond_mongo(c: RemoteCond) -> dict:
         return {ops[c.op]: c.value}
     if c.op == "in":
         return {"$in": list(c.value)}
+    # inline DOTALL: SQL LIKE's % crosses newlines, but a bare '.'
+    # does not — without (?s) a value like 'xyz\nabc' is over-pruned at
+    # the source and nothing Spark-side can restore it (round-5 review
+    # fix; (?s) works in both PCRE/Mongo and Python's re stand-in)
     parts = [re.escape(p) for p in str(c.value).split("%")]
-    return {"$regex": "^" + ".*".join(parts) + "$"}
+    return {"$regex": "(?s)^" + ".*".join(parts) + "$"}
 
 
 def _star_triples(tm: TripleMap, star: Star) -> list[Triple]:
@@ -270,7 +274,8 @@ def star_sql(
     select: list[str] = []
     where: list[str] = []
     specs: list[ColSpec] = []
-    bound: dict[str, str] = {}  # var → SQL expr already binding it
+    # var → (expr_cols, kind, tpl) of its FIRST binding site
+    bound: dict[str, tuple[list[tuple[str, str]], str, str | None]] = {}
     ref_exprs: dict[str, str] = {}  # REFERENCE-bound var → SQL expr
     key_exprs: dict[str, tuple[str, str]] = {}  # keyed var → (expr, tpl shape)
 
@@ -278,11 +283,34 @@ def star_sql(
         return f"{alias[tm.name]}.{d.ident(col)}"
 
     def bind(var: str, expr_cols: list[tuple[str, str]], kind: str, tpl: str | None):
-        """expr_cols: [(sql_expr, out_name)]"""
+        """expr_cols: [(sql_expr, out_name)]. A REPEATED variable
+        becomes an equality constraint: same-kind REFERENCEs equate
+        their expressions, same-shape TEMPLATEs equate EVERY key
+        column; mixed kinds or differing shapes raise (round-5 review
+        fix — previously only the first key column was equated and
+        kinds were never checked, silently matching wrong rows; the
+        Mongo/Cypher translators already raise here)."""
         if var in bound:
-            where.append(f"{bound[var]} = {expr_cols[0][0]}")
+            p_cols, p_kind, p_tpl = bound[var]
+            if kind == REFERENCE and p_kind == REFERENCE:
+                where.append(f"{p_cols[0][0]} = {expr_cols[0][0]}")
+            elif (
+                kind == TEMPLATE
+                and p_kind == TEMPLATE
+                and tpl is not None
+                and p_tpl is not None
+                and tpl_shape(tpl) == tpl_shape(p_tpl)
+                and len(p_cols) == len(expr_cols)
+            ):
+                for (pe, _), (ne, _) in zip(p_cols, expr_cols):
+                    where.append(f"{pe} = {ne}")
+            else:
+                raise TranslateError(
+                    f"repeated variable ?{var} with mixed term kinds or "
+                    "template shapes is not SQL-translatable"
+                )
             return
-        bound[var] = expr_cols[0][0]
+        bound[var] = (expr_cols, kind, tpl)
         if kind == REFERENCE:
             ref_exprs[var] = expr_cols[0][0]
         elif kind == TEMPLATE and len(expr_cols) == 1 and tpl:
@@ -328,6 +356,15 @@ def star_sql(
             where.append(
                 f"{qcol(base, base.subject.value)} = {d.lit(star.subject.value)}"
             )
+        # maps[1:] join on subject equality — without it the comma
+        # cross join below is a cartesian product (round-5 review fix)
+        for tm in maps[1:]:
+            if tm.subject.kind != REFERENCE:
+                raise TranslateError("self-join maps must share a subject kind")
+            where.append(
+                f"{qcol(base, base.subject.value)} = "
+                f"{qcol(tm, tm.subject.value)}"
+            )
 
     # predicate-object patterns, each against the first map providing it
     for t in star.triples:
@@ -371,8 +408,17 @@ def star_sql(
         else:  # CONSTANT object map
             if t.o.is_var:
                 specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
-            elif om.value != t.o.value:
-                where.append("1 = 0")
+            else:
+                # satisfiable when the map constant equals EITHER the
+                # query literal's lexical form or its typed Python form
+                # (round-5 review fix: Cypher compared t.o.py, SQL only
+                # t.o.value — same query answered differently per
+                # backend)
+                forms = {t.o.value} | (
+                    {str(t.o.py)} if t.o.py is not None else set()
+                )
+                if om.value not in forms:
+                    where.append("1 = 0")
 
     for var, conds in (conditions or {}).items():
         expr = ref_exprs.get(var)
@@ -508,6 +554,11 @@ def star_mongo(
                 pre["__none__"] = {"$exists": True}
             else:
                 for c, val in zip(scols, keys):
+                    # array-path key columns need the $unwind even for
+                    # constant matches — a document-level match has the
+                    # wrong cardinality and the post-$match path would
+                    # otherwise never resolve (round-5 review fix)
+                    want_unwind(c)
                     match_into(c, _coerce(val))
     else:
         if star.subject.is_var:
@@ -515,6 +566,7 @@ def star_mongo(
             bind(star.subject.value, tm.subject.value, star.subject.value, REFERENCE, None)
             match_into(tm.subject.value, {"$exists": True, "$ne": None})
         else:
+            want_unwind(tm.subject.value)
             match_into(tm.subject.value, star.subject.value)
 
     for t in triples:
@@ -540,12 +592,19 @@ def star_mongo(
                     pre["__none__"] = {"$exists": True}
                 else:
                     for c, val in zip(tcols, keys):
+                        want_unwind(c)
                         match_into(c, _coerce(val))
         else:
             if t.o.is_var:
                 specs.append(ColSpec("", t.o.value, CONSTANT, om.value))
-            elif om.value != t.o.value:
-                pre["__none__"] = {"$exists": True}
+            else:
+                # lexical OR typed form may equal the map constant
+                # (backend parity with star_sql/star_cypher)
+                forms = {t.o.value} | (
+                    {str(t.o.py)} if t.o.py is not None else set()
+                )
+                if om.value not in forms:
+                    pre["__none__"] = {"$exists": True}
 
     for var, conds in (conditions or {}).items():
         path = ref_paths.get(var)

@@ -592,3 +592,75 @@ def test_cost_ranked_ordering_flips_in_list_direction(spark, sf_small):
               ?c a ex:Customer ; ex:name ?name ; ex:mktsegment "BUILDING" . }"""
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, local.collect()))
+
+
+# --- round-5 sources review fixes ----------------------------------------
+
+
+def test_bound_join_fetch_empty_build_side(spark):
+    """Empty (or all-NULL-key) build side: zero remote batches, empty
+    result — review fix: ThreadPoolExecutor(max_workers=0) crashed."""
+    from ontario_spark.sources.pushdown import bound_join_fetch
+
+    calls: list[str] = []
+
+    def executor(q):
+        calls.append(q)
+        return [{"x": "1", "y": "a"}]
+
+    empty = spark.createDataFrame([], "x string")
+    out = bound_join_fetch(spark, empty, "x", "SELECT ?x ?y WHERE { ?x ?p ?y }", ["x", "y"], executor)
+    assert out.count() == 0 and calls == []
+    nulls = spark.createDataFrame([(None,), (None,)], "x string")
+    out = bound_join_fetch(spark, nulls, "x", "SELECT ?x ?y WHERE { ?x ?p ?y }", ["x", "y"], executor)
+    assert out.count() == 0 and calls == []
+
+
+def test_bound_join_null_does_not_mask_overflow(spark):
+    """With max_keys exceeded AND a NULL key present, the fetch must
+    fall back to the UNFILTERED remote query — review fix: filtering
+    NULLs after limit() shrank the overflow sentinel away and silently
+    dropped join keys."""
+    from ontario_spark.sources.pushdown import bound_join_fetch
+
+    seen: list[str] = []
+
+    def executor(q):
+        seen.append(q)
+        return []
+
+    rows = [(f"k{i}",) for i in range(5)] + [(None,)]
+    build = spark.createDataFrame(rows, "x string")
+    bound_join_fetch(
+        spark, build, "x", "SELECT ?x WHERE { ?x a ?t }", ["x"],
+        executor, max_keys=4,
+    )
+    assert seen == ["SELECT ?x WHERE { ?x a ?t }"]  # unfiltered fallback
+
+
+def test_paged_bindings_orders_and_refuses_truncation():
+    from ontario_spark.sources.sparql_endpoint import paged_bindings
+
+    issued: list[str] = []
+
+    def fake(endpoint, q):
+        issued.append(q)
+        # always a full page → pager must eventually refuse, not truncate
+        return {"results": {"bindings": [
+            {"v": {"type": "literal", "value": "x"}}] * 2}}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="max_pages"):
+        list(paged_bindings("http://e", "SELECT ?v WHERE { ?v a ?t }",
+                            page_size=2, fetcher=fake, max_pages=3,
+                            order_vars=["v"]))
+    assert len(issued) == 3
+    assert all("ORDER BY ?v" in q for q in issued)  # stable paging order
+
+
+def test_rest_empty_payload_yields_zero_rows(spark):
+    from ontario_spark.sources.rest import rows_to_df
+
+    df = rows_to_df(spark, [])
+    assert df.count() == 0

@@ -300,7 +300,7 @@ def test_mongo_filter_pushdown_in_match():
     conds = _conds_of('FILTER (CONTAINS(?n, "li") && ?n != "bob")')
     pipeline, _ = star_mongo(MONGO_MAP, star, conditions=conds)
     match = pipeline[0]["$match"]
-    assert match["name"]["$regex"] == "^.*li.*$"
+    assert match["name"]["$regex"] == "(?s)^.*li.*$"  # DOTALL: % crosses \n
     assert match["name"]["$ne"] == "bob"
     rows = run_pipeline(MONGO_DOCS, pipeline)
     assert [r["n"] for r in rows] == ["alice"]
@@ -577,3 +577,39 @@ def test_rows_to_bframe_preserves_row_count_without_columns(spark):
     bf = rows_to_bframe(spark, [{}, {}], specs)
     assert bf.df.count() == 2
     assert bf.df.select("v").distinct().collect()[0]["v"] == "gold"
+
+
+def test_sql_repeated_reference_var_equates(spark):
+    """?c ex:name ?x ; ex:mktsegment ?x → the SQL must equate BOTH
+    reference columns (review fix: kinds were never checked and only
+    the first key column was equated for templates)."""
+    cat = tpch_catalog("/root/testdata/sf0.001")
+    star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?x ; ex:mktsegment ?x }")
+    maps = select_sources(cat, star).alternatives[0]
+    sql, _ = star_sql(maps, star, ANSI)
+    import re as _re
+
+    assert _re.search(r"t0\.\W?name\W? = t0\.\W?mktsegment\W?|t0\.\W?mktsegment\W? = t0\.\W?name\W?", sql.replace('"', "")) or (
+        "name" in sql and "mktsegment" in sql and " = " in sql
+    ), sql
+    # and executing it returns only rows where the two columns match
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/customer.parquet')"
+    )
+    # adapt table name: star_sql emits the map's source table
+    rows = con.execute(sql).fetchall()
+    assert rows == []  # no customer has name == mktsegment
+
+
+def test_mongo_like_regex_crosses_newlines():
+    """LIKE-style pushdown must match across newlines (review fix:
+    missing DOTALL over-pruned at the source, unrecoverable)."""
+    from ontario_spark.sources.translate import RemoteCond, _cond_mongo
+    import re as _re
+
+    cond = _cond_mongo(RemoteCond("like", "%abc%", None))
+    assert _re.search(cond["$regex"], "xyz\nabc")
