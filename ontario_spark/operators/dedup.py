@@ -19,10 +19,37 @@ executor cluster):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ontario_spark.operators.textops import shingles
+# Bounded registry for per-call persisted intermediates (the shingle /
+# banded-signature tables below): each call builds a FRESH plan, so a
+# plan-keyed cache would never hit — the leak to prevent is
+# ACCUMULATION across many calls in a long-lived session (HTTP server,
+# bench reruns): Spark's CacheManager holds persisted frames until an
+# explicit unpersist, Python GC never releases them. Oldest-first
+# eviction keeps at most _PERSISTED_MAX cached intermediates alive
+# (the retrieval._PER_DOC_CACHE lesson, round-5 review fix).
+_PERSISTED: list[DataFrame] = []
+_PERSISTED_MAX = 8
+_PERSIST_LOCK = threading.Lock()
+
+
+def _bounded_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    evicted: list[DataFrame] = []
+    with _PERSIST_LOCK:
+        _PERSISTED.append(df)
+        while len(_PERSISTED) > _PERSISTED_MAX:
+            evicted.append(_PERSISTED.pop(0))
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return df
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -78,7 +105,7 @@ def ngram_jaccard_pairs(
     # self-join sides); persist the compact (id, 8-byte key) form so
     # shingling — the expensive scan — runs once, not three times. At
     # lake scale this intermediate is what you'd checkpoint to storage.
-    exploded = sh.select("id", F.xxhash64("shingle").alias("k")).persist()
+    exploded = _bounded_persist(sh.select("id", F.xxhash64("shingle").alias("k")))
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = exploded
     if max_doc_freq is not None:
@@ -146,8 +173,12 @@ def minhash_signatures(
     from ontario_spark.operators.textops import exploded_shingles
 
     sh = exploded_shingles(df, id_col, text_col, n, distinct=False).withColumnRenamed("id", id_col)
+    # 15 hex chars = 60 bits (round-5 review fix: 7 chars was a 28-bit
+    # base space, colliding ~0.3% of distinct shingles at 10^6 scale
+    # and making the % reduction a no-op); the mod brings it under
+    # _MERSENNE so the affine (h*a + b) stays within long range
     base = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % F.lit(_MERSENNE)
     )
     sh = sh.select(id_col, base.alias("h"))
@@ -202,10 +233,9 @@ def minhash_lsh_pairs(
     )
     # Both join sides reference the banded signatures; persist so the
     # shingle→minhash pipeline (the expensive part) runs once.
-    banded = (
+    banded = _bounded_persist(
         sig.withColumn("bk", band_keys)
         .select(id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket"))
-        .persist()
     )
     if max_bucket_size is None:
         banded = banded.withColumn("__sub", F.lit(0).cast("long"))
@@ -301,7 +331,10 @@ def contamination_overlap(
     Scale design: the benchmark side (eval sets) is MBs while the
     corpus is TBs, so the benchmark's distinct shingle-hash set is
     broadcast — the corpus shuffles only for its own per-doc aggregate,
-    never against the benchmark. Membership is tested on xxhash64 of
+    never against the benchmark. Documents with fewer than ``n`` tokens
+    emit no shingles and are OMITTED from the output (they cannot be
+    contaminated at n-gram granularity; corpus-level stats derived from
+    this output should count them separately). Membership is tested on xxhash64 of
     the shingle (8 bytes/row through the join, not shingle text). A
     left-semi pre-filter would lose the per-doc denominator, so the
     broadcast join marks hits and ONE aggregate computes hit count and

@@ -153,12 +153,18 @@ def connected_components(
     # billion-edge graph the same formula yields thousands of
     # partitions. Restored after the loop (same pattern as
     # streaming.run_available_now's state-store sizing).
+    from ontario_spark.session import CONF_LOCK
+
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(1, min(int(prev_parts), e.count() // 1_000_000 + 1))
     from pyspark.sql.types import NumericType
 
     numeric_ids = isinstance(e.schema["a"].dataType, NumericType)
+    n_edges = e.count()
+    # held for the whole set-run-restore cycle; acquired only once the
+    # pre-work that can fail (the edge count) is done
+    CONF_LOCK.acquire()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(prev_parts), n_edges // 1_000_000 + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         labels = _pin(
@@ -210,4 +216,5 @@ def connected_components(
                 return labels.select("n", F.col("label").alias("component"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        CONF_LOCK.release()
     raise ClosureError(f"components did not converge in {max_iter} iterations")

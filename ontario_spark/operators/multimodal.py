@@ -63,19 +63,20 @@ def media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_stats(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def decode_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched per-media byte stats via ``mapInPandas`` — the
     deterministic fake standing in for decode/feature-extraction.
 
     The iterator-of-batches shape is the scale-relevant part: one
     python worker per partition, Arrow transfer, constant memory per
-    batch regardless of partition size."""
+    batch regardless of partition size. NULL payloads (a NULL source
+    text) are treated as empty media, not task killers."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            payloads = pdf["payload"]
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -118,6 +119,7 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload if payload is not None else b""
                 k = min(n_frames, len(payload)) if len(payload) else 0
                 for i in range(k):
                     lo = len(payload) * i // k
@@ -160,7 +162,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(payload, dtype=np.uint8)
+                arr = np.frombuffer(payload or b"", dtype=np.uint8)
                 if len(arr) == 0:
                     feats.append([0.0] * N_FEATURES)
                     continue

@@ -233,16 +233,26 @@ _quantizer_cache: "WeakKeyDictionary[DataFrame, dict[tuple, DataFrame]]" = (
 )
 
 
+_QUANTIZER_CACHE_MAX_PER_CORPUS = 4
+
+
 def _coarse_quantizer(
     corpus: DataFrame, vec_col: str, n_lists: int, seed: int, id_col: str
 ) -> DataFrame:
     """Fit (or fetch) the k-means coarse quantizer; returns the tiny
-    ``(cell, center)`` DataFrame that probe joins broadcast."""
-    per_corpus = _quantizer_cache.setdefault(corpus, {})
+    ``(cell, center)`` DataFrame that probe joins broadcast.
+    Lock-guarded + bounded like the sibling caches (round-5 review
+    fix): two server threads must not both pay the driver-blocking
+    k-means fit, and distinct param combos must not grow the dict
+    without bound (no unpersist needed — the centroid frame is a plain
+    createDataFrame, never persisted)."""
     key = (vec_col, n_lists, seed, id_col)
-    cached = per_corpus.get(key)
-    if cached is not None:
-        return cached
+    with _PQ_LOCK:
+        per_corpus = _quantizer_cache.setdefault(corpus, {})
+        cached = per_corpus.get(key)
+        if cached is not None:
+            per_corpus[key] = per_corpus.pop(key)  # refresh LRU
+            return cached
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -271,7 +281,14 @@ def _coarse_quantizer(
     cdf = corpus.sparkSession.createDataFrame(
         centers, schema="cell int, center array<double>"
     ).withColumn("center_norm", norm(F.col("center")))
-    per_corpus[key] = cdf
+    with _PQ_LOCK:
+        per_corpus = _quantizer_cache.setdefault(corpus, {})
+        cached = per_corpus.get(key)
+        if cached is not None:  # lost a build race — keep the winner
+            return cached
+        while len(per_corpus) >= _QUANTIZER_CACHE_MAX_PER_CORPUS:
+            per_corpus.pop(next(iter(per_corpus)))
+        per_corpus[key] = cdf
     return cdf
 
 
@@ -407,7 +424,10 @@ def ivf_topk(
                 F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
             ).alias("score"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no dedup needed: each corpus row sits in exactly ONE cell
+        # (rank ≤ 1) and a query's probed cells are distinct, so
+        # (query_id, neighbor_id) pairs are already unique — the old
+        # dropDuplicates shuffled the full candidate stream for nothing
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -600,6 +620,13 @@ def pq_codebooks(
     # sphere is 2 - 2cos — monotone with it. PQ on raw vectors would
     # rank by a distance the ground truth doesn't use.
     X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("pq_codebooks: empty corpus — nothing to train on")
+    if len(X) < k:
+        raise ValueError(
+            f"pq_codebooks: training sample has {len(X)} vectors, "
+            f"fewer than k={k} centroids — shrink k or grow the corpus"
+        )
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
     if d % m:
@@ -627,16 +654,6 @@ def _unit(vec: Column) -> Column:
     v = _dvec(vec)
     n = F.greatest(norm(v), F.lit(1e-12))
     return F.transform(v, lambda x: x / n)
-
-
-def _sub_sqdist(vec: Column, j: int, sub: int, centroid: list[float]) -> Column:
-    s = F.slice(vec, j * sub + 1, sub)
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def pq_encode(

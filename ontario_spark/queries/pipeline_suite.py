@@ -555,7 +555,7 @@ WITH sh AS (
         FROM documents)
 ), base AS (
   SELECT doc_id,
-         ('0x' || substr(md5(shingle), 1, 7))::BIGINT % {_MERSENNE} AS h
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
   FROM sh
 ), sig AS (
   SELECT doc_id,

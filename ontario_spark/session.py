@@ -15,8 +15,17 @@ DataFrames end-to-end; these settings make that session scale-ready:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+# Serializes set-execute-restore cycles on session-GLOBAL SQL confs
+# (spark.sql.shuffle.partitions in streaming replays and connected
+# components): two concurrent cycles interleaving reads and restores
+# can permanently pin the wrong value for the whole session (round-5
+# review fix). Holders keep it for the duration of their run — a
+# correctness lock, not a fast path.
+CONF_LOCK = threading.Lock()
 
 
 def get_spark(app_name: str = "ontario-spark") -> SparkSession:

@@ -61,6 +61,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nanos = events_ts_kind(f"{sf_dir}/events.parquet") == "nanos"
     if nanos:
+        # session-global and deliberately NOT reset: the flag only
+        # changes how TIMESTAMP(NANOS) parquet reads (as long), and
+        # both this path and data.table() detect that encoding
+        # per-file and convert; resetting mid-session would break the
+        # lazy frames already planned under it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The streaming file source requires a directory; pathGlobFilter
     # narrows it to the events table.
@@ -334,9 +339,14 @@ def run_available_now(
     production pipeline sizes state partitioning to key cardinality;
     None keeps the session default (e.g. a 1000-executor deployment
     sizing for millions of session keys)."""
+    from ontario_spark.session import CONF_LOCK
+
     spark = result.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    with tempfile.TemporaryDirectory(prefix="osk-ckpt-") as ckpt:
+    # CONF_LOCK held for the whole set-run-restore cycle: interleaved
+    # cycles from concurrent threads could pin the session at the
+    # streaming partition count permanently (round-5 review fix)
+    with tempfile.TemporaryDirectory(prefix="osk-ckpt-") as ckpt, CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             if shuffle_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
