@@ -87,7 +87,16 @@ def generate_catalog(
                     .columns
                 )
         else:
-            raise ValueError(f"cannot probe schema for format {f!r} ({t})")
+            # one un-probeable file (xml, binary) must not abort the
+            # whole lake scan (round-5 review fix) — skip it loudly
+            import sys
+
+            print(
+                f"generate_catalog: skipping {t!r} — cannot probe "
+                f"schema for format {f!r}",
+                file=sys.stderr,
+            )
+            continue
         keys.setdefault(t, schemas[t][0])
 
     def stem(col: str) -> str:

@@ -234,7 +234,13 @@ class Catalog:
             return load_table(spark, src.base_path, tm.source.table)
         if fmt in ("csv", "tsv", "json"):
             reader = spark.read.options(**dict(tm.source.options))
-            path = f"{src.base_path}/{tm.source.table}"
+            # empty base_path keeps the table path AS-IS (cwd-relative)
+            # instead of rooting it at '/' (round-5 review fix)
+            path = (
+                f"{src.base_path}/{tm.source.table}"
+                if src.base_path
+                else tm.source.table
+            )
             if fmt == "json":
                 return reader.json(path)
             sep = "\t" if fmt == "tsv" else ","
@@ -251,7 +257,11 @@ class Catalog:
                     reader = reader.option(
                         "rowTag", tm.source.iterator.replace("[*]", "")
                     )
-                return reader.load(f"{src.base_path}/{tm.source.table}")
+                return reader.load(
+                    f"{src.base_path}/{tm.source.table}"
+                    if src.base_path
+                    else tm.source.table
+                )
             except Exception as exc:  # pragma: no cover - depends on build
                 raise ValueError(
                     "XML source requires the spark-xml data source; "

@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+)
     | (?P<iri><[^<>"{}|^`\\\s]*>)
-    | (?P<string>"(?:[^"\\]|\\.)*"(?:\^\^\S+|@[A-Za-z][\w-]*)?)
+    | (?P<string>"(?:[^"\\]|\\.)*"(?:\^\^(?:<[^<>\s]*>|[^\s;,.\]]+)|@[A-Za-z][\w-]*(?:-[\w]+)*)?)
     | (?P<prefix_kw>@prefix\b)
     | (?P<pname>(?:[A-Za-z_][\w\-]*)?:[\w\-.%]*)
     | (?P<kw_a>\ba\b)
@@ -241,7 +241,9 @@ def _source_kind(source: Term, src_props: dict, ref_form: str | None,
     return "csv"
 
 
-def _resolve_parent_map(idx: dict, om_props: dict) -> TermMap | None:
+def _resolve_parent_map(
+    idx: dict, om_props: dict, child_ls: "tuple | None" = None
+) -> TermMap | None:
     """``rr:parentTriplesMap`` + ``rr:joinCondition`` → a TEMPLATE term
     map: the parent's subject template with its key column replaced by
     the child's join column. Valid when the join condition targets
@@ -264,7 +266,21 @@ def _resolve_parent_map(idx: dict, om_props: dict) -> TermMap | None:
     if len(cols) != 1:
         return None
     if jc is None:
-        # no join condition: same logical source + same column name
+        # R2RML only permits the no-joinCondition form when child and
+        # parent share ONE logical source (the implicit self-join);
+        # emitting the parent's template over a column the child source
+        # lacks breaks at query time (round-5 review fix) — verify by
+        # logicalSource node identity or equal rml:source values.
+        parent_ls = _one(parent_props, RML + "logicalSource")
+        same_node = child_ls is not None and parent_ls == child_ls
+        same_src = (
+            child_ls is not None
+            and parent_ls is not None
+            and _one(idx.get(parent_ls, {}), RML + "source")
+            == _one(idx.get(child_ls, {}), RML + "source")
+        )
+        if not (same_node or same_src):
+            return None
         return tpl(sm.value)
     jc_props = idx.get(jc, {})
     child = _lit(_one(jc_props, RR + "child"))
@@ -371,7 +387,7 @@ def load_rml(
                 om_props = idx.get(om_term, {}) if om_term else {}
                 om = _term_map(om_props)
                 if om is None and om_term is not None:
-                    om = _resolve_parent_map(idx, om_props)
+                    om = _resolve_parent_map(idx, om_props, ls_term)
             if om is None:
                 continue
             poms.append((pred[1], om))

@@ -49,7 +49,7 @@ _TOKEN_RE = re.compile(
     (?P<WS>\s+|\#[^\n]*)
   | (?P<IRIREF><[^<>\s]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
-  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<DTYPE>\^\^)
@@ -112,6 +112,15 @@ class Parser:
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+
+    def _resolve_iri(self, raw: str) -> str:
+        """Resolve a (possibly relative) IRIREF body against BASE."""
+        if self.base is None or ":" in raw.split("/", 1)[0].split("#", 1)[0]:
+            return raw  # absolute (has a scheme) or no base declared
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, raw)
 
     # --- token plumbing -------------------------------------------------
 
@@ -147,7 +156,13 @@ class Parser:
         while self.at_kw("prefix", "base"):
             if self.at_kw("base"):
                 self.next()
-                self.next()  # ignore BASE <iri>
+                b = self.next()
+                if b.type != "IRIREF":
+                    raise SparqlSyntaxError(f"BASE needs an IRI at {b.pos}")
+                # relative IRIREFs resolve against this (round-5 review
+                # fix: BASE was silently discarded, leaving relative
+                # IRIs unresolved and queries matching nothing)
+                self.base = b.value[1:-1]
                 continue
             self.next()
             pname = self.next()
@@ -206,7 +221,8 @@ class Parser:
                 raise SparqlSyntaxError(f"empty SELECT list at {self.peek().pos}")
             q.select = sel
         self._dataset_clauses(q)
-        self.eat_kw("where")
+        if self.at_kw("where"):  # 'WHERE' is optional per the grammar
+            self.next()
         q.where = self._group()
         self._solution_modifiers(q)
         return q
@@ -222,11 +238,15 @@ class Parser:
                 self.next()
                 named = True
             t = self.next()
-            if t.type != "IRIREF":
+            if t.type == "IRIREF":
+                iri = self._resolve_iri(t.value[1:-1])
+            elif t.type == "PNAME" and not t.value.startswith("_:"):
+                iri = self._expand_pname(t)  # prefixed names are legal iri forms
+            else:
                 raise SparqlSyntaxError(
                     f"FROM needs an IRI at {t.pos}, got {t.value!r}"
                 )
-            (q.from_named if named else q.from_graphs).append(t.value[1:-1])
+            (q.from_named if named else q.from_graphs).append(iri)
 
     def _ask(self) -> Query:
         self.eat_kw("ask")
@@ -261,7 +281,8 @@ class Parser:
             raise SparqlSyntaxError("property paths not allowed in CONSTRUCT template")
         self.eat_op("}")
         self._dataset_clauses(q)
-        self.eat_kw("where")
+        if self.at_kw("where"):  # 'WHERE' is optional per the grammar
+            self.next()
         q.where = self._group()
         self._solution_modifiers(q)
         return q
@@ -380,13 +401,17 @@ class Parser:
                     self.next()
                     silent = True
                 ep = self.next()
-                if ep.type != "IRIREF":
+                if ep.type == "IRIREF":
+                    ep_iri = self._resolve_iri(ep.value[1:-1])
+                elif ep.type == "PNAME" and not ep.value.startswith("_:"):
+                    ep_iri = self._expand_pname(ep)
+                else:
                     raise SparqlSyntaxError(
                         f"SERVICE endpoint must be an IRI at {ep.pos} "
                         "(variable endpoints unsupported)"
                     )
                 g.elements.append(
-                    ServiceBlock(ep.value[1:-1], self._group(), silent)
+                    ServiceBlock(ep_iri, self._group(), silent)
                 )
             elif self.at_kw("filter") and self._kw_ahead(1, "exists"):
                 self.next(); self.next()
@@ -403,19 +428,28 @@ class Parser:
                 expr = self._expression()
                 self.eat_kw("as")
                 v = self.next()
+                if v.type != "VAR":
+                    raise SparqlSyntaxError(
+                        f"expected variable after AS at {v.pos}, got {v.value!r}"
+                    )
                 self.eat_op(")")
                 g.elements.append(Bind(expr, v.value[1:]))
-            elif self.at_op("{") and self._kw_ahead(1, "select"):
-                self.next()
-                g.elements.append(SubSelect(self._select()))
-                self.eat_op("}")
             elif self.at_op("{"):
-                sub = self._group()
+                sub = self._group_or_subselect()
                 branches = [sub]
                 while self.at_kw("union"):
                     self.next()
-                    branches.append(self._group())
-                g.elements.append(UnionBlock(branches) if len(branches) > 1 else sub)
+                    branches.append(self._group_or_subselect())
+                if len(branches) > 1:
+                    g.elements.append(UnionBlock(branches))
+                elif len(sub.elements) == 1 and isinstance(
+                    sub.elements[0], SubSelect
+                ):
+                    # un-unioned subselect stays a flat element (the
+                    # wrapper Group exists only for UNION branches)
+                    g.elements.append(sub.elements[0])
+                else:
+                    g.elements.append(sub)
             else:
                 g.elements.extend(self._triples_block())
             if self.at_op("."):
@@ -427,6 +461,20 @@ class Parser:
                 )
         self.eat_op("}")
         return g
+
+    def _group_or_subselect(self):
+        """``{ SELECT ... }`` or a plain group — both are legal
+        GroupOrUnionGraphPattern branches, and either may continue with
+        UNION (round-5 review fix: a subselect branch previously ate
+        the closing brace and the caller had no UNION production)."""
+        if self.at_op("{") and self._kw_ahead(1, "select"):
+            self.next()
+            sub = SubSelect(self._select())
+            self.eat_op("}")
+            g = Group()
+            g.elements.append(sub)
+            return g
+        return self._group()
 
     def _kw_ahead(self, n: int, kw: str) -> bool:
         j = self.i + n
@@ -686,7 +734,7 @@ class Parser:
         if t.type == "VAR":
             return Term("var", t.value[1:])
         if t.type == "IRIREF":
-            return Term("iri", t.value[1:-1])
+            return Term("iri", self._resolve_iri(t.value[1:-1]))
         if t.type == "PNAME":
             if t.value.startswith("_:"):
                 return Term("var", "__bn_" + t.value[2:])

@@ -222,3 +222,51 @@ def test_rml_xml_source_end_to_end(spark, tmp_path):
         ("http://e/person/1", "Ada"),
         ("http://e/person/2", "Erwin"),
     ]
+
+
+def test_turtle_datatype_suffix_flush_punctuation():
+    """A typed literal flush against ';' or '.' must not swallow the
+    separator (round-5 review fix)."""
+    from ontario_spark.catalog.rml import parse_turtle
+
+    triples = parse_turtle(
+        '@prefix ex: <http://e/> .\n'
+        'ex:s ex:p "1.0"^^ex:version; ex:q "x" .\n'
+        'ex:t ex:u "2"^^<http://www.w3.org/2001/XMLSchema#int>.\n'
+    )
+    preds = sorted(p for _, p, _ in triples)
+    assert preds == ["http://e/p", "http://e/q", "http://e/u"]
+
+
+def test_parent_triples_map_without_join_needs_shared_source():
+    """No rr:joinCondition is only legal when child and parent share a
+    logical source — otherwise skip (round-5 review fix: the parent's
+    template was emitted over a column the child source lacks)."""
+    from ontario_spark.catalog.rml import load_rml
+
+    ttl = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://e/> .
+ex:Child a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "child.csv" ;
+                      rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rr:template "http://e/c/{cid}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:parent ;
+    rr:objectMap [ rr:parentTriplesMap ex:Parent ] ] .
+ex:Parent a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "parent.csv" ;
+                      rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rr:template "http://e/p/{pid}" ] .
+"""
+    cat = load_rml([ttl])
+    child = cat.triple_maps["http://e/Child"]
+    assert "http://e/parent" not in dict(child.predicates)  # skipped
+    # shared logical source: the implicit self-join IS legal and the
+    # parent's template carries over
+    shared = ttl.replace('rml:source "parent.csv"', 'rml:source "child.csv"')
+    cat2 = load_rml([shared])
+    child2 = cat2.triple_maps["http://e/Child"]
+    om = dict(child2.predicates).get("http://e/parent")
+    assert om is not None and om.value == "http://e/p/{pid}"

@@ -206,3 +206,73 @@ def test_unescape_property_roundtrip():
         assert q.where.elements[0].o.value == s
 
     check()
+
+
+# --- round-5 parser review fixes -----------------------------------------
+
+
+def test_where_keyword_optional():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse("SELECT * { ?s <http://x/p> ?o }")
+    assert len(q.where.elements) == 1
+    q2 = parse(
+        "SELECT ?a WHERE { { SELECT ?a { ?a <http://x/p> ?b } } }"
+    )
+    assert q2.where is not None
+
+
+def test_base_resolves_relative_iris():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse("BASE <http://e/> SELECT * WHERE { ?s <p> ?o }")
+    t = q.where.elements[0]
+    assert t.p.value == "http://e/p"
+    # absolute IRIs are untouched
+    q2 = parse("BASE <http://e/> SELECT * WHERE { ?s <http://x/p> ?o }")
+    assert q2.where.elements[0].p.value == "http://x/p"
+
+
+def test_bind_as_requires_variable():
+    import pytest
+
+    from ontario_spark.sparql.parser import SparqlSyntaxError, parse
+
+    with pytest.raises(SparqlSyntaxError, match="variable after AS"):
+        parse("SELECT * WHERE { ?s <http://x/p> ?o . BIND(?o AS o2) }")
+
+
+def test_subselect_union_branch():
+    from ontario_spark.sparql.ast import SubSelect, UnionBlock
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        """SELECT * WHERE {
+             { SELECT ?a WHERE { ?a <http://x/p> ?b } }
+             UNION { ?a <http://x/q> ?c } }"""
+    )
+    (u,) = [e for e in q.where.elements if isinstance(e, UnionBlock)]
+    assert len(u.branches) == 2
+    assert any(
+        isinstance(el, SubSelect) for el in u.branches[0].elements
+    )
+
+
+def test_trailing_dot_is_terminator_not_decimal():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        "SELECT * WHERE { ?s <http://x/p> 5. ?s <http://x/q> ?o }"
+    )
+    assert len(q.where.elements) == 2  # two triples, '.' terminated
+    o = q.where.elements[0].o
+    assert o.py == 5 and isinstance(o.py, int)  # INTEGER, not double '5.'
+
+
+def test_from_accepts_prefixed_name():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        "PREFIX ex: <http://e/> SELECT * FROM ex:g WHERE { ?s ?p ?o }"
+    )
+    assert q.from_graphs == ["http://e/g"]
