@@ -34,16 +34,22 @@ def sparql_json_term(value) -> dict | None:
     return {"type": "literal", "value": s}
 
 
+def binding_of(row, columns: list[str]) -> dict:
+    """ONE solution row → SPARQL-JSON binding dict (shared by the CLI
+    and both HTTP serving modes so the three outputs cannot diverge)."""
+    b = {}
+    for c in columns:
+        t = sparql_json_term(row[c])
+        if t is not None:
+            b[c] = t
+    return b
+
+
 def to_sparql_json(rows: list, columns: list[str]) -> dict:
-    bindings = []
-    for row in rows:
-        b = {}
-        for c in columns:
-            t = sparql_json_term(row[c])
-            if t is not None:
-                b[c] = t
-        bindings.append(b)
-    return {"head": {"vars": columns}, "results": {"bindings": bindings}}
+    return {
+        "head": {"vars": columns},
+        "results": {"bindings": [binding_of(r, columns) for r in rows]},
+    }
 
 
 def run(
@@ -84,6 +90,11 @@ def run(
         t0 = time.perf_counter()
         df = SparqlEngine(spark, cat).query(query_text)
         if write_path is not None:
+            if trace:
+                raise ValueError(
+                    "--trace needs driver-side row arrival; it cannot be "
+                    "combined with --write (distributed sink)"
+                )
             # distributed sink: results land as a partitioned dataset
             # straight from the executors — the driver never holds the
             # result set (the scale path for large answers)
@@ -109,19 +120,22 @@ def run(
                 "totalRows": n,
                 "execTime": round(time.perf_counter() - t0, 4),
             }
-        if trace:
-            rows, answer_times = [], []
-            for row in df.toLocalIterator():
-                rows.append(row)
-                answer_times.append(round(time.perf_counter() - t0, 4))
-            t_all = time.perf_counter() - t0
-            t_first = answer_times[0] if answer_times else t_all
-        else:
-            first = df.limit(1).collect()
-            t_first = time.perf_counter() - t0
-            rows = df.collect()
-            t_all = time.perf_counter() - t0
-            answer_times = None
+        # ONE execution for both modes (round-5 review fix: the old
+        # non-trace path ran limit(1).collect() AND collect() — two
+        # full jobs — and reported execTime across both): stream rows,
+        # note first arrival; trace additionally records every arrival.
+        rows, answer_times = [], [] if trace else None
+        t_first = None
+        for row in df.toLocalIterator():
+            rows.append(row)
+            now = round(time.perf_counter() - t0, 4)
+            if t_first is None:
+                t_first = now
+            if trace:
+                answer_times.append(now)
+        t_all = time.perf_counter() - t0
+        if t_first is None:
+            t_first = t_all
         payload = to_sparql_json(rows, df.columns)
         out = {
             "vars": df.columns,

@@ -34,7 +34,15 @@ def _load():
             if name in queries:  # not assert: must survive python -O
                 raise ValueError(f"duplicate query name {name}")
             queries[name] = fn
-        oracle.update(getattr(mod, "ORACLE", {}))
+        for name, sql in getattr(mod, "ORACLE", {}).items():
+            if name in oracle:
+                raise ValueError(f"duplicate oracle key {name}")
+            oracle[name] = sql
+    # an oracle key that names no query (a typo) would otherwise
+    # silently downgrade the intended query to a rows-only check
+    orphans = sorted(set(oracle) - set(queries))
+    if orphans:
+        raise ValueError(f"ORACLE keys without a registered query: {orphans}")
     return queries, oracle
 
 

@@ -256,7 +256,11 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = (
         inter.join(F.broadcast(nsz), "doc_id")
-        .join(F.broadcast(csz), "cid")
+        # csz is one row per CORPUS document — broadcasting it breaks
+        # the 'cost scales with the batch' contract at a real corpus
+        # size (round-5 review fix); AQE may still pick broadcast at
+        # fixture scale, but the plan must not force it
+        .join(csz, "cid")
         .filter(jac >= 0.35)
         .groupBy("doc_id")
         .agg(F.min("cid").alias("near_dup_of"))
@@ -1133,14 +1137,25 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(media)
 
 
+# byte-TRUE oracle (round-5 review fix: the old ascii(substr(text,i,1))
+# form counted CODEPOINTS — it agreed with the Spark kernel only while
+# the fixture stayed pure ASCII; hex(encode(text)) indexes actual UTF-8
+# bytes, so non-ASCII and empty documents match too)
 MM_DECODE_STATS_SQL = """
-SELECT doc_id AS media_id,
-       octet_length(encode(text)) AS n_bytes,
-       ascii(substr(text, 1, 1)) AS first_byte,
-       CAST(list_sum(list_transform(
-              range(1, octet_length(encode(text)) + 1),
-              i -> ascii(substr(text, i, 1)))) AS BIGINT) % 1000003 AS byte_sum_mod
-FROM documents
+WITH b AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         hex(encode(text)) AS h
+  FROM documents
+)
+SELECT media_id, n_bytes,
+       CASE WHEN n_bytes = 0 THEN -1
+            ELSE ('0x' || substr(h, 1, 2))::INT END AS first_byte,
+       CAST(COALESCE(list_sum(list_transform(
+              range(n_bytes),
+              i -> ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::BIGINT)), 0)
+            AS BIGINT) % 1000003 AS byte_sum_mod
+FROM b
 """
 
 
@@ -1182,10 +1197,13 @@ def mm_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_FEATURE_HIST_SQL = """
 WITH tot AS (
-  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
 ), byt AS (
-  SELECT media_id, ascii(substr(text, CAST(i AS INT), 1)) // 32 AS bucket
-  FROM tot, unnest(range(1, n + 1)) AS u(i)
+  SELECT media_id,
+         ('0x' || substr(h, CAST(2 * i + 1 AS INT), 2))::INT // 32 AS bucket
+  FROM tot, unnest(range(n)) AS u(i)
 ), cnt AS (
   SELECT media_id, bucket, COUNT(*) AS c FROM byt GROUP BY media_id, bucket
 )

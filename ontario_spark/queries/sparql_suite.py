@@ -497,10 +497,18 @@ def _service_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import duckdb
 
     def endpoint(query: str):
+        # a stand-in that ignored its query could green-light a broken
+        # SERVICE translation (round-5 review fix): assert the engine
+        # shipped the expected pattern + projection before answering
+        if "?r" not in query or "?rname" not in query or "name" not in query:
+            raise AssertionError(f"unexpected SERVICE query: {query}")
         con = duckdb.connect()
-        rows = con.execute(
-            f"SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet'"
-        ).fetchall()
+        try:
+            rows = con.execute(
+                f"SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet'"
+            ).fetchall()
+        finally:
+            con.close()
         return [
             {"r": f"{EX}region/{k}", "rname": name} for k, name in rows
         ]

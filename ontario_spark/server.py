@@ -22,7 +22,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from ontario_spark.cli import sparql_json_term
+from ontario_spark.cli import binding_of
 
 
 class SparqlHTTPServer:
@@ -102,8 +102,11 @@ class SparqlHTTPServer:
                     q = parse_qs(urlparse(self.path).query)
                     q["query"] = [raw]
                 else:
-                    q = parse_qs(raw)
-                    q.update(parse_qs(urlparse(self.path).query))
+                    # the POSTed form body carries the operation; URL
+                    # params only fill gaps (round-5 review fix: the
+                    # old update() order let ?query= override the body)
+                    q = parse_qs(urlparse(self.path).query)
+                    q.update(parse_qs(raw))
                 self._handle(q)
 
             def _handle(self, q: dict) -> None:
@@ -179,12 +182,7 @@ class SparqlHTTPServer:
         for row in df.toLocalIterator():
             if t_first is None:
                 t_first = time.perf_counter() - t0
-            b = {}
-            for c in cols:
-                t = sparql_json_term(row[c])
-                if t is not None:
-                    b[c] = t
-            yield ("," if n else "") + json.dumps(b)
+            yield ("," if n else "") + json.dumps(binding_of(row, cols))
             n += 1
         t_all = time.perf_counter() - t0
         yield '], "execTime": %s, "firstResult": %s, "totalRows": %d}' % (
@@ -211,12 +209,7 @@ class SparqlHTTPServer:
             with self._lock:
                 self._pending.pop(qid, None)
             return {"result": "EOF"}
-        b = {}
-        for c in entry["vars"]:
-            t = sparql_json_term(row[c])
-            if t is not None:
-                b[c] = t
-        return {"result": b, "vars": entry["vars"]}
+        return {"result": binding_of(row, entry["vars"]), "vars": entry["vars"]}
 
     # --- lifecycle ------------------------------------------------------
 
@@ -225,5 +218,6 @@ class SparqlHTTPServer:
         return self
 
     def stop(self) -> None:
-        self._httpd.shutdown()
+        if self._thread.is_alive():  # shutdown() blocks unless serving
+            self._httpd.shutdown()
         self._httpd.server_close()

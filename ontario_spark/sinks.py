@@ -42,7 +42,13 @@ def _term_nt(col: F.Column) -> F.Column:
 def ntriples(construct_df: DataFrame) -> DataFrame:
     """CONSTRUCT result (s/p/o columns) → one ``ntriple`` string column
     (reference parity: ``Xconstruct`` N-Triples formatting, done here as
-    a single codegen'd projection)."""
+    a single codegen'd projection). Rows with ANY unbound (NULL) term
+    are OMITTED per SPARQL CONSTRUCT semantics — concat_ws would
+    otherwise silently drop just the NULL component and emit a
+    truncated, malformed line (round-5 review fix)."""
+    construct_df = construct_df.filter(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+    )
     return construct_df.select(
         F.concat_ws(
             " ",

@@ -726,3 +726,30 @@ def test_pii_counts_are_sequential_no_double_count(spark):
     import hashlib
 
     assert r["redacted_hash"] == hashlib.md5(b"mail [EMAIL] now").hexdigest()
+
+
+def test_mm_decode_stats_oracle_is_byte_true(spark):
+    """The decode-stats oracle must count UTF-8 BYTES like the Spark
+    kernel — non-ASCII and empty documents included (round-5 review
+    fix: the old codepoint-based oracle only agreed on pure ASCII)."""
+    import duckdb
+
+    from ontario_spark.operators.multimodal import decode_stats, media_from_text
+    from ontario_spark.queries.pipeline_suite import MM_DECODE_STATS_SQL
+
+    rows = [(1, "héllo"), (2, ""), (3, "a€ b"), (4, "plain ascii")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["media_id"]: (r["n_bytes"], r["first_byte"], r["byte_sum_mod"])
+        for r in decode_stats(media_from_text(df, "doc_id", "text")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(MM_DECODE_STATS_SQL).fetchall()
+    }
+    assert got == exp
+    assert got[1][0] == 6  # 'héllo' is six UTF-8 bytes
+    assert got[2] == (0, -1, 0)
