@@ -356,19 +356,37 @@ class Parser:
                     self.next()
                     item = self._expression()
                     self.eat_op(")")
+                elif self.peek().type == "KEYWORD" and (
+                    self.peek().value.lower() in _BUILTINS
+                    or self.peek().value.lower() in _AGGS
+                ):
+                    # bare Constraint order condition: ORDER BY
+                    # STRLEN(?x) / COUNT(?x) — legal per OrderCondition
+                    item = self._primary()
                 else:
                     break
                 q.order_by.append((item, asc))
             if not q.order_by:
                 raise SparqlSyntaxError(f"empty ORDER BY at {self.peek().pos}")
-        # LIMIT/OFFSET in either order
+        # LIMIT/OFFSET in either order; operand must be a non-negative
+        # INTEGER (a bare int() on any token raised an untyped
+        # ValueError and accepted negatives)
+        def _count(kw: str) -> int:
+            t = self.next()
+            if t.type != "NUMBER" or not t.value.isdigit():
+                raise SparqlSyntaxError(
+                    f"{kw} needs a non-negative integer at {t.pos}, "
+                    f"got {t.value!r}"
+                )
+            return int(t.value)
+
         for _ in range(2):
             if self.at_kw("limit"):
                 self.next()
-                q.limit = int(self.next().value)
+                q.limit = _count("LIMIT")
             elif self.at_kw("offset"):
                 self.next()
-                q.offset = int(self.next().value)
+                q.offset = _count("OFFSET")
 
     # --- graph patterns -------------------------------------------------
 

@@ -276,3 +276,27 @@ def test_from_accepts_prefixed_name():
         "PREFIX ex: <http://e/> SELECT * FROM ex:g WHERE { ?s ?p ?o }"
     )
     assert q.from_graphs == ["http://e/g"]
+
+
+def test_order_by_bare_builtin_and_aggregate():
+    from ontario_spark.sparql.parser import parse
+
+    q = parse("SELECT ?x WHERE { ?x <http://e/p> ?v } ORDER BY STRLEN(?x) ?v")
+    assert len(q.order_by) == 2
+    assert q.order_by[0][0].op == "strlen"
+    q2 = parse(
+        "SELECT ?s (COUNT(?v) AS ?n) WHERE { ?s <http://e/p> ?v } "
+        "GROUP BY ?s ORDER BY COUNT(?v)"
+    )
+    assert q2.order_by[0][0].op == "agg_count"
+
+
+def test_limit_offset_validation():
+    import pytest
+
+    from ontario_spark.sparql.parser import SparqlSyntaxError, parse
+
+    with pytest.raises(SparqlSyntaxError, match="LIMIT"):
+        parse("SELECT ?x WHERE { ?x <http://e/p> ?v } LIMIT -5")
+    with pytest.raises(SparqlSyntaxError, match="OFFSET"):
+        parse("SELECT ?x WHERE { ?x <http://e/p> ?v } OFFSET x")
