@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {}, "sf": ..., "n_queries": N}. The stdout "queries" dict is
+deliberately EMPTY (the driver captures only a 2000-char stdout tail);
+full per-query timings + row counts are written to BENCH.json next to
+this file.
 """
 
 from __future__ import annotations
@@ -24,7 +27,17 @@ def main() -> None:
 
     queries = all_queries()
     headline = os.environ.get("BENCH_QUERIES")
-    names = headline.split(",") if headline else sorted(queries)
+    if headline:
+        names = [n.strip() for n in headline.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(queries))
+        if unknown:
+            raise SystemExit(
+                f"BENCH_QUERIES names not in registry: {unknown}"
+            )
+        if not names:
+            raise SystemExit("BENCH_QUERIES is empty after parsing")
+    else:
+        names = sorted(queries)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -68,8 +68,9 @@ def bgp_stars(triples: list[Triple]) -> list[Star]:
 class StarPlan:
     """One way to answer a star: a UNION over alternatives, each
     alternative a list of TripleMaps self-joined on the shared subject
-    template. ``assignment`` maps each triple to the map (within the
-    alternative) that provides its predicate."""
+    template. Within an alternative, a triple is answered by the FIRST
+    map providing its predicate (``compile_star``'s assignment rule —
+    star.py:87)."""
 
     star: Star
     alternatives: list[list[TripleMap]]
@@ -94,14 +95,21 @@ def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
             target = by_subj.get(t.o.value)
             if target is None or target is plan:
                 continue
-            # shapes A can emit for this predicate
-            shapes = [
-                tm.pom[t.p.value].template
+            # shapes A can emit for this predicate — judged on each
+            # alternative's ASSIGNED map (compile_star routes a triple
+            # to the FIRST map providing its predicate, star.py:87); a
+            # non-template assigned object map can emit ARBITRARY URIs,
+            # so its presence makes static pruning unsound (round-5
+            # review fix: any()-over-all-maps both over- and
+            # under-approximated the emitted shapes)
+            assigned = [
+                next((tm.pom[t.p.value] for tm in alt if t.p.value in tm.pom), None)
                 for alt in plan.alternatives
-                for tm in alt
-                if tm.pom.get(t.p.value) is not None
-                and tm.pom[t.p.value].kind == "template"
             ]
+            assigned = [om for om in assigned if om is not None]
+            if any(om.kind != "template" for om in assigned):
+                continue  # some branch emits lexical URIs: can't reason
+            shapes = [om.template for om in assigned]
             if shapes:
                 kept = [
                     alt
@@ -122,18 +130,19 @@ def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
             if tshapes:
 
                 def connects(alt: list[TripleMap]) -> bool:
-                    oms = [
-                        tm.pom[t.p.value]
-                        for tm in alt
-                        if tm.pom.get(t.p.value) is not None
-                    ]
-                    if not any(om.kind == "template" for om in oms):
-                        return True  # lexical link: can't reason, keep
-                    return any(
-                        om.kind == "template"
-                        and any(om.template.same_shape(s) for s in tshapes)
-                        for om in oms
+                    # judge the ASSIGNED map (first providing the
+                    # predicate — the one compile_star actually reads),
+                    # not any() over the alternative (round-5 review
+                    # fix: a template on a LATER map wrongly dropped an
+                    # alternative whose assigned reference column can
+                    # hold target-shaped URIs)
+                    om = next(
+                        (tm.pom[t.p.value] for tm in alt if t.p.value in tm.pom),
+                        None,
                     )
+                    if om is None or om.kind != "template":
+                        return True  # lexical link: can't reason, keep
+                    return any(om.template.same_shape(s) for s in tshapes)
 
                 kept = [alt for alt in plan.alternatives if connects(alt)]
                 if kept:
@@ -178,20 +187,15 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
             key = (tm.subject.kind, str(tm.subject.value))
         groups.setdefault(key, []).append(tm)
 
-    alternatives: list[list[TripleMap]] = []
-    for _, maps in sorted(groups.items()):
-        # every type constraint needs a carrier map in THIS group
-        if classes and not all(
-            any(tm.subject_class == cls for tm in maps) for cls in classes
-        ):
-            continue
+    def greedy_cover(maps: list[TripleMap]) -> "list[TripleMap] | None":
+        """Smallest-ish self-joinable subset of ``maps`` covering every
+        star predicate (biggest contributors first); None if the set
+        cannot cover."""
         covered: set[str] = set()
         for tm in maps:
             covered |= set(tm.pom)
         if not set(preds) <= covered:
-            continue
-        # greedy cover: biggest contributors first (all joinable by
-        # group construction)
+            return None
         chosen: list[TripleMap] = []
         need = set(preds)
         for tm in sorted(maps, key=lambda m: -len(set(m.pom) & set(preds))):
@@ -201,17 +205,48 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
                 need -= gain
             if not need and chosen:
                 break
-        if need:
+        return chosen if not need and chosen else None
+
+    alternatives: list[list[TripleMap]] = []
+    for _, maps in sorted(groups.items()):
+        if classes:
+            # every type constraint needs a carrier map in THIS group;
+            # the single cover joins one carrier per class
+            if not all(
+                any(tm.subject_class == cls for tm in maps) for cls in classes
+            ):
+                continue
+            chosen = greedy_cover(maps)
+            if chosen is None:
+                continue
+            # each constrained class gets a carrier (the type triple
+            # routes to it in compile_star); subject self-join enforces
+            # conjunction
+            for cls in sorted(classes):
+                if not any(tm.subject_class == cls for tm in chosen):
+                    chosen.append(
+                        next(tm for tm in maps if tm.subject_class == cls)
+                    )
+            alternatives.append(chosen)
             continue
-        if not chosen and maps:
-            chosen = [maps[0]]
-        # each constrained class gets a carrier (the type triple routes
-        # to it in compile_star); subject self-join enforces conjunction
-        for cls in sorted(classes):
-            if not any(tm.subject_class == cls for tm in chosen):
-                chosen.append(
-                    next(tm for tm in maps if tm.subject_class == cls)
-                )
-        alternatives.append(chosen)
+        # No type constraint: each MOLECULE (class) in the shape group
+        # answers independently — one UNION branch per class that
+        # covers the star (round-5 review fix: one greedy cover per
+        # shape group silently dropped same-shape maps of OTHER classes
+        # that also answered; reference posture: make_union per
+        # RDF-MT). Classless maps stay together as one molecule so
+        # split catalogs without rr:class keep their self-join cover.
+        by_cls: dict[str, list[TripleMap]] = {}
+        for tm in maps:
+            by_cls.setdefault(tm.subject_class or "", []).append(tm)
+        for _, cmaps in sorted(by_cls.items()):
+            if not preds:
+                # pure type/all-variable scan: every map contributes
+                # its own subjects — one branch per map
+                alternatives.extend([tm] for tm in cmaps)
+                continue
+            chosen = greedy_cover(cmaps)
+            if chosen is not None:
+                alternatives.append(chosen)
 
     return StarPlan(star=star, alternatives=alternatives)

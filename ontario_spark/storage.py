@@ -53,9 +53,18 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join on ``key``: left rows get a
-    deterministic pseudo-random salt in [0, salt); right rows are
+    deterministic content-derived salt in [0, salt); right rows are
     replicated to every salt value. Result is row-identical to
     ``left.join(right, key, how)`` for inner/left joins.
+
+    The salt hashes the ROW CONTENT (every left column), never a
+    nondeterministic expression: a ``monotonically_increasing_id``
+    salt keyed the shuffle on task-attempt-dependent values, so a lost
+    executor + retried map task re-hashed rows to different reducers
+    than the already-fetched shuffle files — duplicated/lost rows
+    (SPARK-23207 class; round-5 review fix). Identical duplicate rows
+    share a salt — the hot key still spreads by the payload variety
+    that made it hot.
 
     Use when one key's row count dwarfs the rest; plain AQE skew-join
     only splits map-side partitions and cannot help when a single key
@@ -65,7 +74,7 @@ def salted_join(
         # right/full outer would emit each unmatched right row once PER
         # SALT value — refuse instead of silently corrupting
         raise ValueError(f"salted_join does not support how={how!r}")
-    salt_col = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt))
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l = left.withColumn("__salt", salt_col.cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))

@@ -194,3 +194,56 @@ def test_sparql_over_csv_and_json(spark, flat_file_dir, sf_small):
     )
     on = run_oracle("SELECT n_name AS name FROM nation WHERE n_name IS NOT NULL", sf_small)
     assert_match(dfn, on, "json_source")
+
+
+def test_same_shape_maps_of_different_classes_union(spark, tmp_path):
+    """Round-5 planner fix: two maps sharing ONE subject-template
+    skeleton but describing DIFFERENT classes must BOTH answer an
+    untyped star (one union branch per molecule) — the shape-grouped
+    greedy cover previously picked one map and silently dropped the
+    other class's rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ontario_spark.catalog.model import (
+        Catalog,
+        DataSource,
+        LogicalSource,
+        TripleMap,
+        ref,
+        tpl,
+    )
+    from ontario_spark.compiler.query import SparqlEngine
+
+    pq.write_table(
+        pa.table({"id": [1, 2], "name": ["p1", "p2"]}),
+        f"{tmp_path}/people.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": [7], "name": ["c7"]}), f"{tmp_path}/companies.parquet"
+    )
+    src = DataSource(name="lake", dstype="parquet", base_path=str(tmp_path))
+    person = TripleMap(
+        name="PersonMap",
+        source=LogicalSource(table="people"),
+        subject=tpl("http://e/res/{id}"),
+        subject_class="http://e/Person",
+        predicates=(("http://e/name", ref("name")),),
+    )
+    company = TripleMap(
+        name="CompanyMap",
+        source=LogicalSource(table="companies"),
+        subject=tpl("http://e/res/{id}"),
+        subject_class="http://e/Company",
+        predicates=(("http://e/name", ref("name")),),
+    )
+    cat = Catalog()
+    cat.add(src, person, company)
+    eng = SparqlEngine(spark, cat)
+    rows = eng.query("SELECT ?n WHERE { ?s <http://e/name> ?n }").collect()
+    assert sorted(r["n"] for r in rows) == ["c7", "p1", "p2"]
+    # type-variable star: ?t binds BOTH classes, not just the first
+    trows = eng.query(
+        "SELECT ?t WHERE { ?s a ?t }"
+    ).collect()
+    assert {r["t"] for r in trows} == {"http://e/Person", "http://e/Company"}
