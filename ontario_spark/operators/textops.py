@@ -368,3 +368,50 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select(id_col, *[f"n_{k}" for k in PII_PATTERNS],
                 total.alias("n_pii"), "redacted_hash")
     )
+
+
+# URL + registrable-domain patterns — ASCII/RE2-safe like PII_PATTERNS,
+# so Spark (Java regex) and DuckDB (RE2) extract identical matches.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: "list[str] | None" = None,
+) -> DataFrame:
+    """URL extraction + domain blocklist flagging — the curation gate
+    that drops documents sourced from (or heavily citing) unwanted
+    domains: per document, the URL count, the sorted distinct
+    lower-cased domain set (comma-joined — a string, so cross-engine
+    hash comparison stays simple), and how many of those domains hit
+    the ``blocklist``. Downstream filters on ``n_blocked == 0``.
+
+    Scale shape: pure per-row ``regexp_extract_all`` + array column
+    expressions — map-only, zero shuffles, zero Python; the blocklist
+    is a literal array (a corpus-scale list would broadcast-join on an
+    exploded domain column instead)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    doms = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                urls,
+                lambda u: F.lower(
+                    F.regexp_extract(u, _DOMAIN_PATTERN, 1)
+                ),
+            )
+        )
+    )
+    cols = [
+        F.col(id_col),
+        F.size(urls).alias("n_urls"),
+        F.array_join(doms, ",").alias("domains"),
+    ]
+    if blocklist is not None:
+        blocked = F.array_intersect(
+            doms, F.array(*[F.lit(b.lower()) for b in sorted(blocklist)])
+        )
+        cols.append(F.size(blocked).alias("n_blocked"))
+    return spread(df).select(*cols)

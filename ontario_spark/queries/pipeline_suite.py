@@ -870,6 +870,64 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 """
 
 
+def text_url_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain-blocklist gate (round 5). The synthetic
+    corpus carries no URLs, so deterministic ones are planted on doc_id
+    residues (both engines construct identical text); counts, the
+    sorted distinct domain set, and blocklist hits are all
+    oracle-checked."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(F.lit(" see https://Example.com/a/"), did),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 15 == 0,
+                F.lit(" via http://Spam.bad-site.com/x?y=1 now"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textops.url_scan(
+        planted, "doc_id", "text",
+        blocklist=["spam.bad-site.com", "tracker.example.net"],
+    )
+
+
+TEXT_URL_SCAN_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 9 = 0
+            THEN ' see https://Example.com/a/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 15 = 0
+            THEN ' via http://Spam.bad-site.com/x?y=1 now' ELSE '' END AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?') AS urls
+  FROM planted
+), d AS (
+  SELECT doc_id, len(urls) AS n_urls,
+         list_sort(list_distinct(list_transform(
+           urls, x -> lower(regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1))
+         ))) AS doms
+  FROM u
+)
+SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
+       COALESCE(array_to_string(doms, ','), '') AS domains,
+       CAST(len(list_intersect(
+         doms, ['spam.bad-site.com', 'tracker.example.net'])) AS INT)
+         AS n_blocked
+FROM d
+"""
+
+
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixing (round 5): per-language keep rates
     ∝ sqrt(n_lang) flatten the language distribution toward uniform at
@@ -1373,6 +1431,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_metrics": text_metrics,
     "text_pii_scan": text_pii_scan,
+    "text_url_scan": text_url_scan,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1410,6 +1469,7 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_metrics": TEXT_METRICS_SQL,
     "text_pii_scan": TEXT_PII_SQL,
+    "text_url_scan": TEXT_URL_SCAN_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,

@@ -753,3 +753,28 @@ def test_mm_decode_stats_oracle_is_byte_true(spark):
     assert got == exp
     assert got[1][0] == 6  # 'héllo' is six UTF-8 bytes
     assert got[2] == (0, -1, 0)
+
+
+def test_url_scan_extracts_and_blocks(spark):
+    """url_scan (round 5): URLs extracted, domains lower-cased +
+    deduped + sorted, blocklist hits counted; no-URL docs score
+    zero with an empty domain string."""
+    from ontario_spark.operators.textops import url_scan
+
+    rows = [
+        (1, "see https://A.com/x and http://b.org/y and https://a.com/z"),
+        (2, "spam at http://Bad.example.com/buy?now=1 ok"),
+        (3, "no links here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in url_scan(
+            df, "doc_id", "text", blocklist=["bad.example.com"]
+        ).collect()
+    }
+    assert out[1]["n_urls"] == 3
+    assert out[1]["domains"] == "a.com,b.org"  # lower-cased, deduped, sorted
+    assert out[1]["n_blocked"] == 0
+    assert out[2]["n_blocked"] == 1
+    assert out[3]["n_urls"] == 0 and out[3]["domains"] == ""

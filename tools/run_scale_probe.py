@@ -49,6 +49,8 @@ PROBE_QUERIES = [
     # text
     "text_metrics",
     "frequent_terms",
+    "text_pii_scan",
+    "sample_temperature_mix",
     # temporal + streaming
     "events_asof_join",
     "events_range_pairs",
