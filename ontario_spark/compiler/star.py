@@ -53,8 +53,28 @@ def compile_star(
         _compile_alternative(spark, cat, plan, alt, remote_conds)
         for alt in plan.alternatives
     ]
-    out = frames[0]
-    for f in frames[1:]:
+    # Branches in the same shape group share a subject-template shape,
+    # so two maps can assert the IDENTICAL triple (same subject row in
+    # both tables) — and an RDF graph is a SET of triples, so those
+    # solutions count once. Dedup within a multi-branch group only;
+    # single-branch groups keep the (cheaper) bag union, and branches
+    # of different groups generate differently-shaped URIs, provably
+    # disjoint. (round-6 review fix; scale: the dropDuplicates shuffle
+    # exists only for genuinely-overlapping molecule unions.)
+    groups = plan.alt_groups or list(range(len(frames)))
+    by_group: dict[int, list[BFrame]] = {}
+    for g, f in zip(groups, frames):
+        by_group.setdefault(g, []).append(f)
+    gframes: list[BFrame] = []
+    for _, fs in sorted(by_group.items()):
+        f = fs[0]
+        for x in fs[1:]:
+            f = f.union(x)
+        if len(fs) > 1:
+            f = BFrame(f.df.dropDuplicates(), f.meta)
+        gframes.append(f)
+    out = gframes[0]
+    for f in gframes[1:]:
         out = out.union(f)
     return out
 

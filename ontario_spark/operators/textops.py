@@ -372,7 +372,10 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # URL + registrable-domain patterns — ASCII/RE2-safe like PII_PATTERNS,
 # so Spark (Java regex) and DuckDB (RE2) extract identical matches.
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+# The path class spells out Java's \s ([ \t\n\x0B\f\r]) explicitly:
+# RE2's \s lacks \x0B, so a bare [^\s] diverges on vertical-tab text
+# (round-6 review fix).
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^ \t\n\x0B\f\r]*)?"
 _DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
 
 
@@ -393,7 +396,12 @@ def url_scan(
     expressions — map-only, zero shuffles, zero Python; the blocklist
     is a literal array (a corpus-scale list would broadcast-join on an
     exploded domain column instead)."""
-    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    # NULL text ⇒ no URLs (not NULL counts/domains) — keeps the
+    # operator total and the DuckDB oracle definition equivalent
+    # (round-6 review fix: one-sided COALESCE in the oracle).
+    urls = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(URL_PATTERN), 0
+    )
     doms = F.array_sort(
         F.array_distinct(
             F.transform(

@@ -74,6 +74,15 @@ class StarPlan:
 
     star: Star
     alternatives: list[list[TripleMap]]
+    # Shape-group ordinal per alternative (parallel list). Branches in
+    # the SAME group share a subject-template shape, so different maps
+    # can assert the IDENTICAL triple (same subject URI, same
+    # predicate/object) — RDF graphs are triple SETS, so compile_star
+    # dedups within a multi-branch group; branches in different groups
+    # generate differently-shaped URIs and union without dedup
+    # (round-6 review fix: the round-5 per-class union double-counted
+    # a solution when the same subject row existed in two class maps).
+    alt_groups: "list[int] | None" = None
 
 
 def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
@@ -107,20 +116,24 @@ def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
                 for alt in plan.alternatives
             ]
             assigned = [om for om in assigned if om is not None]
-            if any(om.kind != "template" for om in assigned):
-                continue  # some branch emits lexical URIs: can't reason
-            shapes = [om.template for om in assigned]
-            if shapes:
-                kept = [
-                    alt
-                    for alt in target.alternatives
+            # Forward pruning needs EVERY branch's assigned map to be a
+            # template (a lexical map can emit arbitrary URIs, so the
+            # emitted-shape set is unknowable); the reverse pass below
+            # still runs — it reasons per-alternative and keeps lexical
+            # links itself (round-6 review fix: a blanket `continue`
+            # here also skipped the reverse pass, which is sound).
+            if assigned and all(om.kind == "template" for om in assigned):
+                shapes = [om.template for om in assigned]
+                keep_idx = [
+                    i
+                    for i, alt in enumerate(target.alternatives)
                     # non-template (lexical) subjects hold full URIs the
                     # emitted shape may well produce: can't reason, keep
                     if alt[0].subject.kind != "template"
                     or any(alt[0].subject.template.same_shape(s) for s in shapes)
                 ]
-                if kept:
-                    target.alternatives = kept
+                if keep_idx:
+                    _keep(target, keep_idx)
             # reverse: A alternatives whose emitted shape can't reach B
             tshapes = [
                 alt[0].subject.template
@@ -144,10 +157,22 @@ def prune_connected(plans: list[StarPlan]) -> list[StarPlan]:
                         return True  # lexical link: can't reason, keep
                     return any(om.template.same_shape(s) for s in tshapes)
 
-                kept = [alt for alt in plan.alternatives if connects(alt)]
-                if kept:
-                    plan.alternatives = kept
+                keep_idx = [
+                    i
+                    for i, alt in enumerate(plan.alternatives)
+                    if connects(alt)
+                ]
+                if keep_idx:
+                    _keep(plan, keep_idx)
     return plans
+
+
+def _keep(plan: StarPlan, idx: list[int]) -> None:
+    """Retain only the alternatives at ``idx``, keeping the parallel
+    ``alt_groups`` list (dedup-scope bookkeeping) in sync."""
+    plan.alternatives = [plan.alternatives[i] for i in idx]
+    if plan.alt_groups is not None:
+        plan.alt_groups = [plan.alt_groups[i] for i in idx]
 
 
 def select_sources(cat: Catalog, star: Star) -> StarPlan:
@@ -208,7 +233,8 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
         return chosen if not need and chosen else None
 
     alternatives: list[list[TripleMap]] = []
-    for _, maps in sorted(groups.items()):
+    alt_groups: list[int] = []
+    for gid, (_, maps) in enumerate(sorted(groups.items())):
         if classes:
             # every type constraint needs a carrier map in THIS group;
             # the single cover joins one carrier per class
@@ -228,6 +254,7 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
                         next(tm for tm in maps if tm.subject_class == cls)
                     )
             alternatives.append(chosen)
+            alt_groups.append(gid)
             continue
         # No type constraint: each MOLECULE (class) in the shape group
         # answers independently — one UNION branch per class that
@@ -239,14 +266,31 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
         by_cls: dict[str, list[TripleMap]] = {}
         for tm in maps:
             by_cls.setdefault(tm.subject_class or "", []).append(tm)
+        branch_added = False
         for _, cmaps in sorted(by_cls.items()):
             if not preds:
                 # pure type/all-variable scan: every map contributes
                 # its own subjects — one branch per map
-                alternatives.extend([tm] for tm in cmaps)
+                for tm in cmaps:
+                    alternatives.append([tm])
+                    alt_groups.append(gid)
+                branch_added = True
                 continue
             chosen = greedy_cover(cmaps)
             if chosen is not None:
                 alternatives.append(chosen)
+                alt_groups.append(gid)
+                branch_added = True
+        if preds and not branch_added:
+            # No single class covers the star, but the WHOLE shape
+            # group might: maps of different classes (or classless +
+            # classed) sharing a subject template self-join on the
+            # subject to cover it jointly (round-6 review fix: the
+            # per-class split alone made previously-answerable
+            # cross-class stars raise SourceSelectionError).
+            chosen = greedy_cover(maps)
+            if chosen is not None:
+                alternatives.append(chosen)
+                alt_groups.append(gid)
 
-    return StarPlan(star=star, alternatives=alternatives)
+    return StarPlan(star=star, alternatives=alternatives, alt_groups=alt_groups)

@@ -910,7 +910,9 @@ WITH planted AS (
   FROM documents
 ), u AS (
   SELECT doc_id,
-         regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?') AS urls
+         regexp_extract_all(
+           COALESCE(text, ''),
+           'https?://[A-Za-z0-9.-]+(?:/[^ \\t\\n\\x0B\\f\\r]*)?') AS urls
   FROM planted
 ), d AS (
   SELECT doc_id, len(urls) AS n_urls,

@@ -74,10 +74,31 @@ def salted_join(
         # right/full outer would emit each unmatched right row once PER
         # SALT value — refuse instead of silently corrupting
         raise ValueError(f"salted_join does not support how={how!r}")
-    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    # xxhash64 rejects MAP- (and VARIANT-) typed inputs, even nested
+    # inside arrays/structs — salt from the hashable columns only
+    # (round-6 review fix: a map-bearing left frame failed analysis).
+    # The subset is schema-derived, so retried tasks hash identically.
+    hashable = [
+        f.name for f in left.schema.fields if _hash_safe(f.dataType)
+    ] or [key]
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt))
     l = left.withColumn("__salt", salt_col.cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
     )
     out = l.join(r, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def _hash_safe(dt) -> bool:
+    """True when ``xxhash64`` accepts the type: MAP (and VARIANT) are
+    prohibited at any nesting depth (DATATYPE_MISMATCH.HASH_MAP_TYPE)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType) or type(dt).__name__ == "VariantType":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hash_safe(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hash_safe(f.dataType) for f in dt.fields)
+    return True
