@@ -98,6 +98,50 @@ def ngram_jaccard_pairs(
     shingles — exactly the pairs exact dedup shouldn't report anyway.
     Set-size denominators stay uncapped (exact). None = exact
     semantics (small/verify-stage corpora)."""
+    inter = _ngram_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT similarity join: pairs (a < b) with
+    |A∩B| / min(|A|, |B|) >= threshold — the sub-document duplication
+    detector. Jaccard misses a short document wholly quoted inside a
+    long one (the union denominator swamps the overlap); containment
+    scores that pair 1.0. Same shuffle hygiene and ``max_doc_freq``
+    skew guard as ``ngram_jaccard_pairs`` (shared candidate
+    machinery)."""
+    inter = _ngram_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return inter.select(
+        "id_a", "id_b", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
+def _ngram_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared candidate stage of the exact n-gram similarity joins:
+    ``(id_a, id_b, n_common, n_a, n_b)`` for every pair sharing ≥1
+    (df-capped) shingle. See ``ngram_jaccard_pairs`` for the scale
+    notes on hashing, persistence, and the heavy-key anti-join."""
     from ontario_spark.operators.textops import exploded_shingles
 
     sh = exploded_shingles(df, id_col, text_col, n)
@@ -131,16 +175,10 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sz = F.broadcast(sizes)
-    inter = (
+    return (
         inter.join(sz.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sz.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    )
-    return inter.select(
-        "id_a", "id_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
 
 
 # Universal-hash family over a Mersenne prime: h_i(x) = (a_i·x + b_i)

@@ -524,6 +524,51 @@ def neardup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+    dim: int = 64,
+    max_bucket_size: "int | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication verdict per document:
+    ``(id, cluster_id, keep)`` where near-duplicate PAIRS (hyperplane-
+    LSH-bucketed cosine, ``neardup_pairs``) are closed into CLUSTERS
+    (min-label connected components) and one canonical row — the
+    minimum id — survives per cluster. Rows with no near-duplicate
+    form singleton clusters (``cluster_id = id``, ``keep = true``).
+
+    This is the embedding-space analogue of ``dedup_clusters`` over
+    n-gram Jaccard pairs (composition, not new machinery: both halves
+    carry their own corpus-scale skew guards — bucket splitting in the
+    pair join, edge-count-sized shuffles in the propagation loop).
+    Reference scope: the reference engine has no embedding operators;
+    this extends the training-data-pipeline surface."""
+    from ontario_spark.operators.graph import connected_components
+
+    pairs = neardup_pairs(
+        corpus,
+        id_col,
+        vec_col,
+        threshold=threshold,
+        bits=bits,
+        dim=dim,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("n").alias(id_col), "component"
+    )
+    out = corpus.select(F.col(id_col)).join(comp, id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (F.col(id_col) == cluster).alias("keep"),
+    )
+
+
 # --- product quantization (PQ) -----------------------------------------
 #
 # The 100 TB vector-search compression tier: vectors become m one-byte

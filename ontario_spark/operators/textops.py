@@ -423,3 +423,50 @@ def url_scan(
         )
         cols.append(F.size(blocked).alias("n_blocked"))
     return spread(df).select(*cols)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding prep step
+    that turns documents into fixed-budget passages: whitespace tokens,
+    windows of ``chunk_size`` tokens starting every ``chunk_size -
+    overlap`` tokens, last window clipped at the document tail (and
+    every document yields ≥1 chunk, so empty/short docs survive).
+    Output: ``(id, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: tokenize once, then ``explode(sequence(...))`` +
+    ``slice`` — map-only column expressions, zero shuffles, zero
+    Python; output row count is ~n_tokens/step per doc, linear in
+    corpus size. NULL text chunks as empty (total operator, mirrors
+    ``url_scan``)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}"
+        )
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = spread(df).select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    exploded = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * F.lit(step) + F.lit(1), chunk_size
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

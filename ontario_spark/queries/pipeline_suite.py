@@ -153,6 +153,50 @@ WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram CONTAINMENT pairs (round 6): |A∩B| / min(|A|,|B|) — the
+    sub-document duplication detector Jaccard's union denominator
+    misses (a short doc wholly quoted inside a long one scores 1.0
+    here). Shares the Jaccard query's candidate machinery and skew
+    cap."""
+    return dedup.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        max_doc_freq=1000,
+    )
+
+
+# Same shingle/pair CTEs as DEDUP_JACCARD_SQL; only the score changes.
+DEDUP_CONTAINMENT_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), ex AS (
+  SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM sh
+), rare AS (
+  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+         ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN rare r ON a.shingle = r.shingle
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) AS containment
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) >= 0.5
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the LONGEST copy per content hash (tiebreak
     lowest id) — the multi-source merge rule."""
@@ -727,10 +771,13 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_neardup_sql() -> str:
+def _emb_cc_ctes() -> str:
+    """Shared CTE prefix replicating ``neardup_pairs``'s seeded
+    hyperplane bucketing + md5 sub-bucket split (cap 200) in DuckDB —
+    used by both the pair oracle and the semantic-dedup oracle, so the
+    two stay definitionally identical."""
     bucket = similarity.hyperplane_bucket_sql("v", dim=64, bits=4)
-    return f"""
-WITH c0 AS (
+    return f"""c0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), c AS (
@@ -742,7 +789,11 @@ WITH c0 AS (
          CAST(('0x' || substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 7)) AS BIGINT)
            % GREATEST(CAST(ceil(CAST(n AS DOUBLE) / 200) AS BIGINT), 1) AS sub
   FROM c JOIN cnt USING (bucket)
-)
+)"""
+
+
+EMB_NEARDUP_SQL = f"""
+WITH {_emb_cc_ctes()}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.v, b.v)
          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
@@ -754,7 +805,44 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
-EMB_NEARDUP_SQL = _emb_neardup_sql()
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style per-document verdict (round 6): the emb_neardup
+    pair graph closed into clusters (min-label connected components),
+    keeping the min-id representative per cluster; singletons keep
+    themselves. Same LSH parameters as ``emb_neardup_pairs`` so the
+    oracle shares its bucketing CTEs verbatim."""
+    return similarity.semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        bits=4,
+        dim=64,
+        max_bucket_size=200,
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_emb_cc_ctes()}, p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cc a JOIN cc b
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b AS a, id_a AS b FROM p
+), reach(n, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n
+), comp AS (
+  SELECT n, MIN(r) AS cluster FROM reach GROUP BY n
+)
+SELECT e.vec_id,
+       COALESCE(c2.cluster, e.vec_id) AS cluster_id,
+       e.vec_id = COALESCE(c2.cluster, e.vec_id) AS keep
+FROM embeddings e LEFT JOIN comp c2 ON c2.n = e.vec_id
+"""
 
 
 # --- text analysis ------------------------------------------------------
@@ -927,6 +1015,48 @@ SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
          doms, ['spam.bad-site.com', 'tracker.example.net'])) AS INT)
          AS n_blocked
 FROM d
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (round 6): 64-token windows
+    every 48 tokens (16-token overlap) — the RAG/embedding passage
+    prep. Map-only explode+slice; chunk ids, texts, and sizes are all
+    oracle-checked."""
+    return textops.chunk_documents(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_size=64,
+        overlap=16,
+    )
+
+
+# chunk windows: start every 48 tokens, 64 long, 1-based inclusive
+# list slicing in DuckDB == slice(start, length) in Spark.
+DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+  FROM documents
+), n AS (
+  SELECT doc_id, w, array_length(w) AS n FROM t
+), c AS (
+  SELECT doc_id, w,
+         GREATEST(CAST(ceil(CAST(n - 16 AS DOUBLE) / 48) AS INT), 1)
+           AS n_chunks
+  FROM n
+), e AS (
+  SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(
+         w[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)],
+         ' ') AS chunk_text,
+       CAST(len(
+         w[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)]
+       ) AS INT) AS n_chunk_tokens
+FROM e
 """
 
 
@@ -1411,7 +1541,9 @@ QUERIES = {
     "bm25_topk": bm25_topk_docs,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
+    "semantic_dedup": semantic_dedup,
     "dedup_keep_best": dedup_keep_best,
     "dedup_boilerplate": dedup_boilerplate,
     "fuzzy_part_names": fuzzy_part_names,
@@ -1434,6 +1566,7 @@ QUERIES = {
     "text_metrics": text_metrics,
     "text_pii_scan": text_pii_scan,
     "text_url_scan": text_url_scan,
+    "doc_chunks": doc_chunks,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1452,6 +1585,8 @@ ORACLE = {
     "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
@@ -1472,6 +1607,7 @@ ORACLE = {
     "text_metrics": TEXT_METRICS_SQL,
     "text_pii_scan": TEXT_PII_SQL,
     "text_url_scan": TEXT_URL_SCAN_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,

@@ -778,3 +778,73 @@ def test_url_scan_extracts_and_blocks(spark):
     assert out[1]["n_blocked"] == 0
     assert out[2]["n_blocked"] == 1
     assert out[3]["n_urls"] == 0 and out[3]["domains"] == ""
+
+
+def test_containment_catches_subdocument_quote(spark):
+    """A short doc quoted verbatim inside a long doc scores containment
+    1.0 while Jaccard stays below a useful threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    cont = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.35
+    ).collect()
+    assert jac == []  # union denominator hides the quote
+
+
+def test_semantic_dedup_one_keeper_per_cluster(spark, sf_small):
+    out = similarity.semantic_dedup(
+        table(spark, sf_small, "embeddings"),
+        threshold=0.2,
+        bits=4,
+        dim=64,
+        max_bucket_size=200,
+    )
+    rows = out.collect()
+    n_vecs = table(spark, sf_small, "embeddings").count()
+    assert len(rows) == n_vecs  # total: every vector gets a verdict
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1 and keepers[0]["vec_id"] == cid == min(
+            r["vec_id"] for r in members
+        )
+    assert any(len(m) > 1 for m in by_cluster.values())  # real clusters
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from ontario_spark.operators import textops
+
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    out = textops.chunk_documents(df, "doc_id", "text", chunk_size=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # 100 tokens, step 48 → 2 chunks; overlap region repeats
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1)}
+    c0, c1 = rows[(1, 0)], rows[(1, 1)]
+    assert c0["n_chunk_tokens"] == 64 and c0["chunk_text"].startswith("t0 ")
+    assert c1["n_chunk_tokens"] == 52  # tokens 48..99
+    assert c1["chunk_text"].split()[0] == "t48"
+    assert c0["chunk_text"].split()[48:] == c1["chunk_text"].split()[:16]
+    # short, empty, and NULL docs each yield exactly one chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b c"
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_chunk_tokens"] == 1
+    assert rows[(4, 0)]["chunk_text"] == ""
+    with pytest.raises(ValueError):
+        textops.chunk_documents(df, "doc_id", "text", chunk_size=8, overlap=8)
