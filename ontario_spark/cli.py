@@ -23,15 +23,15 @@ import time
 
 def sparql_json_term(value) -> dict | None:
     """Lexical value → SPARQL-JSON term dict (the reference builds the
-    same dicts in its wrappers, e.g. ``sparql2spark.py:189-229``)."""
-    if value is None:
+    same dicts in its wrappers, e.g. ``sparql2spark.py:189-229``).
+    Typing delegates to ``sinks.term_kind`` — the single rule shared
+    with the CSV/TSV/XML serializations."""
+    from ontario_spark.sinks import term_kind
+
+    t = term_kind(value)
+    if t is None:
         return None
-    s = str(value)
-    if s.startswith("http://") or s.startswith("https://") or s.startswith("urn:"):
-        return {"type": "uri", "value": s}
-    if s.startswith("_:"):
-        return {"type": "bnode", "value": s[2:]}
-    return {"type": "literal", "value": s}
+    return {"type": t[0], "value": t[1]}
 
 
 def binding_of(row, columns: list[str]) -> dict:

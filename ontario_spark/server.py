@@ -22,6 +22,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+from ontario_spark import sinks
 from ontario_spark.cli import binding_of
 
 
@@ -54,22 +55,26 @@ class SparqlHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _reply_chunked(self, chunks) -> None:
-                """Stream an iterable of JSON text fragments as one
-                chunked 200 response — driver memory stays bounded by
-                one row, not the result set.
+            def _reply_chunked(
+                self, chunks, ctype: str = "application/json"
+            ) -> None:
+                """Stream an iterable of text fragments as one chunked
+                200 response — driver memory stays bounded by one row,
+                not the result set.
 
                 Mid-stream execution errors (a lazily-evaluated cast,
                 a dead SERVICE endpoint, an executor failure) arrive
                 AFTER the 200 + headers are out, so a status change is
-                impossible; instead the error terminates the payload as
-                well-formed JSON (every fragment is a complete JSON
-                element, so appending ``], "error": ..}`` is always
-                valid), the chunked encoding is closed properly, and
-                the connection is NOT kept alive — a pipelined client
-                never reads garbage."""
+                impossible. For JSON payloads the error terminates the
+                payload as well-formed JSON (every fragment is a
+                complete JSON element, so appending ``], "error": ..}``
+                is always valid); CSV/TSV/XML have no in-band error
+                channel, so the payload just truncates. Either way the
+                chunked encoding is closed properly and the connection
+                is NOT kept alive — a pipelined client never reads
+                garbage."""
                 self.send_response(200)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
 
@@ -84,10 +89,11 @@ class SparqlHTTPServer:
                     for chunk in chunks:
                         emit(chunk)
                 except Exception as ex:
-                    emit(
-                        '], "error": %s, "truncated": true}'
-                        % json.dumps(str(ex)[:500])
-                    )
+                    if ctype.startswith("application/json"):
+                        emit(
+                            '], "error": %s, "truncated": true}'
+                            % json.dumps(str(ex)[:500])
+                        )
                     self.close_connection = True
                 self.wfile.write(b"0\r\n\r\n")
 
@@ -119,7 +125,8 @@ class SparqlHTTPServer:
                             self._reply(200, out)
                         else:  # blocking mode streams its result rows
                             streaming = True
-                            self._reply_chunked(out)
+                            chunks, ctype = out
+                            self._reply_chunked(chunks, ctype)
                     elif path == "/nextresult":
                         self._reply(200, outer._nextresult(q))
                     else:
@@ -141,7 +148,10 @@ class SparqlHTTPServer:
 
     # --- routes ---------------------------------------------------------
 
-    def _sparql(self, q: dict) -> dict:
+    def _sparql(self, q: dict):
+        """Returns a dict (non-blocking handshake) or a
+        ``(chunks, content_type)`` pair for the streaming blocking
+        modes."""
         text = (q.get("query") or [""])[0]
         if not text:
             raise ValueError("missing ?query=")
@@ -164,7 +174,22 @@ class SparqlHTTPServer:
                     "qlock": threading.Lock(),
                 }
             return {"qid": qid, "vars": df.columns}
-        return self._blocking_chunks(df, t0)
+        # Blocking mode: result format via ?format= (json default; the
+        # three other W3C serializations stream through the same
+        # bounded-memory chunked path).
+        fmt = (q.get("format") or ["json"])[0]
+        if fmt not in sinks.RESULT_MIME:
+            raise ValueError(
+                f"unknown format {fmt!r} (one of {sorted(sinks.RESULT_MIME)})"
+            )
+        if fmt == "json":
+            return self._blocking_chunks(df, t0), sinks.RESULT_MIME["json"]
+        ser = {
+            "csv": sinks.sparql_csv_chunks,
+            "tsv": sinks.sparql_tsv_chunks,
+            "xml": sinks.sparql_xml_chunks,
+        }[fmt]
+        return ser(df.toLocalIterator(), df.columns), sinks.RESULT_MIME[fmt]
 
     def _blocking_chunks(self, df, t0: float):
         """Blocking-mode body as a stream of JSON fragments: same

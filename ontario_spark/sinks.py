@@ -76,3 +76,117 @@ def write_results(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+# --- W3C SPARQL result serializations (CSV / TSV / XML) ----------------
+#
+# Beyond the reference (its only encodings are SPARQL-JSON and the
+# N-Triples CONSTRUCT sink): the other three standard result formats,
+# per https://www.w3.org/TR/sparql11-results-csv-tsv/ and
+# .../rdf-sparql-XMLres/. All three are GENERATORS over a row iterator
+# so the HTTP server can stream them chunk-by-chunk with driver memory
+# bounded by one row — same posture as the JSON blocking path.
+
+
+def term_kind(value) -> "tuple[str, str] | None":
+    """Lexical value → (kind, string) with kind ∈ uri|bnode|literal —
+    the SAME typing rule as the SPARQL-JSON sink (cli.sparql_json_term
+    delegates here) so the four serializations cannot diverge."""
+    if value is None:
+        return None
+    s = str(value)
+    if s.startswith("http://") or s.startswith("https://") or s.startswith("urn:"):
+        return ("uri", s)
+    if s.startswith("_:"):
+        return ("bnode", s[2:])
+    return ("literal", s)
+
+
+def _csv_field(s: str) -> str:
+    if any(ch in s for ch in (",", '"', "\n", "\r")):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def sparql_csv_chunks(rows, columns: list[str]):
+    """``text/csv`` serialization: header of bare variable names, then
+    one CRLF-terminated record per solution; IRIs bare, bnodes
+    ``_:label``, literals as their lexical form, unbound empty —
+    RFC 4180 quoting for fields containing comma/quote/newline."""
+    yield ",".join(_csv_field(c) for c in columns) + "\r\n"
+    for row in rows:
+        out = []
+        for c in columns:
+            t = term_kind(row[c])
+            if t is None:
+                out.append("")
+            elif t[0] == "bnode":
+                out.append(_csv_field("_:" + t[1]))
+            else:
+                out.append(_csv_field(t[1]))
+        yield ",".join(out) + "\r\n"
+
+
+def _tsv_term(t: "tuple[str, str] | None") -> str:
+    if t is None:
+        return ""
+    kind, s = t
+    if kind == "uri":
+        return "<" + s + ">"
+    if kind == "bnode":
+        return "_:" + s
+    esc = (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    return '"' + esc + '"'
+
+
+def sparql_tsv_chunks(rows, columns: list[str]):
+    """``text/tab-separated-values`` serialization: header of
+    ``?var`` names, then terms in SPARQL syntax — IRIs bracketed,
+    literals quoted with ECHAR escapes (tab/newline/backslash/quote),
+    unbound empty."""
+    yield "\t".join("?" + c for c in columns) + "\n"
+    for row in rows:
+        yield "\t".join(_tsv_term(term_kind(row[c])) for c in columns) + "\n"
+
+
+def sparql_xml_chunks(rows, columns: list[str]):
+    """``application/sparql-results+xml`` serialization (SPARQL Query
+    Results XML Format)."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    yield (
+        '<?xml version="1.0"?>\n'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n<head>'
+    )
+    for c in columns:
+        yield f"<variable name={quoteattr(c)}/>"
+    yield "</head>\n<results>\n"
+    for row in rows:
+        parts = ["<result>"]
+        for c in columns:
+            t = term_kind(row[c])
+            if t is None:
+                continue
+            kind, s = t
+            tag = {"uri": "uri", "bnode": "bnode", "literal": "literal"}[kind]
+            parts.append(
+                f"<binding name={quoteattr(c)}>"
+                f"<{tag}>{escape(s)}</{tag}></binding>"
+            )
+        parts.append("</result>\n")
+        yield "".join(parts)
+    yield "</results>\n</sparql>\n"
+
+
+RESULT_MIME = {
+    "json": "application/sparql-results+json",
+    "csv": "text/csv; charset=utf-8",
+    "tsv": "text/tab-separated-values; charset=utf-8",
+    "xml": "application/sparql-results+xml",
+}

@@ -155,3 +155,78 @@ def test_blocking_mode_streams_without_collect(server, spark):
     assert out["totalRows"] == len(out["result"]) == 150
     assert out["execTime"] >= out["firstResult"] >= 0
     assert out["result"][0]["c"]["type"] == "uri"
+
+
+def _get_raw(url: str):
+    with urlopen(url, timeout=120) as r:
+        return r.headers.get("Content-Type"), r.read().decode()
+
+
+def test_blocking_csv_format(server):
+    from urllib.parse import urlencode
+
+    q = urlencode({"query": QUERY, "format": "csv"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("text/csv")
+    lines = body.split("\r\n")
+    assert lines[0] == "c,name"
+    assert len([l for l in lines[1:] if l]) == 5
+    # IRIs bare (no angle brackets) in CSV
+    assert lines[1].startswith("http://ex.org/tpch/customer/")
+
+
+def test_blocking_tsv_format(server):
+    from urllib.parse import urlencode
+
+    q = urlencode({"query": QUERY, "format": "tsv"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("text/tab-separated-values")
+    lines = body.strip().split("\n")
+    assert lines[0] == "?c\t?name"
+    iri, lit = lines[1].split("\t")
+    assert iri.startswith("<http://") and iri.endswith(">")
+    assert lit.startswith('"') and lit.endswith('"')
+
+
+def test_blocking_xml_format(server):
+    import xml.etree.ElementTree as ET
+    from urllib.parse import urlencode
+
+    q = urlencode({"query": QUERY, "format": "xml"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("application/sparql-results+xml")
+    root = ET.fromstring(body)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    vars_ = [v.get("name") for v in root.find(f"{ns}head")]
+    assert vars_ == ["c", "name"]
+    results = root.find(f"{ns}results").findall(f"{ns}result")
+    assert len(results) == 5
+    kinds = {b.get("name"): b[0].tag for b in results[0]}
+    assert kinds == {"c": f"{ns}uri", "name": f"{ns}literal"}
+
+
+def test_unknown_format_is_400(server):
+    from urllib.error import HTTPError
+    from urllib.parse import urlencode
+
+    q = urlencode({"query": QUERY, "format": "turtle"})
+    with pytest.raises(HTTPError) as ei:
+        _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ei.value.code == 400
+
+
+def test_csv_quoting_and_tsv_escapes(spark):
+    """RFC 4180 quoting and TSV ECHAR escapes on adversarial values."""
+    from ontario_spark.sinks import sparql_csv_chunks, sparql_tsv_chunks
+
+    rows = [
+        {"v": 'a,"b"\nc'},
+        {"v": "tab\there"},
+        {"v": None},
+    ]
+    csv_out = "".join(sparql_csv_chunks(iter(rows), ["v"]))
+    assert '"a,""b""\nc"' in csv_out
+    assert csv_out.endswith("\r\n")
+    tsv_out = "".join(sparql_tsv_chunks(iter(rows), ["v"]))
+    assert '"tab\\there"' in tsv_out
+    assert tsv_out.splitlines()[3] == ""  # unbound → empty field
