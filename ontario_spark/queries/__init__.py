@@ -67,26 +67,35 @@ def all_oracle_sql() -> dict[str, str]:
 # sketch_hll_rollup → sketch_hll_check's derived-exactness bound);
 # both originals stay in the registry + pytest.
 DRIVER_SURFACE = [
-    # training-data pipeline
-    # (sample_train_test stays on bench/pytest — same md5-predicate
-    # mechanics as sample_corpus_mix, which represents the family here)
-    "sample_corpus_mix",
+    # training-data pipeline — round-6 rotation: the sampling family is
+    # now represented by sample_temperature_mix (round-5 temperature
+    # mixing, never externally verified); sample_corpus_mix (green
+    # r1-r5, same md5-predicate mechanics) leads the post-cap registry
+    "sample_temperature_mix",
     "dedup_exact",
     "dedup_ngram_jaccard",
     # pairs→clusters connected components (new round-4 family; its slot
     # comes from sparql_union, whose UNION semantics stay represented —
     # and driver-checked — by the strictly-wider sparql_source_union)
     "dedup_clusters",
-    # line-level (chunk) boilerplate removal — round-4 family; slot
-    # from sparql_nested_star_join (nested-source semantics stay
-    # driver-checked via sparql_nested_iterator)
-    "dedup_boilerplate",
+    # round-6 additions: sub-document containment + SemDeDup-style
+    # semantic dedup (slots from dedup_boilerplate — green r4-r5, the
+    # dedup family keeps five surface rows — and ann_topk_bruteforce —
+    # the ANN family stays represented by the scale-path
+    # ann_topk_bucketed)
+    "dedup_containment",
+    "semantic_dedup",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
-    "ann_topk_bruteforce",
     "ann_topk_bucketed",
     "emb_neardup_pairs",
     "text_metrics",
+    # round-6: PII scan + token-window chunking (slots from
+    # stream_events_hourly — windowed aggregation stays represented by
+    # stream_enriched_segments — and events_range_pairs — the temporal
+    # family keeps events_asof_join + events_scd2_history)
+    "text_pii_scan",
+    "doc_chunks",
     "bm25_topk",
     "mm_decode_stats",
     "sketch_hll_check",
@@ -96,24 +105,26 @@ DRIVER_SURFACE = [
     # sparql_property_path (the path family stays represented by
     # sparql_path_closure)
     "events_asof_join",
-    "events_range_pairs",
     # structured streaming (previously outside the checked set)
     "stream_click_purchase",
     "stream_dedup",
     "stream_enriched_segments",
-    "stream_events_hourly",
     "stream_user_sessions",
     "stream_user_gaps",
     # SPARQL 1.1 extensions + federation
     # (sparql_negated_path and sparql_property_path sit just past the
     # cap — the path family stays represented by sparql_path_closure)
     "sparql_group_by_expr",
-    "sparql_agg_distinct",
     # GRAPH / named-graph scoping — round-4 family; slot from
     # sparql_group_concat (the aggregate family stays represented by
     # sparql_aggregate, sparql_agg_distinct, and sparql_group_by_expr)
     "sparql_named_graph",
     "sparql_subquery",
+    # round-6: the SPARQL 1.1 term-function tail (STRDT/STRLANG/TZ/...,
+    # round-5 work never externally verified; slot from
+    # sparql_agg_distinct — aggregates stay represented by
+    # sparql_aggregate + sparql_group_by_expr)
+    "sparql_term_functions",
     "sparql_path_closure",
     "sparql_values_inline",
     "sparql_minus_setop",
@@ -136,7 +147,6 @@ DRIVER_SURFACE = [
     # still first among the post-cap registry entries + pytest-gated)
     "sparql_filter_functions",
     "sparql_aggregate",
-    "sparql_lineitem_star",
     "sparql_nested_iterator",
     "sparql_describe",
     # round-5 rotation: rows green three straight rounds and
@@ -151,6 +161,10 @@ DRIVER_SURFACE = [
     "events_scd2_history",
     "fuzzy_part_names",
     "dedup_keep_best",
+    # round-6: composed-pipeline family externally verified for the
+    # first time (slot from sparql_lineitem_star — star joins stay
+    # driver-checked via sparql_star_join + sparql_federated_join)
+    "pipeline_decontaminated_corpus",
     # relational shapes not evidenced by the SPARQL/pipeline entries
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -168,8 +182,16 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
-        # round-5 rotated-out rows first: still the next to re-enter if
-        # the driver's cap semantics ever change
+        # round-6 rotated-out rows first (each green ≥2 straight rounds
+        # with its family still surface-represented), then round-5's:
+        # still the next to re-enter if the cap semantics ever change
+        "sample_corpus_mix",
+        "dedup_boilerplate",
+        "ann_topk_bruteforce",
+        "events_range_pairs",
+        "stream_events_hourly",
+        "sparql_agg_distinct",
+        "sparql_lineitem_star",
         "sparql_star_filter",
         "sparql_construct",
         "sparql_ask",
