@@ -245,6 +245,24 @@ class Catalog:
                 return reader.json(path)
             sep = "\t" if fmt == "tsv" else ","
             return reader.option("sep", sep).option("header", "true").csv(path)
+        if fmt in ("orc", "avro"):
+            # ORC is a native Spark format; Avro needs the spark-avro
+            # package and is gated like XML (absent in minimal builds).
+            reader = spark.read.options(**dict(tm.source.options))
+            path = (
+                f"{src.base_path}/{tm.source.table}"
+                if src.base_path
+                else tm.source.table
+            )
+            if fmt == "orc":
+                return reader.orc(path)
+            try:
+                return reader.format("avro").load(path)
+            except Exception as exc:  # pragma: no cover - build-dependent
+                raise ValueError(
+                    "Avro source requires the spark-avro data source; "
+                    "re-materialize as parquet/orc instead"
+                ) from exc
         if fmt == "xml":
             # the reference reads XML via com.databricks.spark.xml with
             # the RML iterator as rowTag (sparql2sparksql.py:79-95);

@@ -470,3 +470,61 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an add-one-
+    smoothed corpus unigram LM — the KenLM-style "perplexity filter"
+    tier of a quality pipeline (high score = rare/OOV-heavy text):
+    ``(id, n_tokens, avg_neg_logprob)`` with
+    ``avg_neg_logprob = (1/n) Σ_term tf·ln((N+V)/(c_term+1))``.
+
+    Cross-engine determinism: each per-term contribution is rounded to
+    ``round_to`` decimals and cast DECIMAL(18,6) BEFORE the per-doc
+    sum, so the sum is exact integer arithmetic and order-independent
+    (a raw double sum over thousands of tokens re-associates
+    differently per engine/partitioning — same discipline as the
+    TPC-H dsum/davg pattern); exact ties at the rounding grid are
+    impossible for ln of a rational ≠ 1. Scale shape: one
+    explode→groupBy for the vocabulary, tf⋈vocab on the term key
+    (both sides compact), corpus totals as ONE broadcast row (the
+    bm25 stats pattern), zero Python."""
+    tok = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("term").alias("v"),
+    )
+    contrib = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n") + F.col("v")).cast("double")
+                    / (F.col("c") + F.lit(1)).cast("double")
+                ),
+                round_to,
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    return contrib.groupBy("id").agg(
+        F.sum("tf").cast("int").alias("n_tokens"),
+        (
+            F.sum("s").cast("double") / F.sum("tf").cast("double")
+        ).alias("avg_neg_logprob"),
+    ).select(F.col("id").alias(id_col), "n_tokens", "avg_neg_logprob")

@@ -958,6 +958,41 @@ JOIN ({TEXT_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
 """
 
 
+def text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative log-prob per document (round 6) — the
+    perplexity-style quality filter, self-trained on the corpus; the
+    DECIMAL-summed contributions make the score exactly reproducible
+    in the DuckDB oracle."""
+    return textops.unigram_logprob(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+TEXT_PERPLEXITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, COUNT(*) AS c FROM tok GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT term) AS v FROM tok
+), contrib AS (
+  SELECT doc_id, tf,
+         CAST(ROUND(
+           CAST(tf AS DOUBLE)
+             * ln(CAST(n + v AS DOUBLE) / CAST(c + 1 AS DOUBLE)),
+           6) AS DECIMAL(18,6)) AS s
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+       CAST(SUM(s) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS avg_neg_logprob
+FROM contrib GROUP BY doc_id
+"""
+
+
 def text_url_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL extraction + domain-blocklist gate (round 5). The synthetic
     corpus carries no URLs, so deterministic ones are planted on doc_id
@@ -1566,6 +1601,7 @@ QUERIES = {
     "text_metrics": text_metrics,
     "text_pii_scan": text_pii_scan,
     "text_url_scan": text_url_scan,
+    "text_perplexity": text_perplexity,
     "doc_chunks": doc_chunks,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
@@ -1607,6 +1643,7 @@ ORACLE = {
     "text_metrics": TEXT_METRICS_SQL,
     "text_pii_scan": TEXT_PII_SQL,
     "text_url_scan": TEXT_URL_SCAN_SQL,
+    "text_perplexity": TEXT_PERPLEXITY_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,

@@ -120,6 +120,20 @@ class SparqlHTTPServer:
                 streaming = False
                 try:
                     if path == "/sparql":
+                        # content negotiation: explicit ?format= wins,
+                        # else the Accept header picks among the four
+                        # standard result serializations
+                        if "format" not in q:
+                            accept = self.headers.get("Accept", "") or ""
+                            for token, fmt in (
+                                ("text/csv", "csv"),
+                                ("text/tab-separated-values", "tsv"),
+                                ("application/sparql-results+xml", "xml"),
+                                ("application/sparql-results+json", "json"),
+                            ):
+                                if token in accept:
+                                    q["format"] = [fmt]
+                                    break
                         out = outer._sparql(q)
                         if isinstance(out, dict):
                             self._reply(200, out)

@@ -64,3 +64,20 @@ def test_bm25_no_python_eval_in_plan(spark):
     plan = bm25_scores(df, "doc_id", "text", ["quick"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_unigram_logprob_ranks_rare_tokens(spark):
+    """Docs of corpus-rare tokens score higher (more surprising) than
+    docs of corpus-common tokens; counts are exact."""
+    from ontario_spark.operators.textops import unigram_logprob
+
+    rows = [(i, "common words here") for i in range(1, 10)]
+    rows.append((10, "zyx qwv unique"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert len(out) == 10 and all(r["n_tokens"] == 3 for r in out.values())
+    common = out[1]["avg_neg_logprob"]
+    rare = out[10]["avg_neg_logprob"]
+    assert rare > common > 0
+    # identical docs score identically (model is corpus-global)
+    assert out[2]["avg_neg_logprob"] == common

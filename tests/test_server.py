@@ -230,3 +230,16 @@ def test_csv_quoting_and_tsv_escapes(spark):
     tsv_out = "".join(sparql_tsv_chunks(iter(rows), ["v"]))
     assert '"tab\\there"' in tsv_out
     assert tsv_out.splitlines()[3] == ""  # unbound → empty field
+
+
+def test_accept_header_negotiation(server):
+    from urllib.parse import urlencode
+
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": QUERY}),
+        headers={"Accept": "text/csv"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.headers.get("Content-Type").startswith("text/csv")
+        assert r.read().decode().splitlines()[0] == "c,name"

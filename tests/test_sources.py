@@ -247,3 +247,43 @@ def test_same_shape_maps_of_different_classes_union(spark, tmp_path):
         "SELECT ?t WHERE { ?s a ?t }"
     ).collect()
     assert {r["t"] for r in trows} == {"http://e/Person", "http://e/Company"}
+
+
+def test_sparql_over_orc(spark, tmp_path, sf_small):
+    """ORC lake format (round 6): native Spark reader wired through the
+    catalog's format dispatch, full engine end-to-end."""
+    from ontario_spark.catalog.model import (
+        Catalog,
+        DataSource,
+        LogicalSource,
+        TripleMap,
+        ref,
+        tpl,
+    )
+    from ontario_spark.compiler.query import SparqlEngine
+    from ontario_spark.data import table
+    from tests.oracle import assert_match, run_oracle
+
+    table(spark, sf_small, "nation").write.mode("overwrite").orc(
+        f"{tmp_path}/nation_orc"
+    )
+    EX = "http://ex.org/tpch/"
+    cat = Catalog()
+    cat.add(
+        DataSource(name="orclake", dstype="orc", base_path=str(tmp_path)),
+        TripleMap(
+            name="NationOrc",
+            source=LogicalSource(table="nation_orc", fmt="orc"),
+            subject=tpl(EX + "nation/{n_nationkey}"),
+            subject_class=EX + "Nation",
+            predicates=((EX + "name", ref("n_name")),),
+        ),
+    )
+    eng = SparqlEngine(spark, cat)
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\nSELECT ?name WHERE {{ ?n a ex:Nation ; ex:name ?name }}"
+    )
+    oracle = run_oracle(
+        "SELECT n_name AS name FROM nation WHERE n_name IS NOT NULL", sf_small
+    )
+    assert_match(df, oracle, "orc_source")
