@@ -131,6 +131,102 @@ def ngram_containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
+def anchor_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k_anchors: int = 16,
+    max_anchor_freq: int | None = 1000,
+) -> DataFrame:
+    """Two-tier sub-document containment — the CORPUS-SCALE path that
+    replaces ``ngram_containment_pairs``'s all-shared-shingles
+    candidate stream (the exact generator's candidate volume grows
+    with shingle doc-frequencies; see SCALE.md's 100× boundary):
+
+    1. CANDIDATES: each document samples its ``k_anchors`` smallest
+       60-bit md5 shingle hashes (a bottom-k sketch = uniform sample
+       of its shingle SET); a pair becomes a candidate when one doc's
+       anchor appears ANYWHERE in the other doc's shingle set — an
+       inverted-index join on the anchor hash, doc-frequency-capped by
+       ``max_anchor_freq`` (same skew bound as ``max_doc_freq``).
+       Recall: a pair whose smaller side has true containment c is
+       missed with probability ≤ (1-c')^k, where c' is the containment
+       restricted to sub-cap shingles — at the default k=16 and the
+       0.5 threshold, ~1.5e-5 (anchors uniformly sample the capped
+       shingle set of the contained side, and EVERY sampled shingle of
+       a contained region exists in the container; overlap carried
+       only by over-cap shingles is invisible, the same documented
+       trade as ``max_doc_freq``).
+    2. VERIFY: exact intersection counts restricted to candidate
+       pairs (cost Σ|A| over candidates — linear, never corpus²) via
+       two hash-keyed joins; containment = n_common / min(|A|,|B|) is
+       EXACT for every emitted pair.
+
+    The hashes are md5-derived (engine-portable), so the DuckDB oracle
+    replicates candidates AND scores bit-for-bit."""
+    from ontario_spark.operators.textops import exploded_shingles
+    from pyspark.sql.window import Window
+
+    sh = exploded_shingles(df, id_col, text_col, n)
+    h60 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = _bounded_persist(sh.select("id", h60.alias("h")))
+    sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = hashed
+    if max_anchor_freq is not None:
+        heavy = (
+            hashed.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_anchor_freq)
+            .select("h")
+        )
+        inv = hashed.join(heavy, "h", "left_anti")
+    # Anchors sample the FREQ-CAPPED set: a heavy shingle's hash can't
+    # match the inverted side anyway, so sampling it would waste one of
+    # the k slots (recall) while a hot anchor×inv join key would carry
+    # cap×k rows (skew). Candidate fan-out per doc is bounded by
+    # k_anchors × max_anchor_freq — on corpora whose shingle
+    # doc-frequencies saturate toward the cap (tiny vocabularies), that
+    # product is the knob to tighten; see SCALE.md.
+    anchors = (
+        inv.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("h")),
+        )
+        .filter(F.col("__rn") <= k_anchors)
+        .select("id", "h")
+    )
+    cand = (
+        anchors.alias("a")
+        .join(inv.alias("b"), "h")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(hashed.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(hashed.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz = F.broadcast(sizes)
+    inter = inter.join(
+        sz.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+    ).join(
+        sz.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return inter.select(
+        "id_a", "id_b", cont.alias("containment")
+    ).filter(F.col("containment") >= threshold)
+
+
 def _ngram_pair_counts(
     df: DataFrame,
     id_col: str,

@@ -197,6 +197,64 @@ WHERE CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) >= 0.5
 """
 
 
+def dedup_containment_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path containment (round 6): bottom-k anchor candidates +
+    exact verify restricted to candidates — the 100×-safe variant of
+    ``dedup_containment`` (miss probability ≤ 1.5e-5 per true pair at
+    these parameters; scores exact)."""
+    return dedup.anchor_containment_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        k_anchors=16,
+        max_anchor_freq=1000,
+    )
+
+
+DEDUP_CONTAINMENT_ANCHORS_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM hx GROUP BY doc_id
+), inv AS (
+  SELECT doc_id, h FROM hx
+  WHERE h NOT IN (SELECT h FROM hx GROUP BY h HAVING COUNT(*) > 1000)
+), anch AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM inv
+  ) WHERE rn <= 16
+), cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+         GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM anch a JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN hx ea ON ea.doc_id = c.id_a
+  JOIN hx eb ON eb.doc_id = c.id_b AND eb.h = ea.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.5
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the LONGEST copy per content hash (tiebreak
     lowest id) — the multi-source merge rule."""
@@ -1577,6 +1635,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_containment_anchors": dedup_containment_anchors,
     "dedup_clusters": dedup_clusters,
     "semantic_dedup": semantic_dedup,
     "dedup_keep_best": dedup_keep_best,
@@ -1622,6 +1681,7 @@ ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_containment_anchors": DEDUP_CONTAINMENT_ANCHORS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,

@@ -848,3 +848,24 @@ def test_chunk_documents_windows_and_edges(spark):
     assert rows[(4, 0)]["chunk_text"] == ""
     with pytest.raises(ValueError):
         textops.chunk_documents(df, "doc_id", "text", chunk_size=8, overlap=8)
+
+
+def test_anchor_containment_matches_exact_tier(spark):
+    """The two-tier anchor path finds the planted quote pair with the
+    SAME exact score the all-pairs tier computes."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        "one two three four five six seven eight nine ten "
+        + short
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    got = dedup.anchor_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, k_anchors=4
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [
+        (1, 2, 1.0)
+    ]
