@@ -1153,6 +1153,62 @@ FROM e
 """
 
 
+def pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG ingestion prep (round 6): chunk documents into
+    overlapping token windows → drop sub-8-token tail scraps → exact-
+    dedup chunks on content hash keeping the first (doc_id, chunk_id)
+    occurrence — ONE lazy plan (chunking is map-only; the dedup window
+    is the only shuffle, keyed on the 16-byte hash, never the text)."""
+    from pyspark.sql.window import Window
+
+    chunks = textops.chunk_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_size=64, overlap=16,
+    ).filter(F.col("n_chunk_tokens") >= 8)
+    h = F.md5(F.col("chunk_text"))
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    return (
+        chunks.select(
+            "doc_id", "chunk_id", h.alias("chunk_hash"), "n_chunk_tokens"
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+PIPELINE_RAG_PREP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         GREATEST(CAST(ceil(CAST(array_length(w) - 16 AS DOUBLE) / 48)
+                       AS INT), 1) AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_id FROM c
+), ch AS (
+  SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         array_to_string(
+           w[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)],
+           ' ') AS chunk_text,
+         CAST(len(
+           w[CAST(chunk_id * 48 + 1 AS INT):CAST(chunk_id * 48 + 64 AS INT)]
+         ) AS INT) AS n_chunk_tokens
+  FROM e
+), hashed AS (
+  SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_hash, n_chunk_tokens,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM ch WHERE n_chunk_tokens >= 8
+)
+SELECT doc_id, chunk_id, chunk_hash, n_chunk_tokens
+FROM hashed WHERE rn = 1
+"""
+
+
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixing (round 5): per-language keep rates
     ∝ sqrt(n_lang) flatten the language distribution toward uniform at
@@ -1662,6 +1718,7 @@ QUERIES = {
     "text_url_scan": text_url_scan,
     "text_perplexity": text_perplexity,
     "doc_chunks": doc_chunks,
+    "pipeline_rag_prep": pipeline_rag_prep,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1705,6 +1762,7 @@ ORACLE = {
     "text_url_scan": TEXT_URL_SCAN_SQL,
     "text_perplexity": TEXT_PERPLEXITY_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "pipeline_rag_prep": PIPELINE_RAG_PREP_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,
