@@ -159,6 +159,18 @@ class DataSource:
     params: tuple[tuple[str, str], ...] = ()
 
 
+def _src_path(src: "DataSource", tm: "TripleMap") -> str:
+    """File path of a flat-file logical source. An empty base_path
+    keeps the table path AS-IS (cwd-relative) instead of rooting it at
+    '/' (round-5 review fix); hoisted so every format branch shares
+    one rule (round-6 review fix)."""
+    return (
+        f"{src.base_path}/{tm.source.table}"
+        if src.base_path
+        else tm.source.table
+    )
+
+
 @dataclass
 class Catalog:
     """RDF-MT equivalent: indexes over the triple maps.
@@ -234,13 +246,7 @@ class Catalog:
             return load_table(spark, src.base_path, tm.source.table)
         if fmt in ("csv", "tsv", "json"):
             reader = spark.read.options(**dict(tm.source.options))
-            # empty base_path keeps the table path AS-IS (cwd-relative)
-            # instead of rooting it at '/' (round-5 review fix)
-            path = (
-                f"{src.base_path}/{tm.source.table}"
-                if src.base_path
-                else tm.source.table
-            )
+            path = _src_path(src, tm)
             if fmt == "json":
                 return reader.json(path)
             sep = "\t" if fmt == "tsv" else ","
@@ -249,20 +255,22 @@ class Catalog:
             # ORC is a native Spark format; Avro needs the spark-avro
             # package and is gated like XML (absent in minimal builds).
             reader = spark.read.options(**dict(tm.source.options))
-            path = (
-                f"{src.base_path}/{tm.source.table}"
-                if src.base_path
-                else tm.source.table
-            )
+            path = _src_path(src, tm)
             if fmt == "orc":
                 return reader.orc(path)
             try:
                 return reader.format("avro").load(path)
             except Exception as exc:  # pragma: no cover - build-dependent
-                raise ValueError(
-                    "Avro source requires the spark-avro data source; "
-                    "re-materialize as parquet/orc instead"
-                ) from exc
+                # only the missing-datasource failure gets the
+                # packaging hint; real errors (bad path, schema)
+                # propagate untouched (round-6 review fix)
+                msg = str(exc)
+                if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg:
+                    raise ValueError(
+                        "Avro source requires the spark-avro data "
+                        "source; re-materialize as parquet/orc instead"
+                    ) from exc
+                raise
         if fmt == "xml":
             # the reference reads XML via com.databricks.spark.xml with
             # the RML iterator as rowTag (sparql2sparksql.py:79-95);
@@ -275,11 +283,7 @@ class Catalog:
                     reader = reader.option(
                         "rowTag", tm.source.iterator.replace("[*]", "")
                     )
-                return reader.load(
-                    f"{src.base_path}/{tm.source.table}"
-                    if src.base_path
-                    else tm.source.table
-                )
+                return reader.load(_src_path(src, tm))
             except Exception as exc:  # pragma: no cover - depends on build
                 raise ValueError(
                     "XML source requires the spark-xml data source; "

@@ -107,6 +107,22 @@ def _pattern_vars(el) -> set[str]:
     return set()
 
 
+def _keep_allowed(plan, allowed, catalog) -> None:
+    """Drop alternatives not answered entirely by ``allowed`` sources,
+    via decomposer._keep so the parallel ``alt_groups`` (shape-group
+    dedup scope) stays aligned — a raw list reassignment here would
+    misalign compile_star's zip and dedup the WRONG branches (round-6
+    review fix)."""
+    from ontario_spark.planner.decomposer import _keep
+
+    idx = [
+        i
+        for i, alt in enumerate(plan.alternatives)
+        if all(catalog.map_source[tm.name] in allowed for tm in alt)
+    ]
+    _keep(plan, idx)
+
+
 def _plan_vars(plan) -> set[str]:
     """All variables a star plan can bind."""
     out: set[str] = set()
@@ -248,14 +264,7 @@ class SparqlEngine:
                 for star in bgp_stars([one]):
                     plan = select_sources(self.catalog, star)
                     if allowed is not None:
-                        plan.alternatives = [
-                            alt
-                            for alt in plan.alternatives
-                            if all(
-                                self.catalog.map_source[tm.name] in allowed
-                                for tm in alt
-                            )
-                        ]
+                        _keep_allowed(plan, allowed, self.catalog)
                         if not plan.alternatives:
                             continue  # predicate outside the dataset
                     bf = compile_star(self.spark, self.catalog, plan)
@@ -538,14 +547,7 @@ class SparqlEngine:
                 else source_filter
             )
             for plan in pruned:
-                plan.alternatives = [
-                    alt
-                    for alt in plan.alternatives
-                    if all(
-                        self.catalog.map_source[tm.name] in allowed
-                        for tm in alt
-                    )
-                ]
+                _keep_allowed(plan, allowed, self.catalog)
             if any(not p.alternatives for p in pruned):
                 return self._empty_group_frame(g)
         # Wrapper-source stars compile AFTER the local frames are

@@ -518,7 +518,10 @@ def unigram_logprob(
                 ),
                 round_to,
             )
-            .cast("decimal(18,6)")
+            # scale follows round_to, else a coarser cast would
+            # re-round with a different step than the oracle's ROUND
+            # (round-6 review fix)
+            .cast(f"decimal(18,{round_to})")
             .alias("s"),
         )
     )

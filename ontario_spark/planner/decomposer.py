@@ -288,6 +288,12 @@ def select_sources(cat: Catalog, star: Star) -> StarPlan:
             # subject to cover it jointly (round-6 review fix: the
             # per-class split alone made previously-answerable
             # cross-class stars raise SourceSelectionError).
+            # Documented approximation boundary (reference parity,
+            # MULDER/Ontario molecule posture): when SOME class covers,
+            # cross-class combinations are NOT additionally unioned —
+            # full BGP completeness would need the cross-product of
+            # per-predicate map assignments, which neither engine
+            # enumerates.
             chosen = greedy_cover(maps)
             if chosen is not None:
                 alternatives.append(chosen)

@@ -26,6 +26,43 @@ from ontario_spark import sinks
 from ontario_spark.cli import binding_of
 
 
+_ACCEPT_FORMATS = {
+    "text/csv": "csv",
+    "text/tab-separated-values": "tsv",
+    "application/sparql-results+xml": "xml",
+    "application/sparql-results+json": "json",
+    "application/json": "json",
+}
+
+
+def _negotiate(accept: str) -> "str | None":
+    """Minimal RFC 7231 Accept negotiation over the supported result
+    formats: per-media-type q-values parsed, q=0 entries refused,
+    highest q wins with the client's listing order as the tiebreak.
+    Unknown/absent types → None (caller keeps the JSON default)."""
+    best: "tuple[float, int, str] | None" = None
+    for pos, part in enumerate(accept.split(",")):
+        bits = part.strip().split(";")
+        mtype = bits[0].strip().lower()
+        fmt = _ACCEPT_FORMATS.get(mtype)
+        if fmt is None:
+            continue
+        qv = 1.0
+        for p in bits[1:]:
+            k, _, v = p.strip().partition("=")
+            if k.strip() == "q":
+                try:
+                    qv = float(v)
+                except ValueError:
+                    qv = 0.0
+        if qv <= 0:
+            continue
+        cand = (-qv, pos, fmt)
+        if best is None or cand < best:
+            best = cand
+    return best[2] if best else None
+
+
 class SparqlHTTPServer:
     """``SparqlHTTPServer(engine).start()`` → serve /sparql and
     /nextresult until ``stop()``. Port 0 picks an ephemeral port
@@ -89,7 +126,11 @@ class SparqlHTTPServer:
                     for chunk in chunks:
                         emit(chunk)
                 except Exception as ex:
-                    if ctype.startswith("application/json"):
+                    # both the legacy application/json and the W3C
+                    # sparql-results+json mimes get the in-band JSON
+                    # error terminator (round-6 review fix: the W3C
+                    # mime slipped past a bare application/json check)
+                    if "json" in ctype:
                         emit(
                             '], "error": %s, "truncated": true}'
                             % json.dumps(str(ex)[:500])
@@ -122,18 +163,16 @@ class SparqlHTTPServer:
                     if path == "/sparql":
                         # content negotiation: explicit ?format= wins,
                         # else the Accept header picks among the four
-                        # standard result serializations
+                        # standard result serializations (q-values
+                        # honored: highest q wins, q=0 refuses —
+                        # round-6 review fix for fixed-priority
+                        # substring matching)
                         if "format" not in q:
-                            accept = self.headers.get("Accept", "") or ""
-                            for token, fmt in (
-                                ("text/csv", "csv"),
-                                ("text/tab-separated-values", "tsv"),
-                                ("application/sparql-results+xml", "xml"),
-                                ("application/sparql-results+json", "json"),
-                            ):
-                                if token in accept:
-                                    q["format"] = [fmt]
-                                    break
+                            fmt = _negotiate(
+                                self.headers.get("Accept", "") or ""
+                            )
+                            if fmt is not None:
+                                q["format"] = [fmt]
                         out = outer._sparql(q)
                         if isinstance(out, dict):
                             self._reply(200, out)

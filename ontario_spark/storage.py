@@ -75,13 +75,18 @@ def salted_join(
         # SALT value — refuse instead of silently corrupting
         raise ValueError(f"salted_join does not support how={how!r}")
     # xxhash64 rejects MAP- (and VARIANT-) typed inputs, even nested
-    # inside arrays/structs — salt from the hashable columns only
-    # (round-6 review fix: a map-bearing left frame failed analysis).
-    # The subset is schema-derived, so retried tasks hash identically.
-    hashable = [
-        f.name for f in left.schema.fields if _hash_safe(f.dataType)
-    ] or [key]
-    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt))
+    # inside arrays/structs — those columns enter the salt through a
+    # to_json projection instead of being dropped (round-6 review
+    # fixes: a map-bearing frame failed analysis; then excluding the
+    # map entirely made the salt a pure function of the key whenever
+    # hot-key rows differ ONLY in the map — no skew relief at all).
+    # Both forms are schema-derived and deterministic per row content,
+    # so retried tasks hash identically.
+    inputs = [
+        F.col(f.name) if _hash_safe(f.dataType) else F.to_json(f.name)
+        for f in left.schema.fields
+    ]
+    salt_col = F.pmod(F.xxhash64(*inputs), F.lit(salt))
     l = left.withColumn("__salt", salt_col.cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.array([F.lit(i) for i in range(salt)]))

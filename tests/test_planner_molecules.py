@@ -251,3 +251,66 @@ def test_salted_join_tolerates_map_columns(spark):
     got = salted_join(l, r, "k", salt=4)
     assert got.count() == 3
     assert {row["v"] for row in got.collect()} == {"x", "y"}
+
+
+def test_keep_allowed_syncs_alt_groups(tmp_path):
+    """Round-6 review fix: GRAPH/FROM source filtering must keep the
+    parallel alt_groups list aligned or compile_star dedups the wrong
+    branches."""
+    from ontario_spark.compiler.query import _keep_allowed
+
+    cat = Catalog()
+    lake1 = _lake(
+        tmp_path, {"people": {"id": [1], "name": ["x"]}}
+    )
+    # second source, same repo dir but distinct DataSource identity
+    lake2 = DataSource(
+        name="mol_lake2", dstype="parquet", base_path=str(tmp_path)
+    )
+    pq.write_table(
+        pa.table({"id": [1], "name": ["x"]}),
+        str(tmp_path / "companies.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": [9], "title": ["t"]}),
+        str(tmp_path / "books.parquet"),
+    )
+    cat.add(
+        lake1,
+        TripleMap(
+            name="PersonMap",
+            source=LogicalSource(table="people"),
+            subject=tpl(EX + "res/{id}"),
+            subject_class=EX + "Person",
+            predicates=((EX + "name", ref("name")),),
+        ),
+        TripleMap(
+            name="BookMap",
+            source=LogicalSource(table="books"),
+            subject=tpl(EX + "book/{id}"),
+            subject_class=EX + "Book",
+            predicates=((EX + "name", ref("title")),),
+        ),
+    )
+    cat.add(
+        lake2,
+        TripleMap(
+            name="CompanyMap",
+            source=LogicalSource(table="companies"),
+            subject=tpl(EX + "res/{id}"),
+            subject_class=EX + "Company",
+            predicates=((EX + "name", ref("name")),),
+        ),
+    )
+    star = star_of("SELECT * WHERE { ?s ex:name ?n }")
+    plan = select_sources(cat, star)
+    assert len(plan.alternatives) == 3 and len(set(plan.alt_groups)) == 2
+    _keep_allowed(plan, {"mol_lake"}, cat)
+    names = [{tm.name for tm in alt} for alt in plan.alternatives]
+    assert names == [{"PersonMap"}] or {"PersonMap"} in names
+    assert len(plan.alt_groups) == len(plan.alternatives)
+    # the surviving res/{id} branch keeps its ORIGINAL group id,
+    # distinct from the book/{id} group's id
+    kept = dict(zip([frozenset(n) for n in names], plan.alt_groups))
+    if frozenset({"PersonMap"}) in kept and frozenset({"BookMap"}) in kept:
+        assert kept[frozenset({"PersonMap"})] != kept[frozenset({"BookMap"})]

@@ -243,3 +243,20 @@ def test_accept_header_negotiation(server):
     with urlopen(req, timeout=120) as r:
         assert r.headers.get("Content-Type").startswith("text/csv")
         assert r.read().decode().splitlines()[0] == "c,name"
+
+
+def test_negotiate_q_values():
+    from ontario_spark.server import _negotiate
+
+    # q=0 refuses a format even when listed first
+    assert _negotiate("text/csv;q=0, application/sparql-results+json") == "json"
+    # highest q wins regardless of listing order
+    assert (
+        _negotiate("text/csv;q=0.3, application/sparql-results+xml;q=0.9")
+        == "xml"
+    )
+    # equal q: client listing order breaks the tie
+    assert _negotiate("text/tab-separated-values, text/csv") == "tsv"
+    # unknown types fall through to the JSON default (None)
+    assert _negotiate("text/html, image/png") is None
+    assert _negotiate("") is None
