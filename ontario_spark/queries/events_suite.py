@@ -165,11 +165,66 @@ FROM changes
 """
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type value quantiles (round 6): p50/p90/p99 by
+    explicit rank selection — rank r_p = floor(p·(n-1)) + 1 over the
+    value ordering — so BOTH engines pick a set MEMBER (no
+    interpolation arithmetic whose float evaluation order could
+    drift). One shuffle on event_type; at lake scale the same shape
+    runs per partition-pruned day."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        r = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+        return F.min(F.when(F.col("rn") == r, F.col("value"))).alias(name)
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            pick(0.5, "p50"),
+            pick(0.9, "p90"),
+            pick(0.99, "p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50,
+       MIN(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p90,
+       MIN(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
+    "events_value_quantiles": events_value_quantiles,
 }
 
 ORACLE = {
@@ -177,4 +232,5 @@ ORACLE = {
     "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,
+    "events_value_quantiles": EVENTS_QUANTILES_SQL,
 }

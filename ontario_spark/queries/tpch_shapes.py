@@ -316,6 +316,30 @@ LIMIT 20
 """
 
 
+def q_skew_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over the fact table (round 6):
+    lineitem's 10 heaviest supplier keys with row count and share —
+    the ``storage.key_skew_profile`` operator a 100 TB operator runs
+    before sizing a salted join or bucket layout."""
+    from ontario_spark.storage import key_skew_profile
+
+    return key_skew_profile(
+        table(spark, sf_dir, "lineitem"), "l_suppkey", top=10
+    )
+
+
+Q_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+), tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM counts CROSS JOIN tot
+ORDER BY cnt DESC, l_suppkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q9_nation_year_profit": q9_nation_year_profit,
@@ -323,6 +347,7 @@ QUERIES = {
     "q12_returnflag_priority": q12_returnflag_priority,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q_skew_suppkey": q_skew_suppkey,
 }
 
 ORACLE = {
@@ -332,4 +357,5 @@ ORACLE = {
     "q12_returnflag_priority": Q12_SQL,
     "q16_part_supplier_counts": Q16_SQL,
     "q21_waiting_suppliers": Q21_SQL,
+    "q_skew_suppkey": Q_SKEW_SQL,
 }

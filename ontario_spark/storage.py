@@ -107,3 +107,27 @@ def _hash_safe(dt) -> bool:
     if isinstance(dt, T.StructType):
         return all(_hash_safe(f.dataType) for f in dt.fields)
     return True
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top: int = 10
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the ``top`` heaviest keys with
+    row count and share of total — what you run BEFORE sizing
+    ``salted_join``'s salt or a bucketing layout, and the first
+    question asked when one straggler task dominates a 1000-executor
+    stage. One aggregation + a broadcast scalar total; the top-k is a
+    ``TakeOrderedAndProject``, never a full sort."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total").cast("double")
+             ).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(top)
+    )
