@@ -218,3 +218,89 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         CONF_LOCK.release()
     raise ClosureError(f"components did not converge in {max_iter} iterations")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_to: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank → ``(node, rank)`` — the link-graph
+    importance score a curation pipeline uses to rank domains/sources
+    (simplified: dangling mass is not redistributed, the standard
+    "leaked" variant — both engines implement the identical recurrence
+    so the simplification cancels in the oracle comparison).
+
+    Determinism discipline (same as ``unigram_logprob``): every
+    per-edge contribution r(src)/deg(src) is rounded to
+    ``round_to + 4`` decimals and summed as DECIMAL; each updated rank
+    is rounded to ``round_to``. The GRIDS DIFFER BY DESIGN: with one
+    shared grid the damped product of already-quantized sums lands
+    EXACTLY on rounding half-boundaries, where Spark (HALF_UP on the
+    shortest decimal repr) and DuckDB (binary-double rounding) break
+    ties differently — observed as 1-ulp rank drift at sf0.01. Four
+    orders of separation make a rank-grid half-tie require a binary
+    coincidence (~1e-9 per value) instead of a certainty.
+
+    Scale shape: ranks live keyed by node; one iteration = edges⋈ranks
+    (shuffle on src) + groupBy dst — the same two-shuffle round as
+    every distributed PageRank; lineage pinned per round (``_pin``)
+    like the closure/CC loops. ``iters`` is fixed (not convergence-
+    probed) so the oracle can unroll the exact same number of steps."""
+    cdec = f"decimal(28,{round_to + 4})"
+    dec = f"decimal(28,{round_to})"
+    e = _pin(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        )
+    )
+    nodes = _pin(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = nodes.crossJoin(n_row).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("__n").cast("double"), round_to)
+        .cast(dec)
+        .alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(
+                    F.col("r").cast("double") / F.col("deg").cast("double"),
+                    round_to + 4,
+                )
+                .cast(cdec)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = _pin(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("__n").cast("double")
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("inflow"), F.lit(0).cast(cdec)
+                    ).cast("double"),
+                    round_to,
+                )
+                .cast(dec)
+                .alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").cast("double").alias("rank"))

@@ -219,12 +219,72 @@ ORDER BY event_type
 """
 
 
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the user→item interaction graph (round 6): nodes
+    are 'u<user_id>' and 'k<props.k>', 5 damped iterations with
+    per-step DECIMAL rounding — rank values are engine-exact, so the
+    unrolled-iteration DuckDB oracle hash-matches them."""
+    from ontario_spark.operators.graph import pagerank
+
+    ev = table(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return pagerank(edges, "src", "dst", iters=5, damping=0.85)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT nodes.node,
+         CAST(ROUND(0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE), 10)
+           AS DECIMAL(28,10)) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst,
+           CAST(ROUND(CAST(r.r AS DOUBLE) / deg.deg, 14)
+             AS DECIMAL(28,14)) AS c
+    FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg ON deg.src = e.src
+  ) c ON c.dst = nodes.node
+  GROUP BY nodes.node
+)""")
+        prev = f"r{i}"
+    chain = ", ".join(steps)
+    return f"""
+WITH edges AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+         'k' || json_extract_string(props, '$.k') AS dst
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node,
+         CAST(ROUND(1.0 / (SELECT n FROM nn), 10) AS DECIMAL(28,10)) AS r
+  FROM nodes
+), {chain}
+SELECT node, CAST(r AS DOUBLE) AS rank FROM {prev}
+"""
+
+
+EVENTS_PAGERANK_SQL = _pagerank_sql(5)
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
     "events_value_quantiles": events_value_quantiles,
+    "events_pagerank": events_pagerank,
 }
 
 ORACLE = {
@@ -233,4 +293,5 @@ ORACLE = {
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
+    "events_pagerank": EVENTS_PAGERANK_SQL,
 }

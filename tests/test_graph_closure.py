@@ -178,3 +178,21 @@ def test_components_string_ids(spark):
         ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
         ("x", "x"), ("y", "x"),
     }
+
+
+def test_pagerank_ranks_by_inlinks(spark):
+    from ontario_spark.operators.graph import pagerank
+
+    # hub: everyone links to 'z'; 'a' gets one link; 'b' none incoming
+    edges = spark.createDataFrame(
+        [("a", "z"), ("b", "z"), ("c", "z"), ("c", "a")],
+        ["src", "dst"],
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iters=5).collect()}
+    assert set(r) == {"a", "b", "c", "z"}
+    assert r["z"] > r["a"] > r["b"] == r["c"]  # no in-links → floor rank
+    # dangling-variant: total mass ≤ 1, positive (z absorbs then leaks)
+    assert 0 < sum(r.values()) <= 1.0
+    # deterministic across invocations
+    r2 = {row["node"]: row["rank"] for row in pagerank(edges, iters=5).collect()}
+    assert r == r2
