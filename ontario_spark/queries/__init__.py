@@ -72,7 +72,11 @@ DRIVER_SURFACE = [
     # mixing, never externally verified); sample_corpus_mix (green
     # r1-r5, same md5-predicate mechanics) leads the post-cap registry
     "sample_temperature_mix",
-    "dedup_exact",
+    # round-6 late swaps: dedup_exact (green r1-r5, family keeps five
+    # rows) → text_perplexity (unigram-LM filter); stream_user_sessions
+    # (green r4-r5, stream family keeps four rows) → events_pagerank
+    # (engine-exact fixed-iteration PageRank)
+    "text_perplexity",
     "dedup_ngram_jaccard",
     # pairs→clusters connected components (new round-4 family; its slot
     # comes from sparql_union, whose UNION semantics stay represented —
@@ -109,8 +113,8 @@ DRIVER_SURFACE = [
     "stream_click_purchase",
     "stream_dedup",
     "stream_enriched_segments",
-    "stream_user_sessions",
     "stream_user_gaps",
+    "events_pagerank",
     # SPARQL 1.1 extensions + federation
     # (sparql_negated_path and sparql_property_path sit just past the
     # cap — the path family stays represented by sparql_path_closure)
@@ -182,6 +186,8 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        "dedup_exact",
+        "stream_user_sessions",
         # round-6 rotated-out rows first (each green ≥2 straight rounds
         # with its family still surface-represented), then round-5's:
         # still the next to re-enter if the cap semantics ever change

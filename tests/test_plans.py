@@ -142,3 +142,36 @@ def test_scd2_uses_one_key_shuffle(spark, sf_small):
         if "Exchange" in l and "hashpartitioning" in l
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_round6_operator_plan_shapes(spark, sf_small):
+    """Round-6 operators keep their scale shapes: chunking is map-only
+    (zero exchanges), the skew profile's top-k never plans a global
+    sort, perplexity/pagerank/containment plans stay JVM-side."""
+    q = all_queries()
+    # chunking: map-only — no keyed shuffle (the only allowed Exchange
+    # is spread()'s RoundRobin repartition for single-file inputs)
+    plan = _plan(q["doc_chunks"](spark, sf_small))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    # skew profile: top-k via TakeOrderedAndProject, not Sort+Limit
+    plan = _plan(q["q_skew_suppkey"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    # no Python anywhere in the new analysis/dedup paths
+    for name in (
+        "text_perplexity",
+        "dedup_containment",
+        "dedup_containment_anchors",
+        "events_value_quantiles",
+        "events_pagerank",
+        "pipeline_rag_prep",
+        "semantic_dedup",
+    ):
+        plan = _plan(q[name](spark, sf_small))
+        assert "BatchEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+    # anchor containment: the candidate side never cross-joins
+    plan = _plan(q["dedup_containment_anchors"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
