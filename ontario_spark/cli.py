@@ -59,6 +59,7 @@ def run(
     trace: bool = False,
     write_path: str | None = None,
     write_format: str = "parquet",
+    results_format: str = "json",
 ) -> dict:
     """Execute one query; returns the reference's response shape with
     the bindings in W3C SPARQL-JSON. ``trace=True`` additionally
@@ -136,14 +137,32 @@ def run(
         t_all = time.perf_counter() - t0
         if t_first is None:
             t_first = t_all
-        payload = to_sparql_json(rows, df.columns)
         out = {
             "vars": df.columns,
-            "result": payload["results"]["bindings"],
             "execTime": round(t_all, 4),
             "firstResult": round(t_first, 4),
             "totalRows": len(rows),
         }
+        if results_format == "json":
+            payload = to_sparql_json(rows, df.columns)
+            out["result"] = payload["results"]["bindings"]
+        else:
+            # W3C CSV/TSV/XML text via the same serializers the HTTP
+            # endpoint streams (sinks.py); main() prints it raw
+            from ontario_spark import sinks
+
+            ser = {
+                "csv": sinks.sparql_csv_chunks,
+                "tsv": sinks.sparql_tsv_chunks,
+                "xml": sinks.sparql_xml_chunks,
+            }.get(results_format)
+            if ser is None:
+                raise ValueError(
+                    f"unknown results format {results_format!r} "
+                    "(json|csv|tsv|xml)"
+                )
+            out["serialized"] = "".join(ser(rows, df.columns))
+            out["format"] = results_format
         if answer_times is not None:
             out["trace"] = answer_times
         return out
@@ -169,10 +188,18 @@ def main(argv: list[str] | None = None) -> int:
                          "no driver collect) instead of printing bindings")
     ap.add_argument("--write-format", default="parquet",
                     help="sink format for --write (parquet|csv|json)")
+    ap.add_argument("--results-format", default="json",
+                    choices=("json", "csv", "tsv", "xml"),
+                    help="stdout serialization: SPARQL-JSON response "
+                         "shape (default) or raw W3C csv/tsv/xml text")
     args = ap.parse_args(argv)
     text = sys.stdin.read() if args.query == "-" else open(args.query).read()
     out = run(args.catalog, text, trace=args.trace,
-              write_path=args.write, write_format=args.write_format)
+              write_path=args.write, write_format=args.write_format,
+              results_format=args.results_format)
+    if "serialized" in out:
+        sys.stdout.write(out["serialized"])
+        return 0
     if args.limit_print is not None and "result" in out:
         # --write mode returns write stats, not materialized bindings
         out["result"] = out["result"][: args.limit_print]

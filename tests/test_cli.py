@@ -128,3 +128,21 @@ def test_cli_write_with_limit_print(monkeypatch, tmp_path):
         sys.stdout = old
     assert rc == 0 and payload["written"] == "/x"
     assert "result" not in payload
+
+
+def test_cli_csv_results_format(spark, sf_small, tmp_path):
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+
+    p = str(tmp_path / "cat.json")
+    serde.save(tpch_catalog(sf_small), p)
+    out = run(
+        p,
+        "PREFIX ex: <http://ex.org/tpch/>\n"
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name } LIMIT 3",
+        spark=spark,
+        results_format="csv",
+    )
+    assert out["totalRows"] == 3 and out["format"] == "csv"
+    lines = out["serialized"].split("\r\n")
+    assert lines[0] == "name" and len([l for l in lines[1:] if l]) == 3
