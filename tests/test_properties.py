@@ -98,3 +98,72 @@ def test_dialect_lit_is_well_formed(s):
                 i += 2
             else:
                 i += 1
+
+
+# --- round-6 operator invariants (Spark-backed, small example budgets)
+
+token = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(token, min_size=0, max_size=150),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=0, max_value=10),
+)
+def test_chunk_documents_reconstructs_exactly(spark, toks, chunk, overlap):
+    """Concatenating every chunk's first `step` tokens plus the last
+    chunk whole reproduces the document token-for-token — full
+    coverage, no gaps, deterministic overlap."""
+    from ontario_spark.operators.textops import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk, overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    expect = toks if toks else [""]  # split("") → [""] (documented)
+    got: list[str] = []
+    for r in rows[:-1]:
+        got.extend(r["chunk_text"].split(" ")[:step])
+    got.extend(rows[-1]["chunk_text"].split(" "))
+    assert got == expect
+    # every chunk except possibly the last is exactly `chunk` long
+    # whenever the document is long enough to fill it
+    for r in rows[:-1]:
+        assert r["n_chunk_tokens"] == chunk
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(token, min_size=3, max_size=25), min_size=2, max_size=5
+    )
+)
+def test_containment_bounds_jaccard(spark, docs):
+    """For every reported pair: jaccard ≤ containment ≤ 1, and the two
+    joins agree on the candidate pair set at threshold 0."""
+    from ontario_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.0
+        ).collect()
+    }
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", "text", n=2, threshold=0.0
+        ).collect()
+    }
+    assert set(jac) == set(cont)
+    for pair, c in cont.items():
+        assert jac[pair] - 1e-12 <= c <= 1.0 + 1e-12
