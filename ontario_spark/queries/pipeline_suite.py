@@ -1209,6 +1209,51 @@ FROM hashed WHERE rn = 1
 """
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the documents table (round 6): one-pass
+    null/distinct/extreme stats per column (``storage.profile_table``),
+    the first diagnostic run against any new lake table."""
+    from ontario_spark.storage import profile_table
+
+    return profile_table(
+        table(spark, sf_dir, "documents"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+PROFILE_DOCUMENTS_SQL = """
+WITH one AS (
+  SELECT COUNT(*) AS n,
+         COUNT(doc_id) AS nn_doc_id, COUNT(DISTINCT doc_id) AS nd_doc_id,
+         CAST(MIN(doc_id) AS VARCHAR) AS mn_doc_id,
+         CAST(MAX(doc_id) AS VARCHAR) AS mx_doc_id,
+         COUNT(lang) AS nn_lang, COUNT(DISTINCT lang) AS nd_lang,
+         CAST(MIN(lang) AS VARCHAR) AS mn_lang,
+         CAST(MAX(lang) AS VARCHAR) AS mx_lang,
+         COUNT(source) AS nn_source, COUNT(DISTINCT source) AS nd_source,
+         CAST(MIN(source) AS VARCHAR) AS mn_source,
+         CAST(MAX(source) AS VARCHAR) AS mx_source,
+         COUNT(n_chars) AS nn_n_chars, COUNT(DISTINCT n_chars) AS nd_n_chars,
+         CAST(MIN(n_chars) AS VARCHAR) AS mn_n_chars,
+         CAST(MAX(n_chars) AS VARCHAR) AS mx_n_chars
+  FROM documents
+)
+SELECT 'doc_id' AS "column", CAST(n AS BIGINT) AS n_rows,
+       CAST(n - nn_doc_id AS BIGINT) AS n_nulls,
+       CAST(nd_doc_id AS BIGINT) AS n_distinct,
+       mn_doc_id AS min_value, mx_doc_id AS max_value FROM one
+UNION ALL
+SELECT 'lang', CAST(n AS BIGINT), CAST(n - nn_lang AS BIGINT),
+       CAST(nd_lang AS BIGINT), mn_lang, mx_lang FROM one
+UNION ALL
+SELECT 'source', CAST(n AS BIGINT), CAST(n - nn_source AS BIGINT),
+       CAST(nd_source AS BIGINT), mn_source, mx_source FROM one
+UNION ALL
+SELECT 'n_chars', CAST(n AS BIGINT), CAST(n - nn_n_chars AS BIGINT),
+       CAST(nd_n_chars AS BIGINT), mn_n_chars, mx_n_chars FROM one
+"""
+
+
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixing (round 5): per-language keep rates
     ∝ sqrt(n_lang) flatten the language distribution toward uniform at
@@ -1719,6 +1764,7 @@ QUERIES = {
     "text_perplexity": text_perplexity,
     "doc_chunks": doc_chunks,
     "pipeline_rag_prep": pipeline_rag_prep,
+    "profile_documents": profile_documents,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1763,6 +1809,7 @@ ORACLE = {
     "text_perplexity": TEXT_PERPLEXITY_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "pipeline_rag_prep": PIPELINE_RAG_PREP_SQL,
+    "profile_documents": PROFILE_DOCUMENTS_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,

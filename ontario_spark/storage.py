@@ -131,3 +131,40 @@ def key_skew_profile(
         .orderBy(F.desc("cnt"), F.asc(key))
         .limit(top)
     )
+
+
+def profile_table(df: DataFrame, columns: "list[str] | None" = None) -> DataFrame:
+    """Column-level data profile — ``(column, n_rows, n_nulls,
+    n_distinct, min_value, max_value)`` with min/max rendered as
+    strings so heterogeneous column types stack in one long-format
+    result. The first look at any new lake table: null soup, constant
+    columns, and key-cardinality candidates fall straight out.
+
+    Scale shape: ONE pass — a single aggregation computes every
+    column's counts/extremes (count/min/max are map-side combinable;
+    exact distincts are one expand per column, the same cost class as
+    GROUPING SETS), then a literal unpivot via stack(). No per-column
+    scans, no driver loops."""
+    cols = columns if columns is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            f"'{c}', __n - `__nn_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
+        )
+    stacked = one.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    )
+    return stacked.select(
+        "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
