@@ -71,6 +71,20 @@ def run(
     from ontario_spark.catalog.serde import load
     from ontario_spark.compiler.query import SparqlEngine
 
+    # validate BEFORE any execution: a bad format (library callers —
+    # argparse already constrains the CLI) or a trace/serialization
+    # conflict must not cost a full distributed run first (round-6
+    # review fixes; mirrors the --trace/--write guard)
+    if results_format not in ("json", "csv", "tsv", "xml"):
+        raise ValueError(
+            f"unknown results format {results_format!r} (json|csv|tsv|xml)"
+        )
+    if trace and results_format != "json":
+        raise ValueError(
+            "--trace emits per-answer timings inside the JSON response "
+            "shape; it cannot be combined with --results-format "
+            f"{results_format}"
+        )
     own_session = spark is None
     if own_session:
         from ontario_spark.session import get_spark
@@ -155,12 +169,7 @@ def run(
                 "csv": sinks.sparql_csv_chunks,
                 "tsv": sinks.sparql_tsv_chunks,
                 "xml": sinks.sparql_xml_chunks,
-            }.get(results_format)
-            if ser is None:
-                raise ValueError(
-                    f"unknown results format {results_format!r} "
-                    "(json|csv|tsv|xml)"
-                )
+            }[results_format]
             out["serialized"] = "".join(ser(rows, df.columns))
             out["format"] = results_format
         if answer_times is not None:

@@ -189,18 +189,20 @@ def anchor_containment_pairs(
     # k_anchors × max_anchor_freq — on corpora whose shingle
     # doc-frequencies saturate toward the cap (tiny vocabularies), that
     # product is the knob to tighten; see SCALE.md.
-    # bottom-k per doc via hash-aggregation (collect_list→sort→slice)
-    # rather than a row_number window: the window needs a full
-    # sort-shuffle of the hashed table, the agg only a hash shuffle —
-    # measured 2× cheaper at sf0.1, identical k-smallest semantics
+    # bottom-k per doc via a row_number window. A collect_list→sort→
+    # slice aggregation measured ~20% faster warm at sf0.1, but it
+    # materializes EVERY document's full distinct-shingle hash list in
+    # one aggregation buffer — a single pathological multi-MB document
+    # would OOM an executor, while the window sort spills (round-6
+    # review: memory safety at the operator's stated corpus scale
+    # outweighs the toy-scale win).
     anchors = (
-        inv.groupBy("id")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("h")), 1, k_anchors).alias(
-                "__hs"
-            )
+        inv.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("h")),
         )
-        .select("id", F.explode("__hs").alias("h"))
+        .filter(F.col("__rn") <= k_anchors)
+        .select("id", "h")
     )
     cand = (
         anchors.alias("a")

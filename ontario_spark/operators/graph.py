@@ -252,6 +252,11 @@ def pagerank(
     probed) so the oracle can unroll the exact same number of steps."""
     cdec = f"decimal(28,{round_to + 4})"
     dec = f"decimal(28,{round_to})"
+    # 1.0 - 0.85 is the double 0.15000000000000002 — one ulp above the
+    # 0.15 literal an unrolled SQL oracle writes; re-round so both
+    # engines feed the identical teleport constant into the rank grid
+    # (round-6 review fix)
+    teleport = round(1.0 - damping, 12)
     e = _pin(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
             F.col("a").isNotNull() & F.col("b").isNotNull()
@@ -270,6 +275,7 @@ def pagerank(
         .cast(dec)
         .alias("r"),
     )
+    prev_ranks = None
     for _ in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "a"), "a")
@@ -286,13 +292,13 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = _pin(
+        new_ranks = _pin(
             nodes.join(contrib, "node", "left")
             .crossJoin(n_row)
             .select(
                 "node",
                 F.round(
-                    F.lit(1.0 - damping) / F.col("__n").cast("double")
+                    F.lit(teleport) / F.col("__n").cast("double")
                     + F.lit(damping)
                     * F.coalesce(
                         F.col("inflow"), F.lit(0).cast(cdec)
@@ -303,4 +309,12 @@ def pagerank(
                 .alias("r"),
             )
         )
+        if prev_ranks is not None:
+            # the pinned frame this round consumed is superseded and
+            # new_ranks is materialized — release the cached copy like
+            # the CC loop does (round-6 review fix: the iterates
+            # otherwise accumulate for the application lifetime)
+            prev_ranks.unpersist()
+        prev_ranks = new_ranks
+        ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))

@@ -174,7 +174,11 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per partition-pruned day."""
     from pyspark.sql.window import Window
 
-    ev = table(spark, sf_dir, "events")
+    # NULL values are excluded BEFORE ranking: Spark windows default
+    # NULLS FIRST, DuckDB NULLS LAST, so a single NULL would shift
+    # every rank differently per engine (round-6 review fix; quantiles
+    # over the non-null population is also the standard semantics)
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value")
     ranked = ev.select(
         "event_type",
@@ -204,7 +208,7 @@ WITH ranked AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
        MIN(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
@@ -260,7 +264,8 @@ WITH edges AS (
   SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
          'k' || json_extract_string(props, '$.k') AS dst
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE user_id IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
 ), nodes AS (
   SELECT DISTINCT src AS node FROM edges
   UNION SELECT DISTINCT dst FROM edges

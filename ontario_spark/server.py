@@ -35,12 +35,21 @@ _ACCEPT_FORMATS = {
 }
 
 
+# sentinel: the client explicitly refused every supported format
+# INCLUDING the JSON default → the only honest answer is 406
+NOT_ACCEPTABLE = "__not_acceptable__"
+
+
 def _negotiate(accept: str) -> "str | None":
     """Minimal RFC 7231 Accept negotiation over the supported result
     formats: per-media-type q-values parsed, q=0 entries refused,
     highest q wins with the client's listing order as the tiebreak.
-    Unknown/absent types → None (caller keeps the JSON default)."""
+    Unknown/absent types → None (caller keeps the JSON default);
+    ``NOT_ACCEPTABLE`` when the client refused json explicitly and
+    nothing else acceptable remains (round-6 review fix: a q=0 on the
+    JSON types previously still fell through to the JSON default)."""
     best: "tuple[float, int, str] | None" = None
+    json_refused = False
     for pos, part in enumerate(accept.split(",")):
         bits = part.strip().split(";")
         mtype = bits[0].strip().lower()
@@ -56,11 +65,15 @@ def _negotiate(accept: str) -> "str | None":
                 except ValueError:
                     qv = 0.0
         if qv <= 0:
+            if fmt == "json":
+                json_refused = True
             continue
         cand = (-qv, pos, fmt)
         if best is None or cand < best:
             best = cand
-    return best[2] if best else None
+    if best is not None:
+        return best[2]
+    return NOT_ACCEPTABLE if json_refused else None
 
 
 class SparqlHTTPServer:
@@ -171,6 +184,13 @@ class SparqlHTTPServer:
                             fmt = _negotiate(
                                 self.headers.get("Accept", "") or ""
                             )
+                            if fmt == NOT_ACCEPTABLE:
+                                self._reply(406, {
+                                    "error": "no acceptable result "
+                                    "format; supported: "
+                                    + ", ".join(sorted(_ACCEPT_FORMATS)),
+                                })
+                                return
                             if fmt is not None:
                                 q["format"] = [fmt]
                         out = outer._sparql(q)

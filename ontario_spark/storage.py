@@ -146,17 +146,35 @@ def profile_table(df: DataFrame, columns: "list[str] | None" = None) -> DataFram
     GROUPING SETS), then a literal unpivot via stack(). No per-column
     scans, no driver loops."""
     cols = columns if columns is not None else df.columns
+    # internal aliases are POSITIONAL (__nn_0, not __nn_<name>): name-
+    # derived aliases break on case-colliding source columns ('k'/'K'
+    # are distinct parquet columns but ambiguous to Spark's default
+    # case-insensitive resolution), and the display name enters the
+    # stack() literal escaped — arbitrary external lake schemas are
+    # exactly this operator's input (round-6 review fix)
+    all_cols = df.columns
+    missing = [c for c in cols if c not in all_cols]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    # rename POSITIONALLY before touching anything by name: F.col('k')
+    # is AMBIGUOUS when the table also has 'K' (Spark resolves names
+    # case-insensitively by default, and df[ordinal] re-resolves by
+    # name under the hood); toDF renames by position, no resolution
+    safe = df.toDF(*[f"__c{i}" for i in range(len(all_cols))])
+    ords = [all_cols.index(c) for c in cols]  # exact-case match
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{c}"))
-    one = df.agg(*aggs)
+    for i, o in enumerate(ords):
+        r = F.col(f"__c{o}")
+        aggs.append(F.count(r).alias(f"__nn_{i}"))
+        aggs.append(F.countDistinct(r).alias(f"__nd_{i}"))
+        aggs.append(F.min(r).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(r).cast("string").alias(f"__max_{i}"))
+    one = safe.agg(*aggs)
     parts = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        lit = c.replace("\\", "\\\\").replace("'", "\\'")
         parts.append(
-            f"'{c}', __n - `__nn_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`"
+            f"'{lit}', __n - `__nn_{i}`, `__nd_{i}`, `__min_{i}`, `__max_{i}`"
         )
     stacked = one.select(
         F.col("__n").alias("n_rows"),

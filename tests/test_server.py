@@ -260,3 +260,24 @@ def test_negotiate_q_values():
     # unknown types fall through to the JSON default (None)
     assert _negotiate("text/html, image/png") is None
     assert _negotiate("") is None
+
+
+def test_all_json_refused_is_406(server):
+    from urllib.error import HTTPError
+    from urllib.parse import urlencode
+
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": QUERY}),
+        headers={
+            "Accept": "application/sparql-results+json;q=0, "
+            "application/json;q=0"
+        },
+    )
+    with pytest.raises(HTTPError) as ei:
+        urlopen(req, timeout=120)
+    assert ei.value.code == 406
+    # refusing only an unsupported type still serves the JSON default
+    from ontario_spark.server import _negotiate
+
+    assert _negotiate("text/html;q=0") is None

@@ -105,3 +105,15 @@ def test_generate_catalog_cli(tmp_path, spark):
     assert len(cat.triple_maps) >= 8
     mts = json.load(open(summ))
     assert any(m.get("linked_to") for m in mts.values())
+
+
+def test_profile_table_hostile_column_names(spark):
+    """Case-colliding and quote-bearing column names are legal in lake
+    parquet; the profiler must not corrupt its generated SQL."""
+    from ontario_spark.storage import profile_table
+
+    df = spark.createDataFrame([(1, 2, "x"), (3, None, "y's")], ["k", "K", "it's"])
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"k", "K", "it's"}
+    assert out["K"]["n_nulls"] == 1 and out["k"]["n_nulls"] == 0
+    assert out["it's"]["n_distinct"] == 2
