@@ -203,3 +203,28 @@ WHERE CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'),
                            1, {_HEXW})) AS BIGINT)
       < r.rate * {float(_SPACE)!r}
 """
+
+
+def epoch_shuffle(
+    df: DataFrame, key: str, epoch: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic per-epoch training order: rows sorted by
+    ``md5(key || epoch || salt)`` — a different but REPRODUCIBLE
+    permutation every epoch, identical across engines, re-runs, and
+    cluster sizes (no RNG state, no zipWithIndex). The ``shuffle``
+    step of a training-data loader: downstream sequential readers see
+    epoch-decorrelated order while lineage stays replayable.
+
+    Scale: one range-partitioned sort on a 16-byte key — the same
+    cost class as any global orderBy; at lake scale you'd write the
+    result partitioned and let readers stream partitions in name
+    order."""
+    okey = F.md5(
+        F.concat(
+            F.col(key).cast("string"),
+            F.lit(f"|e{int(epoch)}|{salt}"),
+        )
+    )
+    return df.withColumn("__shuffle_key", okey).orderBy(
+        "__shuffle_key"
+    ).drop("__shuffle_key")

@@ -1209,6 +1209,35 @@ FROM hashed WHERE rn = 1
 """
 
 
+def sample_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-2 training order (round 6): the md5 epoch
+    permutation materialized as (position, doc_id) so the oracle
+    verifies the PERMUTATION itself, not just the row set (the driver
+    compare is order-insensitive)."""
+    from pyspark.sql.window import Window
+
+    from ontario_spark.operators.sampling import epoch_shuffle
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ordered = epoch_shuffle(docs, "doc_id", epoch=2, salt="s")
+    okey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|e2|s")))
+    return ordered.select(
+        F.row_number()
+        .over(Window.orderBy(okey, "doc_id"))
+        .alias("position"),
+        "doc_id",
+    )
+
+
+SAMPLE_EPOCH_ORDER_SQL = """
+SELECT ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '|e2|s'), doc_id
+       ) AS position,
+       doc_id
+FROM documents
+"""
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of the documents table (round 6): one-pass
     null/distinct/extreme stats per column (``storage.profile_table``),
@@ -1765,6 +1794,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "pipeline_rag_prep": pipeline_rag_prep,
     "profile_documents": profile_documents,
+    "sample_epoch_order": sample_epoch_order,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1810,6 +1840,7 @@ ORACLE = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "pipeline_rag_prep": PIPELINE_RAG_PREP_SQL,
     "profile_documents": PROFILE_DOCUMENTS_SQL,
+    "sample_epoch_order": SAMPLE_EPOCH_ORDER_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,

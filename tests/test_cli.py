@@ -146,3 +146,21 @@ def test_cli_csv_results_format(spark, sf_small, tmp_path):
     assert out["totalRows"] == 3 and out["format"] == "csv"
     lines = out["serialized"].split("\r\n")
     assert lines[0] == "name" and len([l for l in lines[1:] if l]) == 3
+
+
+def test_dief_metrics():
+    sys_path_hack = __import__("sys").path
+    import os
+    sys_path_hack.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dief import dief_at_k, dief_at_t
+
+    # three answers at 1s, 2s, 3s; horizon 4s → areas 3 + 2 + 1
+    assert dief_at_t([1.0, 2.0, 3.0], 4.0) == 6.0
+    # answers after the horizon don't count
+    assert dief_at_t([1.0, 2.0, 9.0], 4.0) == 5.0
+    # dief@2: horizon is the 2nd arrival (2s) → areas 1 + 0
+    assert dief_at_k([1.0, 2.0, 3.0], 2) == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dief_at_k([1.0], 2)
