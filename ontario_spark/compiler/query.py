@@ -179,6 +179,91 @@ class SparqlEngine:
     def _dataset_named(self, v) -> None:
         self._tls.dataset_named = v
 
+    def explain(self, text: str) -> str:
+        """Two-level plan report: the FEDERATION level (stars, the
+        source branches each compiles to, shape-group dedup scopes —
+        what the reference prints as its bushy tree) followed by the
+        Spark physical plan of the compiled query. Observability only;
+        the compiled plan is the same object ``query(text)`` returns.
+        Nested blocks (OPTIONAL/UNION/MINUS/EXISTS/GRAPH/SERVICE/
+        subqueries) are summarized by kind at their position; their
+        inner stars go through the identical selection machinery at
+        compile time."""
+        from ontario_spark.sparql.parser import parse as _parse
+
+        q = _parse(text)
+        lines = [
+            "== Federation plan (source selection, pre-pruning; "
+            "MT-connectivity pruning and bound-join ordering apply "
+            "at compile) =="
+        ]
+
+        def walk(group, depth: int) -> None:
+            pad = "  " * depth
+            triples = [
+                e
+                for e in group.elements
+                if type(e).__name__ == "Triple" and e.p.is_iri
+            ]
+            if triples:
+                for star in bgp_stars(triples):
+                    try:
+                        plan = select_sources(self.catalog, star)
+                    except Exception as exc:  # unanswerable star
+                        lines.append(
+                            f"{pad}star {star.subject.value!r}: "
+                            f"UNANSWERED ({exc})"
+                        )
+                        continue
+                    subj = star.subject.value
+                    lines.append(
+                        f"{pad}star ?{subj}: {len(star.triples)} triple(s)"
+                        f" → {len(plan.alternatives)} source branch(es)"
+                    )
+                    groups = plan.alt_groups or list(
+                        range(len(plan.alternatives))
+                    )
+                    for alt, g in zip(plan.alternatives, groups):
+                        maps = ", ".join(
+                            f"{tm.name}"
+                            f"[{self.catalog.source_of(tm).dstype}]"
+                            for tm in alt
+                        )
+                        dedup = (
+                            " (set-dedup with group siblings)"
+                            if groups.count(g) > 1
+                            else ""
+                        )
+                        lines.append(f"{pad}  shape-group {g}: {maps}{dedup}")
+            for e in group.elements:
+                kind = type(e).__name__
+                if kind == "Group":
+                    walk(e, depth + 1)
+                elif kind == "UnionBlock":
+                    lines.append("  " * depth + "UNION:")
+                    for b in e.branches:
+                        walk(b, depth + 1)
+                elif kind in (
+                    "OptionalBlock",
+                    "MinusBlock",
+                    "ExistsFilter",
+                    "GraphBlock",
+                    "ServiceBlock",
+                ):
+                    inner = getattr(e, "block", None)
+                    lines.append("  " * depth + f"{kind}:")
+                    if inner is not None and hasattr(inner, "elements"):
+                        walk(inner, depth + 1)
+                elif kind == "SubSelect":
+                    lines.append("  " * depth + "SubSelect { ... }")
+
+        walk(q.where, 1)
+        df = self.query(text)
+        lines.append("")
+        lines.append("== Spark physical plan ==")
+        lines.append(df._jdf.queryExecution().executedPlan().toString())
+        return "\n".join(lines)
+
     def query(self, text: str) -> DataFrame:
         self._dataset_default = None
         self._dataset_named = None

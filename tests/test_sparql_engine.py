@@ -1499,3 +1499,20 @@ def test_isnumeric_and_string_ebv_ansi_safe(engine, sf_small):
               FILTER (!ISNUMERIC(?name) && CONCAT(?name, "x")) }"""
     ).collect()
     assert len(rows) == 5  # non-numeric names pass; non-empty string EBV true
+
+
+def test_engine_explain_reports_both_levels(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    out = eng.explain(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name "
+        "OPTIONAL { ?c ex:acctbal ?b } }"
+    )
+    assert "== Federation plan" in out
+    assert "star ?c" in out and "CustomerMap[parquet]" in out
+    assert "OptionalBlock:" in out
+    assert "== Spark physical plan ==" in out
+    assert "FileScan parquet" in out
