@@ -283,6 +283,118 @@ SELECT node, CAST(r AS DOUBLE) AS rank FROM {prev}
 EVENTS_PAGERANK_SQL = _pagerank_sql(5)
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (round 6): per user the earliest
+    signup, the earliest click strictly after it, the earliest
+    purchase strictly after that — then users-per-stage. The classic
+    ordered-sequence analytics shape: three conditional min-aggregates
+    cascaded by per-user joins (each a key shuffle on user_id, no
+    windows over the full event stream needed)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # stay LAZY and distributed (no driver-side count() at build):
+    # union the stage memberships under literal labels, roll up, and
+    # left-join a literal stage list so an empty stage reports 0
+    stages = (
+        t1.select(F.lit("1_signup").alias("stage"))
+        .union(t2.select(F.lit("2_click_after_signup").alias("stage")))
+        .union(t3.select(F.lit("3_purchase_after_click").alias("stage")))
+    )
+    counts = stages.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    base = spark.createDataFrame(
+        [("1_signup",), ("2_click_after_signup",),
+         ("3_purchase_after_click",)],
+        ["stage"],
+    )
+    return base.join(counts, "stage", "left").select(
+        "stage", F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_users")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage, CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+UNION ALL
+SELECT '2_click_after_signup', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT '3_purchase_after_click', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+"""
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (round 6): users grouped by first-seen
+    week, activity counted per (cohort_week, weeks_since) — the
+    retention-matrix shape. Two aggregations: first-seen per user
+    (shuffle on user_id), then the matrix rollup (shuffle on the
+    cohort pair); date bucketing stays in whole-stage codegen."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    first = (
+        ev.select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_w"))
+    )
+    return (
+        ev.select("user_id", wk.alias("w"))
+        .join(first, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("weeks_since"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.col("cohort_w").cast("long"),
+            F.col("weeks_since").cast("long"),
+            F.col("n_users").cast("long"),
+        )
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH wks AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), first AS (
+  SELECT user_id, MIN(w) AS cohort_w FROM wks GROUP BY user_id
+)
+SELECT f.cohort_w, wks.w - f.cohort_w AS weeks_since,
+       CAST(COUNT(DISTINCT wks.user_id) AS BIGINT) AS n_users
+FROM wks JOIN first f ON f.user_id = wks.user_id
+GROUP BY f.cohort_w, wks.w - f.cohort_w
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_scd2_history": events_scd2_history,
@@ -290,6 +402,8 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "events_value_quantiles": events_value_quantiles,
     "events_pagerank": events_pagerank,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
 }
 
 ORACLE = {
@@ -299,4 +413,6 @@ ORACLE = {
     "events_json_stats": EVENTS_JSON_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "events_pagerank": EVENTS_PAGERANK_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention_cohorts": EVENTS_RETENTION_SQL,
 }
