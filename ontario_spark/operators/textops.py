@@ -531,3 +531,42 @@ def unigram_logprob(
             F.sum("s").cast("double") / F.sum("tf").cast("double")
         ).alias("avg_neg_logprob"),
     ).select(F.col("id").alias(id_col), "n_tokens", "avg_neg_logprob")
+
+
+def novelty_score(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Corpus-relative novelty: the fraction of a document's distinct
+    word n-grams that appear in NO other document —
+    ``(id, n_shingles, n_novel, novelty)``. The diversity dual of the
+    contamination scan: high novelty marks original content, near-zero
+    novelty marks templated/boilerplate-heavy text. Deterministic and
+    engine-portable (60-bit md5 shingle hashes, exact counts, one
+    final division).
+
+    Scale shape: one explode → global doc-frequency aggregate on the
+    8-byte hash → rejoin → per-doc conditional count. Two hash
+    shuffles, payloads never carry shingle text."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    sh = exploded_shingles(df, id_col, text_col, n)
+    h60 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = sh.select("id", h60.alias("h"))
+    freq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        hashed.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("long"),
+            F.col("n_novel").cast("long"),
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

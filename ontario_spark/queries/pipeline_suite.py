@@ -1283,6 +1283,39 @@ SELECT 'n_chars', CAST(n AS BIGINT), CAST(n - nn_n_chars AS BIGINT),
 """
 
 
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative n-gram novelty per document (round 6) — the
+    diversity signal dual to the contamination scan; exact counts,
+    one final division, oracle-checked end-to-end."""
+    return textops.novelty_score(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+TEXT_NOVELTY_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), freq AS (
+  SELECT h, COUNT(*) AS df FROM hx GROUP BY h
+)
+SELECT hx.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM hx JOIN freq USING (h)
+GROUP BY hx.doc_id
+"""
+
+
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixing (round 5): per-language keep rates
     ∝ sqrt(n_lang) flatten the language distribution toward uniform at
@@ -1795,6 +1828,7 @@ QUERIES = {
     "pipeline_rag_prep": pipeline_rag_prep,
     "profile_documents": profile_documents,
     "sample_epoch_order": sample_epoch_order,
+    "text_novelty": text_novelty,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
@@ -1841,6 +1875,7 @@ ORACLE = {
     "pipeline_rag_prep": PIPELINE_RAG_PREP_SQL,
     "profile_documents": PROFILE_DOCUMENTS_SQL,
     "sample_epoch_order": SAMPLE_EPOCH_ORDER_SQL,
+    "text_novelty": TEXT_NOVELTY_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,
