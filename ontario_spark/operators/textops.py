@@ -547,8 +547,6 @@ def novelty_score(
     Scale shape: one explode → global doc-frequency aggregate on the
     8-byte hash → rejoin → per-doc conditional count. Two hash
     shuffles, payloads never carry shingle text."""
-    from ontario_spark.operators.textops import exploded_shingles
-
     sh = exploded_shingles(df, id_col, text_col, n)
     h60 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     hashed = sh.select("id", h60.alias("h"))
