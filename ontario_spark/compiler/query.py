@@ -189,13 +189,11 @@ class SparqlEngine:
         subqueries) are summarized by kind at their position; their
         inner stars go through the identical selection machinery at
         compile time."""
-        from ontario_spark.sparql.parser import parse as _parse
-
-        q = _parse(text)
+        q = parse(text)
         lines = [
             "== Federation plan (source selection, pre-pruning; "
-            "MT-connectivity pruning and bound-join ordering apply "
-            "at compile) =="
+            "MT-connectivity pruning, GRAPH/FROM dataset scoping, and "
+            "bound-join ordering apply at compile) =="
         ]
 
         def walk(group, depth: int) -> None:
@@ -207,18 +205,21 @@ class SparqlEngine:
             ]
             if triples:
                 for star in bgp_stars(triples):
-                    try:
-                        plan = select_sources(self.catalog, star)
-                    except Exception as exc:  # unanswerable star
-                        lines.append(
-                            f"{pad}star {star.subject.value!r}: "
-                            f"UNANSWERED ({exc})"
-                        )
-                        continue
-                    subj = star.subject.value
+                    plan = select_sources(self.catalog, star)
+                    subj = (
+                        f"?{star.subject.value}"
+                        if star.subject.is_var
+                        else f"<{star.subject.value}>"
+                    )
+                    status = (
+                        " — UNANSWERED (no source covers this star)"
+                        if not plan.alternatives
+                        else ""
+                    )
                     lines.append(
-                        f"{pad}star ?{subj}: {len(star.triples)} triple(s)"
+                        f"{pad}star {subj}: {len(star.triples)} triple(s)"
                         f" → {len(plan.alternatives)} source branch(es)"
+                        f"{status}"
                     )
                     groups = plan.alt_groups or list(
                         range(len(plan.alternatives))
@@ -251,16 +252,33 @@ class SparqlEngine:
                     "ServiceBlock",
                 ):
                     inner = getattr(e, "block", None)
-                    lines.append("  " * depth + f"{kind}:")
+                    tag = kind
+                    if kind == "GraphBlock":
+                        g = e.graph
+                        tag += (
+                            f" ?{g.value}" if g.is_var else f" <{g.value}>"
+                        ) + " (branches shown pre-scoping; the compiler"
+                        " restricts them to the graph's source)"
+                    elif kind == "ServiceBlock":
+                        tag += f" <{e.endpoint}>"
+                    lines.append("  " * depth + f"{tag}:")
                     if inner is not None and hasattr(inner, "elements"):
                         walk(inner, depth + 1)
                 elif kind == "SubSelect":
                     lines.append("  " * depth + "SubSelect { ... }")
 
         walk(q.where, 1)
-        df = self.query(text)
         lines.append("")
         lines.append("== Spark physical plan ==")
+        try:
+            df = self.query(text)
+        except Exception as exc:
+            # an unanswerable/uncompilable query is exactly when the
+            # federation report above matters — keep it and report the
+            # compile failure instead of propagating (round-6 review
+            # fix: the report was built then thrown away)
+            lines.append(f"<query does not compile: {exc}>")
+            return "\n".join(lines)
         lines.append(df._jdf.queryExecution().executedPlan().toString())
         return "\n".join(lines)
 

@@ -361,7 +361,20 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle on user_id), then the matrix rollup (shuffle on the
     cohort pair); date bucketing stays in whole-stage codegen."""
     ev = table(spark, sf_dir, "events").select("user_id", "ts")
-    wk = F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    # TZ-LESS week bucketing: unix_timestamp interprets the NTZ wall
+    # time in the session zone (DST-dependent shift), while the
+    # oracle's epoch(ts) is timezone-less — derive epoch seconds from
+    # wall-clock date + time parts instead, which is TZ-invariant on
+    # both engines (round-6 review fix; sub-second parts cannot move
+    # the floor across an integer week boundary)
+    secs = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        * F.lit(86400)
+        + F.hour("ts") * F.lit(3600)
+        + F.minute("ts") * F.lit(60)
+        + F.second("ts")
+    )
+    wk = F.floor(secs / F.lit(604800)).cast("long")
     first = (
         ev.select("user_id", wk.alias("w"))
         .groupBy("user_id")

@@ -1210,18 +1210,19 @@ FROM hashed WHERE rn = 1
 
 
 def sample_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic epoch-2 training order (round 6): the md5 epoch
-    permutation materialized as (position, doc_id) so the oracle
-    verifies the PERMUTATION itself, not just the row set (the driver
-    compare is order-insensitive)."""
+    """Deterministic epoch-2 training-order DEFINITION (round 6): the
+    md5 permutation rule materialized as (position, doc_id), verified
+    cross-engine. The ``epoch_shuffle`` OPERATOR (whose physical row
+    order a sorted-columns hash compare cannot observe) is verified by
+    ``test_sampling.py::test_epoch_shuffle_order`` against this same
+    rule — re-deriving the key here rather than wrapping the operator
+    keeps the query one window, not a wasted double sort (round-6
+    review fix)."""
     from pyspark.sql.window import Window
 
-    from ontario_spark.operators.sampling import epoch_shuffle
-
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    ordered = epoch_shuffle(docs, "doc_id", epoch=2, salt="s")
     okey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|e2|s")))
-    return ordered.select(
+    return docs.select(
         F.row_number()
         .over(Window.orderBy(okey, "doc_id"))
         .alias("position"),

@@ -300,3 +300,25 @@ def test_range_join_matches_bruteforce_reference(spark):
             <= upper
         }
         assert got == exp, (trial, got ^ exp)
+
+
+def test_retention_cohorts_timezone_invariant(spark, sf_small):
+    """The week bucketing derives epoch seconds from wall-clock parts
+    of the NTZ timestamp, so a non-UTC session timezone must not move
+    any cohort cell (round-6 review fix: unix_timestamp was session-
+    zone-dependent while the DuckDB oracle is timezone-less)."""
+    from ontario_spark.queries.events_suite import events_retention_cohorts
+    from tests.oracle import assert_match, run_oracle
+    from ontario_spark.queries import all_oracle_sql
+
+    sql = all_oracle_sql()["events_retention_cohorts"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert_match(
+            events_retention_cohorts(spark, sf_small),
+            run_oracle(sql, sf_small),
+            "retention_tz",
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -130,3 +130,25 @@ def test_temperature_mix_flattens_distribution(spark, sf_small):
         .collect()
     }
     assert again == got
+
+
+def test_epoch_shuffle_order(spark):
+    """The operator's PHYSICAL row order equals the md5 rule the
+    sample_epoch_order oracle checks (a sorted-columns hash compare
+    can't observe order, so the operator is pinned here):
+    reproducible per epoch, decorrelated across epochs."""
+    import hashlib
+
+    from ontario_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], ["doc_id"])
+    got = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 2, "s").collect()]
+    expect = sorted(
+        range(97),
+        key=lambda i: hashlib.md5(f"{i}|e2|s".encode()).hexdigest(),
+    )
+    assert got == expect
+    again = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 2, "s").collect()]
+    assert got == again
+    other = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 3, "s").collect()]
+    assert got != other and sorted(other) == sorted(got)

@@ -57,18 +57,26 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     out = json.load(open(args.response))
     trace = out.get("trace")
-    if not trace:
+    if trace is None:  # [] is a legitimate 0-answer trace
         print("no trace in response (run the CLI with --trace)",
               file=sys.stderr)
         return 1
+    if not trace:
+        print(json.dumps({"n_answers": 0, "dief@t": 0.0, "dief@k": 0.0}))
+        return 0
     t = args.t if args.t is not None else max(trace)
     k = args.k if args.k is not None else len(trace)
+    try:
+        d_k = dief_at_k(trace, k)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
     print(json.dumps({
         "n_answers": len(trace),
         "t": t,
         "dief@t": round(dief_at_t(trace, t), 6),
         "k": k,
-        "dief@k": round(dief_at_k(trace, k), 6),
+        "dief@k": round(d_k, 6),
         "first": min(trace),
         "last": max(trace),
     }))
