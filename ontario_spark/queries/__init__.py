@@ -92,7 +92,11 @@ DRIVER_SURFACE = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_topk_bucketed",
-    "emb_neardup_pairs",
+    # round-6 late swap: emb_neardup_pairs' full pipeline is a strict
+    # sub-plan of surface row semantic_dedup (which composes it with
+    # connected components), so the slot goes to the ordered-funnel
+    # shape external verification never covered
+    "events_funnel",
     "text_metrics",
     # round-6: PII scan + token-window chunking (slots from
     # stream_events_hourly — windowed aggregation stays represented by
@@ -186,6 +190,7 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        "emb_neardup_pairs",
         "dedup_exact",
         "stream_user_sessions",
         # round-6 rotated-out rows first (each green ≥2 straight rounds
