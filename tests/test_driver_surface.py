@@ -19,7 +19,9 @@ FAMILIES = (
     "minhash_",
     "simhash_",
     "ann_",
-    "emb_",
+    # embedding near-dup family: represented by semantic_dedup (round
+    # 6), whose plan strictly contains emb_neardup_pairs' pipeline
+    ("emb_", "semantic_"),
     "text_",
     "bm25_",
     "mm_",
@@ -41,6 +43,7 @@ def test_surface_is_curated_50_then_full_registry():
 
 def test_every_family_on_the_surface():
     for fam in FAMILIES:
+        # a tuple lists alternative prefixes that carry the family
         assert any(n.startswith(fam) for n in DRIVER_SURFACE), fam
 
 
