@@ -184,6 +184,14 @@ class Parser:
                 f"expected SELECT/ASK/CONSTRUCT/DESCRIBE at {self.peek().pos}"
             )
         q.prefixes = self.prefixes
+        if self.at_kw("values"):
+            # W3C ValuesClause (§10.2.2): a trailing VALUES block joins
+            # the inline data with the query's pattern solutions — the
+            # algebra (18.2.4.4) makes it equivalent to the same block
+            # inside the top-level group (join is order-independent),
+            # so append it there
+            self.next()
+            q.where.elements.append(self._values())
         if self.peek().type != "EOF":
             raise SparqlSyntaxError(f"trailing input at {self.peek().pos}: {self.peek().value!r}")
         return q

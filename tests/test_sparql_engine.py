@@ -1516,3 +1516,16 @@ def test_engine_explain_reports_both_levels(spark, sf_small):
     assert "OptionalBlock:" in out
     assert "== Spark physical plan ==" in out
     assert "FileScan parquet" in out
+
+
+def test_trailing_values_restricts_solutions(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name }\n"
+        'VALUES ?name { "NATION_3" "NATION_7" }'
+    )
+    assert sorted(r["name"] for r in df.collect()) == ["NATION_3", "NATION_7"]

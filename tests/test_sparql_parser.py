@@ -300,3 +300,18 @@ def test_limit_offset_validation():
         parse("SELECT ?x WHERE { ?x <http://e/p> ?v } LIMIT -5")
     with pytest.raises(SparqlSyntaxError, match="OFFSET"):
         parse("SELECT ?x WHERE { ?x <http://e/p> ?v } OFFSET x")
+
+
+def test_trailing_values_clause_parses():
+    """W3C ValuesClause: VALUES after the solution modifiers joins the
+    inline data with the pattern solutions (appended to the top-level
+    group — algebraically identical per §18.2.4.4)."""
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        'SELECT ?n WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" "b" }'
+    )
+    kinds = [type(e).__name__ for e in q.where.elements]
+    assert kinds.count("ValuesBlock") == 1
+    vb = next(e for e in q.where.elements if type(e).__name__ == "ValuesBlock")
+    assert vb.variables == ["n"] and len(vb.rows) == 2
