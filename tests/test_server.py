@@ -281,3 +281,27 @@ def test_all_json_refused_is_406(server):
     from ontario_spark.server import _negotiate
 
     assert _negotiate("text/html;q=0") is None
+
+
+def test_concurrent_blocking_queries(server):
+    """ThreadingHTTPServer serves each request on its own thread; six
+    parallel blocking queries with distinct limits must each get their
+    own complete result (engine compile state is thread-local)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import urlencode
+
+    from ontario_spark.catalog.tpch_rdf import EX
+
+    def one(i: int) -> int:
+        q = urlencode({
+            "query": f"PREFIX ex: <{EX}>\n"
+            "SELECT ?c ?name WHERE { ?c a ex:Customer ; ex:name ?name } "
+            f"LIMIT {i + 1}"
+        })
+        out = _get(f"http://127.0.0.1:{server.port}/sparql?{q}")
+        assert len(out["result"]) == out["totalRows"]
+        return out["totalRows"]
+
+    with ThreadPoolExecutor(6) as ex:
+        got = sorted(ex.map(one, range(6)))
+    assert got == [1, 2, 3, 4, 5, 6]
