@@ -282,10 +282,24 @@ class SparqlEngine:
         lines.append(df._jdf.queryExecution().executedPlan().toString())
         return "\n".join(lines)
 
-    def query(self, text: str) -> DataFrame:
+    def query(
+        self,
+        text: str,
+        default_graph_uris: "list[str] | None" = None,
+        named_graph_uris: "list[str] | None" = None,
+    ) -> DataFrame:
+        """Compile one query. The optional graph-URI lists are the
+        SPARQL Protocol's ``default-graph-uri`` / ``named-graph-uri``
+        request parameters — when either is present they OVERRIDE the
+        query's own FROM / FROM NAMED clauses (Protocol §2.1.4), by
+        substituting the parsed dataset clause before compilation."""
         self._dataset_default = None
         self._dataset_named = None
-        return self.compile(parse(text))
+        q = parse(text)
+        if default_graph_uris or named_graph_uris:
+            q.from_graphs = list(default_graph_uris or [])
+            q.from_named = list(named_graph_uris or [])
+        return self.compile(q)
 
     def compile(self, q: Query) -> DataFrame:
         if q.from_graphs:

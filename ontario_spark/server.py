@@ -229,7 +229,13 @@ class SparqlHTTPServer:
         if not text:
             raise ValueError("missing ?query=")
         t0 = time.perf_counter()
-        df = self.engine.query(text)
+        # SPARQL Protocol dataset parameters (repeatable; override the
+        # query's own FROM / FROM NAMED — §2.1.4)
+        df = self.engine.query(
+            text,
+            default_graph_uris=q.get("default-graph-uri"),
+            named_graph_uris=q.get("named-graph-uri"),
+        )
         if (q.get("mode") or ["blocking"])[0] == "non-blocking":
             qid = uuid.uuid4().hex
             with self._lock:

@@ -305,3 +305,29 @@ def test_concurrent_blocking_queries(server):
     with ThreadPoolExecutor(6) as ex:
         got = sorted(ex.map(one, range(6)))
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_protocol_default_graph_uri_param(spark, sf_small):
+    """default-graph-uri request parameter scopes the dataset."""
+    from urllib.parse import urlencode
+
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_federated_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    srv = SparqlHTTPServer(
+        SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    ).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}/sparql?"
+        text = (
+            f"PREFIX ex: <{EX}>\n"
+            "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+        )
+        unscoped = _get(base + urlencode({"query": text}))
+        assert unscoped["totalRows"] > 0
+        scoped = _get(base + urlencode(
+            {"query": text, "default-graph-uri": "urn:graph:tpch_lake"}
+        ))
+        assert scoped["totalRows"] == 0  # customers live on the remote member
+    finally:
+        srv.stop()

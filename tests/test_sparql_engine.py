@@ -1529,3 +1529,25 @@ def test_trailing_values_restricts_solutions(spark, sf_small):
         'VALUES ?name { "NATION_3" "NATION_7" }'
     )
     assert sorted(r["name"] for r in df.collect()) == ["NATION_3", "NATION_7"]
+
+
+def test_protocol_dataset_params_override_from(spark, sf_small):
+    """SPARQL Protocol §2.1.4: default-graph-uri request params
+    override the query's own FROM clause."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    text = (
+        PFX
+        + """SELECT ?name FROM <urn:graph:remote_sql> WHERE {
+              ?c a ex:Customer ; ex:name ?name }"""
+    )
+    # query's own FROM finds the remote member's customers
+    assert eng.query(text).count() > 0
+    # the protocol param overrides it to the lake member → none
+    assert (
+        eng.query(
+            text, default_graph_uris=["urn:graph:tpch_lake"]
+        ).count()
+        == 0
+    )
