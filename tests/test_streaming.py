@@ -356,3 +356,36 @@ def test_exactly_once_sink_idempotent_under_replay(spark, sf_small, tmp_path):
         "overwrite"
     ).parquet(f"{out}/batch_id={bid}")
     assert spark.read.option("basePath", out).parquet(out).count() == n_events
+
+
+def test_exactly_once_sink_resumes_incrementally(spark, tmp_path):
+    """Restarting against the same checkpoint processes ONLY newly
+    arrived files: batch-1 rows are not re-emitted (the checkpoint is
+    the high-water mark), and the union of batch directories holds
+    each input row exactly once."""
+    from ontario_spark.streaming.events import write_stream_exactly_once
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 100).toDF("event_id").write.mode("overwrite").parquet(
+        str(src)
+    )
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = write_stream_exactly_once(stream, out, ckpt)
+        q.awaitTermination()
+
+    run_once()
+    got1 = spark.read.option("basePath", out).parquet(out)
+    assert got1.count() == 100
+    # new arrivals land as additional files; same checkpoint resumes
+    spark.range(100, 150).toDF("event_id").write.mode("append").parquet(
+        str(src)
+    )
+    run_once()
+    got2 = spark.read.option("basePath", out).parquet(out)
+    assert got2.count() == 150
+    assert got2.select("event_id").distinct().count() == 150
