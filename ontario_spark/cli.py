@@ -60,6 +60,7 @@ def run(
     write_path: str | None = None,
     write_format: str = "parquet",
     results_format: str = "json",
+    explain: bool = False,
 ) -> dict:
     """Execute one query; returns the reference's response shape with
     the bindings in W3C SPARQL-JSON. ``trace=True`` additionally
@@ -103,7 +104,11 @@ def run(
         else:
             cat = load(catalog_path)
         t0 = time.perf_counter()
-        df = SparqlEngine(spark, cat).query(query_text)
+        engine = SparqlEngine(spark, cat)
+        if explain:
+            # plan report only — nothing executes beyond compilation
+            return {"explain": engine.explain(query_text)}
+        df = engine.query(query_text)
         if write_path is not None:
             if trace:
                 raise ValueError(
@@ -201,11 +206,17 @@ def main(argv: list[str] | None = None) -> int:
                     choices=("json", "csv", "tsv", "xml"),
                     help="stdout serialization: SPARQL-JSON response "
                          "shape (default) or raw W3C csv/tsv/xml text")
+    ap.add_argument("--explain", action="store_true",
+                    help="print the federation + Spark plan report "
+                         "instead of executing the query")
     args = ap.parse_args(argv)
     text = sys.stdin.read() if args.query == "-" else open(args.query).read()
     out = run(args.catalog, text, trace=args.trace,
               write_path=args.write, write_format=args.write_format,
-              results_format=args.results_format)
+              results_format=args.results_format, explain=args.explain)
+    if "explain" in out:
+        sys.stdout.write(out["explain"] + "\n")
+        return 0
     if "serialized" in out:
         sys.stdout.write(out["serialized"])
         return 0

@@ -164,3 +164,21 @@ def test_dief_metrics():
 
     with _pytest.raises(ValueError):
         dief_at_k([1.0], 2)
+
+
+def test_cli_explain_mode(spark, sf_small, tmp_path):
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+
+    p = str(tmp_path / "cat.json")
+    serde.save(tpch_catalog(sf_small), p)
+    out = run(
+        p,
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name }",
+        spark=spark,
+        explain=True,
+    )
+    assert set(out) == {"explain"}  # plan only, nothing executed
+    assert "== Federation plan" in out["explain"]
+    assert "NationMap[parquet]" in out["explain"]
