@@ -1343,6 +1343,25 @@ class SparqlEngine:
         return ExprCompiler(resolve, dtype, has_col=lambda c: c in dtypes)
 
     def _select(self, q: Query, bf: BFrame) -> DataFrame:
+        trailing = (
+            self._values(q.values_clause)
+            if q.values_clause is not None
+            else None
+        )
+        # non-aggregate queries: the trailing VALUES joins the pattern
+        # solutions directly (before SELECT expressions/projection);
+        # aggregate queries join it AFTER grouping + HAVING below
+        # (§18.2.4.3 — round-6 review fix: an in-pattern join
+        # double-counted aggregates)
+        has_agg_probe = bool(q.group_by) or (
+            q.select is not None
+            and any(
+                s.expr is not None and is_aggregate(s.expr)
+                for s in q.select
+            )
+        )
+        if trailing is not None and not has_agg_probe:
+            bf = bf.join(trailing, "inner")
         sel = q.select
         if sel is None:
             # SELECT *: internal path-join variables (__pp*) stay hidden
@@ -1471,6 +1490,11 @@ class SparqlEngine:
                     lambda v: F.col(v), hdt.get, has_col=lambda c: c in hdt
                 )
                 bf = BFrame(bf.df.filter(hvc.boolean(having)), bf.meta)
+            if trailing is not None:
+                # §18.2.4.3: ValuesClause joins the grouped/HAVING-
+                # filtered solutions (shared vars equi-join; none
+                # shared → cross product with the tiny literal frame)
+                bf = bf.join(trailing, "inner")
             df = bf.df.select(*proj_vars, *sort_extra)
         else:
             if computed:

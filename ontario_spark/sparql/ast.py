@@ -223,6 +223,9 @@ class Query:
     # GROUP BY (expr AS ?v) entries: (Expr, varname) bound pre-grouping
     group_by_binds: list[tuple] = field(default_factory=list)
     having: Expr | None = None
+    # trailing W3C ValuesClause (§18.2.4.3: joined AFTER aggregation
+    # and HAVING, before select expressions/projection)
+    values_clause: "ValuesBlock | None" = None
     order_by: list[tuple[object, bool]] = field(default_factory=list)  # (var|Expr, asc)
     limit: int | None = None
     offset: int | None = None

@@ -185,13 +185,18 @@ class Parser:
             )
         q.prefixes = self.prefixes
         if self.at_kw("values"):
-            # W3C ValuesClause (§10.2.2): a trailing VALUES block joins
-            # the inline data with the query's pattern solutions — the
-            # algebra (18.2.4.4) makes it equivalent to the same block
-            # inside the top-level group (join is order-independent),
-            # so append it there
+            # W3C ValuesClause: for SELECT the algebra (§18.2.4.3)
+            # joins the data AFTER aggregation and HAVING — deferred to
+            # the compiler via values_clause (an in-group append would
+            # silently change aggregate results). Other query forms
+            # have no aggregation step between pattern and result, so
+            # the block joins the pattern directly.
             self.next()
-            q.where.elements.append(self._values())
+            vb = self._values()
+            if q.query_type == "select":
+                q.values_clause = vb
+            else:
+                q.where.elements.append(vb)
         if self.peek().type != "EOF":
             raise SparqlSyntaxError(f"trailing input at {self.peek().pos}: {self.peek().value!r}")
         return q
@@ -496,6 +501,12 @@ class Parser:
         if self.at_op("{") and self._kw_ahead(1, "select"):
             self.next()
             sub = SubSelect(self._select())
+            if self.at_kw("values"):
+                # SubSelect ::= ... SolutionModifier ValuesClause —
+                # same deferred-join semantics as the top level
+                # (round-6 review fix: valid W3C grammar was rejected)
+                self.next()
+                sub.query.values_clause = self._values()
             self.eat_op("}")
             g = Group()
             g.elements.append(sub)

@@ -1551,3 +1551,38 @@ def test_protocol_dataset_params_override_from(spark, sf_small):
         ).count()
         == 0
     )
+
+
+def test_trailing_values_joins_after_aggregation(spark, sf_small):
+    """§18.2.4.3: the ValuesClause joins AFTER grouping/HAVING — the
+    aggregate must not double-count the pattern rows (round-6 review
+    fix: an in-pattern join returned c=50 for a 2-row VALUES)."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    base = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT (COUNT(*) AS ?c) WHERE { ?n a ex:Nation }"
+    ).collect()[0]["c"]
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT (COUNT(*) AS ?c) WHERE { ?n a ex:Nation }\n"
+        "VALUES ?z { 1 2 }"
+    ).collect()
+    # post-aggregation cross product: two bindings, SAME count each
+    assert [r["c"] for r in rows] == [base, base]
+
+
+def test_subselect_trailing_values(spark, sf_small):
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?name WHERE { { SELECT ?name WHERE "
+        "{ ?n a ex:Nation ; ex:name ?name } "
+        'VALUES ?name { "NATION_1" "NATION_4" } } }'
+    ).collect()
+    assert sorted(r["name"] for r in rows) == ["NATION_1", "NATION_4"]

@@ -303,15 +303,19 @@ def test_limit_offset_validation():
 
 
 def test_trailing_values_clause_parses():
-    """W3C ValuesClause: VALUES after the solution modifiers joins the
-    inline data with the pattern solutions (appended to the top-level
-    group — algebraically identical per §18.2.4.4)."""
+    """W3C ValuesClause: for SELECT it lands on values_clause so the
+    compiler can join it AFTER aggregation/HAVING (§18.2.4.3); for
+    other forms it joins the pattern directly."""
     from ontario_spark.sparql.parser import parse
 
     q = parse(
         'SELECT ?n WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" "b" }'
     )
-    kinds = [type(e).__name__ for e in q.where.elements]
-    assert kinds.count("ValuesBlock") == 1
-    vb = next(e for e in q.where.elements if type(e).__name__ == "ValuesBlock")
-    assert vb.variables == ["n"] and len(vb.rows) == 2
+    assert [type(e).__name__ for e in q.where.elements] == ["Triple"]
+    assert q.values_clause is not None
+    assert q.values_clause.variables == ["n"]
+    assert len(q.values_clause.rows) == 2
+    qa = parse('ASK WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" }')
+    assert any(
+        type(e).__name__ == "ValuesBlock" for e in qa.where.elements
+    )
