@@ -186,3 +186,40 @@ def profile_table(df: DataFrame, columns: "list[str] | None" = None) -> DataFram
     return stacked.select(
         "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 512,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a dataset directory into
+    ``ceil(total_bytes / target_mb)`` files — the lake-maintenance task
+    that keeps scan parallelism healthy (thousands of kilobyte files
+    per partition destroy split planning and NameNode/listing
+    latency; files ≫ HDFS-block size serialize column reads).
+
+    Returns the output file count. The rewrite stages into
+    ``<path>.__compact__`` and swaps directories only after the write
+    succeeds, so a failed compaction never corrupts the source. Uses
+    coalesce (no shuffle) when reducing file count — each output file
+    is a concatenation of inputs; row order within files may change,
+    content never does."""
+    import math
+    import shutil
+
+    src = spark.read.format(fmt).load(path)
+    # size probe: sum the input files Spark actually planned
+    fs_total = 0
+    hconf = spark._jsc.hadoopConfiguration()
+    for p in src.inputFiles():
+        jp = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs_total += jp.getFileSystem(hconf).getFileStatus(jp).getLen()
+    n_out = max(1, math.ceil(fs_total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact__"
+    src.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    out_n = len(spark.read.format(fmt).load(tmp).inputFiles())
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return out_n

@@ -117,3 +117,23 @@ def test_profile_table_hostile_column_names(spark):
     assert set(out) == {"k", "K", "it's"}
     assert out["K"]["n_nulls"] == 1 and out["k"]["n_nulls"] == 0
     assert out["it's"]["n_distinct"] == 2
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    """64 tiny files compact into few target-sized files with content
+    unchanged; the staged swap leaves no temp directory behind."""
+    import os
+
+    from ontario_spark.storage import compact_files
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(64).write.parquet(path)
+    before = len(spark.read.parquet(path).inputFiles())
+    assert before >= 32
+    n_out = compact_files(spark, path, target_mb=512)
+    assert n_out == 1  # tiny dataset → one target-sized file
+    got = spark.read.parquet(path)
+    assert len(got.inputFiles()) == 1
+    assert got.count() == 10_000
+    assert got.agg({"id": "sum"}).collect()[0][0] == 49_995_000
+    assert not os.path.exists(path + ".__compact__")
