@@ -1343,25 +1343,6 @@ class SparqlEngine:
         return ExprCompiler(resolve, dtype, has_col=lambda c: c in dtypes)
 
     def _select(self, q: Query, bf: BFrame) -> DataFrame:
-        trailing = (
-            self._values(q.values_clause)
-            if q.values_clause is not None
-            else None
-        )
-        # non-aggregate queries: the trailing VALUES joins the pattern
-        # solutions directly (before SELECT expressions/projection);
-        # aggregate queries join it AFTER grouping + HAVING below
-        # (§18.2.4.3 — round-6 review fix: an in-pattern join
-        # double-counted aggregates)
-        has_agg_probe = bool(q.group_by) or (
-            q.select is not None
-            and any(
-                s.expr is not None and is_aggregate(s.expr)
-                for s in q.select
-            )
-        )
-        if trailing is not None and not has_agg_probe:
-            bf = bf.join(trailing, "inner")
         sel = q.select
         if sel is None:
             # SELECT *: internal path-join variables (__pp*) stay hidden
@@ -1374,6 +1355,27 @@ class SparqlEngine:
             proj_vars = [s.var for s in sel]
 
         has_agg = bool(q.group_by) or any(is_aggregate(s.expr) for s in computed)
+        # trailing W3C ValuesClause — the parser only defers it here
+        # for AGGREGATE queries (§18.2.4.3: joined after grouping +
+        # HAVING; non-aggregate placements stay in the pattern for
+        # bound-join pushdown). ONE has_agg flag gates both the agg
+        # branch and the join point (round-6 review fix: a duplicated
+        # probe could drift and double-join).
+        trailing = (
+            self._values(q.values_clause)
+            if q.values_clause is not None
+            else None
+        )
+        if trailing is not None and not has_agg:
+            # defensive: a values_clause on a non-aggregate query (set
+            # by hand, not the parser) still joins correctly
+            bf = bf.join(trailing, "inner")
+            trailing = None
+            if sel is None:
+                proj_vars = sorted(
+                    v for v in bf.variables if not v.startswith("__")
+                )
+                plain = proj_vars
         sort_extra: list[str] = []
         order_by = q.order_by
 

@@ -44,6 +44,24 @@ class SparqlSyntaxError(Exception):
     pass
 
 
+def _expr_has_agg(e) -> bool:
+    if isinstance(e, Expr):
+        return e.op.startswith("agg_") or any(
+            _expr_has_agg(a) for a in e.args
+        )
+    return False
+
+
+def _query_has_agg(q: Query) -> bool:
+    """GROUP BY present, or any SELECT expression contains an
+    aggregate (implicit single-group query)."""
+    if q.group_by:
+        return True
+    return q.select is not None and any(
+        s.expr is not None and _expr_has_agg(s.expr) for s in q.select
+    )
+
+
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
@@ -185,15 +203,18 @@ class Parser:
             )
         q.prefixes = self.prefixes
         if self.at_kw("values"):
-            # W3C ValuesClause: for SELECT the algebra (§18.2.4.3)
-            # joins the data AFTER aggregation and HAVING — deferred to
-            # the compiler via values_clause (an in-group append would
-            # silently change aggregate results). Other query forms
-            # have no aggregation step between pattern and result, so
-            # the block joins the pattern directly.
+            # W3C ValuesClause: with aggregation the algebra
+            # (§18.2.4.3) joins the data AFTER grouping and HAVING —
+            # deferred to the compiler via values_clause (an in-group
+            # append silently double-counted aggregates). WITHOUT
+            # aggregation the join commutes with the pattern, so the
+            # block goes INTO the group — keeping the VALUES keys
+            # visible to SERVICE/wrapper bound-join pushdown (a
+            # deferred join would fetch the unconstrained remote
+            # pattern only to filter it at the very end).
             self.next()
             vb = self._values()
-            if q.query_type == "select":
+            if q.query_type == "select" and _query_has_agg(q):
                 q.values_clause = vb
             else:
                 q.where.elements.append(vb)
@@ -503,10 +524,14 @@ class Parser:
             sub = SubSelect(self._select())
             if self.at_kw("values"):
                 # SubSelect ::= ... SolutionModifier ValuesClause —
-                # same deferred-join semantics as the top level
-                # (round-6 review fix: valid W3C grammar was rejected)
+                # same placement rule as the top level (round-6
+                # review fix: valid W3C grammar was rejected)
                 self.next()
-                sub.query.values_clause = self._values()
+                vb = self._values()
+                if _query_has_agg(sub.query):
+                    sub.query.values_clause = vb
+                else:
+                    sub.query.where.elements.append(vb)
             self.eat_op("}")
             g = Group()
             g.elements.append(sub)

@@ -200,26 +200,50 @@ def compact_files(
     per partition destroy split planning and NameNode/listing
     latency; files ≫ HDFS-block size serialize column reads).
 
-    Returns the output file count. The rewrite stages into
-    ``<path>.__compact__`` and swaps directories only after the write
-    succeeds, so a failed compaction never corrupts the source. Uses
-    coalesce (no shuffle) when reducing file count — each output file
-    is a concatenation of inputs; row order within files may change,
-    content never does."""
+    Returns the output file count. All filesystem operations go
+    through the Hadoop FileSystem API, so HDFS/s3a/local paths all
+    work (round-6 review fix: shutil only handled local paths). The
+    rewrite stages into ``<path>.__compact__``; the swap is two
+    metadata renames (source → ``.__old__``, staged → source) so a
+    crash at any point leaves either the original or a recoverable
+    ``.__old__`` copy — never a half-deleted source. Hive-partitioned
+    datasets are REFUSED (flattening them would destroy partition
+    pruning and bake inferred partition values into the data) —
+    compact each leaf partition directory instead. Uses coalesce (no
+    shuffle); each output file concatenates inputs, row order within
+    files may change, content never does."""
     import math
-    import shutil
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
 
     src = spark.read.format(fmt).load(path)
-    # size probe: sum the input files Spark actually planned
-    fs_total = 0
-    hconf = spark._jsc.hadoopConfiguration()
-    for p in src.inputFiles():
-        jp = spark._jvm.org.apache.hadoop.fs.Path(p)
-        fs_total += jp.getFileSystem(hconf).getFileStatus(jp).getLen()
+    rel = [f[len(path):] for f in src.inputFiles()]
+    if any("=" in part for f in rel for part in f.split("/")[:-1]):
+        raise ValueError(
+            "compact_files: dataset under "
+            f"{path!r} is Hive-partitioned; compact each leaf "
+            "partition directory instead of flattening the layout"
+        )
+    # ONE metadata call for the total, not one round trip per file
+    fs_total = fs.getContentSummary(jpath).getLength()
     n_out = max(1, math.ceil(fs_total / (target_mb * 1024 * 1024)))
+
     tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    jold = jvm.org.apache.hadoop.fs.Path(old)
     src.coalesce(n_out).write.mode("overwrite").format(fmt).save(tmp)
     out_n = len(spark.read.format(fmt).load(tmp).inputFiles())
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    if fs.exists(jold):
+        fs.delete(jold, True)
+    if not fs.rename(jpath, jold):
+        raise IOError(f"compact_files: could not stage {path} aside")
+    if not fs.rename(jtmp, jpath):
+        # restore the original before failing
+        fs.rename(jold, jpath)
+        raise IOError(f"compact_files: could not swap in {tmp}")
+    fs.delete(jold, True)
     return out_n

@@ -137,3 +137,16 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert got.count() == 10_000
     assert got.agg({"id": "sum"}).collect()[0][0] == 49_995_000
     assert not os.path.exists(path + ".__compact__")
+
+
+def test_compact_files_refuses_partitioned_layout(spark, tmp_path):
+    import pytest
+
+    from ontario_spark.storage import compact_files
+
+    path = str(tmp_path / "part")
+    spark.range(0, 100).withColumn("p", (F.col("id") % 2)).write.partitionBy(
+        "p"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_files(spark, path)
