@@ -483,11 +483,9 @@ _AGG_FUNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
 
 def is_aggregate(e) -> bool:
-    if isinstance(e, Term):
-        return False
-    if e.op.startswith("agg_"):
-        return True
-    return any(is_aggregate(a) for a in e.args if isinstance(a, Expr))
+    from ontario_spark.sparql.ast import expr_has_aggregate
+
+    return expr_has_aggregate(e)
 
 
 def compile_aggregate(

@@ -1347,35 +1347,30 @@ class SparqlEngine:
         if sel is None:
             # SELECT *: internal path-join variables (__pp*) stay hidden
             proj_vars = sorted(v for v in bf.variables if not v.startswith("__"))
-            plain = proj_vars
             computed: list = []
         else:
-            plain = [s.var for s in sel if s.expr is None]
             computed = [s for s in sel if s.expr is not None]
             proj_vars = [s.var for s in sel]
 
         has_agg = bool(q.group_by) or any(is_aggregate(s.expr) for s in computed)
-        # trailing W3C ValuesClause — the parser only defers it here
-        # for AGGREGATE queries (§18.2.4.3: joined after grouping +
-        # HAVING; non-aggregate placements stay in the pattern for
-        # bound-join pushdown). ONE has_agg flag gates both the agg
-        # branch and the join point (round-6 review fix: a duplicated
-        # probe could drift and double-join).
+        # trailing W3C ValuesClause (Query.values_clause): joins the
+        # FINISHED pattern — after the whole WHERE group, here at the
+        # head of _select for non-aggregate queries, or after grouping
+        # + HAVING (§18.2.4.3) in the aggregate branch below. ONE
+        # has_agg flag gates both paths (a duplicated probe could
+        # drift and double-join).
         trailing = (
             self._values(q.values_clause)
             if q.values_clause is not None
             else None
         )
         if trailing is not None and not has_agg:
-            # defensive: a values_clause on a non-aggregate query (set
-            # by hand, not the parser) still joins correctly
             bf = bf.join(trailing, "inner")
             trailing = None
             if sel is None:
                 proj_vars = sorted(
                     v for v in bf.variables if not v.startswith("__")
                 )
-                plain = proj_vars
         sort_extra: list[str] = []
         order_by = q.order_by
 

@@ -208,6 +208,19 @@ class SelectExpr:
     expr: Expr | None = None  # None → plain variable
 
 
+def expr_has_aggregate(e) -> bool:
+    """True when the expression tree contains an aggregate operator
+    (``agg_*``). THE shared probe: the parser's trailing-VALUES
+    placement and the compiler's aggregation branch must agree on what
+    counts as an aggregate query, so both import this one function
+    (round-6 review fix for probe drift)."""
+    if isinstance(e, Expr):
+        return e.op.startswith("agg_") or any(
+            expr_has_aggregate(a) for a in e.args
+        )
+    return False
+
+
 @dataclass
 class Query:
     query_type: str  # 'select' | 'ask' | 'construct' | 'describe'

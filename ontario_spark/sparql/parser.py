@@ -44,24 +44,6 @@ class SparqlSyntaxError(Exception):
     pass
 
 
-def _expr_has_agg(e) -> bool:
-    if isinstance(e, Expr):
-        return e.op.startswith("agg_") or any(
-            _expr_has_agg(a) for a in e.args
-        )
-    return False
-
-
-def _query_has_agg(q: Query) -> bool:
-    """GROUP BY present, or any SELECT expression contains an
-    aggregate (implicit single-group query)."""
-    if q.group_by:
-        return True
-    return q.select is not None and any(
-        s.expr is not None and _expr_has_agg(s.expr) for s in q.select
-    )
-
-
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
@@ -203,18 +185,19 @@ class Parser:
             )
         q.prefixes = self.prefixes
         if self.at_kw("values"):
-            # W3C ValuesClause: with aggregation the algebra
-            # (§18.2.4.3) joins the data AFTER grouping and HAVING —
-            # deferred to the compiler via values_clause (an in-group
-            # append silently double-counted aggregates). WITHOUT
-            # aggregation the join commutes with the pattern, so the
-            # block goes INTO the group — keeping the VALUES keys
-            # visible to SERVICE/wrapper bound-join pushdown (a
-            # deferred join would fetch the unconstrained remote
-            # pattern only to filter it at the very end).
+            # W3C ValuesClause: SELECT queries ALWAYS defer the join
+            # to the compiler (Query.values_clause) — it must apply to
+            # the FINISHED pattern (after OPTIONAL/MINUS/BIND; round-6
+            # seventh-review fix: an in-group append joined before
+            # those operators and force-bound OPTIONAL variables) and,
+            # with aggregation, after grouping + HAVING (§18.2.4.3).
+            # Deliberate trade: trailing VALUES keys therefore do NOT
+            # feed SERVICE/wrapper bound-join pushdown — write the
+            # VALUES inline inside WHERE (the idiomatic form) when
+            # pushdown matters. Non-SELECT forms join the pattern.
             self.next()
             vb = self._values()
-            if q.query_type == "select" and _query_has_agg(q):
+            if q.query_type == "select":
                 q.values_clause = vb
             else:
                 q.where.elements.append(vb)
@@ -524,14 +507,9 @@ class Parser:
             sub = SubSelect(self._select())
             if self.at_kw("values"):
                 # SubSelect ::= ... SolutionModifier ValuesClause —
-                # same placement rule as the top level (round-6
-                # review fix: valid W3C grammar was rejected)
+                # same deferred placement as the top level
                 self.next()
-                vb = self._values()
-                if _query_has_agg(sub.query):
-                    sub.query.values_clause = vb
-                else:
-                    sub.query.where.elements.append(vb)
+                sub.query.values_clause = self._values()
             self.eat_op("}")
             g = Group()
             g.elements.append(sub)

@@ -220,7 +220,18 @@ def compact_files(
     fs = jpath.getFileSystem(hconf)
 
     src = spark.read.format(fmt).load(path)
-    rel = [f[len(path):] for f in src.inputFiles()]
+    # Partition detection must compare NORMALIZED paths: inputFiles()
+    # returns fully-qualified URIs (file:///…, hdfs://nn/…) while the
+    # caller usually passes a bare path, so a naive prefix slice leaks
+    # the source directory's own components into the '=' check and
+    # falsely refuses leaf partition dirs like …/p=0 (round-6
+    # seventh-review fix). toUri().getPath() strips scheme+authority
+    # on both sides.
+    norm_src = jpath.toUri().getPath().rstrip("/")
+    rel = []
+    for f in src.inputFiles():
+        fp = jvm.org.apache.hadoop.fs.Path(f).toUri().getPath()
+        rel.append(fp[len(norm_src):] if fp.startswith(norm_src) else fp)
     if any("=" in part for f in rel for part in f.split("/")[:-1]):
         raise ValueError(
             "compact_files: dataset under "

@@ -1586,3 +1586,23 @@ def test_subselect_trailing_values(spark, sf_small):
         'VALUES ?name { "NATION_1" "NATION_4" } } }'
     ).collect()
     assert sorted(r["name"] for r in rows) == ["NATION_1", "NATION_4"]
+
+
+def test_trailing_values_joins_after_optional(spark, sf_small):
+    """Seventh-review regression lock: the trailing VALUES applies to
+    the FINISHED pattern — it must FILTER on the OPTIONAL-bound
+    variable, never force-bind it onto rows where the OPTIONAL did not
+    match."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm ?r WHERE { ?n a ex:Nation ; ex:name ?nm "
+        "OPTIONAL { ?n ex:region ?r } }\n"
+        f"VALUES ?r {{ <{EX}region/0> }}"
+    ).collect()
+    # exactly the nations of region 0 — all with ?r bound to it
+    assert 0 < len(rows) < 25
+    assert all(r["r"] == f"{EX}region/0" for r in rows)

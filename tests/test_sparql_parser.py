@@ -308,24 +308,21 @@ def test_trailing_values_clause_parses():
     other forms it joins the pattern directly."""
     from ontario_spark.sparql.parser import parse
 
-    # non-aggregate SELECT: in-group placement (bound-join pushdown
-    # sees the VALUES keys; algebraically identical without grouping)
+    # SELECT queries ALWAYS defer (the join applies to the finished
+    # pattern — after OPTIONAL/MINUS/BIND — and post-HAVING when
+    # aggregated; an in-group append force-bound OPTIONAL variables)
     q = parse(
         'SELECT ?n WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" "b" }'
     )
-    vb = next(
-        e for e in q.where.elements if type(e).__name__ == "ValuesBlock"
-    )
-    assert q.values_clause is None
-    assert vb.variables == ["n"] and len(vb.rows) == 2
-    # aggregate SELECT: deferred to values_clause (§18.2.4.3 join
-    # after grouping + HAVING)
+    assert [type(e).__name__ for e in q.where.elements] == ["Triple"]
+    assert q.values_clause is not None
+    assert q.values_clause.variables == ["n"]
+    assert len(q.values_clause.rows) == 2
     qa = parse(
         "SELECT (COUNT(?s) AS ?c) WHERE { ?s <http://e/name> ?n } "
         'VALUES ?z { "a" }'
     )
     assert qa.values_clause is not None
-    assert [type(e).__name__ for e in qa.where.elements] == ["Triple"]
     qask = parse('ASK WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" }')
     assert any(
         type(e).__name__ == "ValuesBlock" for e in qask.where.elements
