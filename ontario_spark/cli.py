@@ -76,9 +76,10 @@ def run(
     # argparse already constrains the CLI) or a trace/serialization
     # conflict must not cost a full distributed run first (round-6
     # review fixes; mirrors the --trace/--write guard)
-    if results_format not in ("json", "csv", "tsv", "xml"):
+    if results_format not in ("json", "srj", "csv", "tsv", "xml"):
         raise ValueError(
-            f"unknown results format {results_format!r} (json|csv|tsv|xml)"
+            f"unknown results format {results_format!r} "
+            "(json|srj|csv|tsv|xml)"
         )
     if trace and results_format != "json":
         raise ValueError(
@@ -171,6 +172,7 @@ def run(
             from ontario_spark import sinks
 
             ser = {
+                "srj": sinks.sparql_srj_chunks,
                 "csv": sinks.sparql_csv_chunks,
                 "tsv": sinks.sparql_tsv_chunks,
                 "xml": sinks.sparql_xml_chunks,
@@ -203,9 +205,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--write-format", default="parquet",
                     help="sink format for --write (parquet|csv|json)")
     ap.add_argument("--results-format", default="json",
-                    choices=("json", "csv", "tsv", "xml"),
+                    choices=("json", "srj", "csv", "tsv", "xml"),
                     help="stdout serialization: SPARQL-JSON response "
-                         "shape (default) or raw W3C csv/tsv/xml text")
+                         "shape (default) or raw W3C srj/csv/tsv/xml "
+                         "text (srj = SPARQL 1.1 Query Results JSON)")
     ap.add_argument("--explain", action="store_true",
                     help="print the federation + Spark plan report "
                          "instead of executing the query")

@@ -323,6 +323,13 @@ class SparqlEngine:
                 # (§13.2) — only GRAPH-scoped patterns can match
                 self._dataset_default = set()
         bf = self._group(q.where, source_filter=self._dataset_default)
+        if q.query_type != "select" and q.values_clause is not None:
+            # trailing VALUES joins the FINISHED pattern for ASK /
+            # CONSTRUCT / DESCRIBE too (§18.2.4.3 — after the whole
+            # WHERE group, so OPTIONAL-bound variables are not
+            # force-bound; SELECT handles it inside _select where the
+            # aggregate ordering also matters). Round-8 ADVICE fix.
+            bf = bf.join(self._values(q.values_clause), "inner")
         if q.query_type == "ask":
             probe = bf.df.limit(1).select(F.lit(1).alias("__x"))
             return probe.agg((F.count("__x") > 0).alias("ask"))

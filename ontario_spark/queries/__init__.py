@@ -77,7 +77,6 @@ DRIVER_SURFACE = [
     # (green r4-r5, stream family keeps four rows) → events_pagerank
     # (engine-exact fixed-iteration PageRank)
     "text_perplexity",
-    "dedup_ngram_jaccard",
     # pairs→clusters connected components (new round-4 family; its slot
     # comes from sparql_union, whose UNION semantics stay represented —
     # and driver-checked — by the strictly-wider sparql_source_union)
@@ -88,6 +87,16 @@ DRIVER_SURFACE = [
     # the ANN family stays represented by the scale-path
     # ann_topk_bucketed)
     "dedup_containment",
+    # round-8 rotation (VERDICT r7 task 6): five rows green 3+ rounds
+    # whose families keep other surface representatives rotate out
+    # (sparql_star_join, sparql_optional, events_asof_join,
+    # text_metrics, dedup_ngram_jaccard — NOT the verdict's suggested
+    # simhash/mm rows, which are their families' ONLY surface
+    # representatives) for five oracle-backed rows external
+    # verification never covered: the corpus-scale anchors containment
+    # path, week-cohort retention, cross-corpus novelty, epoch
+    # shuffling, and the skewed-key join profile.
+    "dedup_containment_anchors",
     "semantic_dedup",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
@@ -97,7 +106,10 @@ DRIVER_SURFACE = [
     # connected components), so the slot goes to the ordered-funnel
     # shape external verification never covered
     "events_funnel",
-    "text_metrics",
+    "events_retention_cohorts",
+    # text family: metrics rotated out round-8 (green r3-r7; the
+    # family keeps perplexity + pii + novelty + chunks)
+    "text_novelty",
     # round-6: PII scan + token-window chunking (slots from
     # stream_events_hourly — windowed aggregation stays represented by
     # stream_enriched_segments — and events_range_pairs — the temporal
@@ -105,14 +117,14 @@ DRIVER_SURFACE = [
     "text_pii_scan",
     "doc_chunks",
     "bm25_topk",
+    "sample_epoch_order",
     "mm_decode_stats",
     "sketch_hll_check",
-    # temporal joins — round-4 family (as-of via union+running-last,
-    # range via time-bucketed equality join); slots from mm_frame_stats
-    # (multimodal plumbing stays represented by mm_decode_stats) and
-    # sparql_property_path (the path family stays represented by
-    # sparql_path_closure)
-    "events_asof_join",
+    # round-8: events_asof_join rotated out (green r4-r7; the temporal
+    # family stays surface-represented by events_scd2_history) — its
+    # slot goes to the skewed-key join profile, a relational shape
+    # external verification never covered
+    "q_skew_suppkey",
     # structured streaming (previously outside the checked set)
     "stream_click_purchase",
     "stream_dedup",
@@ -145,9 +157,11 @@ DRIVER_SURFACE = [
     # from sparql_ask (trivial-head family represented by every other
     # sparql_* row's SELECT head + pytest)
     "sparql_cypher_join",
-    # SPARQL core (green in prior rounds; re-verified each round)
-    "sparql_star_join",
-    "sparql_optional",
+    # SPARQL core (round-8: sparql_star_join + sparql_optional rotated
+    # out after seven straight green rounds — star joins stay
+    # driver-checked via sparql_federated_join and every other
+    # sparql_* row; OPTIONAL's left-outer shape via the pytest gate
+    # and the trailing-VALUES-after-OPTIONAL regression tests)
     "sparql_source_union",
     "sparql_distinct_orderby_page",
     # (sparql_string_functions moved just past the cap to make room for
@@ -190,6 +204,13 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        # round-8 rotated-out rows first (each green 3+ rounds with its
+        # family still surface-represented)
+        "sparql_star_join",
+        "sparql_optional",
+        "events_asof_join",
+        "text_metrics",
+        "dedup_ngram_jaccard",
         "emb_neardup_pairs",
         "dedup_exact",
         "stream_user_sessions",

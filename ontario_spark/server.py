@@ -30,9 +30,17 @@ _ACCEPT_FORMATS = {
     "text/csv": "csv",
     "text/tab-separated-values": "tsv",
     "application/sparql-results+xml": "xml",
-    "application/sparql-results+json": "json",
+    # the W3C media type gets the W3C document (round-7 advice: the
+    # legacy shape was being served under the W3C label)
+    "application/sparql-results+json": "srj",
     "application/json": "json",
 }
+
+# tie-break when ONE wildcard range matches several formats (same q,
+# same specificity, same position): server preference — legacy json
+# default first (so ``Accept: */*`` keeps the historical response),
+# then the W3C serializations
+_FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv"]
 
 
 # sentinel: the client explicitly refused every supported format
@@ -41,20 +49,24 @@ NOT_ACCEPTABLE = "__not_acceptable__"
 
 
 def _negotiate(accept: str) -> "str | None":
-    """Minimal RFC 7231 Accept negotiation over the supported result
-    formats: per-media-type q-values parsed, q=0 entries refused,
-    highest q wins with the client's listing order as the tiebreak.
+    """RFC 7231 Accept negotiation over the supported result formats.
+
+    Each supported media type takes its q from the MOST SPECIFIC
+    matching range (exact > ``type/*`` > ``*/*`` — §5.3.2); q=0 at
+    that level refuses the format even if a broader wildcard would
+    allow it. Among acceptable formats the highest q wins, tiebreaks:
+    specificity, the client's listing order, then ``_FORMAT_PREF``
+    (only reachable when one wildcard covers several formats). A
+    malformed q is IGNORED (param dropped, q stays 1 — §5.3.1; the
+    round-6 code treated it as q=0, i.e. an explicit refusal).
     Unknown/absent types → None (caller keeps the JSON default);
     ``NOT_ACCEPTABLE`` when the client refused json explicitly and
-    nothing else acceptable remains (round-6 review fix: a q=0 on the
-    JSON types previously still fell through to the JSON default)."""
-    best: "tuple[float, int, str] | None" = None
-    json_refused = False
+    nothing acceptable remains."""
+    entries = []  # (media-range, q, pos)
     for pos, part in enumerate(accept.split(",")):
         bits = part.strip().split(";")
         mtype = bits[0].strip().lower()
-        fmt = _ACCEPT_FORMATS.get(mtype)
-        if fmt is None:
+        if not mtype:
             continue
         qv = 1.0
         for p in bits[1:]:
@@ -63,16 +75,36 @@ def _negotiate(accept: str) -> "str | None":
                 try:
                     qv = float(v)
                 except ValueError:
-                    qv = 0.0
+                    pass  # unparseable qvalue → ignore the param
+        entries.append((mtype, qv, pos))
+    best = None  # (-q, specificity, pos, pref, fmt)
+    json_refused = False
+    for mime, fmt in _ACCEPT_FORMATS.items():
+        major = mime.split("/", 1)[0]
+        top = None  # (specificity, pos, q) — most specific match wins
+        for mtype, qv, pos in entries:
+            if mtype == mime:
+                spec = 0
+            elif mtype == major + "/*":
+                spec = 1
+            elif mtype == "*/*":
+                spec = 2
+            else:
+                continue
+            if top is None or (spec, pos) < top[:2]:
+                top = (spec, pos, qv)
+        if top is None:
+            continue
+        spec, pos, qv = top
         if qv <= 0:
             if fmt == "json":
                 json_refused = True
             continue
-        cand = (-qv, pos, fmt)
+        cand = (-qv, spec, pos, _FORMAT_PREF.index(fmt), fmt)
         if best is None or cand < best:
             best = cand
     if best is not None:
-        return best[2]
+        return best[4]
     return NOT_ACCEPTABLE if json_refused else None
 
 
@@ -106,7 +138,8 @@ class SparqlHTTPServer:
                 self.wfile.write(body)
 
             def _reply_chunked(
-                self, chunks, ctype: str = "application/json"
+                self, chunks, ctype: str = "application/json",
+                err_terminator: "str | None" = None,
             ) -> None:
                 """Stream an iterable of text fragments as one chunked
                 200 response — driver memory stays bounded by one row,
@@ -115,14 +148,18 @@ class SparqlHTTPServer:
                 Mid-stream execution errors (a lazily-evaluated cast,
                 a dead SERVICE endpoint, an executor failure) arrive
                 AFTER the 200 + headers are out, so a status change is
-                impossible. For JSON payloads the error terminates the
-                payload as well-formed JSON (every fragment is a
-                complete JSON element, so appending ``], "error": ..}``
-                is always valid); CSV/TSV/XML have no in-band error
-                channel, so the payload just truncates. Either way the
-                chunked encoding is closed properly and the connection
-                is NOT kept alive — a pipelined client never reads
-                garbage."""
+                impossible. JSON payloads pass a format-specific
+                ``err_terminator`` (a ``%s`` template taking the
+                json-encoded message) that closes the payload as
+                well-formed JSON — the legacy shape and the W3C srj
+                document nest differently, so each serializer's caller
+                supplies the right closer (round-8: the old single
+                hard-coded terminator produced malformed srj bodies).
+                CSV/TSV/XML have no in-band error channel
+                (``err_terminator=None``), so the payload just
+                truncates. Either way the chunked encoding is closed
+                properly and the connection is NOT kept alive — a
+                pipelined client never reads garbage."""
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Transfer-Encoding", "chunked")
@@ -139,15 +176,8 @@ class SparqlHTTPServer:
                     for chunk in chunks:
                         emit(chunk)
                 except Exception as ex:
-                    # both the legacy application/json and the W3C
-                    # sparql-results+json mimes get the in-band JSON
-                    # error terminator (round-6 review fix: the W3C
-                    # mime slipped past a bare application/json check)
-                    if "json" in ctype:
-                        emit(
-                            '], "error": %s, "truncated": true}'
-                            % json.dumps(str(ex)[:500])
-                        )
+                    if err_terminator is not None:
+                        emit(err_terminator % json.dumps(str(ex)[:500]))
                     self.close_connection = True
                 self.wfile.write(b"0\r\n\r\n")
 
@@ -198,8 +228,8 @@ class SparqlHTTPServer:
                             self._reply(200, out)
                         else:  # blocking mode streams its result rows
                             streaming = True
-                            chunks, ctype = out
-                            self._reply_chunked(chunks, ctype)
+                            chunks, ctype, err_term = out
+                            self._reply_chunked(chunks, ctype, err_term)
                     elif path == "/nextresult":
                         self._reply(200, outer._nextresult(q))
                     else:
@@ -221,10 +251,19 @@ class SparqlHTTPServer:
 
     # --- routes ---------------------------------------------------------
 
+    # per-format mid-stream error terminator templates (``%s`` = the
+    # json-encoded message): each closes ITS payload's open nesting as
+    # well-formed JSON. Legacy shape is one level deep after the rows;
+    # the W3C srj document is two (bindings array inside "results").
+    _ERR_TERMINATORS = {
+        "json": '], "error": %s, "truncated": true}',
+        "srj": ']}, "error": %s, "truncated": true}',
+    }
+
     def _sparql(self, q: dict):
         """Returns a dict (non-blocking handshake) or a
-        ``(chunks, content_type)`` pair for the streaming blocking
-        modes."""
+        ``(chunks, content_type, err_terminator)`` triple for the
+        streaming blocking modes."""
         text = (q.get("query") or [""])[0]
         if not text:
             raise ValueError("missing ?query=")
@@ -262,13 +301,22 @@ class SparqlHTTPServer:
                 f"unknown format {fmt!r} (one of {sorted(sinks.RESULT_MIME)})"
             )
         if fmt == "json":
-            return self._blocking_chunks(df, t0), sinks.RESULT_MIME["json"]
+            return (
+                self._blocking_chunks(df, t0),
+                sinks.RESULT_MIME["json"],
+                self._ERR_TERMINATORS["json"],
+            )
         ser = {
+            "srj": sinks.sparql_srj_chunks,
             "csv": sinks.sparql_csv_chunks,
             "tsv": sinks.sparql_tsv_chunks,
             "xml": sinks.sparql_xml_chunks,
         }[fmt]
-        return ser(df.toLocalIterator(), df.columns), sinks.RESULT_MIME[fmt]
+        return (
+            ser(df.toLocalIterator(), df.columns),
+            sinks.RESULT_MIME[fmt],
+            self._ERR_TERMINATORS.get(fmt),
+        )
 
     def _blocking_chunks(self, df, t0: float):
         """Blocking-mode body as a stream of JSON fragments: same

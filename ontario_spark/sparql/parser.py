@@ -185,22 +185,22 @@ class Parser:
             )
         q.prefixes = self.prefixes
         if self.at_kw("values"):
-            # W3C ValuesClause: SELECT queries ALWAYS defer the join
-            # to the compiler (Query.values_clause) — it must apply to
+            # W3C ValuesClause: EVERY query form defers the join to
+            # the compiler (Query.values_clause) — it must apply to
             # the FINISHED pattern (after OPTIONAL/MINUS/BIND; round-6
             # seventh-review fix: an in-group append joined before
             # those operators and force-bound OPTIONAL variables) and,
             # with aggregation, after grouping + HAVING (§18.2.4.3).
+            # Round-8 ADVICE fix: ASK/CONSTRUCT/DESCRIBE previously
+            # appended into the WHERE group, so an ASK whose trailing
+            # VALUES constrained an OPTIONAL-bound variable could
+            # force-bind it and answer differently from SELECT.
             # Deliberate trade: trailing VALUES keys therefore do NOT
             # feed SERVICE/wrapper bound-join pushdown — write the
             # VALUES inline inside WHERE (the idiomatic form) when
-            # pushdown matters. Non-SELECT forms join the pattern.
+            # pushdown matters.
             self.next()
-            vb = self._values()
-            if q.query_type == "select":
-                q.values_clause = vb
-            else:
-                q.where.elements.append(vb)
+            q.values_clause = self._values()
         if self.peek().type != "EOF":
             raise SparqlSyntaxError(f"trailing input at {self.peek().pos}: {self.peek().value!r}")
         return q

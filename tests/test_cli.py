@@ -148,6 +148,31 @@ def test_cli_csv_results_format(spark, sf_small, tmp_path):
     assert lines[0] == "name" and len([l for l in lines[1:] if l]) == 3
 
 
+def test_cli_srj_results_format(spark, sf_small, tmp_path):
+    """--results-format srj emits the W3C SPARQL 1.1 Query Results
+    JSON document (round-8: the serializer existed but the CLI did
+    not offer it)."""
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+
+    p = str(tmp_path / "cat.json")
+    serde.save(tpch_catalog(sf_small), p)
+    out = run(
+        p,
+        "PREFIX ex: <http://ex.org/tpch/>\n"
+        "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name } LIMIT 3",
+        spark=spark,
+        results_format="srj",
+    )
+    import json as _json
+
+    assert out["totalRows"] == 3 and out["format"] == "srj"
+    doc = _json.loads(out["serialized"])
+    assert doc["head"]["vars"] == ["name"]
+    assert len(doc["results"]["bindings"]) == 3
+    assert doc["results"]["bindings"][0]["name"]["type"] == "literal"
+
+
 def test_dief_metrics():
     sys_path_hack = __import__("sys").path
     import os

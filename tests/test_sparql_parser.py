@@ -303,14 +303,12 @@ def test_limit_offset_validation():
 
 
 def test_trailing_values_clause_parses():
-    """W3C ValuesClause: for SELECT it lands on values_clause so the
-    compiler can join it AFTER aggregation/HAVING (§18.2.4.3); for
-    other forms it joins the pattern directly."""
+    """W3C ValuesClause: EVERY query form lands it on values_clause so
+    the compiler can join it to the FINISHED pattern (§18.2.4.3) —
+    round-8 ADVICE fix: ASK/CONSTRUCT/DESCRIBE previously appended
+    into the WHERE group, force-binding OPTIONAL variables."""
     from ontario_spark.sparql.parser import parse
 
-    # SELECT queries ALWAYS defer (the join applies to the finished
-    # pattern — after OPTIONAL/MINUS/BIND — and post-HAVING when
-    # aggregated; an in-group append force-bound OPTIONAL variables)
     q = parse(
         'SELECT ?n WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" "b" }'
     )
@@ -324,6 +322,6 @@ def test_trailing_values_clause_parses():
     )
     assert qa.values_clause is not None
     qask = parse('ASK WHERE { ?s <http://e/name> ?n } VALUES ?n { "a" }')
-    assert any(
-        type(e).__name__ == "ValuesBlock" for e in qask.where.elements
-    )
+    assert [type(e).__name__ for e in qask.where.elements] == ["Triple"]
+    assert qask.values_clause is not None
+    assert qask.values_clause.variables == ["n"]
