@@ -139,6 +139,7 @@ def anchor_containment_pairs(
     threshold: float = 0.5,
     k_anchors: int = 16,
     max_anchor_freq: int | None = 1000,
+    verify_semi_join: bool = False,
 ) -> DataFrame:
     """Two-tier sub-document containment — the CORPUS-SCALE path that
     replaces ``ngram_containment_pairs``'s all-shared-shingles
@@ -214,18 +215,23 @@ def anchor_containment_pairs(
         )
         .distinct()
     )
-    # Verify probes only CANDIDATE documents' shingle sets: semi-join
-    # the full hashed relation down to candidate ids before the
-    # (id, h) hash joins (round-8: shrinks the big composite-key
-    # join's probe side from the whole corpus to the candidate docs —
-    # the bench suite's most expensive query dropped measurably; at
-    # corpus scale candidates ≪ corpus, so the cut is structural).
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .union(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    ver = hashed.join(cand_ids, "id", "left_semi")
+    # verify_semi_join pre-restricts the verify relation to candidate
+    # documents' ids before the (id, h) hash joins. MEASURED at sf0.1
+    # (A/B, warm): OFF 4.6 s / ON 7.5-12.9 s — the semi-join costs an
+    # extra full shuffle + distinct of `hashed`, and on this fixture
+    # (31-word vocab → nearly every doc is a candidate) it filters
+    # nothing, so it's pure overhead. It only pays when candidates ≪
+    # corpus (long-tail doc-frequency corpora, tight caps) AND the
+    # composite-key verify shuffle dominates — hence opt-in, default
+    # off.
+    ver = hashed
+    if verify_semi_join:
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        ver = hashed.join(cand_ids, "id", "left_semi")
     inter = (
         cand.join(ver.select(F.col("id").alias("id_a"), "h"), "id_a")
         .join(ver.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])

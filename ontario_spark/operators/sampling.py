@@ -93,6 +93,42 @@ def mix_datasets(
     return u
 
 
+def group_cap_sample(
+    df: DataFrame,
+    group: str,
+    key: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-group quota sampling — keep at most ``cap`` rows per
+    ``group`` value (the crawl-curation primitive: "at most N pages
+    per domain/source", bounding any single origin's share of the
+    corpus). Selection is the ``cap`` smallest salted-md5 ranks of
+    ``key`` within the group, so it is a uniform, DETERMINISTIC
+    within-group sample: re-runs, retries, and other engines pick the
+    same rows, and raising ``cap`` only ADDS rows (nested samples —
+    the same property as ``hash_sample``'s threshold).
+
+    Scale: one hash-partitioned window sort by group. Groups under the
+    cap pass through; a pathologically hot group sorts ``cap``-bounded
+    output but its FULL row set on one partition first — at crawl
+    scale, pre-filter obvious giants with an aggregated count +
+    ``hash_sample`` stage before the exact window if one origin holds
+    >~1 partition of rows (same skew rule as the dedup bucket caps).
+    No reference counterpart (Ontario has no sampling)."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group).orderBy(order, F.col(key))
+    return (
+        df.withColumn("__gc_rn", F.row_number().over(w))
+        .filter(F.col("__gc_rn") <= cap)
+        .drop("__gc_rn")
+    )
+
+
 def sql_hash_predicate(key_expr: str, rate: float, salt: str = "") -> str:
     """The DuckDB-equivalent predicate (oracle side of the contract)."""
     return (

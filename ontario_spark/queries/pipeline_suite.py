@@ -97,6 +97,31 @@ WHERE source <> 'src0'
 """
 
 
+def sample_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (round 8): at most 40 docs per
+    source — the crawl-curation cap bounding any one origin's corpus
+    share. Deterministic salted-md5 ranks, so the DuckDB oracle
+    replicates the exact selected set."""
+    from ontario_spark.operators.sampling import group_cap_sample
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return group_cap_sample(docs, "source", "doc_id", cap=40)
+
+
+SAMPLE_GROUP_CAP_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
+"""
+
+
 # --- dedup --------------------------------------------------------------
 
 
@@ -1791,6 +1816,7 @@ QUERIES = {
     "sample_train_test": sample_train_test,
     "sample_corpus_mix": sample_corpus_mix,
     "sample_temperature_mix": sample_temperature_mix,
+    "sample_group_cap": sample_group_cap,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
@@ -1846,6 +1872,7 @@ ORACLE = {
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
     "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
+    "sample_group_cap": SAMPLE_GROUP_CAP_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,

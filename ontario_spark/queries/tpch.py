@@ -144,7 +144,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier scales with SF — no forced broadcast (AQE decides);
+        # nation/region are 25/5 rows at EVERY SF, so their hints stay
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

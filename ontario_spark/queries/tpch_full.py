@@ -65,7 +65,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier scales with SF — AQE decides; nation hints stay
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == n1.s_nk)
         .join(F.broadcast(n2), c.c_nationkey == n2.c_nk)
@@ -116,9 +117,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_volume = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # part/supplier scale with SF — AQE decides; the 25/5-row
+        # nation/region hints stay
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
@@ -240,7 +243,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0)
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(p, l.l_partkey == p.p_partkey).agg(
         (
             100.0
             * F.sum(promo.cast(DEC)).cast("double")
@@ -287,7 +290,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.withColumn("max_revenue", F.max("total_revenue").over(w))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -313,17 +316,19 @@ ORDER BY s_suppkey
 
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated avg-quantity-per-part subquery → aggregate
-    once per part, broadcast, join back (decorrelation by hand; the
-    container predicate is dropped — no p_container column)."""
+    once per part, join back (decorrelation by hand; the container
+    predicate is dropped — no p_container column)."""
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     l = table(spark, sf_dir, "lineitem")
-    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    # the filtered part slice AND the per-part aggregate both scale
+    # with SF — no forced broadcasts (AQE decides; round-8 rule)
+    lp = l.join(p, l.l_partkey == p.p_partkey)
     avg_qty = (
         lp.groupBy(F.col("l_partkey").alias("ap_partkey"))
         .agg(davg("l_quantity", "part_avg_qty"))
     )
     return (
-        lp.join(F.broadcast(avg_qty), lp.l_partkey == avg_qty.ap_partkey)
+        lp.join(avg_qty, lp.l_partkey == avg_qty.ap_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
         .agg(dsum("l_extendedprice", "s"))
         .select((F.col("s") / 7.0).alias("avg_yearly"))
@@ -410,7 +415,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(band1 | band2 | band3)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )

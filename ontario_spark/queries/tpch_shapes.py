@@ -84,7 +84,11 @@ ORDER BY o_orderpriority
 def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape. ps_supplycost doesn't exist (no partsupp), so
     unit cost is re-expressed as 60% of p_retailprice. lineitem⋈orders
-    is the only shuffle; part/supplier/nation broadcast."""
+    is the only guaranteed shuffle; nation (25 rows at EVERY SF) is
+    force-broadcast, while part/supplier SCALE with SF so their hints
+    are left to AQE — at gate scale the stats pick broadcast anyway,
+    at 100 TB a forced hint is a hard job failure (round-8: same rule
+    as the dedup sizes fix)."""
     p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
@@ -94,8 +98,8 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.6
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -143,7 +147,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     )
     per_part = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier scales with SF → no forced broadcast (AQE decides);
+        # the filtered nation (≤25 rows) keeps its hint
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(value_dec.alias("value_dec"))
@@ -235,8 +241,9 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     l = table(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(excluded), l.l_suppkey == excluded.s_suppkey, "left_anti")
+        # p and excluded both scale with SF → hints left to AQE
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(excluded, l.l_suppkey == excluded.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -274,7 +281,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3 = table(spark, sf_dir, "lineitem").alias("l3")
     base = (
         l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
     other_exists = (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (

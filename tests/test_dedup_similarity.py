@@ -869,3 +869,11 @@ def test_anchor_containment_matches_exact_tier(spark):
     assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [
         (1, 2, 1.0)
     ]
+    # verify_semi_join is a pure physical-plan option: identical output
+    semi = dedup.anchor_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, k_anchors=4,
+        verify_semi_join=True,
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in semi] == [
+        (1, 2, 1.0)
+    ]

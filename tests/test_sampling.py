@@ -5,6 +5,7 @@ covered again by the driver oracle gate)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ontario_spark.data import table
@@ -130,6 +131,43 @@ def test_temperature_mix_flattens_distribution(spark, sf_small):
         .collect()
     }
     assert again == got
+
+
+def test_group_cap_sample(spark):
+    """Per-group quota: cap respected per group, under-cap groups pass
+    through whole, selection is deterministic and NESTED (raising the
+    cap only adds rows), and the selected set matches the md5-rank
+    rule the oracle replicates."""
+    import hashlib
+
+    from ontario_spark.operators.sampling import group_cap_sample
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = group_cap_sample(df, "source", "doc_id", cap=10)
+    by_src = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_src == {"big": 10, "small": 3}
+    # the chosen "big" rows are the 10 smallest md5(key||'cap') ranks
+    chosen = sorted(
+        r["doc_id"] for r in got.filter(F.col("source") == "big").collect()
+    )
+    expect = sorted(
+        sorted(range(50), key=lambda i: hashlib.md5(f"{i}cap".encode()).hexdigest())[:10]
+    )
+    assert chosen == expect
+    # nested: cap=20's selection contains cap=10's
+    wider = sorted(
+        r["doc_id"]
+        for r in group_cap_sample(df, "source", "doc_id", cap=20)
+        .filter(F.col("source") == "big")
+        .collect()
+    )
+    assert set(chosen) <= set(wider) and len(wider) == 20
+    with pytest.raises(ValueError):
+        group_cap_sample(df, "source", "doc_id", cap=0)
 
 
 def test_epoch_shuffle_order(spark):
