@@ -76,10 +76,12 @@ def run(
     # argparse already constrains the CLI) or a trace/serialization
     # conflict must not cost a full distributed run first (round-6
     # review fixes; mirrors the --trace/--write guard)
-    if results_format not in ("json", "srj", "csv", "tsv", "xml"):
+    from ontario_spark import sinks
+
+    if results_format not in sinks.RESULT_MIME:  # shared registry
         raise ValueError(
             f"unknown results format {results_format!r} "
-            "(json|srj|csv|tsv|xml)"
+            f"(one of {'|'.join(sorted(sinks.RESULT_MIME))})"
         )
     if trace and results_format != "json":
         raise ValueError(
@@ -167,16 +169,9 @@ def run(
             payload = to_sparql_json(rows, df.columns)
             out["result"] = payload["results"]["bindings"]
         else:
-            # W3C CSV/TSV/XML text via the same serializers the HTTP
-            # endpoint streams (sinks.py); main() prints it raw
-            from ontario_spark import sinks
-
-            ser = {
-                "srj": sinks.sparql_srj_chunks,
-                "csv": sinks.sparql_csv_chunks,
-                "tsv": sinks.sparql_tsv_chunks,
-                "xml": sinks.sparql_xml_chunks,
-            }[results_format]
+            # W3C srj/CSV/TSV/XML text via the ONE serializer table
+            # the HTTP endpoint also streams from (sinks.py)
+            ser = sinks.RESULT_SERIALIZERS[results_format]
             out["serialized"] = "".join(ser(rows, df.columns))
             out["format"] = results_format
         if answer_times is not None:
@@ -204,8 +199,12 @@ def main(argv: list[str] | None = None) -> int:
                          "no driver collect) instead of printing bindings")
     ap.add_argument("--write-format", default="parquet",
                     help="sink format for --write (parquet|csv|json)")
+    from ontario_spark import sinks as _sinks
+
     ap.add_argument("--results-format", default="json",
-                    choices=("json", "srj", "csv", "tsv", "xml"),
+                    choices=("json", *sorted(
+                        f for f in _sinks.RESULT_MIME if f != "json"
+                    )),
                     help="stdout serialization: SPARQL-JSON response "
                          "shape (default) or raw W3C srj/csv/tsv/xml "
                          "text (srj = SPARQL 1.1 Query Results JSON)")

@@ -329,7 +329,7 @@ class SparqlEngine:
             # WHERE group, so OPTIONAL-bound variables are not
             # force-bound; SELECT handles it inside _select where the
             # aggregate ordering also matters). Round-8 ADVICE fix.
-            bf = bf.join(self._values(q.values_clause), "inner")
+            bf = self._join_values(bf, q.values_clause)
         if q.query_type == "ask":
             probe = bf.df.limit(1).select(F.lit(1).alias("__x"))
             return probe.agg((F.count("__x") > 0).alias("ask"))
@@ -646,6 +646,7 @@ class SparqlEngine:
         frames: list[BFrame] = [
             self._var_pred_frame(t, source_filter) for t in var_pred
         ]
+        deferred_values: list[ValuesBlock] = []  # UNDEF-bearing blocks
         # Sargable FILTER conjuncts push into remote-source stars
         # (reference wrappers compile FILTERs to source SQL;
         # sparqltosql.py:585-634). The same FILTERs still run
@@ -707,7 +708,15 @@ class SparqlEngine:
                     u = u.union(b)
                 frames.append(u)
             elif isinstance(e, ValuesBlock):
-                frames.append(self._values(e))
+                if any(t is None for row in e.rows for t in row):
+                    # UNDEF cells are JOIN wildcards (§10.2) — the
+                    # NULL-encoded frame would equi-join them to
+                    # nothing, so defer to the UNDEF-aware
+                    # _join_values after the greedy join (join is
+                    # commutative across the group's inner frames)
+                    deferred_values.append(e)
+                else:
+                    frames.append(self._values(e))
             elif isinstance(e, GraphBlock):
                 frames.append(self._graph_block(e))
             elif isinstance(e, PathClosure):
@@ -744,6 +753,8 @@ class SparqlEngine:
         # reference's NestedHashJoinFilter posture, SURVEY.md §2.1)
         services = [e for e in g.elements if isinstance(e, ServiceBlock)]
         bf = self._join_greedy(frames) if frames else None
+        for e in deferred_values:
+            bf = self._join_values(bf, e)
         if bf is not None and (remote_star_plans or services):
             # Apply already-answerable FILTERs to the build side BEFORE
             # bound-join key collection, so the observed key set is the
@@ -1229,6 +1240,54 @@ class SparqlEngine:
         df = self.spark.createDataFrame(rows, schema=", ".join(fields))
         return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
 
+    def _join_values(self, bf: "BFrame | None", v: ValuesBlock) -> BFrame:
+        """Join a solution frame with a VALUES block under SPARQL join
+        compatibility for UNDEF (§10.2): an UNDEF cell constrains
+        NOTHING, so a row's join touches only its BOUND variables.
+        A plain equi-join on the NULL-encoded frame got this wrong
+        (NULL keys match nothing → UNDEF filtered instead of
+        wildcarding; round-8 review fix). Rows are grouped by their
+        bound-variable mask; each mask group equi-joins on just those
+        columns (none bound → each row contributes one full copy of
+        the pattern, Join with the empty mapping) and the groups bag-
+        union (union's NULL padding restores the unbound columns).
+        VALUES blocks are literal and tiny, so the per-mask split adds
+        no measurable plan cost; blocks without UNDEF take the single
+        equi-join fast path."""
+        if bf is None:
+            # no pattern to join: the NULL encoding IS the solution
+            # multiset (unbound stays unbound)
+            return self._values(v)
+        masks: dict[tuple, list] = {}
+        for row in v.rows:
+            m = tuple(i for i, t in enumerate(row) if t is not None)
+            masks.setdefault(m, []).append(row)
+        outs = []
+        for m, rows in sorted(masks.items()):
+            if not m:  # all-UNDEF rows: k copies of every solution
+                k = len(rows)
+                if k == 1:
+                    outs.append(bf)
+                else:
+                    dup = self.spark.range(k).select(
+                        F.lit(1).alias("__vdup")
+                    )
+                    outs.append(
+                        BFrame(
+                            bf.df.crossJoin(dup).drop("__vdup"), bf.meta
+                        )
+                    )
+                continue
+            sub = ValuesBlock(
+                variables=[v.variables[i] for i in m],
+                rows=[tuple(row[i] for i in m) for row in rows],
+            )
+            outs.append(bf.join(self._values(sub), "inner"))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union(o)
+        return out
+
     def _is_remote_plan(self, plan) -> bool:
         from ontario_spark.catalog.model import Catalog as _Cat
 
@@ -1366,13 +1425,9 @@ class SparqlEngine:
         # + HAVING (§18.2.4.3) in the aggregate branch below. ONE
         # has_agg flag gates both paths (a duplicated probe could
         # drift and double-join).
-        trailing = (
-            self._values(q.values_clause)
-            if q.values_clause is not None
-            else None
-        )
+        trailing = q.values_clause  # joined via _join_values (UNDEF-aware)
         if trailing is not None and not has_agg:
-            bf = bf.join(trailing, "inner")
+            bf = self._join_values(bf, trailing)
             trailing = None
             if sel is None:
                 proj_vars = sorted(
@@ -1497,8 +1552,9 @@ class SparqlEngine:
             if trailing is not None:
                 # §18.2.4.3: ValuesClause joins the grouped/HAVING-
                 # filtered solutions (shared vars equi-join; none
-                # shared → cross product with the tiny literal frame)
-                bf = bf.join(trailing, "inner")
+                # shared → cross product with the tiny literal frame;
+                # UNDEF-aware via _join_values)
+                bf = self._join_values(bf, trailing)
             df = bf.df.select(*proj_vars, *sort_extra)
         else:
             if computed:

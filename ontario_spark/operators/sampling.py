@@ -121,7 +121,13 @@ def group_cap_sample(
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
     order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(group).orderBy(order, F.col(key))
+    # NULLS LAST explicitly: Spark's default asc is NULLS FIRST while
+    # DuckDB's is NULLS LAST, so a NULL key (md5 of NULL is NULL)
+    # would consume the cap here yet be selected last by the oracle —
+    # cross-engine divergence on real crawl data (round-8 review fix)
+    w = Window.partitionBy(group).orderBy(
+        order.asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
     return (
         df.withColumn("__gc_rn", F.row_number().over(w))
         .filter(F.col("__gc_rn") <= cap)

@@ -184,8 +184,9 @@ DRIVER_SURFACE = [
     "fuzzy_part_names",
     "dedup_keep_best",
     # round-6: composed-pipeline family externally verified for the
-    # first time (slot from sparql_lineitem_star — star joins stay
-    # driver-checked via sparql_star_join + sparql_federated_join)
+    # first time (slot from sparql_lineitem_star; since the round-8
+    # rotation, star joins stay driver-checked via
+    # sparql_federated_join — sparql_star_join is post-cap)
     "pipeline_decontaminated_corpus",
     # relational shapes not evidenced by the SPARQL/pipeline entries
     "q1_pricing_summary",

@@ -115,7 +115,8 @@ SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap') NULLS LAST,
+                    doc_id NULLS LAST
          ) AS rn
   FROM documents
 ) WHERE rn <= 40

@@ -42,6 +42,12 @@ _ACCEPT_FORMATS = {
 # then the W3C serializations
 _FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv"]
 
+# drift guards (round-8 review): a format reachable through Accept
+# negotiation must have a preference rank (else _negotiate raises on
+# every matching request) and a registered mime/serializer
+assert set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF)
+assert set(_ACCEPT_FORMATS.values()) <= set(sinks.RESULT_MIME)
+
 
 # sentinel: the client explicitly refused every supported format
 # INCLUDING the JSON default → the only honest answer is 406
@@ -306,12 +312,7 @@ class SparqlHTTPServer:
                 sinks.RESULT_MIME["json"],
                 self._ERR_TERMINATORS["json"],
             )
-        ser = {
-            "srj": sinks.sparql_srj_chunks,
-            "csv": sinks.sparql_csv_chunks,
-            "tsv": sinks.sparql_tsv_chunks,
-            "xml": sinks.sparql_xml_chunks,
-        }[fmt]
+        ser = sinks.RESULT_SERIALIZERS[fmt]  # shared table, no drift
         return (
             ser(df.toLocalIterator(), df.columns),
             sinks.RESULT_MIME[fmt],

@@ -218,3 +218,21 @@ RESULT_MIME = {
     "tsv": "text/tab-separated-values; charset=utf-8",
     "xml": "application/sparql-results+xml",
 }
+
+# ONE shared format→serializer table for every consumer (HTTP server
+# dispatch, CLI --results-format). "json" is absent deliberately: the
+# legacy response shape needs per-request state (timings), so each
+# caller builds it — but callers must treat RESULT_MIME as the
+# authority for WHICH formats exist and this table for HOW to stream
+# them. Round-8 review fix: four hand-maintained copies of this dict
+# were the exact drift that shipped round-7's srj-returns-400 bug.
+RESULT_SERIALIZERS = {
+    "srj": sparql_srj_chunks,
+    "csv": sparql_csv_chunks,
+    "tsv": sparql_tsv_chunks,
+    "xml": sparql_xml_chunks,
+}
+
+# drift guard: every advertised format must be streamable (or the
+# specially-handled legacy json)
+assert set(RESULT_MIME) == set(RESULT_SERIALIZERS) | {"json"}

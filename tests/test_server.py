@@ -375,6 +375,20 @@ def test_406_message_formats_all_serve_200(server):
         assert ctype.split(";")[0] == sinks.RESULT_MIME[fmt].split(";")[0]
 
 
+def test_format_registries_consistent():
+    """Drift guard (the round-7 failure class): the mime table, the
+    serializer table, the Accept map, and the preference order must
+    cover each other — a format advertised anywhere must be servable
+    everywhere."""
+    from ontario_spark import sinks
+    from ontario_spark.server import _ACCEPT_FORMATS, _FORMAT_PREF
+
+    assert set(sinks.RESULT_MIME) == set(sinks.RESULT_SERIALIZERS) | {"json"}
+    assert set(_ACCEPT_FORMATS.values()) <= set(sinks.RESULT_MIME)
+    assert set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF)
+    assert set(_FORMAT_PREF) == set(sinks.RESULT_MIME)
+
+
 def test_srj_serializer_unit():
     """sparql_srj_chunks: empty results, unbound variables, comma
     placement (round-7 advice: the serializer shipped untested)."""

@@ -311,8 +311,13 @@ def test_values_multi_var_undef(spark, sf_small):
         'VALUES (?name ?tag) { ("ASIA" "east") (UNDEF "any") } }'
     )
     got = sorted((r["name"], r["tag"]) for r in df.collect())
-    # UNDEF row joins nothing (null key) under the join approximation
-    assert got == [("ASIA", "east")]
+    # UNDEF wildcards ?name (§10.2): the (UNDEF "any") row tags EVERY
+    # region, the ("ASIA" "east") row just Asia (round-8 fix: the old
+    # NULL-key equi-join silently dropped the UNDEF row)
+    assert got == sorted(
+        [("ASIA", "east")]
+        + [(n, "any") for n in ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")]
+    )
 
 
 def test_minus(spark, sf_small):
@@ -1631,7 +1636,51 @@ def test_construct_trailing_values_joins_after_optional(spark, sf_small):
     assert all(r["o"] == f"{EX}region/0" for r in rows)
 
 
-def test_protocol_named_graph_only_empties_default_graph(spark, sf_small):
+def test_values_undef_is_a_join_wildcard(spark, sf_small):
+    """§10.2 join compatibility: an UNDEF cell constrains NOTHING —
+    the row joins on its bound columns only (round-8 review fix: the
+    NULL-encoded frame equi-joined UNDEF to nothing, silently
+    filtering instead of wildcarding)."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    base = (
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm ?r WHERE { ?n a ex:Nation ; ex:name ?nm "
+        "OPTIONAL { ?n ex:region ?r } }\n"
+    )
+    # an all-UNDEF row keeps every solution
+    rows = eng.query(base + "VALUES ?r { UNDEF }").collect()
+    assert len(rows) == 25
+    # multiset union: UNDEF row contributes all 25, the bound row its
+    # 5 region-0 matches
+    rows = eng.query(
+        base + f"VALUES ?r {{ UNDEF <{EX}region/0> }}"
+    ).collect()
+    assert len(rows) == 30
+    # ASK with VALUES ?r { UNDEF } is true (was false)
+    ask = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "ASK { ?n a ex:Nation ; ex:name ?nm "
+        "OPTIONAL { ?n ex:region ?r } }\n"
+        "VALUES ?r { UNDEF }"
+    ).collect()[0]["ask"]
+    assert ask is True
+    # multi-column rows with DIFFERENT masks: (name bound, r UNDEF)
+    # wildcards r; (name UNDEF, r bound) wildcards name
+    rows = eng.query(
+        base
+        + f'VALUES (?nm ?r) {{ ("NATION_7" UNDEF) (UNDEF <{EX}region/0>) }}'
+    ).collect()
+    assert len(rows) == 6  # 1 (NATION_7, any r) + 5 (any name, region 0)
+    # inline (in-group) UNDEF takes the same wildcard semantics
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm "
+        'VALUES ?nm { UNDEF "NATION_3" } }'
+    ).collect()
+    assert len(rows) == 26  # 25 via UNDEF + 1 via the bound row
     """Pinning test for the round-7 adjudication of ADVICE-2: a
     request carrying ONLY named-graph-uri has an EMPTY default graph
     (Protocol §2.1.4 + §13.2) — non-GRAPH patterns match nothing, so
