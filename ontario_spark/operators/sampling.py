@@ -135,6 +135,49 @@ def group_cap_sample(
     )
 
 
+def token_budget_mix(
+    df: DataFrame,
+    group: str,
+    key: str,
+    weight: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    salt: str = "budget",
+) -> DataFrame:
+    """Budgeted corpus mixing by WEIGHT, not row count — "take ~N
+    tokens from each source", the absolute-budget complement of
+    ``temperature_mix``'s proportional weights. Rows are ranked by
+    salted md5 of ``key`` within each group and kept while the
+    RUNNING SUM of ``weight`` (token/char count, inclusive of the
+    current row) stays ≤ the group's budget; unlisted groups fall
+    back to ``default_budget`` (0 = drop). Deterministic and NESTED
+    like the other samplers: a bigger budget strictly extends the
+    selection; the md5 rank order makes the kept set a uniform sample
+    of the group. A single row heavier than the whole budget selects
+    nothing from its group (documented; pre-chunk such rows).
+
+    Scale: one keyed window sort per group — identical shape to
+    ``group_cap_sample`` (the running sum rides the same sort), same
+    hot-group boundary. The (md5, key) order is total, so Spark's and
+    DuckDB's default RANGE window frames agree row-for-row and the
+    oracle replicates the exact selection."""
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group).orderBy(
+        order.asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
+    budget = F.lit(int(default_budget))
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(group) == value, F.lit(int(b))).otherwise(budget)
+    run = F.sum(F.col(weight).cast("long")).over(w)
+    return (
+        df.withColumn("__tb_run", run)
+        .filter(F.col("__tb_run") <= budget)
+        .drop("__tb_run")
+    )
+
+
 def sql_hash_predicate(key_expr: str, rate: float, salt: str = "") -> str:
     """The DuckDB-equivalent predicate (oracle side of the contract)."""
     return (

@@ -123,6 +123,36 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute token-budget mixing (round 8): ~30k chars from src0,
+    ~12k from every other source — the "N tokens per source" training
+    mix. Running-sum selection over deterministic md5 ranks; the
+    oracle replicates the exact kept set."""
+    from ontario_spark.operators.sampling import token_budget_mix
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return token_budget_mix(
+        docs, "source", "doc_id", "n_chars",
+        budgets={"src0": 30000}, default_budget=12000,
+    )
+
+
+SAMPLE_TOKEN_BUDGET_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'budget') NULLS LAST,
+                    doc_id NULLS LAST
+         ) AS run,
+         CASE WHEN source = 'src0' THEN 30000 ELSE 12000 END AS budget
+  FROM documents
+) WHERE run <= budget
+"""
+
+
 # --- dedup --------------------------------------------------------------
 
 
@@ -1818,6 +1848,7 @@ QUERIES = {
     "sample_corpus_mix": sample_corpus_mix,
     "sample_temperature_mix": sample_temperature_mix,
     "sample_group_cap": sample_group_cap,
+    "sample_token_budget": sample_token_budget,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
@@ -1874,6 +1905,7 @@ ORACLE = {
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
     "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
     "sample_group_cap": SAMPLE_GROUP_CAP_SQL,
+    "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,

@@ -180,6 +180,43 @@ def test_group_cap_sample(spark):
     assert sum(1 for r in kept6 if r["doc_id"] is None) == 1
 
 
+def test_token_budget_mix(spark):
+    """Budgeted mixing: running weight stays within each group's
+    budget, selection is deterministic, nested across budgets, and a
+    first row heavier than the budget selects nothing."""
+    import hashlib
+
+    from ontario_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "a", 10) for i in range(20)] + [(100, "b", 50), (101, "b", 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = token_budget_mix(
+        df, "source", "doc_id", "n_chars", budgets={"a": 55}, default_budget=5
+    )
+    a = sorted(r["doc_id"] for r in got.filter(F.col("source") == "a").collect())
+    # 55/10 → exactly the 5 smallest md5-rank rows of group a
+    order = sorted(range(20), key=lambda i: hashlib.md5(f"{i}budget".encode()).hexdigest())
+    assert a == sorted(order[:5])
+    # group b's budget (5) fits only doc 101 IF it ranks first; its
+    # running sum includes whatever precedes it — verify against rule
+    b_order = sorted([100, 101], key=lambda i: hashlib.md5(f"{i}budget".encode()).hexdigest())
+    run, kept_expect = 0, []
+    for i in b_order:
+        run += 50 if i == 100 else 5
+        if run <= 5:
+            kept_expect.append(i)
+    b = sorted(r["doc_id"] for r in got.filter(F.col("source") == "b").collect())
+    assert b == sorted(kept_expect)
+    # nested: doubling the budget only adds rows
+    wider = sorted(
+        r["doc_id"]
+        for r in token_budget_mix(
+            df, "source", "doc_id", "n_chars", budgets={"a": 110}, default_budget=5
+        ).filter(F.col("source") == "a").collect()
+    )
+    assert set(a) <= set(wider) and len(wider) == 11
+
+
 def test_epoch_shuffle_order(spark):
     """The operator's PHYSICAL row order equals the md5 rule the
     sample_epoch_order oracle checks (a sorted-columns hash compare
