@@ -232,8 +232,32 @@ class BFrame:
                 left = left.ensure_var(v)
                 right = right.ensure_var(v)
         cols = sorted(c for v in left.meta for c in left.cols_for(v))
-        ldf = left.df.select(*cols)
-        rdf = right.df.select(*cols)
+        # Non-meta PHYSICAL columns survive the union (round-8 review
+        # fix: they were silently dropped): hoisted ``__sN`` ORDER-BY
+        # aggregate columns (their loss crashed the post-union sort
+        # select) and SERVICE term-fidelity side columns
+        # (var__type/__lang/__dt — their loss silently blanked
+        # LANG()/DATATYPE() after a union). A side missing the column
+        # pads with a typed NULL; dtype conflicts across branches fall
+        # back to the lexical string form like LEXICAL vars above.
+        ldf, rdf = left.df, right.df
+        extras = sorted(
+            (set(ldf.columns) | set(rdf.columns)) - set(cols)
+        )
+        for c in extras:
+            if c not in ldf.columns:
+                ldf = ldf.withColumn(
+                    c, F.lit(None).cast(rdf.schema[c].dataType)
+                )
+            elif c not in rdf.columns:
+                rdf = rdf.withColumn(
+                    c, F.lit(None).cast(ldf.schema[c].dataType)
+                )
+            if ldf.schema[c].dataType != rdf.schema[c].dataType:
+                ldf = ldf.withColumn(c, F.col(c).cast("string"))
+                rdf = rdf.withColumn(c, F.col(c).cast("string"))
+        ldf = ldf.select(*cols, *extras)
+        rdf = rdf.select(*cols, *extras)
         return BFrame(ldf.unionByName(rdf), dict(left.meta))
 
     def project(self, variables: list[str]) -> "BFrame":

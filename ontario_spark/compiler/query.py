@@ -753,8 +753,6 @@ class SparqlEngine:
         # reference's NestedHashJoinFilter posture, SURVEY.md §2.1)
         services = [e for e in g.elements if isinstance(e, ServiceBlock)]
         bf = self._join_greedy(frames) if frames else None
-        for e in deferred_values:
-            bf = self._join_values(bf, e)
         if bf is not None and (remote_star_plans or services):
             # Apply already-answerable FILTERs to the build side BEFORE
             # bound-join key collection, so the observed key set is the
@@ -789,6 +787,15 @@ class SparqlEngine:
         for sb in services:
             svc = self._service(sb, bf)
             bf = svc if bf is None else bf.join(svc)
+        # UNDEF-bearing VALUES join AFTER the remote-star/SERVICE
+        # frames (round-8 review fix: joining the NULL-encoded frame
+        # first both equi-joined the wildcard rows to nothing AND let
+        # _bound_key_conds push only the BOUND values as the remote
+        # IN-list, pruning rows the wildcard needed — deferring trades
+        # that pushdown away for correctness, the same trade trailing
+        # VALUES documents).
+        for e in deferred_values:
+            bf = self._join_values(bf, e)
         if bf is None:
             bf = BFrame(self.spark.range(1).select(), {})
 

@@ -120,16 +120,17 @@ def group_cap_sample(
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
+    # NULL keys are DROPPED, matching hash_sample (whose NULL-valued
+    # md5 predicate already drops them): a NULL key has no rank, and
+    # several NULL-key rows would be mutual order ties — each engine
+    # would break them differently, so which rows fill the cap would
+    # diverge cross-engine (round-8 review fix; the first fix ranked
+    # NULLs last, which still left the tie inside the NULL run).
     order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
-    # NULLS LAST explicitly: Spark's default asc is NULLS FIRST while
-    # DuckDB's is NULLS LAST, so a NULL key (md5 of NULL is NULL)
-    # would consume the cap here yet be selected last by the oracle —
-    # cross-engine divergence on real crawl data (round-8 review fix)
-    w = Window.partitionBy(group).orderBy(
-        order.asc_nulls_last(), F.col(key).asc_nulls_last()
-    )
+    w = Window.partitionBy(group).orderBy(order, F.col(key))
     return (
-        df.withColumn("__gc_rn", F.row_number().over(w))
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__gc_rn", F.row_number().over(w))
         .filter(F.col("__gc_rn") <= cap)
         .drop("__gc_rn")
     )
@@ -163,17 +164,23 @@ def token_budget_mix(
     oracle replicates the exact selection."""
     from pyspark.sql.window import Window
 
+    # NULL keys dropped (no rank — same rule and rationale as
+    # group_cap_sample); NULL weights dropped too, since SUM would
+    # skip them and an unknown-cost row would ride along free inside
+    # any budget (round-8 review fix).
     order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
-    w = Window.partitionBy(group).orderBy(
-        order.asc_nulls_last(), F.col(key).asc_nulls_last()
-    )
+    w = Window.partitionBy(group).orderBy(order, F.col(key))
     budget = F.lit(int(default_budget))
     for value, b in sorted(budgets.items()):
         budget = F.when(F.col(group) == value, F.lit(int(b))).otherwise(budget)
     run = F.sum(F.col(weight).cast("long")).over(w)
     return (
-        df.withColumn("__tb_run", run)
-        .filter(F.col("__tb_run") <= budget)
+        df.filter(F.col(key).isNotNull() & F.col(weight).isNotNull())
+        .withColumn("__tb_run", run)
+        # budget > 0 so a zero-budget group is dropped WHOLE — without
+        # it, zero-weight rows (empty docs) pass `0 <= 0` and leak
+        # through a group the contract says is dropped
+        .filter((F.col("__tb_run") <= budget) & (budget > F.lit(0)))
         .drop("__tb_run")
     )
 

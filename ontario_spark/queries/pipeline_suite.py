@@ -115,10 +115,9 @@ SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap') NULLS LAST,
-                    doc_id NULLS LAST
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id
          ) AS rn
-  FROM documents
+  FROM documents WHERE doc_id IS NOT NULL
 ) WHERE rn <= 40
 """
 
@@ -144,12 +143,11 @@ SELECT doc_id, source, n_chars FROM (
   SELECT doc_id, source, n_chars,
          SUM(n_chars) OVER (
            PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'budget') NULLS LAST,
-                    doc_id NULLS LAST
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'budget'), doc_id
          ) AS run,
          CASE WHEN source = 'src0' THEN 30000 ELSE 12000 END AS budget
-  FROM documents
-) WHERE run <= budget
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+) WHERE run <= budget AND budget > 0
 """
 
 

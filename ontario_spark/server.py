@@ -44,9 +44,16 @@ _FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv"]
 
 # drift guards (round-8 review): a format reachable through Accept
 # negotiation must have a preference rank (else _negotiate raises on
-# every matching request) and a registered mime/serializer
-assert set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF)
-assert set(_ACCEPT_FORMATS.values()) <= set(sinks.RESULT_MIME)
+# every matching request) and a registered mime/serializer. Not
+# assert — must survive python -O.
+if not set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF) or not (
+    set(_ACCEPT_FORMATS.values()) <= set(sinks.RESULT_MIME)
+):
+    raise RuntimeError(
+        "Accept-format registry drift: "
+        f"{sorted(set(_ACCEPT_FORMATS.values()))} not covered by "
+        f"pref {_FORMAT_PREF} / mimes {sorted(sinks.RESULT_MIME)}"
+    )
 
 
 # sentinel: the client explicitly refused every supported format

@@ -234,5 +234,11 @@ RESULT_SERIALIZERS = {
 }
 
 # drift guard: every advertised format must be streamable (or the
-# specially-handled legacy json)
-assert set(RESULT_MIME) == set(RESULT_SERIALIZERS) | {"json"}
+# specially-handled legacy json). Not assert — must survive python -O
+# (an optimized deployment would otherwise skip the fail-fast and hit
+# the round-7 class of runtime 400s instead).
+if set(RESULT_MIME) != set(RESULT_SERIALIZERS) | {"json"}:
+    raise RuntimeError(
+        "RESULT_MIME / RESULT_SERIALIZERS drift: "
+        f"{sorted(RESULT_MIME)} vs {sorted(RESULT_SERIALIZERS)} + json"
+    )

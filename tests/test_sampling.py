@@ -168,16 +168,15 @@ def test_group_cap_sample(spark):
     assert set(chosen) <= set(wider) and len(wider) == 20
     with pytest.raises(ValueError):
         group_cap_sample(df, "source", "doc_id", cap=0)
-    # NULL keys rank LAST (matching the oracle's DuckDB NULLS LAST
-    # default): they never consume the cap while hashed rows remain
+    # NULL keys are DROPPED (no rank; several NULL-key rows would be
+    # order ties each engine breaks differently) — matching
+    # hash_sample's NULL-predicate behavior
     nrows = [(i, "g") for i in range(5)] + [(None, "g"), (None, "g")]
     ndf = spark.createDataFrame(nrows, "doc_id long, source string")
     kept = group_cap_sample(ndf, "source", "doc_id", cap=5).collect()
     assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3, 4]
-    # with slack after all hashed rows, NULLs fill the remainder
     kept6 = group_cap_sample(ndf, "source", "doc_id", cap=6).collect()
-    assert len(kept6) == 6
-    assert sum(1 for r in kept6 if r["doc_id"] is None) == 1
+    assert sorted(r["doc_id"] for r in kept6) == [0, 1, 2, 3, 4]
 
 
 def test_token_budget_mix(spark):

@@ -1681,11 +1681,58 @@ def test_values_undef_is_a_join_wildcard(spark, sf_small):
         'VALUES ?nm { UNDEF "NATION_3" } }'
     ).collect()
     assert len(rows) == 26  # 25 via UNDEF + 1 via the bound row
+
+
+def test_values_undef_with_orderby_aggregate(spark, sf_small):
+    """Round-8 review fix: a multi-mask trailing VALUES unions the
+    grouped frame — the union must preserve the hoisted ``__sN``
+    ORDER BY-aggregate column (its loss crashed the post-union sort
+    select with UNRESOLVED_COLUMN)."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm (COUNT(*) AS ?c) WHERE "
+        "{ ?n a ex:Nation ; ex:name ?nm } GROUP BY ?nm "
+        "ORDER BY DESC(COUNT(*)) ?nm\n"
+        'VALUES ?nm { UNDEF "NATION_3" }'
+    ).collect()
+    # 25 groups via the UNDEF row + 1 via the bound row
+    assert len(rows) == 26
+    assert sum(1 for r in rows if r["nm"] == "NATION_3") == 2
+
+
+def test_values_undef_wildcards_federated_star(spark, sf_small):
+    """Round-8 review fix: an UNDEF-bearing inline VALUES over a
+    REMOTE star must not equi-join the wildcard away nor push only
+    the bound values as the remote IN-list — the deferred join now
+    runs after the remote fetch."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
+    names = eng.query(
+        PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
+    ).collect()
+    assert len(names) > 0
+    one = sorted(r["name"] for r in names)[0]
+    rows = eng.query(
+        PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name "
+        f'VALUES ?name {{ UNDEF "{one}" }} }}'
+    ).collect()
+    # every customer via the UNDEF wildcard + 1 via the bound row
+    assert len(rows) == len(names) + 1
+
+
+def test_protocol_named_graph_only_empties_default_graph(spark, sf_small):
     """Pinning test for the round-7 adjudication of ADVICE-2: a
     request carrying ONLY named-graph-uri has an EMPTY default graph
     (Protocol §2.1.4 + §13.2) — non-GRAPH patterns match nothing, so
     the answer is 0 rows, not the whole federation and not an error."""
     from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+    from ontario_spark.compiler.query import SparqlEngine
 
     eng = SparqlEngine(spark, tpch_federated_catalog(sf_small))
     text = PFX + "SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name }"
