@@ -1248,19 +1248,27 @@ class SparqlEngine:
         return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
 
     def _join_values(self, bf: "BFrame | None", v: ValuesBlock) -> BFrame:
-        """Join a solution frame with a VALUES block under SPARQL join
-        compatibility for UNDEF (§10.2): an UNDEF cell constrains
-        NOTHING, so a row's join touches only its BOUND variables.
-        A plain equi-join on the NULL-encoded frame got this wrong
-        (NULL keys match nothing → UNDEF filtered instead of
-        wildcarding; round-8 review fix). Rows are grouped by their
-        bound-variable mask; each mask group equi-joins on just those
-        columns (none bound → each row contributes one full copy of
-        the pattern, Join with the empty mapping) and the groups bag-
-        union (union's NULL padding restores the unbound columns).
-        VALUES blocks are literal and tiny, so the per-mask split adds
-        no measurable plan cost; blocks without UNDEF take the single
-        equi-join fast path."""
+        """Join a solution frame with a VALUES block under FULL SPARQL
+        join compatibility (§10.2): two solutions are compatible iff
+        every variable bound in BOTH agrees — so an UNDEF cell
+        constrains nothing (wildcard), and a pattern-side UNBOUND
+        variable (an OPTIONAL/UNION NULL) merges by TAKING the VALUES
+        binding instead of filtering. Both directions diverge from a
+        plain equi-join (NULL keys match nothing), which is the
+        engine's documented pattern⋈pattern approximation — VALUES
+        joins get the exact semantics because the data side is a tiny
+        literal frame (round-8; UNDEF fixed first, the pattern-side
+        merge in the same pass).
+
+        Plan shape: rows group by their bound-variable mask; each mask
+        group broadcast-joins on the condition
+        ``∧(bf.v IS NULL OR bf.v = values.v)`` with the merged binding
+        ``coalesce(bf.v, values.v)``; the groups bag-union (union's
+        NULL padding restores columns a group leaves unbound). The
+        non-equi condition plans as a BroadcastNestedLoopJoin over the
+        literal frame — rows(bf) × rows(VALUES) comparisons, the same
+        cost class as the broadcast hash join it replaces at any
+        realistic VALUES size."""
         if bf is None:
             # no pattern to join: the NULL encoding IS the solution
             # multiset (unbound stays unbound)
@@ -1289,7 +1297,44 @@ class SparqlEngine:
                 variables=[v.variables[i] for i in m],
                 rows=[tuple(row[i] for i in m) for row in rows],
             )
-            outs.append(bf.join(self._values(sub), "inner"))
+            shared = [x for x in sub.variables if x in bf.variables]
+            new = [x for x in sub.variables if x not in bf.variables]
+            b = bf
+            for x in shared:  # compare on lexical forms
+                if b.meta[x].kind != LEXICAL:
+                    b = b.materialize(x)
+            sv = self._values(sub).df
+            for x in sub.variables:
+                sv = sv.withColumnRenamed(x, f"__vv_{x}")
+            cond = F.lit(True)
+            for x in shared:
+                cond = cond & (
+                    F.col(x).isNull() | (F.col(x) == F.col(f"__vv_{x}"))
+                )
+            joined = b.df.join(F.broadcast(sv), cond, "inner")
+            for x in shared:  # unbound side takes the VALUES binding
+                # keep the pattern column's dtype (a numeric column
+                # must stay numeric for downstream sorts/filters):
+                # try_cast the literal into it — an uncastable literal
+                # leaves the slot unbound, and such a pair carries no
+                # shared lexical form anyway
+                dt = dict(b.df.dtypes)[x]
+                joined = joined.withColumn(
+                    x,
+                    F.coalesce(
+                        F.col(x),
+                        F.expr(f"try_cast(`__vv_{x}` AS {dt})"),
+                    ),
+                )
+            for x in new:
+                joined = joined.withColumn(x, F.col(f"__vv_{x}"))
+            joined = joined.drop(*[f"__vv_{x}" for x in sub.variables])
+            outs.append(
+                BFrame(
+                    joined,
+                    {**b.meta, **{x: TermMeta(LEXICAL) for x in new}},
+                )
+            )
         out = outs[0]
         for o in outs[1:]:
             out = out.union(o)

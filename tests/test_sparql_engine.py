@@ -1683,6 +1683,30 @@ def test_values_undef_is_a_join_wildcard(spark, sf_small):
     assert len(rows) == 26  # 25 via UNDEF + 1 via the bound row
 
 
+def test_values_merges_pattern_side_unbound(spark, sf_small):
+    """§10.2 the other direction (round-8): a solution whose shared
+    variable is UNBOUND (here via a UNION branch that never binds ?r)
+    is compatible with a bound VALUES row and the merge TAKES the
+    VALUES binding — the old equi-join filtered such rows out."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm ?r WHERE { "
+        "{ ?n a ex:Nation ; ex:name ?nm ; ex:region ?r } UNION "
+        '{ ?n a ex:Nation ; ex:name ?nm FILTER(?nm = "NATION_3") } }\n'
+        f"VALUES ?r {{ <{EX}region/0> }}"
+    ).collect()
+    got = sorted((r["nm"], r["r"]) for r in rows)
+    # 5 region-0 nations from the bound branch + NATION_3 from the
+    # unbound branch, merged to region/0
+    assert len(got) == 6
+    assert ("NATION_3", f"{EX}region/0") in got
+    assert all(r == f"{EX}region/0" for _, r in got)
+
+
 def test_values_undef_with_orderby_aggregate(spark, sf_small):
     """Round-8 review fix: a multi-mask trailing VALUES unions the
     grouped frame — the union must preserve the hoisted ``__sN``
@@ -1745,9 +1769,12 @@ def test_protocol_named_graph_only_empties_default_graph(spark, sf_small):
 
 def test_trailing_values_joins_after_optional(spark, sf_small):
     """Seventh-review regression lock: the trailing VALUES applies to
-    the FINISHED pattern — it must FILTER on the OPTIONAL-bound
-    variable, never force-bind it onto rows where the OPTIONAL did not
-    match."""
+    the FINISHED pattern (§18.2.4.3) — rows whose OPTIONAL bound ?r to
+    a DIFFERENT region are dropped (bound-bound compatibility), and
+    since every nation here is region-bound, the result is exactly the
+    region-0 nations. (A row whose ?r stayed UNBOUND would merge and
+    take the VALUES binding — §10.2; that direction is covered by
+    test_values_merges_pattern_side_unbound.)"""
     from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
     from ontario_spark.compiler.query import SparqlEngine
 
