@@ -138,6 +138,59 @@ def test_chunk_documents_reconstructs_exactly(spark, toks, chunk, overlap):
         assert r["n_chunk_tokens"] == chunk
 
 
+_vv = st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    # solution multiset over vars (a, b): None = unbound
+    st.lists(st.tuples(_vv, _vv), min_size=0, max_size=6),
+    # VALUES rows over vars (a, c): None = UNDEF
+    st.lists(st.tuples(_vv, _vv), min_size=1, max_size=4),
+)
+def test_join_values_matches_spec_join(spark, sols, vrows):
+    """_join_values == the §10.2 Join of the solution multiset with
+    the VALUES multiset, computed by a direct Python model:
+    compatible iff every var bound in BOTH agrees; merge takes the
+    union of bindings. Covers UNDEF wildcards, pattern-side unbound
+    merges, shared+fresh variables, and multiset counts."""
+    from collections import Counter
+
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+    from ontario_spark.compiler.frame import LEXICAL, BFrame, TermMeta
+    from ontario_spark.compiler.query import SparqlEngine
+    from ontario_spark.sparql.ast import Term, ValuesBlock
+
+    eng = SparqlEngine(spark, tpch_catalog("/root/testdata/sf0.001"))
+    bf = BFrame(
+        spark.createDataFrame(sols, "a string, b string")
+        if sols
+        else spark.createDataFrame([], "a string, b string"),
+        {"a": TermMeta(LEXICAL), "b": TermMeta(LEXICAL)},
+    )
+    vb = ValuesBlock(
+        variables=["a", "c"],
+        rows=[
+            tuple(
+                None if x is None else Term("literal", x, py=x)
+                for x in row
+            )
+            for row in vrows
+        ],
+    )
+    got = Counter(
+        (r["a"], r["b"], r["c"])
+        for r in eng._join_values(bf, vb).df.collect()
+    )
+    expect: Counter = Counter()
+    for sa, sb in sols:
+        for va, vc in vrows:
+            if sa is not None and va is not None and sa != va:
+                continue  # bound-bound disagreement
+            expect[(sa if sa is not None else va, sb, vc)] += 1
+    assert got == expect
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
