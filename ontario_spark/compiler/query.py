@@ -1261,10 +1261,20 @@ class SparqlEngine:
         merge in the same pass).
 
         Plan shape: rows group by their bound-variable mask; each mask
-        group broadcast-joins on the condition
-        ``∧(bf.v IS NULL OR bf.v = values.v)`` with the merged binding
-        ``coalesce(bf.v, values.v)``; the groups bag-union (union's
-        NULL padding restores columns a group leaves unbound). The
+        group broadcast-joins on the LEXICAL-form condition
+        ``∧(bf.v IS NULL OR str(bf.v) = str(values.v))`` with the
+        merged binding ``coalesce(bf.v, values.v)``; the groups
+        bag-union (union's NULL padding restores columns a group
+        leaves unbound). Comparing on casted strings is both the
+        engine-wide convention (keyed vars already compare
+        materialized lexical forms) and the only ANSI-safe choice —
+        a native string=long comparison THROWS CAST_INVALID_INPUT on
+        non-numeric strings under Spark 4's default ANSI mode (round-8
+        second review). The merged column keeps the pattern dtype when
+        the VALUES column shares it; on a dtype mismatch the output
+        falls back to the lexical string form, the only representation
+        faithful to §10.2 (a try_cast into the pattern dtype silently
+        dropped uncastable merges and truncated lossy ones). The
         non-equi condition plans as a BroadcastNestedLoopJoin over the
         literal frame — rows(bf) × rows(VALUES) comparisons, the same
         cost class as the broadcast hash join it replaces at any
@@ -1273,6 +1283,17 @@ class SparqlEngine:
             # no pattern to join: the NULL encoding IS the solution
             # multiset (unbound stays unbound)
             return self._values(v)
+        if not v.rows:
+            # empty data block (``VALUES ?x { }``, legal SPARQL):
+            # Join with the empty multiset = zero solutions (round-8
+            # second review: this crashed on outs[0])
+            df = bf.df.limit(0)
+            meta = dict(bf.meta)
+            for x in v.variables:
+                if x not in meta:
+                    df = df.withColumn(x, F.lit(None).cast("string"))
+                    meta[x] = TermMeta(LEXICAL)
+            return BFrame(df, meta)
         masks: dict[tuple, list] = {}
         for row in v.rows:
             m = tuple(i for i, t in enumerate(row) if t is not None)
@@ -1306,26 +1327,37 @@ class SparqlEngine:
             sv = self._values(sub).df
             for x in sub.variables:
                 sv = sv.withColumnRenamed(x, f"__vv_{x}")
+            bdt = dict(b.df.dtypes)
+            vdt = dict(sv.dtypes)
             cond = F.lit(True)
             for x in shared:
+                # lexical-form comparison (ANSI-safe; engine-wide
+                # convention — see docstring)
                 cond = cond & (
-                    F.col(x).isNull() | (F.col(x) == F.col(f"__vv_{x}"))
+                    F.col(x).isNull()
+                    | (
+                        F.col(x).cast("string")
+                        == F.col(f"__vv_{x}").cast("string")
+                    )
                 )
             joined = b.df.join(F.broadcast(sv), cond, "inner")
             for x in shared:  # unbound side takes the VALUES binding
-                # keep the pattern column's dtype (a numeric column
-                # must stay numeric for downstream sorts/filters):
-                # try_cast the literal into it — an uncastable literal
-                # leaves the slot unbound, and such a pair carries no
-                # shared lexical form anyway
-                dt = dict(b.df.dtypes)[x]
-                joined = joined.withColumn(
-                    x,
-                    F.coalesce(
-                        F.col(x),
-                        F.expr(f"try_cast(`__vv_{x}` AS {dt})"),
-                    ),
-                )
+                if bdt[x] == vdt[f"__vv_{x}"]:
+                    # matching dtypes: keep them (numeric columns stay
+                    # numeric for downstream sorts/filters)
+                    joined = joined.withColumn(
+                        x, F.coalesce(F.col(x), F.col(f"__vv_{x}"))
+                    )
+                else:
+                    # mismatched dtypes: only the lexical string form
+                    # represents both sides faithfully
+                    joined = joined.withColumn(
+                        x,
+                        F.coalesce(
+                            F.col(x).cast("string"),
+                            F.col(f"__vv_{x}").cast("string"),
+                        ),
+                    )
             for x in new:
                 joined = joined.withColumn(x, F.col(f"__vv_{x}"))
             joined = joined.drop(*[f"__vv_{x}" for x in sub.variables])

@@ -138,22 +138,45 @@ def test_chunk_documents_reconstructs_exactly(spark, toks, chunk, overlap):
         assert r["n_chunk_tokens"] == chunk
 
 
-_vv = st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))
+# pattern-side cells: strings or unbound. VALUES cells additionally
+# draw ints and bools (typed literals → a long/boolean VALUES column),
+# exercising the ANSI-safe lexical comparison and the dtype-mismatch
+# merge fallback (round-8 second review: an all-string generator
+# missed exactly that surface). "1"/"true" strings overlap the int/
+# bool lexical forms on purpose.
+_sv = st.one_of(st.none(), st.sampled_from(["x", "1", "true"]))
+_vv = st.one_of(
+    st.none(),
+    st.sampled_from(["x", "1", "true"]),
+    st.integers(min_value=0, max_value=2),
+    st.booleans(),
+)
 
 
-@settings(max_examples=8, deadline=None)
+def _lex(x):
+    """SPARQL lexical form of a VALUES literal (Spark CAST AS STRING
+    agrees for string/long/boolean)."""
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return "true" if x else "false"
+    return str(x)
+
+
+@settings(max_examples=10, deadline=None)
 @given(
     # solution multiset over vars (a, b): None = unbound
-    st.lists(st.tuples(_vv, _vv), min_size=0, max_size=6),
+    st.lists(st.tuples(_sv, _sv), min_size=0, max_size=6),
     # VALUES rows over vars (a, c): None = UNDEF
-    st.lists(st.tuples(_vv, _vv), min_size=1, max_size=4),
+    st.lists(st.tuples(_vv, _vv), min_size=0, max_size=4),
 )
-def test_join_values_matches_spec_join(spark, sols, vrows):
+def test_join_values_matches_spec_join(spark, sf_small, sols, vrows):
     """_join_values == the §10.2 Join of the solution multiset with
-    the VALUES multiset, computed by a direct Python model:
-    compatible iff every var bound in BOTH agrees; merge takes the
-    union of bindings. Covers UNDEF wildcards, pattern-side unbound
-    merges, shared+fresh variables, and multiset counts."""
+    the VALUES multiset, computed by a direct Python model over
+    LEXICAL forms: compatible iff every var bound in BOTH agrees
+    lexically; merge takes the union of bindings. Covers UNDEF
+    wildcards, pattern-side unbound merges, shared+fresh variables,
+    mixed dtypes, the empty data block, and multiset counts."""
     from collections import Counter
 
     from ontario_spark.catalog.tpch_rdf import tpch_catalog
@@ -161,7 +184,7 @@ def test_join_values_matches_spec_join(spark, sols, vrows):
     from ontario_spark.compiler.query import SparqlEngine
     from ontario_spark.sparql.ast import Term, ValuesBlock
 
-    eng = SparqlEngine(spark, tpch_catalog("/root/testdata/sf0.001"))
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
     bf = BFrame(
         spark.createDataFrame(sols, "a string, b string")
         if sols
@@ -172,22 +195,23 @@ def test_join_values_matches_spec_join(spark, sols, vrows):
         variables=["a", "c"],
         rows=[
             tuple(
-                None if x is None else Term("literal", x, py=x)
+                None if x is None else Term("literal", _lex(x), py=x)
                 for x in row
             )
             for row in vrows
         ],
     )
     got = Counter(
-        (r["a"], r["b"], r["c"])
+        (_lex(r["a"]), r["b"], _lex(r["c"]))
         for r in eng._join_values(bf, vb).df.collect()
     )
     expect: Counter = Counter()
     for sa, sb in sols:
         for va, vc in vrows:
-            if sa is not None and va is not None and sa != va:
-                continue  # bound-bound disagreement
-            expect[(sa if sa is not None else va, sb, vc)] += 1
+            la = _lex(va)
+            if sa is not None and la is not None and sa != la:
+                continue  # bound-bound lexical disagreement
+            expect[(sa if sa is not None else la, sb, _lex(vc))] += 1
     assert got == expect
 
 

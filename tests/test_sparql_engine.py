@@ -1707,6 +1707,31 @@ def test_values_merges_pattern_side_unbound(spark, sf_small):
     assert all(r == f"{EX}region/0" for _, r in got)
 
 
+def test_values_empty_data_block(spark, sf_small):
+    """``VALUES ?x { }`` is legal SPARQL: joining with the empty
+    multiset yields zero solutions (round-8 second review: this
+    crashed with IndexError), and a typed literal against a string
+    pattern column must FILTER, not throw, under ANSI."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm }\n"
+        "VALUES ?nm { }"
+    ).collect()
+    assert rows == []
+    # numeric literal vs string-lexical pattern column: lexical forms
+    # never match → empty, NOT a CAST_INVALID_INPUT crash
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm }\n"
+        "VALUES ?nm { 7 }"
+    ).collect()
+    assert rows == []
+
+
 def test_values_undef_with_orderby_aggregate(spark, sf_small):
     """Round-8 review fix: a multi-mask trailing VALUES unions the
     grouped frame — the union must preserve the hoisted ``__sN``
