@@ -125,6 +125,25 @@ class BFrame:
             else:
                 left = left.materialize(v)
                 right = right.materialize(v)
+                # LEXICAL columns may carry different native dtypes (a
+                # typed VALUES/subselect column vs a string star
+                # column): unify on the lexical string form — a native
+                # string=long comparison THROWS CAST_INVALID_INPUT
+                # under Spark 4's default ANSI mode, and lexical
+                # comparison is the engine-wide join convention
+                # (round-8 review fix)
+                if (
+                    left.df.schema[v].dataType
+                    != right.df.schema[v].dataType
+                ):
+                    left = BFrame(
+                        left.df.withColumn(v, F.col(v).cast("string")),
+                        left.meta,
+                    )
+                    right = BFrame(
+                        right.df.withColumn(v, F.col(v).cast("string")),
+                        right.meta,
+                    )
                 on.append(v)
         # SPARQL-JSON term side columns (var__type/__lang/__dt from
         # SERVICE frames) are physical df columns outside meta; when
@@ -173,6 +192,20 @@ class BFrame:
             else:
                 left = left.materialize(v)
                 right = right.materialize(v)
+                # dtype-mismatched LEXICAL columns compare on string
+                # forms (same ANSI-safety rule as join(), above)
+                if (
+                    left.df.schema[v].dataType
+                    != right.df.schema[v].dataType
+                ):
+                    left = BFrame(
+                        left.df.withColumn(v, F.col(v).cast("string")),
+                        left.meta,
+                    )
+                    right = BFrame(
+                        right.df.withColumn(v, F.col(v).cast("string")),
+                        right.meta,
+                    )
                 on.append(v)
         # no dedup on the right: semi/anti joins never multiply rows,
         # so Spark needs only the join columns (column-pruned scan)

@@ -1218,20 +1218,20 @@ class SparqlEngine:
                 t = "boolean"
             elif kinds == {int}:
                 t = "long"
-            elif kinds <= {int, float}:
-                t = "double"  # mixed numerics widen (rows coerced below)
-                rows = [
-                    (*r[:i], float(r[i]) if r[i] is not None else None, *r[i + 1 :])
-                    for r in rows
-                ]
+            elif kinds == {float}:
+                t = "double"
             elif kinds == {str}:
                 t = "string"
             else:
-                # heterogeneous column (VALUES ?x { 1 "a" } — legal
-                # SPARQL: any RDF terms may share a column): fall back
-                # to the lexical string form for every value (round-5
-                # review fix: previously a hard ValueError). Booleans
-                # take their SPARQL lexical forms.
+                # heterogeneous column (VALUES ?x { 1 "a" } or mixed
+                # numerics { 5 2.5 } — legal SPARQL: any RDF terms may
+                # share a column): fall back to the lexical string
+                # form for every value (round-5 review fix: previously
+                # a hard ValueError; round-8: mixed int/decimal
+                # previously WIDENED to double, turning integer 5 into
+                # lexical "5.0" which no longer matched the term "5" —
+                # join compatibility is sameTerm, not numeric
+                # equality). Booleans take their SPARQL lexical forms.
                 t = "string"
                 def lex(x):
                     if x is None:
@@ -1287,13 +1287,10 @@ class SparqlEngine:
             # empty data block (``VALUES ?x { }``, legal SPARQL):
             # Join with the empty multiset = zero solutions (round-8
             # second review: this crashed on outs[0])
-            df = bf.df.limit(0)
-            meta = dict(bf.meta)
+            out = BFrame(bf.df.limit(0), dict(bf.meta))
             for x in v.variables:
-                if x not in meta:
-                    df = df.withColumn(x, F.lit(None).cast("string"))
-                    meta[x] = TermMeta(LEXICAL)
-            return BFrame(df, meta)
+                out = out.ensure_var(x)
+            return out
         masks: dict[tuple, list] = {}
         for row in v.rows:
             m = tuple(i for i, t in enumerate(row) if t is not None)

@@ -144,12 +144,13 @@ def test_chunk_documents_reconstructs_exactly(spark, toks, chunk, overlap):
 # merge fallback (round-8 second review: an all-string generator
 # missed exactly that surface). "1"/"true" strings overlap the int/
 # bool lexical forms on purpose.
-_sv = st.one_of(st.none(), st.sampled_from(["x", "1", "true"]))
+_sv = st.one_of(st.none(), st.sampled_from(["x", "1", "true", "2.5"]))
 _vv = st.one_of(
     st.none(),
     st.sampled_from(["x", "1", "true"]),
     st.integers(min_value=0, max_value=2),
     st.booleans(),
+    st.sampled_from([2.5]),  # mixes with ints → heterogeneous lexical
 )
 
 

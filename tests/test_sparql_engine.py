@@ -969,11 +969,14 @@ def test_values_mixed_kinds_widen_to_lexical(engine):
     assert sorted(r["x"] or "" for r in rows) == ["", "1", "a"]
 
 
-def test_values_mixed_numerics_widen(engine):
+def test_values_mixed_numerics_keep_lexical_forms(engine):
+    """Mixed int/decimal VALUES columns keep each literal's OWN
+    lexical form (round-8: the old double-widening turned integer 1
+    into "1.0", which then failed sameTerm joins against "1")."""
     rows = engine.query(
         "SELECT ?x WHERE { VALUES ?x { 1 2.5 } }"
     ).collect()
-    assert sorted(r["x"] for r in rows) == [1.0, 2.5]
+    assert sorted(r["x"] for r in rows) == ["1", "2.5"]
 
 
 # --- GRAPH (named graphs = federation members, round 4) -----------------
@@ -1730,6 +1733,39 @@ def test_values_empty_data_block(spark, sf_small):
         "VALUES ?nm { 7 }"
     ).collect()
     assert rows == []
+
+
+def test_inline_values_typed_literal_vs_string_column(spark, sf_small):
+    """Round-8 third review: an INLINE (in-group) VALUES with a typed
+    literal against a string-lexical pattern column must filter (no
+    lexical form matches), not throw CAST_INVALID_INPUT under ANSI —
+    BFrame.join now compares dtype-mismatched LEXICAL vars on string
+    forms. Mixed int/decimal columns keep integer lexical forms
+    ("5", not the widened "5.0"): compatibility is sameTerm."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    rows = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?nm WHERE { ?n a ex:Nation ; ex:name ?nm . "
+        "VALUES ?nm { 7 } }"
+    ).collect()
+    assert rows == []
+    # mixed numeric VALUES keeps each literal's own lexical form
+    from ontario_spark.compiler.frame import LEXICAL, BFrame, TermMeta
+    from ontario_spark.sparql.ast import Term, ValuesBlock
+
+    bf = BFrame(
+        spark.createDataFrame([("5",)], "a string"),
+        {"a": TermMeta(LEXICAL)},
+    )
+    vb = ValuesBlock(
+        variables=["a"],
+        rows=[(Term("literal", "5", py=5),), (Term("literal", "2.5", py=2.5),)],
+    )
+    got = eng._join_values(bf, vb).df.collect()
+    assert [r["a"] for r in got] == ["5"]
 
 
 def test_values_undef_with_orderby_aggregate(spark, sf_small):
