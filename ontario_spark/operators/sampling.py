@@ -185,6 +185,31 @@ def token_budget_mix(
     )
 
 
+def fixed_size_sample(
+    df: DataFrame, key: str, n: int, salt: str = "fix"
+) -> DataFrame:
+    """EXACTLY-n deterministic uniform sample of the whole dataset —
+    the eval-holdout primitive ("pick exactly 10k docs"), which
+    rate-based ``hash_sample`` can only approximate. Selection is the
+    n smallest salted-md5 ranks of ``key``: uniform over the corpus,
+    reproducible cross-engine/re-run, and NESTED (n+1 extends n).
+    NULL keys are dropped (no rank — same rule as the other
+    samplers).
+
+    Scale: ``orderBy(rank).limit(n)`` plans as
+    ``TakeOrderedAndProject`` — each partition keeps its local top-n
+    and the driver merges n-sized heaps, so there is NO global sort
+    and no shuffle of the corpus; driver memory is O(n). Size n
+    accordingly (an n in the millions belongs in ``hash_sample`` +
+    exact trim territory)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = F.md5(F.concat(F.col(key).cast("string"), F.lit(salt)))
+    return (
+        df.filter(F.col(key).isNotNull()).orderBy(order, F.col(key)).limit(n)
+    )
+
+
 def sql_hash_predicate(key_expr: str, rate: float, salt: str = "") -> str:
     """The DuckDB-equivalent predicate (oracle side of the contract)."""
     return (

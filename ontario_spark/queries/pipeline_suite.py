@@ -151,6 +151,26 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+def sample_fixed_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size eval holdout (round 8): exactly 200 docs by
+    deterministic md5 rank — TakeOrderedAndProject, no global sort.
+    The oracle replicates the exact selected set."""
+    from ontario_spark.operators.sampling import fixed_size_sample
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return fixed_size_sample(docs, "doc_id", n=200, salt="holdout")
+
+
+SAMPLE_FIXED_HOLDOUT_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IS NOT NULL
+ORDER BY md5(CAST(doc_id AS VARCHAR) || 'holdout'), doc_id
+LIMIT 200
+"""
+
+
 # --- dedup --------------------------------------------------------------
 
 
@@ -1847,6 +1867,7 @@ QUERIES = {
     "sample_temperature_mix": sample_temperature_mix,
     "sample_group_cap": sample_group_cap,
     "sample_token_budget": sample_token_budget,
+    "sample_fixed_holdout": sample_fixed_holdout,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
@@ -1904,6 +1925,7 @@ ORACLE = {
     "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
     "sample_group_cap": SAMPLE_GROUP_CAP_SQL,
     "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,
+    "sample_fixed_holdout": SAMPLE_FIXED_HOLDOUT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,

@@ -216,6 +216,37 @@ def test_token_budget_mix(spark):
     assert set(a) <= set(wider) and len(wider) == 11
 
 
+def test_fixed_size_sample(spark):
+    """Exactly n rows, the n smallest md5 ranks, nested across n,
+    NULL keys dropped, and a TakeOrderedAndProject plan (no global
+    sort)."""
+    import hashlib
+
+    from ontario_spark.operators.sampling import fixed_size_sample
+
+    rows = [(i,) for i in range(40)] + [(None,)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = fixed_size_sample(df, "doc_id", n=7, salt="s")
+    ids = [r["doc_id"] for r in got.collect()]
+    order = sorted(range(40), key=lambda i: hashlib.md5(f"{i}s".encode()).hexdigest())
+    assert sorted(ids) == sorted(order[:7])
+    wider = [
+        r["doc_id"]
+        for r in fixed_size_sample(df, "doc_id", n=12, salt="s").collect()
+    ]
+    assert set(ids) <= set(wider) and len(wider) == 12
+    # physical shape: partition-local top-n merged on the driver
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
+    with pytest.raises(ValueError):
+        fixed_size_sample(df, "doc_id", n=0)
+
+
 def test_epoch_shuffle_order(spark):
     """The operator's PHYSICAL row order equals the md5 rule the
     sample_epoch_order oracle checks (a sorted-columns hash compare
