@@ -548,16 +548,22 @@ class SparqlEngine:
         pinned = BFrame(
             _pin(bf.df.withColumn("__lj", F.monotonically_increasing_id())),
             bf.meta,
+            bf.maybe_null,
         )
         joined = pinned.join(right, "inner")
         for f in hoist:
             vc = self._compiler(joined)
-            joined = BFrame(joined.df.filter(vc.boolean(f.expr)), joined.meta)
+            joined = BFrame(
+                joined.df.filter(vc.boolean(f.expr)),
+                joined.meta,
+                joined.maybe_null,
+            )
         bare = BFrame(
             pinned.df.join(
                 joined.df.select("__lj").distinct(), "__lj", "left_anti"
             ),
             pinned.meta,
+            pinned.maybe_null,
         )
         # union aligns on meta variables only, so __lj drops out and
         # bare rows pad the optional-side variables with NULL (unbound)
@@ -615,12 +621,14 @@ class SparqlEngine:
                 fdf = f.df.filter(
                     F.col(var).isNull() | (F.col(var) == F.lit(iri))
                 ).withColumn(var, F.lit(iri))
-                branches.append(BFrame(fdf, f.meta))
+                # ?g is rebound to the (never-null) graph IRI here
+                branches.append(BFrame(fdf, f.meta, f.maybe_null - {var}))
             else:
                 branches.append(
                     BFrame(
                         f.df.withColumn(var, F.lit(iri)),
                         {**f.meta, var: TermMeta(LEXICAL)},
+                        f.maybe_null,
                     )
                 )
         if not branches:  # dataset with no named graphs
@@ -745,7 +753,15 @@ class SparqlEngine:
                     self._dataset_default = saved_d
                     self._dataset_named = saved_n
                 frames.append(
-                    BFrame(sdf, {c: TermMeta(LEXICAL) for c in sdf.columns})
+                    BFrame(
+                        sdf,
+                        {c: TermMeta(LEXICAL) for c in sdf.columns},
+                        # compile() records which projected vars can be
+                        # unbound (OPTIONAL-only vars a subquery head
+                        # projects stay unbound in its solutions)
+                        getattr(self, "_last_select_flags", frozenset())
+                        & set(sdf.columns),
+                    )
                 )
 
         # SERVICE blocks compile AFTER the local frames are joined, so
@@ -765,7 +781,9 @@ class SparqlEngine:
                         try:
                             vc = self._compiler(bf)
                             bf = BFrame(
-                                bf.df.filter(vc.boolean(e.expr)), bf.meta
+                                bf.df.filter(vc.boolean(e.expr)),
+                                bf.meta,
+                                bf.maybe_null,
                             )
                         except Exception:
                             pass  # applied in the final filter pass
@@ -814,14 +832,19 @@ class SparqlEngine:
                     e.block, key_hint=bf, source_filter=source_filter
                 )
                 if other.variables & bf.variables:
-                    bf = bf.restrict(other, "left_anti")
+                    # minus=True: a solution pair with no var bound on
+                    # BOTH sides is dom-disjoint and removes nothing
+                    # (§8.3.3) — distinct from NOT EXISTS below
+                    bf = bf.restrict(other, "left_anti", minus=True)
                 # disjoint domains → MINUS removes nothing (SPARQL §8.3)
             elif isinstance(e, Bind):
                 bf = self._apply_bind(bf, e)
         for e in g.elements:
             if isinstance(e, Filter):
                 vc = self._compiler(bf)
-                bf = BFrame(bf.df.filter(vc.boolean(e.expr)), bf.meta)
+                bf = BFrame(
+                    bf.df.filter(vc.boolean(e.expr)), bf.meta, bf.maybe_null
+                )
             elif isinstance(e, ExistsFilter):
                 bf = bf.restrict(
                     self._group(e.block, key_hint=bf, source_filter=source_filter),
@@ -860,7 +883,14 @@ class SparqlEngine:
                     else F.lit(None).cast("string"),
                 )
             )
-        return BFrame(df, {**bf.meta, e.var: TermMeta(LEXICAL)})
+        # the bound expression can evaluate to NULL (SPARQL: an
+        # erroring/unbound-input expression leaves the var UNBOUND), so
+        # the var joins with compatibility semantics downstream
+        return BFrame(
+            df,
+            {**bf.meta, e.var: TermMeta(LEXICAL)},
+            bf.maybe_null | {e.var},
+        )
 
     def _closure(
         self,
@@ -1245,7 +1275,16 @@ class SparqlEngine:
                 ]
             fields.append(f"`{var}` {t}")
         df = self.spark.createDataFrame(rows, schema=", ".join(fields))
-        return BFrame(df, {var: TermMeta(LEXICAL) for var in v.variables})
+        return BFrame(
+            df,
+            {var: TermMeta(LEXICAL) for var in v.variables},
+            # UNDEF cells are unbound: those columns join as wildcards
+            frozenset(
+                var
+                for i, var in enumerate(v.variables)
+                if any(r[i] is None for r in rows)
+            ),
+        )
 
     def _join_values(self, bf: "BFrame | None", v: ValuesBlock) -> BFrame:
         """Join a solution frame with a VALUES block under FULL SPARQL
@@ -1254,31 +1293,13 @@ class SparqlEngine:
         constrains nothing (wildcard), and a pattern-side UNBOUND
         variable (an OPTIONAL/UNION NULL) merges by TAKING the VALUES
         binding instead of filtering. Both directions diverge from a
-        plain equi-join (NULL keys match nothing), which is the
-        engine's documented pattern⋈pattern approximation — VALUES
-        joins get the exact semantics because the data side is a tiny
-        literal frame (round-8; UNDEF fixed first, the pattern-side
-        merge in the same pass).
-
-        Plan shape: rows group by their bound-variable mask; each mask
-        group broadcast-joins on the LEXICAL-form condition
-        ``∧(bf.v IS NULL OR str(bf.v) = str(values.v))`` with the
-        merged binding ``coalesce(bf.v, values.v)``; the groups
-        bag-union (union's NULL padding restores columns a group
-        leaves unbound). Comparing on casted strings is both the
-        engine-wide convention (keyed vars already compare
-        materialized lexical forms) and the only ANSI-safe choice —
-        a native string=long comparison THROWS CAST_INVALID_INPUT on
-        non-numeric strings under Spark 4's default ANSI mode (round-8
-        second review). The merged column keeps the pattern dtype when
-        the VALUES column shares it; on a dtype mismatch the output
-        falls back to the lexical string form, the only representation
-        faithful to §10.2 (a try_cast into the pattern dtype silently
-        dropped uncastable merges and truncated lossy ones). The
-        non-equi condition plans as a BroadcastNestedLoopJoin over the
-        literal frame — rows(bf) × rows(VALUES) comparisons, the same
-        cost class as the broadcast hash join it replaces at any
-        realistic VALUES size."""
+        plain equi-join (NULL keys match nothing). Historically VALUES
+        joins got these semantics first (round-8, as a hand-built
+        mask-group join) while pattern⋈pattern joins ran the equi
+        approximation; once the general join gained the same semantics
+        via ``maybe_null`` tracking, this became a thin delegation to
+        ``BFrame.join`` / ``_join_compat`` — one compatibility-join
+        implementation engine-wide."""
         if bf is None:
             # no pattern to join: the NULL encoding IS the solution
             # multiset (unbound stays unbound)
@@ -1287,87 +1308,27 @@ class SparqlEngine:
             # empty data block (``VALUES ?x { }``, legal SPARQL):
             # Join with the empty multiset = zero solutions (round-8
             # second review: this crashed on outs[0])
-            out = BFrame(bf.df.limit(0), dict(bf.meta))
+            out = BFrame(bf.df.limit(0), dict(bf.meta), bf.maybe_null)
             for x in v.variables:
                 out = out.ensure_var(x)
             return out
-        masks: dict[tuple, list] = {}
-        for row in v.rows:
-            m = tuple(i for i, t in enumerate(row) if t is not None)
-            masks.setdefault(m, []).append(row)
-        outs = []
-        for m, rows in sorted(masks.items()):
-            if not m:  # all-UNDEF rows: k copies of every solution
-                k = len(rows)
-                if k == 1:
-                    outs.append(bf)
-                else:
-                    dup = self.spark.range(k).select(
-                        F.lit(1).alias("__vdup")
-                    )
-                    outs.append(
-                        BFrame(
-                            bf.df.crossJoin(dup).drop("__vdup"), bf.meta
-                        )
-                    )
-                continue
-            sub = ValuesBlock(
-                variables=[v.variables[i] for i in m],
-                rows=[tuple(row[i] for i in m) for row in rows],
-            )
-            shared = [x for x in sub.variables if x in bf.variables]
-            new = [x for x in sub.variables if x not in bf.variables]
-            b = bf
-            for x in shared:  # compare on lexical forms
-                if b.meta[x].kind != LEXICAL:
-                    b = b.materialize(x)
-            sv = self._values(sub).df
-            for x in sub.variables:
-                sv = sv.withColumnRenamed(x, f"__vv_{x}")
-            bdt = dict(b.df.dtypes)
-            vdt = dict(sv.dtypes)
-            cond = F.lit(True)
-            for x in shared:
-                # lexical-form comparison (ANSI-safe; engine-wide
-                # convention — see docstring)
-                cond = cond & (
-                    F.col(x).isNull()
-                    | (
-                        F.col(x).cast("string")
-                        == F.col(f"__vv_{x}").cast("string")
-                    )
-                )
-            joined = b.df.join(F.broadcast(sv), cond, "inner")
-            for x in shared:  # unbound side takes the VALUES binding
-                if bdt[x] == vdt[f"__vv_{x}"]:
-                    # matching dtypes: keep them (numeric columns stay
-                    # numeric for downstream sorts/filters)
-                    joined = joined.withColumn(
-                        x, F.coalesce(F.col(x), F.col(f"__vv_{x}"))
-                    )
-                else:
-                    # mismatched dtypes: only the lexical string form
-                    # represents both sides faithfully
-                    joined = joined.withColumn(
-                        x,
-                        F.coalesce(
-                            F.col(x).cast("string"),
-                            F.col(f"__vv_{x}").cast("string"),
-                        ),
-                    )
-            for x in new:
-                joined = joined.withColumn(x, F.col(f"__vv_{x}"))
-            joined = joined.drop(*[f"__vv_{x}" for x in sub.variables])
-            outs.append(
-                BFrame(
-                    joined,
-                    {**b.meta, **{x: TermMeta(LEXICAL) for x in new}},
-                )
-            )
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.union(o)
-        return out
+        # The VALUES frame's UNDEF columns carry maybe_null flags from
+        # _values, so the general BFrame.join compatibility machinery
+        # (NULL-mask decomposition, _join_compat) provides the exact
+        # §10.2 semantics in BOTH directions — UNDEF wildcards AND
+        # pattern-side unbound merges. The literal frame is a
+        # LocalRelation with known tiny stats, so Catalyst broadcasts
+        # it without a hint. The pattern side keeps this method's
+        # historical contract that ANY shared var may be unbound
+        # (callers outside the compiler hand-build frames without
+        # flags): over-flagging never changes the answer, and with a
+        # tiny broadcast right side the extra mask groups (or the
+        # over-cap fallback condition join) stay in the same cost
+        # class as the single condition join used before.
+        defensive = bf.maybe_null | (bf.variables & set(v.variables))
+        return BFrame(bf.df, bf.meta, frozenset(defensive)).join(
+            self._values(v), "inner"
+        )
 
     def _is_remote_plan(self, plan) -> bool:
         from ontario_spark.catalog.model import Catalog as _Cat
@@ -1523,6 +1484,7 @@ class SparqlEngine:
                 bf = BFrame(
                     bf.df.withColumn(var, gvc.value(expr)),
                     {**bf.meta, var: TermMeta(LEXICAL)},
+                    bf.maybe_null | {var},
                 )
             vc = self._compiler(bf)
             keys = [
@@ -1623,13 +1585,22 @@ class SparqlEngine:
                 for var, e in post:
                     grouped = grouped.withColumn(var, pvc.value(e))
             out_meta = {v: TermMeta(LEXICAL) for v in q.group_by + [s.var for s in computed]}
-            bf = BFrame(grouped, out_meta)
+            # group keys keep their flags; aggregate outputs can be
+            # NULL (MIN/MAX/SUM over an all-NULL group)
+            bf = BFrame(
+                grouped,
+                out_meta,
+                (bf.maybe_null & set(q.group_by))
+                | {s.var for s in computed},
+            )
             if having is not None:
                 hdt = dict(bf.df.dtypes)
                 hvc = ExprCompiler(
                     lambda v: F.col(v), hdt.get, has_col=lambda c: c in hdt
                 )
-                bf = BFrame(bf.df.filter(hvc.boolean(having)), bf.meta)
+                bf = BFrame(
+                    bf.df.filter(hvc.boolean(having)), bf.meta, bf.maybe_null
+                )
             if trailing is not None:
                 # §18.2.4.3: ValuesClause joins the grouped/HAVING-
                 # filtered solutions (shared vars equi-join; none
@@ -1645,7 +1616,11 @@ class SparqlEngine:
                 for s in computed:
                     ndf = ndf.withColumn(s.var, vc.value(s.expr))
                     newmeta[s.var] = TermMeta(LEXICAL)
-                bf = BFrame(ndf, newmeta)
+                bf = BFrame(
+                    ndf,
+                    newmeta,
+                    bf.maybe_null | {s.var for s in computed},
+                )
             # ORDER BY may reference non-projected in-scope variables
             # (legal without DISTINCT, SPARQL 1.1 §15.1): carry them
             # through the projection for the sort and drop them after.
@@ -1659,6 +1634,10 @@ class SparqlEngine:
             bf = bf.project(proj_vars + sort_extra)
             df = bf.df
 
+        # record which projected vars can be unbound — the subquery
+        # seam reads this right after its compile() call to seed the
+        # inner frame's maybe_null (compile returns a bare DataFrame)
+        self._last_select_flags = frozenset(bf.maybe_null) & set(proj_vars)
         if q.distinct:
             df = df.dropDuplicates()
         if order_by:

@@ -1849,3 +1849,146 @@ def test_trailing_values_joins_after_optional(spark, sf_small):
     # exactly the nations of region 0 — all with ?r bound to it
     assert 0 < len(rows) < 25
     assert all(r["r"] == f"{EX}region/0" for r in rows)
+
+
+# --- §10.2 compatibility joins (maybe_null tracking, round 8) ---------
+
+
+def test_optional_unbound_var_rejoined_in_second_optional(engine, sf_small):
+    """The classic double-OPTIONAL case: ?x is bound by the first
+    OPTIONAL only for AMERICA nations; the second OPTIONAL shares ?x,
+    so rows with ?x UNBOUND are compatible with its solutions and the
+    merge takes the inner binding (§10.2) — a plain equi-LeftJoin
+    would leave them NULL."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname ?x WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             OPTIONAL { ?n ex:region ?r . ?r ex:name ?x .
+                        FILTER (STRSTARTS(?x, 'AM')) }
+             OPTIONAL { ?r3 a ex:Region ; ex:name ?x .
+                        FILTER (STRENDS(?x, 'PE')) } }""",
+        """WITH l AS (
+             SELECT n_name AS nname,
+                    CASE WHEN r_name LIKE 'AM%' THEN r_name END AS x
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE n_name IS NOT NULL),
+           r AS (SELECT r_name AS x FROM region WHERE r_name LIKE '%PE')
+           SELECT l.nname AS nname, COALESCE(l.x, r.x) AS x
+           FROM l LEFT JOIN r ON l.x IS NULL OR l.x = r.x""",
+        "optional_compat_left_join",
+    )
+
+
+def test_union_padded_var_joins_as_wildcard(engine, sf_small):
+    """A UNION branch that does not bind ?rname pads it with unbound;
+    joining the padded frame with the Region star must treat those
+    rows as wildcards (every region), not drop them."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname ?rname WHERE {
+             { ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+               ?r ex:name ?rname . FILTER (STRSTARTS(?rname, 'A')) }
+             UNION
+             { ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+               ?r ex:name ?rn2 . FILTER (!STRSTARTS(?rn2, 'A')) }
+             ?r2 a ex:Region ; ex:name ?rname . }""",
+        """WITH u AS (
+             SELECT n_name AS nname, r_name AS rname
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE n_name IS NOT NULL AND r_name LIKE 'A%'
+             UNION ALL
+             SELECT n_name, NULL
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE n_name IS NOT NULL AND r_name NOT LIKE 'A%')
+           SELECT u.nname AS nname, r2.r_name AS rname
+           FROM u JOIN region r2
+             ON u.rname IS NULL OR u.rname = r2.r_name
+           WHERE r2.r_name IS NOT NULL""",
+        "union_pad_compat_join",
+    )
+
+
+def test_minus_partial_domain_overlap(engine, sf_small):
+    """MINUS §8.3.3 with ?r unbound on the left but ?n bound and
+    matching: dom overlap via ?n makes the pair compatible → the five
+    EUROPE nations drop even though their left ?r is unbound (the old
+    equi-anti kept them); A-region nations keep (their bound ?r is not
+    the EUROPE region); MIDDLE EAST nations keep (no EUROPE μ2 shares
+    their ?n)."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             OPTIONAL { ?n ex:region ?r . ?r ex:name ?rname .
+                        FILTER (STRSTARTS(?rname, 'A')) }
+             MINUS { ?n ex:region ?r . ?r ex:name 'EUROPE' } }""",
+        """WITH l AS (
+             SELECT n_name AS nname, n_nationkey AS nk,
+                    CASE WHEN r_name LIKE 'A%' THEN n_regionkey END AS rk
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE n_name IS NOT NULL)
+           SELECT nname FROM l
+           WHERE NOT EXISTS (
+             SELECT 1 FROM nation n2
+             JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             WHERE r2.r_name = 'EUROPE' AND n2.n_nationkey = l.nk
+               AND (l.rk IS NULL OR l.rk = n2.n_regionkey))""",
+        "minus_partial_overlap",
+    )
+
+
+def test_not_exists_unbound_var_is_wildcard(engine, sf_small):
+    """FILTER NOT EXISTS substitutes only the BOUND vars of each row
+    (§8.1.1 errata): a row with ?rname unbound leaves it a free
+    variable, the pattern matches the ASIA region, and the row drops —
+    unlike MINUS, where the same pair would be dom-disjoint."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             OPTIONAL { ?n ex:region ?r . ?r ex:name ?rname .
+                        FILTER (STRSTARTS(?rname, 'A')) }
+             FILTER NOT EXISTS { ?r4 a ex:Region ; ex:name ?rname .
+                                 FILTER (?rname = 'ASIA') } }""",
+        """WITH l AS (
+             SELECT n_name AS nname,
+                    CASE WHEN r_name LIKE 'A%' THEN r_name END AS rn
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE n_name IS NOT NULL)
+           SELECT nname FROM l
+           WHERE NOT EXISTS (
+             SELECT 1 FROM region r4 WHERE r4.r_name = 'ASIA'
+               AND (l.rn IS NULL OR l.rn = r4.r_name))""",
+        "not_exists_wildcard",
+    )
+
+
+def test_subquery_head_flags_propagate(engine, sf_small):
+    """A subquery projecting an OPTIONAL-bound var keeps its
+    maybe-unbound status across the compile() seam: the outer join on
+    ?x treats the unbound rows as wildcards."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname ?x WHERE {
+             { SELECT ?n ?x WHERE {
+                 ?n a ex:Nation .
+                 OPTIONAL { ?n ex:region ?r . ?r ex:name ?x .
+                            FILTER (STRSTARTS(?x, 'AM')) } } }
+             ?n ex:name ?nname .
+             ?r2 a ex:Region ; ex:name ?x . }""",
+        """WITH sub AS (
+             SELECT n_nationkey AS nk,
+                    CASE WHEN r_name LIKE 'AM%' THEN r_name END AS x
+             FROM nation JOIN region ON n_regionkey = r_regionkey)
+           SELECT n.n_name AS nname, r2.r_name AS x
+           FROM sub JOIN nation n ON sub.nk = n.n_nationkey
+           JOIN region r2 ON (sub.x IS NULL OR sub.x = r2.r_name)
+           WHERE n.n_name IS NOT NULL AND r2.r_name IS NOT NULL""",
+        "subquery_flags_compat",
+    )
