@@ -146,7 +146,12 @@ DRIVER_SURFACE = [
     # sparql_aggregate + sparql_group_by_expr)
     "sparql_term_functions",
     "sparql_path_closure",
-    "sparql_values_inline",
+    # round-8 late swap: VALUES semantics row upgraded to the UNDEF
+    # wildcard form (§10.2 compatibility — this round's headline join
+    # work, never externally verified); the plain inline form (green
+    # r1-r7, IN-list pushdown mechanics) leads the post-cap registry
+    # and stays pytest-gated
+    "sparql_values_undef",
     "sparql_minus_setop",
     "sparql_exists_filter",
     "sparql_federated_join",
@@ -168,7 +173,11 @@ DRIVER_SURFACE = [
     # bm25_topk — same fn-library family as sparql_filter_functions,
     # still first among the post-cap registry entries + pytest-gated)
     "sparql_filter_functions",
-    "sparql_aggregate",
+    # round-8 late swap: sparql_aggregate (green r1-r7; aggregates stay
+    # surface-represented by sparql_group_by_expr) → the double-OPTIONAL
+    # unbound-wildcard re-join, driver signal for the round's
+    # maybe_null/_join_compat §10.2 semantics
+    "sparql_optional_compat",
     "sparql_nested_iterator",
     "sparql_describe",
     # round-5 rotation: rows green three straight rounds and
@@ -206,7 +215,10 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
         # round-8 rotated-out rows first (each green 3+ rounds with its
-        # family still surface-represented)
+        # family still surface-represented; values_inline/aggregate
+        # displaced by the late §10.2 swaps)
+        "sparql_values_inline",
+        "sparql_aggregate",
         "sparql_star_join",
         "sparql_optional",
         "events_asof_join",

@@ -427,6 +427,51 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
                 AND o_orderpriority = '1-URGENT')""",
         "base",
     ),
+    "sparql_optional_compat": (
+        # full §10.2 join compatibility (round 8, maybe_null tracking):
+        # the first OPTIONAL binds ?x only for AMERICA nations; the
+        # second OPTIONAL shares ?x, so rows with ?x UNBOUND are
+        # compatible with ALL its solutions and the merge takes the
+        # inner binding — a plain equi-LeftJoin (NULL matches nothing)
+        # would leave them NULL. Exercises _join_compat's NULL-mask
+        # decomposition end-to-end.
+        """SELECT ?nname ?x WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             OPTIONAL { ?n ex:region ?r . ?r ex:name ?x .
+                        FILTER (STRSTARTS(?x, 'AM')) }
+             OPTIONAL { ?r3 a ex:Region ; ex:name ?x .
+                        FILTER (STRENDS(?x, 'PE')) } }""",
+        """WITH l AS (
+             SELECT n_name AS nname,
+                    CASE WHEN r_name LIKE 'AM%' THEN r_name END AS x
+             FROM nation JOIN region ON n_regionkey = r_regionkey
+             WHERE n_name IS NOT NULL),
+           r AS (SELECT r_name AS x FROM region WHERE r_name LIKE '%PE')
+           SELECT l.nname AS nname, COALESCE(l.x, r.x) AS x
+           FROM l LEFT JOIN r ON l.x IS NULL OR l.x = r.x""",
+        "base",
+    ),
+    "sparql_values_undef": (
+        # VALUES with UNDEF cells (§10.2): an UNDEF constrains nothing,
+        # so each data row contributes its bound-column restriction
+        # only, and a solution matching BOTH rows appears twice (bag
+        # semantics — the oracle's UNION ALL replicates the multiset).
+        """SELECT ?o ?prio ?stat WHERE {
+             ?o a ex:Order ; ex:orderpriority ?prio ;
+                ex:orderstatus ?stat .
+             VALUES (?prio ?stat) { ("1-URGENT" UNDEF) (UNDEF "F") } }""",
+        f"""SELECT {URI_O} AS o, o_orderpriority AS prio,
+                   o_orderstatus AS stat
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL
+              AND o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT {URI_O}, o_orderpriority, o_orderstatus
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus = 'F'""",
+        "base",
+    ),
     "sparql_federated_join": (
         # cross-engine federation: Customer star answered by a remote
         # SQL executor (DuckDB as stand-in MySQL), Nation star by the
