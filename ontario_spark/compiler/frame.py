@@ -186,29 +186,7 @@ class BFrame:
             ):
                 on.extend(key_cols(v, lm.nkeys))
             else:
-                left = left.materialize(v)
-                right = right.materialize(v)
-                # LEXICAL columns may carry different native dtypes (a
-                # typed VALUES/subselect column vs a string star
-                # column): unify on the lexical string form — a native
-                # string=long comparison THROWS CAST_INVALID_INPUT
-                # under Spark 4's default ANSI mode, and lexical
-                # comparison is the engine-wide join convention
-                # (round-8 review fix)
-                if (
-                    left.df.schema[v].dataType
-                    != right.df.schema[v].dataType
-                ):
-                    left = BFrame(
-                        left.df.withColumn(v, F.col(v).cast("string")),
-                        left.meta,
-                        left.maybe_null,
-                    )
-                    right = BFrame(
-                        right.df.withColumn(v, F.col(v).cast("string")),
-                        right.meta,
-                        right.maybe_null,
-                    )
+                left, right = _lex_unify(left, right, v)
                 on.append(v)
         # SPARQL-JSON term side columns (var__type/__lang/__dt from
         # SERVICE frames) are physical df columns outside meta; when
@@ -628,19 +606,8 @@ class BFrame:
                     # LEXICAL vars may still carry different native
                     # dtypes (double vs timestamp across negated-path
                     # branches) — unify on the lexical string form
-                    lt = left.df.schema[v].dataType
-                    rt = right.df.schema[v].dataType
-                    if lt != rt:
-                        left = BFrame(
-                            left.df.withColumn(v, F.col(v).cast("string")),
-                            left.meta,
-                            left.maybe_null,
-                        )
-                        right = BFrame(
-                            right.df.withColumn(v, F.col(v).cast("string")),
-                            right.meta,
-                            right.maybe_null,
-                        )
+                    # (materialize inside is a no-op here)
+                    left, right = _lex_unify(left, right, v)
             else:
                 if lin:
                     left = left.materialize(v)

@@ -811,7 +811,10 @@ class SparqlEngine:
         # _bound_key_conds push only the BOUND values as the remote
         # IN-list, pruning rows the wildcard needed — deferring trades
         # that pushdown away for correctness, the same trade trailing
-        # VALUES documents).
+        # VALUES documents). Since _bound_key_conds gained its
+        # maybe_null guard the pruning half can't recur, but deferring
+        # stays: the inline path exists to FEED the pushdown, which a
+        # flagged var forgoes either way.
         for e in deferred_values:
             bf = self._join_values(bf, e)
         if bf is None:
@@ -1022,6 +1025,12 @@ class SparqlEngine:
         max_keys = 100_000
         queries = [text]
         shared = sorted(set(variables) & (build.variables if build else set()))
+        # bound-join pushdown must use a var that is never unbound on
+        # the build side: a maybe_null var's NULL rows join as §10.2
+        # wildcards against EVERY remote binding, so batching only the
+        # observed bound keys would under-fetch. All shared vars
+        # flagged → no pushdown (unfiltered fetch, still correct).
+        shared = [v for v in shared if v not in build.maybe_null] if shared else []
         if shared:
             v = shared[0]
             # NULLs filtered BEFORE the limit so they can't mask the
@@ -1066,10 +1075,16 @@ class SparqlEngine:
         df = self.spark.createDataFrame(
             [tuple(r.get(c) for c in cols) for r in rows], schema=schema
         )
-        bf = BFrame(df, {v: TermMeta(LEXICAL) for v in variables})
+        # a lenient endpoint (or injected executor) may return partial
+        # bindings — rows are driver-side here, so flag exactly the
+        # variables observed unbound and they join as §10.2 wildcards
+        flags = frozenset(
+            v for v in variables if any(r.get(v) is None for r in rows)
+        )
+        bf = BFrame(df, {v: TermMeta(LEXICAL) for v in variables}, flags)
         for f in filters:
             vc = self._compiler(bf)
-            bf = BFrame(bf.df.filter(vc.boolean(f.expr)), bf.meta)
+            bf = BFrame(bf.df.filter(vc.boolean(f.expr)), bf.meta, bf.maybe_null)
         return bf
 
     def _describe(self, q: Query, bf: BFrame) -> DataFrame:
@@ -1318,17 +1333,15 @@ class SparqlEngine:
         # §10.2 semantics in BOTH directions — UNDEF wildcards AND
         # pattern-side unbound merges. The literal frame is a
         # LocalRelation with known tiny stats, so Catalyst broadcasts
-        # it without a hint. The pattern side keeps this method's
-        # historical contract that ANY shared var may be unbound
-        # (callers outside the compiler hand-build frames without
-        # flags): over-flagging never changes the answer, and with a
-        # tiny broadcast right side the extra mask groups (or the
-        # over-cap fallback condition join) stay in the same cost
-        # class as the single condition join used before.
-        defensive = bf.maybe_null | (bf.variables & set(v.variables))
-        return BFrame(bf.df, bf.meta, frozenset(defensive)).join(
-            self._values(v), "inner"
-        )
+        # it without a hint. The pattern side's own flags are trusted
+        # as-is: the engine invariant is that a non-flagged column
+        # never holds NULL (unboundness only arises structurally,
+        # where the flag is set), so defensively flagging every shared
+        # var would only multiply the mask groups — 2^L scans of the
+        # pattern frame — without changing any answer (review fix;
+        # callers that hand-build frames with unbound cells must set
+        # flags, as the property tests now do).
+        return bf.join(self._values(v), "inner")
 
     def _is_remote_plan(self, plan) -> bool:
         from ontario_spark.catalog.model import Catalog as _Cat
@@ -1396,12 +1409,19 @@ class SparqlEngine:
         remote query goes out unfiltered, the reference's
         non-selective fallback. The local join afterwards is unchanged,
         so pushdown can only reduce transfer, never change the
-        answer."""
+        answer — which requires SKIPPING vars that can be UNBOUND on
+        the build side (``maybe_null``): their NULL rows join as §10.2
+        wildcards against EVERY remote row, so pruning the fetch to the
+        observed bound keys would silently drop those matches (the same
+        failure mode the deferred-UNDEF-VALUES ordering guards
+        against)."""
         from ontario_spark.compiler.frame import key_cols
         from ontario_spark.sources.translate import RemoteCond, tpl_shape
 
         out: dict[str, list[RemoteCond]] = {}
         for v in sorted(star_vars & bf.variables):
+            if v in bf.maybe_null:
+                continue
             m = bf.meta[v]
             if m.kind == KEYED and m.nkeys == 1:
                 col, tpl = key_cols(v, 1)[0], tpl_shape(m.template.raw)

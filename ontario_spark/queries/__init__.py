@@ -136,8 +136,9 @@ DRIVER_SURFACE = [
     # cap — the path family stays represented by sparql_path_closure)
     "sparql_group_by_expr",
     # GRAPH / named-graph scoping — round-4 family; slot from
-    # sparql_group_concat (the aggregate family stays represented by
-    # sparql_aggregate, sparql_agg_distinct, and sparql_group_by_expr)
+    # sparql_group_concat (the aggregate family stays represented on
+    # the surface by sparql_group_by_expr; sparql_aggregate and
+    # sparql_agg_distinct sit post-cap since the round-8 swaps)
     "sparql_named_graph",
     "sparql_subquery",
     # round-6: the SPARQL 1.1 term-function tail (STRDT/STRLANG/TZ/...,

@@ -664,3 +664,116 @@ def test_rest_empty_payload_yields_zero_rows(spark):
 
     df = rows_to_df(spark, [])
     assert df.count() == 0
+
+
+# --- bound-join pushdown × §10.2 compatibility (round-8 review) --------
+
+
+def test_wrapper_pushdown_skips_maybe_null_vars(spark, sf_small):
+    """A UNION branch leaves ?n unbound, so the remote Customer star's
+    IN-list pushdown must NOT batch on ?n: the unbound rows join as
+    §10.2 wildcards against EVERY customer, which an observed-keys
+    fetch would under-serve. The guard skips flagged vars (unfiltered
+    fetch) and the federated answer equals the all-local one."""
+    q = (
+        PFX
+        + """SELECT ?name ?nname WHERE {
+              { ?n a ex:Nation ; ex:name ?nname .
+                FILTER (?nname = "NATION_7") }
+              UNION
+              { ?r a ex:Region ; ex:name ?rname .
+                FILTER (?rname = "ASIA") }
+              ?c a ex:Customer ; ex:name ?name ; ex:nation ?n . }"""
+    )
+    cat = tpch_federated_catalog(sf_small)
+    seen: list[str] = []
+    for name, ex in list(cat.executors.items()):
+        def wrap(sql, _ex=ex):
+            seen.append(sql)
+            return _ex(sql)
+        cat.executors[name] = wrap
+    rows = SparqlEngine(spark, cat).query(q).collect()
+    # no IN-list batched on the maybe-unbound join var
+    assert not any("IN (" in s for s in seen), seen
+    local = SparqlEngine(spark, tpch_catalog(sf_small)).query(q).collect()
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, rows), key=key) == sorted(
+        map(tuple, local), key=key
+    )
+    # shape check: nation-7 customers bound + ALL customers wildcarded
+    n_cust = table(spark, sf_small, "customer").count()
+    n_cust7 = (
+        table(spark, sf_small, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .count()
+    )
+    assert len(rows) == n_cust7 + n_cust
+    assert sum(r["nname"] is None for r in rows) == n_cust
+
+
+def test_service_pushdown_skips_maybe_null_vars(spark, sf_small):
+    """Same guard on the SERVICE seam: when the shared var can be
+    unbound on the build side, no VALUES batching — the endpoint gets
+    the unfiltered pattern so wildcard rows can match every remote
+    binding."""
+    reg = {f"{EX}region/{r['r_regionkey']}": r["r_name"]
+           for r in table(spark, sf_small, "region").collect()}
+    queries: list[str] = []
+
+    def endpoint(query: str):
+        queries.append(query)
+        import re
+        m = re.search(r"VALUES \?r \{ ([^}]*)\}", query)
+        wanted = re.findall(r"<([^>]+)>", m.group(1)) if m else list(reg)
+        return [{"r": u, "rname": reg[u]} for u in wanted if u in reg]
+
+    eng = SparqlEngine(
+        spark,
+        tpch_catalog(sf_small),
+        service_executors={"http://remote.example/sparql": endpoint},
+    )
+    rows = eng.query(
+        PFX
+        + """SELECT ?nname ?rname WHERE {
+              { ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+                FILTER (?nname = "NATION_7") }
+              UNION
+              { ?r2 a ex:Region ; ex:name ?rn2 . FILTER (?rn2 = "ASIA") }
+              SERVICE <http://remote.example/sparql> { ?r ex:name ?rname } }"""
+    ).collect()
+    assert not any("VALUES ?r" in s for s in queries), queries
+    # branch 1: nation 7's single region; branch 2: ?r unbound → all 5
+    assert len(rows) == 1 + len(reg)
+    assert sum(r["nname"] is None for r in rows) == len(reg)
+
+
+def test_service_partial_bindings_join_as_wildcards(spark, sf_small):
+    """A lenient endpoint returning bindings that MISS a variable
+    yields NULL columns; the SERVICE frame flags them maybe_null, so
+    the local join treats those rows as §10.2 wildcards (merge takes
+    the local binding) instead of equi-dropping them."""
+    def endpoint(query: str):
+        return [
+            {"r": f"{EX}region/1", "rname": "AMERICA"},
+            {"rname": "EVERYWHERE"},  # ?r unbound in this binding
+        ]
+
+    eng = SparqlEngine(
+        spark,
+        tpch_catalog(sf_small),
+        service_executors={"http://remote.example/sparql": endpoint},
+    )
+    rows = eng.query(
+        PFX
+        + """SELECT ?nname ?r ?rname WHERE {
+              ?n a ex:Nation ; ex:name ?nname ; ex:region ?r .
+              SERVICE <http://remote.example/sparql> { ?r ex:name ?rname } }"""
+    ).collect()
+    nat = table(spark, sf_small, "nation")
+    n_total = nat.count()
+    n_region1 = nat.filter(F.col("n_regionkey") == 1).count()
+    # bound binding matches region-1 nations; unbound one matches ALL
+    assert len(rows) == n_region1 + n_total
+    assert sum(r["rname"] == "EVERYWHERE" for r in rows) == n_total
+    # the wildcard rows took the LOCAL ?r binding (merge, not NULL)
+    assert all(r["r"] is not None for r in rows)

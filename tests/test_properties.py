@@ -191,6 +191,13 @@ def test_join_values_matches_spec_join(spark, sf_small, sols, vrows):
         if sols
         else spark.createDataFrame([], "a string, b string"),
         {"a": TermMeta(LEXICAL), "b": TermMeta(LEXICAL)},
+        # frames with unbound cells must carry flags (the engine
+        # invariant _join_values trusts: non-flagged = never NULL)
+        frozenset(
+            v
+            for i, v in enumerate(("a", "b"))
+            if any(row[i] is None for row in sols)
+        ),
     )
     vb = ValuesBlock(
         variables=["a", "c"],
