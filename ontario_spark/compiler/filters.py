@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ontario_spark.sparql.ast import Expr, Term
+from ontario_spark.sparql.ast import ExistsExpr, Expr, Term
 
 _CMP = {"=", "!=", "<", ">", "<=", ">="}
 _ARITH = {"+", "-", "*", "/"}
@@ -66,7 +66,13 @@ class ExprCompiler:
     ``resolve(var) -> Column`` (the BFrame provides it, handling keyed
     vars) and a ``dtype(var) -> str|None`` probe for EBV decisions."""
 
-    def __init__(self, resolve, dtype=lambda v: None, has_col=lambda c: False):
+    def __init__(
+        self,
+        resolve,
+        dtype=lambda v: None,
+        has_col=lambda c: False,
+        exists_col=None,
+    ):
         self.resolve = resolve
         self.dtype = dtype
         # has_col: does the underlying frame carry this raw column?
@@ -74,6 +80,19 @@ class ExprCompiler:
         # var__dt / var__type) so LANG()/DATATYPE() answer from the
         # remote SPARQL-JSON metadata when it's present.
         self.has_col = has_col
+        # exists_col(node) -> boolean Column for an expression-position
+        # ExistsExpr — the engine supplies it after attaching one mark
+        # column per node (query.py _mark_exists); None in contexts
+        # that cannot evaluate pattern marks (HAVING, ORDER BY, ...).
+        self.exists_col = exists_col
+
+    def _exists(self, e: ExistsExpr) -> Column:
+        if self.exists_col is None:
+            raise FilterCompileError(
+                "EXISTS is not supported in this expression position"
+            )
+        col = self.exists_col(e)
+        return ~col if e.negated else col
 
     # --- public ---------------------------------------------------------
 
@@ -100,6 +119,8 @@ class ExprCompiler:
         return F.lit(t.py if t.py is not None else t.value)
 
     def _ebv(self, e) -> Column:
+        if isinstance(e, ExistsExpr):
+            return self._exists(e)  # already xsd:boolean
         if isinstance(e, Term):
             if e.is_var:
                 dt = self.dtype(e.value)
@@ -155,6 +176,8 @@ class ExprCompiler:
         )
 
     def _expr(self, e) -> Column:
+        if isinstance(e, ExistsExpr):
+            return self._exists(e)
         if isinstance(e, Term):
             return self._term(e)
         op = e.op

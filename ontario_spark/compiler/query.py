@@ -42,6 +42,7 @@ from ontario_spark.sparql.ast import (
     Bind,
     ExistsFilter,
     Expr,
+    collect_exists_exprs,
     Filter,
     GraphBlock,
     Group,
@@ -552,11 +553,10 @@ class SparqlEngine:
         )
         joined = pinned.join(right, "inner")
         for f in hoist:
-            vc = self._compiler(joined)
-            joined = BFrame(
-                joined.df.filter(vc.boolean(f.expr)),
-                joined.meta,
-                joined.maybe_null,
+            # exists-aware: the LeftJoin condition may itself contain
+            # [NOT] EXISTS (evaluated under μ1 ∪ μ2 — the joined frame)
+            joined = self._filter_exists_aware(
+                joined, f.expr, source_filter=source_filter
             )
         bare = BFrame(
             pinned.df.join(
@@ -777,7 +777,12 @@ class SparqlEngine:
             # re-applies them — semantically idempotent.
             for e in g.elements:
                 if isinstance(e, Filter) and isinstance(e.expr, Expr):
-                    if e.expr.variables() <= bf.variables:
+                    # EXISTS-bearing filters wait for the final pass:
+                    # early application exists to cut remote transfer,
+                    # and a mark computation here would just run twice
+                    if e.expr.variables() <= bf.variables and not (
+                        collect_exists_exprs(e.expr)
+                    ):
                         try:
                             vc = self._compiler(bf)
                             bf = BFrame(
@@ -841,12 +846,11 @@ class SparqlEngine:
                     bf = bf.restrict(other, "left_anti", minus=True)
                 # disjoint domains → MINUS removes nothing (SPARQL §8.3)
             elif isinstance(e, Bind):
-                bf = self._apply_bind(bf, e)
+                bf = self._apply_bind(bf, e, source_filter=source_filter)
         for e in g.elements:
             if isinstance(e, Filter):
-                vc = self._compiler(bf)
-                bf = BFrame(
-                    bf.df.filter(vc.boolean(e.expr)), bf.meta, bf.maybe_null
+                bf = self._filter_exists_aware(
+                    bf, e.expr, source_filter=source_filter
                 )
             elif isinstance(e, ExistsFilter):
                 bf = bf.restrict(
@@ -855,9 +859,23 @@ class SparqlEngine:
                 )
         return bf
 
-    def _apply_bind(self, bf: BFrame, e: Bind) -> BFrame:
-        vc = self._compiler(bf)
+    def _apply_bind(
+        self,
+        bf: BFrame,
+        e: Bind,
+        source_filter: "str | set | None" = None,
+    ) -> BFrame:
+        nodes = collect_exists_exprs(e.expr)
+        drop: list[str] = []
+        if nodes:  # BIND(EXISTS { ... } AS ?flag) — §17.4.1.4
+            bf, cols = self._mark_exists(bf, nodes, source_filter)
+            vc = self._compiler(bf, exists_cols=cols)
+            drop = ["__exk", *cols.values()]
+        else:
+            vc = self._compiler(bf)
         df = bf.df.withColumn(e.var, vc.value(e.expr))
+        if drop:
+            df = df.drop(*drop)
         # STRDT/STRLANG construct TYPED/TAGGED literals: the value
         # column carries the (native) lexical form; the datatype IRI /
         # language tag ride the same __type/__lang/__dt side columns
@@ -1457,7 +1475,9 @@ class SparqlEngine:
 
     # --- heads ----------------------------------------------------------
 
-    def _compiler(self, bf: BFrame) -> ExprCompiler:
+    def _compiler(
+        self, bf: BFrame, exists_cols: "dict[int, str] | None" = None
+    ) -> ExprCompiler:
         dtypes = dict(bf.df.dtypes)
 
         def resolve(var: str):
@@ -1468,7 +1488,72 @@ class SparqlEngine:
         def dtype(var: str):
             return dtypes.get(var)
 
-        return ExprCompiler(resolve, dtype, has_col=lambda c: c in dtypes)
+        exists_col = (
+            (lambda node: F.col(exists_cols[id(node)]))
+            if exists_cols is not None
+            else None
+        )
+        return ExprCompiler(
+            resolve, dtype, has_col=lambda c: c in dtypes, exists_col=exists_col
+        )
+
+    def _mark_exists(
+        self,
+        bf: BFrame,
+        nodes: list,
+        source_filter: "str | set | None" = None,
+    ) -> tuple[BFrame, dict[int, str]]:
+        """Attach one boolean mark column per expression-position
+        [NOT] EXISTS node (§17.4.1.4): pin a row id, compile each
+        node's block, semi-join-restrict the frame against it — the
+        same ``BFrame.restrict`` machinery the whole-filter
+        ExistsFilter fast path uses, so correlation via shared
+        variables, disjoint-domain emptiness probes, and §10.2 unbound
+        wildcards all behave identically — and join the surviving ids
+        back as a TRUE/FALSE flag. Negation happens in the expression
+        compiler (``~flag``), so each node costs one semi-join plus
+        one id-keyed flag join regardless of polarity. Returns the
+        marked frame (carrying ``__exk`` + ``__ex<i>`` physical
+        columns the caller must drop) and the node→column map."""
+        from ontario_spark.operators.graph import _pin
+
+        df = _pin(bf.df.withColumn("__exk", F.monotonically_increasing_id()))
+        marked = BFrame(df, bf.meta, bf.maybe_null)
+        cols: dict[int, str] = {}
+        for i, n in enumerate(nodes):
+            name = f"__ex{i}"
+            inner = self._group(
+                n.block, key_hint=marked, source_filter=source_filter
+            )
+            kept = marked.restrict(inner, "left_semi")
+            flags = kept.df.select("__exk").withColumn(name, F.lit(True))
+            marked = BFrame(
+                marked.df.join(flags, "__exk", "left_outer").withColumn(
+                    name, F.coalesce(F.col(name), F.lit(False))
+                ),
+                marked.meta,
+                marked.maybe_null,
+            )
+            cols[id(n)] = name
+        return marked, cols
+
+    def _filter_exists_aware(
+        self,
+        bf: BFrame,
+        expr,
+        source_filter: "str | set | None" = None,
+    ) -> BFrame:
+        """``bf`` filtered by ``expr``, supporting [NOT] EXISTS in any
+        expression position via mark columns; the plain path (no
+        EXISTS nodes) compiles exactly as before."""
+        nodes = collect_exists_exprs(expr)
+        if not nodes:
+            vc = self._compiler(bf)
+            return BFrame(bf.df.filter(vc.boolean(expr)), bf.meta, bf.maybe_null)
+        marked, cols = self._mark_exists(bf, nodes, source_filter)
+        vc = self._compiler(marked, exists_cols=cols)
+        df = marked.df.filter(vc.boolean(expr)).drop("__exk", *cols.values())
+        return BFrame(df, bf.meta, bf.maybe_null)
 
     def _select(self, q: Query, bf: BFrame) -> DataFrame:
         sel = q.select

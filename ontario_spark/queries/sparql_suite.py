@@ -472,6 +472,30 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
               AND o_orderstatus = 'F'""",
         "base",
     ),
+    "sparql_exists_expr": (
+        # [NOT] EXISTS in EXPRESSION position (§17.4.1.4, round 8):
+        # inside || and IF — beyond the whole-filter fast path; each
+        # occurrence compiles to a semi-join mark column.
+        """SELECT ?nname ?tag WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             BIND (IF(EXISTS { ?n ex:region ?r . ?r ex:name 'ASIA' },
+                      'asia', 'other') AS ?tag)
+             FILTER (STRSTARTS(?nname, 'NATION_1')
+                     || NOT EXISTS { ?n ex:region ?r2 .
+                                     ?r2 ex:name 'EUROPE' }) }""",
+        """SELECT n_name AS nname,
+                  CASE WHEN EXISTS (SELECT 1 FROM region
+                                    WHERE r_regionkey = n_regionkey
+                                      AND r_name = 'ASIA')
+                       THEN 'asia' ELSE 'other' END AS tag
+           FROM nation
+           WHERE n_name IS NOT NULL AND (
+             n_name LIKE 'NATION_1%'
+             OR NOT EXISTS (SELECT 1 FROM region
+                            WHERE r_regionkey = n_regionkey
+                              AND r_name = 'EUROPE'))""",
+        "base",
+    ),
     "sparql_federated_join": (
         # cross-engine federation: Customer star answered by a remote
         # SQL executor (DuckDB as stand-in MySQL), Nation star by the

@@ -102,6 +102,30 @@ class ExistsFilter:
     negated: bool = False
 
 
+@dataclass(eq=False)
+class ExistsExpr:
+    """[NOT] EXISTS { ... } in EXPRESSION position (SPARQL 1.1
+    §17.4.1.4) — e.g. ``FILTER(?x > 5 || EXISTS { ... })`` or
+    ``BIND(EXISTS { ... } AS ?flag)``. Distinct from ExistsFilter,
+    the whole-filter fast path (one semi/anti join, no extra column):
+    an expression occurrence compiles to a boolean MARK column the
+    engine attaches by pinning a row id and semi-join-restricting
+    against the compiled block — the same BFrame.restrict machinery
+    ExistsFilter uses, so correlation via shared variables and §10.2
+    unbound wildcards behave identically. ``eq=False`` keeps identity
+    hashing: the engine keys its mark-column map by node."""
+
+    block: "Group"
+    negated: bool = False
+
+    def variables(self) -> set[str]:
+        # deliberately empty: the block's variables are not in the
+        # enclosing expression's scope (correlation happens inside the
+        # semi-join), and reporting them would make OPTIONAL's filter
+        # hoisting misread the filter as outer-referencing
+        return set()
+
+
 @dataclass
 class SubSelect:
     """Nested ``{ SELECT ... }`` inside a group pattern (SPARQL 1.1
@@ -219,6 +243,21 @@ def expr_has_aggregate(e) -> bool:
             expr_has_aggregate(a) for a in e.args
         )
     return False
+
+
+def collect_exists_exprs(e, out: list | None = None) -> list:
+    """All ExistsExpr nodes in an expression tree, in deterministic
+    left-to-right order (no descent into their blocks — nested
+    occurrences compile when the block itself does). The engine uses
+    this to attach one mark column per node before compiling."""
+    if out is None:
+        out = []
+    if isinstance(e, ExistsExpr):
+        out.append(e)
+    elif isinstance(e, Expr):
+        for a in e.args:
+            collect_exists_exprs(a, out)
+    return out
 
 
 @dataclass

@@ -17,6 +17,7 @@ import re
 
 from ontario_spark.sparql.ast import (
     Bind,
+    ExistsExpr,
     ExistsFilter,
     Expr,
     Filter,
@@ -943,6 +944,17 @@ class Parser:
                 return Expr(name, args)
             if name in ("true", "false"):
                 return self._term()
+            # [NOT] EXISTS { ... } as an EXPRESSION (§17.4.1.4) —
+            # FILTER(... || EXISTS {...}), BIND(EXISTS {...} AS ?f).
+            # The whole-filter form stays the dedicated ExistsFilter
+            # element (parsed in _group, one semi/anti join).
+            if name == "exists":
+                self.next()
+                return ExistsExpr(self._group(), negated=False)
+            if name == "not" and self._kw_ahead(1, "exists"):
+                self.next()
+                self.next()
+                return ExistsExpr(self._group(), negated=True)
             raise SparqlSyntaxError(f"unexpected keyword {t.value!r} at {t.pos}")
         return self._term()
 

@@ -1992,3 +1992,117 @@ def test_subquery_head_flags_propagate(engine, sf_small):
            WHERE n.n_name IS NOT NULL AND r2.r_name IS NOT NULL""",
         "subquery_flags_compat",
     )
+
+
+# --- [NOT] EXISTS in expression position (§17.4.1.4, round 8) ---------
+
+
+def test_exists_in_filter_disjunction(engine, sf_small):
+    """EXISTS as one branch of a FILTER || — the whole-filter
+    ExistsFilter fast path cannot express this; the mark-column path
+    evaluates the correlated pattern per row."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRSTARTS(?nname, 'NATION_1')
+                     || EXISTS { ?n ex:region ?r . ?r ex:name 'ASIA' }) }""",
+        """SELECT n_name AS nname FROM nation
+           WHERE n_name IS NOT NULL AND (
+             n_name LIKE 'NATION_1%'
+             OR EXISTS (SELECT 1 FROM region
+                        WHERE r_regionkey = n_regionkey
+                          AND r_name = 'ASIA'))""",
+        "exists_in_disjunction",
+    )
+
+
+def test_not_exists_in_conjunction_with_comparison(engine, sf_small):
+    """NOT EXISTS composed with a comparison in one FILTER."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRLEN(?nname) >= 8
+                     && NOT EXISTS { ?n ex:region ?r .
+                                     ?r ex:name 'EUROPE' }) }""",
+        """SELECT n_name AS nname FROM nation
+           WHERE n_name IS NOT NULL AND length(n_name) >= 8
+             AND NOT EXISTS (SELECT 1 FROM region
+                             WHERE r_regionkey = n_regionkey
+                               AND r_name = 'EUROPE')""",
+        "not_exists_in_conjunction",
+    )
+
+
+def test_bind_exists_flag(engine, sf_small):
+    """BIND(EXISTS { ... } AS ?flag): the boolean lands as a column,
+    usable downstream (here stringified through IF for a stable
+    cross-engine representation)."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname ?tag WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             BIND (IF(EXISTS { ?n ex:region ?r . ?r ex:name 'ASIA' },
+                      'asia', 'other') AS ?tag) }""",
+        """SELECT n_name AS nname,
+                  CASE WHEN EXISTS (SELECT 1 FROM region
+                                    WHERE r_regionkey = n_regionkey
+                                      AND r_name = 'ASIA')
+                       THEN 'asia' ELSE 'other' END AS tag
+           FROM nation WHERE n_name IS NOT NULL""",
+        "bind_exists_flag",
+    )
+
+
+def test_exists_disjoint_domain_global_probe(engine, sf_small):
+    """An EXISTS sharing no variables with the outer pattern is a
+    global emptiness probe: non-empty inner → the branch is TRUE for
+    every row."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?nname WHERE {
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRSTARTS(?nname, 'NATION_2')
+                     || EXISTS { ?r2 a ex:Region ; ex:name 'ASIA' }) }""",
+        """SELECT n_name AS nname FROM nation
+           WHERE n_name IS NOT NULL AND (
+             n_name LIKE 'NATION_2%'
+             OR EXISTS (SELECT 1 FROM region WHERE r_name = 'ASIA'))""",
+        "exists_global_probe",
+    )
+
+
+def test_exists_in_optional_condition(engine, sf_small):
+    """A hoisted OPTIONAL condition (references outer vars) containing
+    EXISTS — the LeftJoin condition evaluates under μ1 ∪ μ2: customers
+    keep their order only when the order is urgent AND the customer's
+    nation is in ASIA; every customer survives."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?cname ?ostat WHERE {
+             ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n .
+             OPTIONAL { ?o a ex:Order ; ex:customer ?c ;
+                           ex:orderstatus ?ostat ;
+                           ex:orderpriority '1-URGENT' .
+                        FILTER (BOUND(?cname)
+                                && EXISTS { ?n ex:region ?r .
+                                            ?r ex:name 'ASIA' }) } }""",
+        """WITH m AS (
+             SELECT c.c_custkey AS ck, o.o_orderstatus AS ostat
+             FROM customer c
+             JOIN orders o ON o.o_custkey = c.c_custkey
+             JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+             JOIN region r ON r.r_regionkey = n2.n_regionkey
+             WHERE o.o_orderpriority = '1-URGENT'
+               AND o.o_orderstatus IS NOT NULL AND r.r_name = 'ASIA')
+           SELECT c.c_name AS cname, m.ostat AS ostat
+           FROM customer c LEFT JOIN m ON m.ck = c.c_custkey
+           WHERE c.c_name IS NOT NULL""",
+        "exists_in_optional_condition",
+    )
