@@ -1860,6 +1860,47 @@ def _bm25_sql() -> str:
 BM25_TOPK_SQL = _bm25_sql()
 
 
+# --- snapshot versioning --------------------------------------------------
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshot views of the documents table:
+    'old' drops doc_id % 11 == 3 (later additions), 'new' drops
+    doc_id % 13 == 5 (retractions) and upper-cases the text of
+    doc_id % 7 == 2 (simulated edits) — so all four statuses appear
+    and the classification is data-dependent end-to-end."""
+    from ontario_spark.operators.versioning import snapshot_diff
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 2, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, key="doc_id", content_cols=("text",))
+
+
+CORPUS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h
+  FROM documents WHERE doc_id % 11 != 3),
+new AS (
+  SELECT doc_id,
+         md5(coalesce(CASE WHEN doc_id % 7 = 2 THEN upper(text)
+                           ELSE text END, '')) AS h
+  FROM documents WHERE doc_id % 13 != 5)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.h = new.h THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old.h AS old_hash, new.h AS new_hash
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -1883,6 +1924,7 @@ QUERIES = {
     "dedup_boilerplate": dedup_boilerplate,
     "fuzzy_part_names": fuzzy_part_names,
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
     "contamination_check": contamination_check,
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
@@ -1936,6 +1978,7 @@ ORACLE = {
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
     "pipeline_incremental_ingest": PIPELINE_INCREMENTAL_SQL,
+    "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

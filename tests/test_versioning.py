@@ -1,0 +1,53 @@
+"""Snapshot versioning: diff classification + hash portability."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ontario_spark.operators.versioning import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C"), (4, None), (5, "e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert rows[1]["status"] == "removed" and rows[1]["new_hash"] is None
+    assert rows[2]["status"] == "unchanged"
+    assert rows[3]["status"] == "changed"
+    assert rows[3]["old_hash"] != rows[3]["new_hash"]
+    assert rows[4]["status"] == "unchanged"  # NULL == NULL content
+    assert rows[5]["status"] == "added" and rows[5]["old_hash"] is None
+    summary = {
+        r["status"]: r["n"] for r in snapshot_diff_summary(old, new).collect()
+    }
+    assert summary == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_multi_column_separator(spark):
+    """("ab","c") must not hash like ("a","bc") — the unit-separator
+    concat prevents boundary aliasing across content columns."""
+    old = spark.createDataFrame([(1, "ab", "c")], "doc_id long, a string, b string")
+    new = spark.createDataFrame([(1, "a", "bc")], "doc_id long, a string, b string")
+    [r] = snapshot_diff(old, new, content_cols=("a", "b")).collect()
+    assert r["status"] == "changed"
+
+
+def test_content_hash_matches_duckdb(spark):
+    """The md5-over-separator-concat convention is engine-portable:
+    DuckDB reproduces the hash bit-for-bit (the oracle contract)."""
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    [r] = snapshot_diff(df, df).collect()
+    [(expected,)] = (
+        duckdb.connect().execute("SELECT md5('hello world')").fetchall()
+    )
+    assert r["old_hash"] == expected == r["new_hash"]
