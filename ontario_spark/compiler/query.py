@@ -70,6 +70,44 @@ def _expr_vars(e) -> set[str]:
     return e.variables() if isinstance(e, Expr) else set()
 
 
+def _exists_ref_vars(expr) -> set[str]:
+    """Variables REFERENCED by the blocks of expression-position
+    EXISTS nodes inside ``expr`` — pattern vars at any depth plus
+    filter/bind expression vars (recursively, nested EXISTS included).
+    ``ExistsExpr.variables()`` is deliberately empty for expression
+    scoping, so the OPTIONAL hoist decision reads this instead: an
+    EXISTS block mentioning an OUTER variable correlates through the
+    semi-join and must evaluate on the joined frame (review fix — the
+    uncorrelated inner evaluation degraded it to a global probe)."""
+    out: set[str] = set()
+
+    def walk_block(g) -> None:
+        out.update(_pattern_vars(g))
+
+        def walk(el) -> None:
+            if isinstance(el, (Filter, Bind)):
+                out.update(_expr_vars(el.expr))
+                for n in collect_exists_exprs(el.expr):
+                    walk_block(n.block)
+            elif isinstance(el, ExistsFilter):
+                walk_block(el.block)
+            elif isinstance(el, Group):
+                for x in el.elements:
+                    walk(x)
+            elif isinstance(el, UnionBlock):
+                for b in el.branches:
+                    walk(b)
+            elif isinstance(el, (OptionalBlock, MinusBlock, GraphBlock, ServiceBlock)):
+                walk(el.block)
+
+        for el in g.elements:
+            walk(el)
+
+    for n in collect_exists_exprs(expr):
+        walk_block(n.block)
+    return out
+
+
 def _pattern_vars(el) -> set[str]:
     """Variables a group element can BIND (filters bind nothing;
     MINUS/EXISTS bindings don't extend to the enclosing scope)."""
@@ -529,11 +567,22 @@ class SparqlEngine:
         bound = set()
         for el in e.block.elements:
             bound |= _pattern_vars(el)
-        hoist = [
-            el
-            for el in e.block.elements
-            if isinstance(el, Filter) and not (el.expr.variables() <= bound)
-        ]
+
+        def _hoists(el) -> bool:
+            if not isinstance(el, Filter):
+                return False
+            if not (el.expr.variables() <= bound):
+                return True
+            # an expression-position EXISTS correlates via its block's
+            # referenced vars: if the block mentions an OUTER-frame var
+            # the optional block does not bind, the filter is part of
+            # the LeftJoin condition (vars in NEITHER frame are
+            # EXISTS-local and force nothing)
+            return bool(
+                (_exists_ref_vars(el.expr) & bf.variables) - bound
+            )
+
+        hoist = [el for el in e.block.elements if _hoists(el)]
         if not hoist:
             return bf.join(
                 self._group(e.block, key_hint=bf, source_filter=source_filter),
@@ -1101,6 +1150,16 @@ class SparqlEngine:
         )
         bf = BFrame(df, {v: TermMeta(LEXICAL) for v in variables}, flags)
         for f in filters:
+            if collect_exists_exprs(f.expr):
+                # the SERVICE contract ships patterns to the ENDPOINT
+                # and applies filters locally; an EXISTS pattern inside
+                # such a filter would silently evaluate against the
+                # LOCAL catalog — the wrong dataset — so refuse loudly
+                raise QueryCompileError(
+                    "EXISTS inside a SERVICE block's FILTER is "
+                    "unsupported (its pattern would evaluate against "
+                    "the local catalog, not the remote endpoint)"
+                )
             vc = self._compiler(bf)
             bf = BFrame(bf.df.filter(vc.boolean(f.expr)), bf.meta, bf.maybe_null)
         return bf

@@ -327,6 +327,11 @@ def parse_wav_header(b: bytes):
         i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if rate is None or data_len is None or ch in (None, 0) or not bits:
         return None, None, None, None, None
+    # hostile/corrupt fmt values must yield NULLs, not a failed Arrow
+    # batch: rate is uint32 on disk but the output schema is int32
+    # (review fix), and a zero block size would divide by zero
+    if not (0 < rate < 2**31) or bits % 8 != 0:
+        return None, None, None, None, None
     block = ch * bits // 8
     n_samples = data_len // block if block else None
     return "wav", rate, ch, bits, n_samples

@@ -33,7 +33,9 @@ _SEP = "\x1f"  # ASCII unit separator (DuckDB: chr(31))
 
 
 def content_hash(df: DataFrame, content_cols: tuple[str, ...]) -> "F.Column":
-    cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]
+    # df[c] binds each column to THIS frame (a bare F.col would resolve
+    # against whatever frame the expression lands on — review fix)
+    cols = [F.coalesce(df[c].cast("string"), F.lit("")) for c in content_cols]
     return F.md5(F.concat_ws(_SEP, *cols))
 
 
@@ -60,10 +62,14 @@ def snapshot_diff(
         content_hash(new, content_cols).alias("new_hash"),
     )
     j = o.join(n, o["__vk"] == n["__vk_n"], "full_outer")
+    # classify on the HASH columns' nullity, not the keys': hashes are
+    # never NULL for a present row (md5 over coalesce''), while a NULL
+    # key never joins — keying the CASE on __vk would label an
+    # old-side NULL-key row 'added' (review fix)
     return j.select(
         F.coalesce(F.col("__vk"), F.col("__vk_n")).alias(key),
-        F.when(F.col("__vk").isNull(), F.lit("added"))
-        .when(F.col("__vk_n").isNull(), F.lit("removed"))
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
         .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),

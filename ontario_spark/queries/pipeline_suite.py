@@ -1964,8 +1964,8 @@ new AS (
                            ELSE text END, '')) AS h
   FROM documents WHERE doc_id % 13 != 5)
 SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
-       CASE WHEN old.doc_id IS NULL THEN 'added'
-            WHEN new.doc_id IS NULL THEN 'removed'
+       CASE WHEN old.h IS NULL THEN 'added'
+            WHEN new.h IS NULL THEN 'removed'
             WHEN old.h = new.h THEN 'unchanged'
             ELSE 'changed' END AS status,
        old.h AS old_hash, new.h AS new_hash

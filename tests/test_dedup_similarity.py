@@ -925,3 +925,27 @@ def test_wav_metadata_parses_real_riff_headers(spark):
     odd += b"fmt " + struct.pack("<I", 16) + fmt
     odd += b"data" + struct.pack("<I", 4) + b"\x00" * 4
     assert parse_wav_header(odd) == ("wav", 8000, 1, 16, 2)
+
+
+def test_wav_hostile_fmt_values_yield_nulls(spark):
+    """Review fix: a fmt chunk declaring sample_rate >= 2^31 (uint32 on
+    disk, int32 in the output schema) or a non-byte-aligned bit depth
+    must yield a NULL row, never a failed Arrow batch."""
+    import struct
+
+    from ontario_spark.operators.multimodal import audio_metadata, parse_wav_header
+
+    def wav_with(rate, bits):
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, 1, 2, bits)
+        body = b"fmt " + struct.pack("<I", 16) + fmt
+        body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    assert parse_wav_header(wav_with(2**31, 16)) == (None,) * 5
+    assert parse_wav_header(wav_with(8000, 12)) == (None,) * 5
+    media = spark.createDataFrame(
+        [(1, "audio", wav_with(2**31, 16))],
+        "media_id long, media_type string, payload binary",
+    )
+    [r] = audio_metadata(media).collect()
+    assert r["sample_rate"] is None and r["format"] is None

@@ -2106,3 +2106,58 @@ def test_exists_in_optional_condition(engine, sf_small):
            WHERE c.c_name IS NOT NULL""",
         "exists_in_optional_condition",
     )
+
+
+def test_exists_only_optional_condition_is_hoisted(engine, sf_small):
+    """Review fix: a FILTER whose ONLY outer-variable references live
+    inside its EXISTS block must still hoist as the LeftJoin condition
+    (the block's ?n correlates with the outer frame) — evaluated
+    inside the block it degraded to a global emptiness probe."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?cname ?ostat WHERE {
+             ?c a ex:Customer ; ex:name ?cname ; ex:nation ?n .
+             OPTIONAL { ?o a ex:Order ; ex:customer ?c ;
+                           ex:orderstatus ?ostat ;
+                           ex:orderpriority '1-URGENT' .
+                        FILTER (EXISTS { ?n ex:region ?r .
+                                         ?r ex:name 'ASIA' }) } }""",
+        """WITH m AS (
+             SELECT c.c_custkey AS ck, o.o_orderstatus AS ostat
+             FROM customer c
+             JOIN orders o ON o.o_custkey = c.c_custkey
+             JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+             JOIN region r ON r.r_regionkey = n2.n_regionkey
+             WHERE o.o_orderpriority = '1-URGENT'
+               AND o.o_orderstatus IS NOT NULL AND r.r_name = 'ASIA')
+           SELECT c.c_name AS cname, m.ostat AS ostat
+           FROM customer c LEFT JOIN m ON m.ck = c.c_custkey
+           WHERE c.c_name IS NOT NULL""",
+        "exists_only_optional_condition",
+    )
+
+
+def test_exists_in_service_filter_refuses(spark, sf_small):
+    """EXISTS inside a SERVICE block's FILTER would evaluate its
+    pattern against the local catalog (the wrong dataset) — the
+    compiler must refuse with a clear error, not silently mis-answer."""
+    import pytest
+
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+    from ontario_spark.compiler.query import QueryCompileError, SparqlEngine
+
+    eng = SparqlEngine(
+        spark,
+        tpch_catalog(sf_small),
+        service_executors={"http://remote.example/sparql": lambda q: []},
+    )
+    with pytest.raises(QueryCompileError, match="SERVICE"):
+        eng.query(
+            PFX
+            + """SELECT ?r ?rn WHERE {
+                  SERVICE <http://remote.example/sparql> {
+                    ?r ex:name ?rn .
+                    FILTER (STRLEN(?rn) > 2
+                            || EXISTS { ?r a ex:Region }) } }"""
+        )

@@ -51,3 +51,20 @@ def test_content_hash_matches_duckdb(spark):
         duckdb.connect().execute("SELECT md5('hello world')").fetchall()
     )
     assert r["old_hash"] == expected == r["new_hash"]
+
+
+def test_snapshot_diff_null_keys_classify_by_side(spark):
+    """Review fix: a NULL key never joins, so classification keys on
+    the hash columns' nullity — an old-side NULL-key row is 'removed'
+    (it exists only in old), not 'added'."""
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "doc_id long, text string")
+    new = spark.createDataFrame([(None, "y"), (1, "a")], "doc_id long, text string")
+    rows = snapshot_diff(old, new).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    assert len(by_status["removed"]) == 1  # old NULL-key row
+    assert by_status["removed"][0]["old_hash"] is not None
+    assert len(by_status["added"]) == 1  # new NULL-key row
+    assert by_status["added"][0]["new_hash"] is not None
+    assert len(by_status["unchanged"]) == 1
