@@ -130,6 +130,11 @@ class Parser:
 
     def next(self) -> Token:
         t = self.toks[self.i]
+        if t.type == "EOF":
+            # consuming the sentinel means the grammar expected MORE
+            # input — fail closed as a syntax error, never an
+            # IndexError on the following read (fuzz-found)
+            raise SparqlSyntaxError(f"unexpected end of query at {t.pos}")
         self.i += 1
         return t
 

@@ -252,3 +252,48 @@ def test_containment_bounds_jaccard(spark, docs):
     assert set(jac) == set(cont)
     for pair, c in cont.items():
         assert jac[pair] - 1e-12 <= c <= 1.0 + 1e-12
+
+
+# --- parser robustness fuzz -------------------------------------------
+
+
+_SPARQL_FRAGMENTS = st.sampled_from([
+    "SELECT", "WHERE", "FILTER", "OPTIONAL", "UNION", "MINUS", "BIND",
+    "VALUES", "EXISTS", "NOT", "GRAPH", "SERVICE", "GROUP BY", "ORDER BY",
+    "LIMIT", "OFFSET", "DISTINCT", "AS", "a", "{", "}", "(", ")", ".", ";",
+    ",", "||", "&&", "!", "=", "<", ">", "+", "*", "/", "?x", "?y", "$z",
+    "ex:p", "<http://e/x>", "'lit'", '"lit"', "42", "-3.5", "1e3",
+    "'''long'''", "@en", "^^xsd:int", "UNDEF", "_:b0", "#c\n", "PREFIX",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_SPARQL_FRAGMENTS, min_size=1, max_size=25))
+def test_parser_fuzz_fails_closed(frags):
+    """Arbitrary token soup must either parse to a Query or raise the
+    parser's OWN error type — never an IndexError/KeyError/
+    AttributeError escape or a hang (the HTTP server surfaces parser
+    errors to clients verbatim, so fail-closed matters)."""
+    from ontario_spark.sparql.ast import Query
+    from ontario_spark.sparql.parser import SparqlSyntaxError, parse
+
+    text = " ".join(frags)
+    try:
+        q = parse(text)
+    except SparqlSyntaxError:
+        return
+    assert isinstance(q, Query)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_parser_fuzz_raw_text_fails_closed(text):
+    """Raw unicode noise (not even token-shaped) also fails closed."""
+    from ontario_spark.sparql.ast import Query
+    from ontario_spark.sparql.parser import SparqlSyntaxError, parse
+
+    try:
+        q = parse(text)
+    except SparqlSyntaxError:
+        return
+    assert isinstance(q, Query)
