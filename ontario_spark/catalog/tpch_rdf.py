@@ -315,3 +315,29 @@ def tpch_split_catalog(sf_dir: str) -> Catalog:
     )
     cat.add(cat.sources["tpch_lake"], a, b)
     return cat
+
+
+def tpch_trisource_catalog(sf_dir: str) -> Catalog:
+    """The reference demo's THREE-engine topology in one catalog
+    (``demo/docker-compose.yml``: MySQL drugbank + Virtuoso KEGG + TSV
+    ChEBI lake): the Customer molecule is served by a remote SQL
+    executor (DuckDB stand-in for MySQL), the Supplier molecule by the
+    document store (Mongo aggregation-pipeline seam), and every other
+    molecule stays Spark-resident parquet. A query touching all three
+    molecules exercises two different wrapper translations plus the
+    lake in ONE plan — the reference's core value proposition."""
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        parquet_doc_loader,
+    )
+
+    cat = tpch_catalog(sf_dir)
+    cust = _move_map(cat, "CustomerMap")
+    cat.add(DataSource(name="remote_sql", dstype="ansi", base_path=""), cust)
+    cat.executors["remote_sql"] = duckdb_sql_executor(sf_dir)
+    supp = _move_map(cat, "SupplierMap")
+    cat.add(DataSource(name="remote_mongo", dstype="mongodb", base_path=""), supp)
+    cat.executors["remote_mongo"] = executor_from_collections(
+        parquet_doc_loader(sf_dir)
+    )
+    return cat

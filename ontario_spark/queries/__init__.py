@@ -17,6 +17,7 @@ _MODULES = [
     "ontario_spark.queries.tpch_full",
     "ontario_spark.queries.tpch_shapes",
     "ontario_spark.queries.sparql_suite",
+    "ontario_spark.queries.lslod_shapes",
     "ontario_spark.queries.pipeline_suite",
     "ontario_spark.queries.events_suite",
     "ontario_spark.queries.streaming_suite",

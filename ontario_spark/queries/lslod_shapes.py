@@ -1,0 +1,220 @@
+"""LSLOD workload-shape parity suite.
+
+The reference ships its evaluation workload as twenty SPARQL queries
+over the Life Science Linked Open Data cloud — ``SQ1–SQ10``
+(``/root/reference/queries/simpleQueries/``) and ``CQ1–CQ10``
+(``/root/reference/queries/complexqueries/``): 2–8 triple patterns,
+cross-source star chains, literal-valued joins, DISTINCT, wide
+``SELECT *`` heads, OPTIONAL blocks with FILTER conditions, and one
+join expressed as a ``FILTER(str(?a)=str(?b))`` over otherwise
+disjoint chains (CQ9). This module re-expresses each DISTINCTIVE
+shape from that workload on the TPC-H RDF catalog (the shapes are the
+reference's; the data, vocabulary, and SQL oracles are this repo's),
+so a reference user can see every query structure they run today
+verified end-to-end against DuckDB — including the demo's three-engine
+topology (remote SQL + document store + lake) in ``lslod_cq6``.
+
+Shape → source mapping (reference file cited per entry below):
+
+- SQ1  → union of two same-projection stars from different molecules
+- SQ2  → constant-anchored three-star chain
+- SQ3  → two stars joined on a shared LITERAL value (not a URI key)
+- SQ5  → constant filter + single-triple OPTIONAL tail
+- SQ9  → wide ``SELECT DISTINCT *`` star + hop to a second star
+- CQ2  → OPTIONAL whose block BRIDGES both outer stars
+- CQ3  → wide star + case-insensitive REGEX filter, DISTINCT *
+- CQ6  → three-source chain (SQL wrapper + Mongo wrapper + lake)
+- CQ9  → var-disjoint chains joined only by FILTER(STR(?a)=STR(?b))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ontario_spark.catalog.tpch_rdf import (
+    EX,
+    tpch_catalog,
+    tpch_trisource_catalog,
+)
+from ontario_spark.compiler.query import SparqlEngine
+
+PFX = f"PREFIX ex: <{EX}>\n"
+
+URI_O = "'http://ex.org/tpch/order/' || CAST(o_orderkey AS VARCHAR)"
+URI_C2 = "'http://ex.org/tpch/customer/' || CAST(o_custkey AS VARCHAR)"
+
+_CATALOGS = {
+    "base": tpch_catalog,
+    "trisource": tpch_trisource_catalog,
+}
+
+
+def _runner(sparql: str, catalog: str = "base"):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return SparqlEngine(spark, _CATALOGS[catalog](sf_dir)).query(
+            PFX + sparql
+        )
+
+    return run
+
+
+_DEFS: dict[str, tuple[str, str, str]] = {
+    # SQ1 (simpleQueries/SQ1): UNION of two 2-triple stars binding the
+    # same projection from different molecules
+    "lslod_sq1_union_stars": (
+        """SELECT ?name ?bal WHERE {
+             { ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal }
+             UNION
+             { ?s a ex:Supplier ; ex:name ?name ; ex:acctbal ?bal } }""",
+        """SELECT c_name AS name, c_acctbal AS bal FROM customer
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+           UNION ALL
+           SELECT s_name, s_acctbal FROM supplier
+           WHERE s_name IS NOT NULL AND s_acctbal IS NOT NULL""",
+        "base",
+    ),
+    # SQ2 (simpleQueries/SQ2): constant-object anchor star feeding a
+    # three-star chain (drugCategory→kegg enzyme→reaction posture)
+    "lslod_sq2_chain": (
+        """SELECT ?prio ?qty WHERE {
+             ?c a ex:Customer ; ex:mktsegment "BUILDING" .
+             ?o a ex:Order ; ex:customer ?c ; ex:orderpriority ?prio .
+             ?l a ex:Lineitem ; ex:order ?o ; ex:quantity ?qty . }""",
+        """SELECT o_orderpriority AS prio, l_quantity AS qty
+           FROM customer
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderpriority IS NOT NULL AND l_quantity IS NOT NULL""",
+        "base",
+    ),
+    # SQ3 (simpleQueries/SQ3): two molecules joined on a shared
+    # LITERAL value (purl:title = drugbank:genericName posture) — the
+    # join key is a lexical string, not a URI template
+    "lslod_sq3_literal_join": (
+        """SELECT ?n1 ?n2 WHERE {
+             ?p1 a ex:Part ; ex:name ?n1 ; ex:brand ?b ; ex:size ?sz .
+             ?p2 a ex:Part ; ex:name ?n2 ; ex:brand ?b .
+             FILTER (?sz = 1) }""",
+        """SELECT p1.p_name AS n1, p2.p_name AS n2
+           FROM part p1 JOIN part p2 ON p1.p_brand = p2.p_brand
+           WHERE p1.p_size = 1 AND p1.p_name IS NOT NULL
+             AND p2.p_name IS NOT NULL""",
+        "base",
+    ),
+    # SQ5 (simpleQueries/SQ5): constant-filtered star + single-triple
+    # OPTIONAL tail (biotransformation posture)
+    "lslod_sq5_optional_tail": (
+        """SELECT ?name ?seg WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal .
+             FILTER (?bal > 9000.0)
+             OPTIONAL { ?c ex:mktsegment ?seg } }""",
+        """SELECT c_name AS name, c_mktsegment AS seg FROM customer
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+             AND c_acctbal > 9000.0""",
+        "base",
+    ),
+    # SQ9/SQ10 (simpleQueries/SQ9): wide SELECT DISTINCT * star plus a
+    # seeAlso-style hop into a second molecule's star
+    "lslod_sq9_wide_star": (
+        """SELECT DISTINCT * WHERE {
+             ?o a ex:Order ; ex:customer ?c ; ex:orderstatus ?st ;
+                ex:totalprice ?tp ; ex:orderpriority ?prio .
+             ?c ex:name ?cname ; ex:mktsegment ?seg . }""",
+        f"""SELECT DISTINCT {URI_C2} AS c, c_name AS cname,
+                   {URI_O} AS o, o_orderpriority AS prio,
+                   c_mktsegment AS seg, o_orderstatus AS st,
+                   o_totalprice AS tp
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+              AND o_orderpriority IS NOT NULL AND c_name IS NOT NULL
+              AND c_mktsegment IS NOT NULL""",
+        "base",
+    ),
+    # CQ2 (complexqueries/CQ2): OPTIONAL whose block references BOTH
+    # outer stars (the inchi bridge posture) — the LeftJoin condition
+    # correlates two molecules at once
+    "lslod_cq2_bridge_optional": (
+        """SELECT ?name ?nname ?seg ?r WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname .
+             OPTIONAL { ?c ex:mktsegment ?seg . ?n ex:region ?r .
+                        FILTER (STRSTARTS(?seg, 'B')) } }""",
+        """WITH m AS (
+             SELECT c.c_custkey AS ck, n.n_nationkey AS nk,
+                    c.c_mktsegment AS seg,
+                    'http://ex.org/tpch/region/'
+                      || CAST(n.n_regionkey AS VARCHAR) AS r
+             FROM customer c JOIN nation n
+               ON c.c_nationkey = n.n_nationkey
+             WHERE c.c_mktsegment LIKE 'B%' AND n.n_regionkey IS NOT NULL)
+           SELECT c.c_name AS name, n.n_name AS nname, m.seg AS seg,
+                  m.r AS r
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           LEFT JOIN m ON m.ck = c.c_custkey AND m.nk = n.n_nationkey
+           WHERE c.c_name IS NOT NULL AND n.n_name IS NOT NULL""",
+        "base",
+    ),
+    # CQ3 (complexqueries/CQ3): wide DISTINCT * star + case-insensitive
+    # REGEX over a label
+    "lslod_cq3_star_regex": (
+        """SELECT DISTINCT * WHERE {
+             ?p a ex:Part ; ex:name ?name ; ex:brand ?brand ;
+                ex:type ?type ; ex:size ?size ; ex:retailprice ?price .
+             FILTER (REGEX(?name, 'GEAR', 'i')) }""",
+        """SELECT DISTINCT p_brand AS brand, p_name AS name,
+                  'http://ex.org/tpch/part/' || CAST(p_partkey AS VARCHAR) AS p,
+                  p_retailprice AS price, p_size AS size, p_type AS type
+           FROM part
+           WHERE p_name IS NOT NULL AND p_brand IS NOT NULL
+             AND p_type IS NOT NULL AND p_size IS NOT NULL
+             AND p_retailprice IS NOT NULL
+             AND regexp_matches(p_name, 'GEAR', 'i')""",
+        "base",
+    ),
+    # CQ6 (complexqueries/CQ6 + demo/docker-compose.yml topology): a
+    # chain touching THREE engines — Customer star answered by the SQL
+    # wrapper, Supplier star by the Mongo aggregation-pipeline wrapper,
+    # Nation star by the parquet lake — plus an OPTIONAL tail
+    "lslod_cq6_trisource": (
+        """SELECT ?name ?sname ?nname ?bal WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+             ?s a ex:Supplier ; ex:name ?sname ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRSTARTS(?nname, "NATION_1"))
+             OPTIONAL { ?c ex:acctbal ?bal } }""",
+        """SELECT c_name AS name, s_name AS sname, n_name AS nname,
+                  CAST(c_acctbal AS VARCHAR) AS bal
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN supplier ON s_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND s_name IS NOT NULL
+             AND n_name IS NOT NULL AND starts_with(n_name, 'NATION_1')""",
+        "trisource",
+    ),
+    # CQ9 (complexqueries/CQ9): two variable-disjoint chains joined
+    # ONLY by FILTER(str(?a) = str(?b)), with the reference's LIMIT
+    # (made deterministic by an ORDER BY tiebreak)
+    "lslod_cq9_filter_join": (
+        """SELECT ?sn ?nn WHERE {
+             ?n a ex:Nation ; ex:name ?nn ; ex:region ?r .
+             ?s a ex:Supplier ; ex:name ?sn ; ex:nation ?n2 .
+             ?n2 ex:name ?nn2 .
+             FILTER (STR(?nn) = STR(?nn2)) }
+           ORDER BY ?sn ?nn LIMIT 50""",
+        """SELECT s_name AS sn, n1.n_name AS nn
+           FROM nation n1
+           JOIN (SELECT s_name, n_name FROM supplier
+                 JOIN nation ON s_nationkey = n_nationkey
+                 WHERE s_name IS NOT NULL AND n_name IS NOT NULL) s
+             ON s.n_name = n1.n_name
+           WHERE n1.n_name IS NOT NULL AND n1.n_regionkey IS NOT NULL
+           ORDER BY sn, nn LIMIT 50""",
+        "base",
+    ),
+}
+
+
+QUERIES = {name: _runner(q, cat) for name, (q, _, cat) in _DEFS.items()}
+ORACLE = {name: sql for name, (_, sql, _) in _DEFS.items()}
