@@ -227,17 +227,25 @@ def duckdb_sql_executor(sf_dir: str, tables: tuple[str, ...] = ("customer",)):
     return run
 
 
+def _serve_remote(cat: Catalog, map_name: str, source: str, dstype: str, executor) -> Catalog:
+    """Move a molecule's triple map off the lake and serve it through a
+    remote executor — the one pattern every federation-shaped catalog
+    variant repeats (review fix: four inlined copies)."""
+    tm = _move_map(cat, map_name)
+    cat.add(DataSource(name=source, dstype=dstype, base_path=""), tm)
+    cat.executors[source] = executor
+    return cat
+
+
 def tpch_federated_catalog(sf_dir: str) -> Catalog:
     """Federation-shaped catalog: the Customer molecule is served by a
     remote SQL source (DuckDB executor standing in for the reference's
     MySQL drugbank), every other molecule stays Spark-resident parquet
     — the reference's demo topology (MySQL + SPARQL + TSV lake)."""
-    cat = tpch_catalog(sf_dir)
-    base = _move_map(cat, "CustomerMap")
-    remote = DataSource(name="remote_sql", dstype="ansi", base_path="")
-    cat.add(remote, base)
-    cat.executors["remote_sql"] = duckdb_sql_executor(sf_dir)
-    return cat
+    return _serve_remote(
+        tpch_catalog(sf_dir), "CustomerMap", "remote_sql", "ansi",
+        duckdb_sql_executor(sf_dir),
+    )
 
 
 def tpch_mongo_catalog(sf_dir: str) -> Catalog:
@@ -254,14 +262,10 @@ def tpch_mongo_catalog(sf_dir: str) -> Catalog:
         parquet_doc_loader,
     )
 
-    cat = tpch_catalog(sf_dir)
-    base = _move_map(cat, "CustomerMap")
-    remote = DataSource(name="remote_mongo", dstype="mongodb", base_path="")
-    cat.add(remote, base)
-    cat.executors["remote_mongo"] = executor_from_collections(
-        parquet_doc_loader(sf_dir)
+    return _serve_remote(
+        tpch_catalog(sf_dir), "CustomerMap", "remote_mongo", "mongodb",
+        executor_from_collections(parquet_doc_loader(sf_dir)),
     )
-    return cat
 
 
 def tpch_cypher_catalog(sf_dir: str) -> Catalog:
@@ -274,15 +278,11 @@ def tpch_cypher_catalog(sf_dir: str) -> Catalog:
     from ontario_spark.sources.docstore import parquet_doc_loader
     from ontario_spark.sources.graphstore import executor_from_graph
 
-    cat = tpch_catalog(sf_dir)
-    base = _move_map(cat, "CustomerMap")
-    remote = DataSource(name="remote_graph", dstype="neo4j", base_path="")
-    cat.add(remote, base)
     load = parquet_doc_loader(sf_dir)
-    cat.executors["remote_graph"] = executor_from_graph(
-        lambda: {"Customer": load("customer")}
+    return _serve_remote(
+        tpch_catalog(sf_dir), "CustomerMap", "remote_graph", "neo4j",
+        executor_from_graph(lambda: {"Customer": load("customer")}),
     )
-    return cat
 
 
 def tpch_split_catalog(sf_dir: str) -> Catalog:
@@ -331,13 +331,11 @@ def tpch_trisource_catalog(sf_dir: str) -> Catalog:
         parquet_doc_loader,
     )
 
-    cat = tpch_catalog(sf_dir)
-    cust = _move_map(cat, "CustomerMap")
-    cat.add(DataSource(name="remote_sql", dstype="ansi", base_path=""), cust)
-    cat.executors["remote_sql"] = duckdb_sql_executor(sf_dir)
-    supp = _move_map(cat, "SupplierMap")
-    cat.add(DataSource(name="remote_mongo", dstype="mongodb", base_path=""), supp)
-    cat.executors["remote_mongo"] = executor_from_collections(
-        parquet_doc_loader(sf_dir)
+    cat = _serve_remote(
+        tpch_catalog(sf_dir), "CustomerMap", "remote_sql", "ansi",
+        duckdb_sql_executor(sf_dir),
     )
-    return cat
+    return _serve_remote(
+        cat, "SupplierMap", "remote_mongo", "mongodb",
+        executor_from_collections(parquet_doc_loader(sf_dir)),
+    )

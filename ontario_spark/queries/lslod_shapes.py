@@ -31,16 +31,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ontario_spark.catalog.tpch_rdf import (
-    EX,
-    tpch_catalog,
-    tpch_trisource_catalog,
-)
+from ontario_spark.catalog.tpch_rdf import tpch_catalog, tpch_trisource_catalog
 from ontario_spark.compiler.query import SparqlEngine
 
-PFX = f"PREFIX ex: <{EX}>\n"
+# shared namespace/URI constants live in sparql_suite — two copies
+# would silently diverge the oracles from the engine's URIs if the
+# template ever changed (review fix)
+from ontario_spark.queries.sparql_suite import PFX, URI_O
 
-URI_O = "'http://ex.org/tpch/order/' || CAST(o_orderkey AS VARCHAR)"
 URI_C2 = "'http://ex.org/tpch/customer/' || CAST(o_custkey AS VARCHAR)"
 
 _CATALOGS = {

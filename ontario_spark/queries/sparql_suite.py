@@ -496,6 +496,28 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
                               AND r_name = 'EUROPE'))""",
         "base",
     ),
+    "sparql_exists_orders": (
+        # the SCALE-path form of expression-EXISTS: correlated mark
+        # join over the Order star (the registry's biggest table), so
+        # the 1x/10x/100x probes measure real data growth — see
+        # SCALE.md; sparql_exists_expr above is the semantics-focused
+        # small-dim variant
+        """SELECT ?o ?prio WHERE {
+             ?o a ex:Order ; ex:orderpriority ?prio ;
+                ex:orderstatus ?st .
+             FILTER (?prio = '1-URGENT'
+                     || EXISTS { ?o ex:customer ?c .
+                                 ?c ex:mktsegment 'BUILDING' }) }""",
+        f"""SELECT {URI_O} AS o, o_orderpriority AS prio
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND o_orderstatus IS NOT NULL
+              AND (o_orderpriority = '1-URGENT'
+                   OR EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = o_custkey
+                                AND c_mktsegment = 'BUILDING'))""",
+        "base",
+    ),
     "sparql_federated_join": (
         # cross-engine federation: Customer star answered by a remote
         # SQL executor (DuckDB as stand-in MySQL), Nation star by the

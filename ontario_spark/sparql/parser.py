@@ -978,10 +978,15 @@ def _unescape(s: str) -> str:
 
     def sub(m: "re.Match[str]") -> str:
         g = m.group(1)
-        if g[0] == "u" and len(g) == 5:
-            return chr(int(g[1:], 16))
-        if g[0] == "U" and len(g) == 9:
-            return chr(int(g[1:], 16))
+        if (g[0] == "u" and len(g) == 5) or (g[0] == "U" and len(g) == 9):
+            try:
+                return chr(int(g[1:], 16))
+            except (ValueError, OverflowError):
+                # \UFFFFFFFF etc. — beyond the Unicode range. Fail
+                # closed as a syntax error, not a raw chr() escape
+                # (review fix: the parser's contract allows only
+                # SparqlSyntaxError)
+                raise SparqlSyntaxError(f"invalid unicode escape \\{g}")
         return _ESC_MAP.get(g, "\\" + g)
 
     return _ESC_RE.sub(sub, s)
@@ -995,15 +1000,24 @@ def _number_term(lex: str) -> Term:
 
 def _coerce(lex: str, dt: str | None):
     """Typed-literal coercion (reference: Xfilter.py data_types :43-63,
-    queryParser.py :714-731)."""
+    queryParser.py :714-731). An ILL-TYPED literal (``"abc"^^xsd:int``)
+    is still a LEGAL RDF term whose value is its lexical form (RDF 1.1
+    §3.3 — the datatype map just fails), so coercion failure keeps the
+    string rather than escaping with a raw ValueError (review fix: the
+    parser's fail-closed contract allows only SparqlSyntaxError, and a
+    syntactically valid query must not die here)."""
     if dt is None:
         return lex
     local = dt.rsplit("#", 1)[-1]
-    if local in ("integer", "int", "long", "short", "byte", "nonNegativeInteger",
-                 "positiveInteger", "negativeInteger", "unsignedInt", "unsignedLong"):
-        return int(lex)
-    if local in ("decimal", "float", "double"):
-        return float(lex)
+    try:
+        if local in ("integer", "int", "long", "short", "byte",
+                     "nonNegativeInteger", "positiveInteger",
+                     "negativeInteger", "unsignedInt", "unsignedLong"):
+            return int(lex)
+        if local in ("decimal", "float", "double"):
+            return float(lex)
+    except ValueError:
+        return lex  # ill-typed literal: value = lexical form
     if local == "boolean":
         return lex.lower() == "true"
     if local in ("dateTime", "date"):

@@ -264,6 +264,10 @@ _SPARQL_FRAGMENTS = st.sampled_from([
     ",", "||", "&&", "!", "=", "<", ">", "+", "*", "/", "?x", "?y", "$z",
     "ex:p", "<http://e/x>", "'lit'", '"lit"', "42", "-3.5", "1e3",
     "'''long'''", "@en", "^^xsd:int", "UNDEF", "_:b0", "#c\n", "PREFIX",
+ # review fix: reach the typed-literal coercion and \U escape paths
+ # the original pool structurally could not
+ '"abc"^^<http://www.w3.org/2001/XMLSchema#integer>',
+ '"\\UFFFFFFFF"', '"\\u0041"',
 ])
 
 

@@ -325,3 +325,34 @@ def test_trailing_values_clause_parses():
     assert [type(e).__name__ for e in qask.where.elements] == ["Triple"]
     assert qask.values_clause is not None
     assert qask.values_clause.variables == ["n"]
+
+
+def test_ill_typed_numeric_literal_keeps_lexical_form():
+    """"abc"^^xsd:integer is a LEGAL RDF term with an ill-formed value
+    (RDF 1.1 §3.3) — the parser keeps the lexical form instead of
+    escaping with a raw ValueError (review fix)."""
+    from ontario_spark.sparql.parser import parse
+
+    q = parse(
+        'SELECT ?s WHERE { ?s ?p '
+        '"abc"^^<http://www.w3.org/2001/XMLSchema#integer> }'
+    )
+    t = q.where.elements[0].o
+    assert t.py == "abc" and t.datatype.endswith("integer")
+    # well-formed typed literals still coerce
+    q2 = parse(
+        'SELECT ?s WHERE { ?s ?p '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> }'
+    )
+    assert q2.where.elements[0].o.py == 42
+
+
+def test_out_of_range_unicode_escape_fails_closed():
+    """\\UFFFFFFFF is beyond the Unicode range: SparqlSyntaxError, not
+    a raw chr() ValueError/OverflowError escape (review fix)."""
+    import pytest
+
+    from ontario_spark.sparql.parser import SparqlSyntaxError, parse
+
+    with pytest.raises(SparqlSyntaxError, match="unicode escape"):
+        parse(r'SELECT ?s WHERE { ?s ?p "\UFFFFFFFF" }')
