@@ -162,6 +162,41 @@ def _keep_allowed(plan, allowed, catalog) -> None:
     _keep(plan, idx)
 
 
+def _prune_by_hint(plan, hint: "BFrame") -> None:
+    """Hint-template pruning (round 8): when a group hangs off an
+    outer frame (OPTIONAL / MINUS / EXISTS / mark joins — the
+    ``key_hint`` posture), a star whose SUBJECT variable is
+    template-KEYED in that frame can only ever join outer rows through
+    alternatives whose subject template shares the shape — a predicate
+    several molecules offer otherwise fans out to EVERY source even
+    though the join variable pins it to one (observed: the trisource
+    suite's OPTIONAL ``?c ex:acctbal`` fetched the Supplier molecule
+    through the Mongo wrapper for a Customer-keyed ``?c``). Skipped —
+    unsound — when the hint var can be UNBOUND (§10.2 wildcard rows
+    join ANY template) or is LEXICAL (arbitrary URIs); keeps
+    non-template subjects (can't reason); falls back to the unpruned
+    set when nothing would survive (recall over speed, the
+    ``prune_connected`` posture — an all-pruned star still joins to
+    nothing, but the empty-answer proof stays the join's job)."""
+    from ontario_spark.compiler.frame import KEYED
+    from ontario_spark.planner.decomposer import _keep
+
+    s = plan.star.subject
+    if not s.is_var or s.value not in hint.meta or s.value in hint.maybe_null:
+        return
+    m = hint.meta[s.value]
+    if m.kind != KEYED:
+        return
+    idx = [
+        i
+        for i, alt in enumerate(plan.alternatives)
+        if alt[0].subject.kind != "template"
+        or alt[0].subject.template.same_shape(m.template)
+    ]
+    if idx and len(idx) < len(plan.alternatives):
+        _keep(plan, idx)
+
+
 def _plan_vars(plan) -> set[str]:
     """All variables a star plan can bind."""
     out: set[str] = set()
@@ -717,6 +752,9 @@ class SparqlEngine:
             select_sources(self.catalog, star) for star in bgp_stars(triples)
         ]
         pruned = prune_connected(plans)
+        if key_hint is not None:
+            for plan in pruned:
+                _prune_by_hint(plan, key_hint)
         if source_filter is not None:
             # GRAPH / FROM scoping: only alternatives answered entirely
             # by the allowed source(s) survive (each federation member

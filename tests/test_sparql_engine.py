@@ -2161,3 +2161,39 @@ def test_exists_in_service_filter_refuses(spark, sf_small):
                     FILTER (STRLEN(?rn) > 2
                             || EXISTS { ?r a ex:Region }) } }"""
         )
+
+
+def test_hint_pruning_guard_keeps_wildcard_molecules(engine, sf_small):
+    """Hint-template pruning must NOT fire when the hinted var can be
+    UNBOUND: a wildcard row joins acctbal solutions of EVERY molecule
+    (customers AND suppliers), so pruning to the customer template
+    would silently drop the supplier halves (§10.2)."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?name ?bal WHERE {
+             { ?c a ex:Customer ; ex:name ?name .
+               FILTER (STRENDS(?name, '#000000001')) }
+             UNION
+             { ?r a ex:Region ; ex:name ?name . FILTER (?name = 'ASIA') }
+             OPTIONAL { ?c ex:acctbal ?bal } }""",
+        """WITH l AS (
+             SELECT c_name AS name,
+                    'http://ex.org/tpch/customer/'
+                      || CAST(c_custkey AS VARCHAR) AS cu
+             FROM customer WHERE c_name LIKE '%#000000001'
+             UNION ALL
+             SELECT r_name, NULL FROM region WHERE r_name = 'ASIA'),
+           a AS (
+             SELECT 'http://ex.org/tpch/customer/'
+                      || CAST(c_custkey AS VARCHAR) AS cu,
+                    c_acctbal AS bal
+             FROM customer WHERE c_acctbal IS NOT NULL
+             UNION ALL
+             SELECT 'http://ex.org/tpch/supplier/'
+                      || CAST(s_suppkey AS VARCHAR), s_acctbal
+             FROM supplier WHERE s_acctbal IS NOT NULL)
+           SELECT l.name AS name, a.bal AS bal
+           FROM l LEFT JOIN a ON l.cu IS NULL OR l.cu = a.cu""",
+        "hint_prune_wildcard_guard",
+    )
