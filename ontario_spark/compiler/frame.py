@@ -15,6 +15,7 @@ projection time (reference contrast: tuple-level Python URI building in
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from functools import reduce
 from itertools import combinations
@@ -35,6 +36,9 @@ KEYED = "keyed"
 _COMPAT_GROUP_CAP = 16
 
 _SIDE_SUFFIXES = ("__type", "__lang", "__dt")
+
+# expression-position EXISTS mark columns (query.py _mark_exists)
+_EX_MARK = re.compile(r"^__ex\d+$")
 
 
 def _subsets(xs: list[str]):
@@ -624,9 +628,18 @@ class BFrame:
         # LANG()/DATATYPE() after a union). A side missing the column
         # pads with a typed NULL; dtype conflicts across branches fall
         # back to the lexical string form like LEXICAL vars above.
+        # Engine-internal row-pin columns must NOT survive: __lj
+        # (OPTIONAL-hoist pin, query.py _optional) is carried by BOTH
+        # legs of the hoist union, and keeping it would duplicate the
+        # name when two hoisted-OPTIONAL frames later join (observed:
+        # AMBIGUOUS_REFERENCE `__lj` under a UNION branch). __exk /
+        # __ex<i> (EXISTS mark pins) are dropped before any union
+        # today but excluded for the same reason.
         ldf, rdf = left.df, right.df
         extras = sorted(
-            (set(ldf.columns) | set(rdf.columns)) - set(cols)
+            c
+            for c in (set(ldf.columns) | set(rdf.columns)) - set(cols)
+            if c not in ("__lj", "__exk") and not _EX_MARK.match(c)
         )
         for c in extras:
             if c not in ldf.columns:

@@ -649,8 +649,10 @@ class SparqlEngine:
             pinned.meta,
             pinned.maybe_null,
         )
-        # union aligns on meta variables only, so __lj drops out and
-        # bare rows pad the optional-side variables with NULL (unbound)
+        # union drops the __lj pin explicitly (frame.py excludes it
+        # from the surviving extras — both legs carry it, and keeping
+        # it made later joins of two hoisted frames ambiguous); bare
+        # rows pad the optional-side variables with NULL (unbound)
         return joined.union(bare)
 
     GRAPH_PREFIX = "urn:graph:"

@@ -111,6 +111,35 @@ def test_optional(engine, sf_small):
     )
 
 
+def test_sibling_hoisted_optionals_under_union(engine, sf_small):
+    # Regression (round-9 ADVICE): joining two sibling groups that each
+    # hoist an OPTIONAL (FILTER references an outer var) used to leave
+    # BOTH frames carrying the __lj pin column; the later UNION then
+    # failed with AMBIGUOUS_REFERENCE `__lj`. union now excludes
+    # engine-internal pin columns from its surviving extras.
+    check(
+        engine,
+        sf_small,
+        """SELECT ?c ?n1 ?n2 WHERE {
+             {
+               { ?c a ex:Customer ; ex:acctbal ?b .
+                 OPTIONAL { ?c ex:name ?n1 . FILTER(?b > 1000.0) } }
+               { ?c a ex:Customer ; ex:mktsegment ?m .
+                 OPTIONAL { ?c ex:name ?n2 . FILTER(?m = "BUILDING") } }
+             } UNION {
+               ?c a ex:Nation .
+             } }""",
+        f"""SELECT {URI_C} AS c,
+                   CASE WHEN c_acctbal > 1000.0 THEN c_name END AS n1,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN c_name END AS n2
+            FROM customer
+            WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+            UNION ALL
+            SELECT {URI_N} AS c, NULL AS n1, NULL AS n2 FROM nation""",
+        "sibling_hoisted_optionals_under_union",
+    )
+
+
 def test_three_star_chain_order_limit(engine, sf_small):
     check(
         engine,
