@@ -83,6 +83,24 @@ def run(
             f"unknown results format {results_format!r} "
             f"(one of {'|'.join(sorted(sinks.RESULT_MIME))})"
         )
+    # per-query-form validation (round-9): ASK has no csv/tsv document
+    # and N-Triples only serializes graph results — both checked BEFORE
+    # any execution (the parse costs microseconds)
+    from ontario_spark.sparql.parser import parse as _parse
+
+    form = _parse(query_text).query_type
+    if form == "ask" and results_format in sinks.ASK_UNSUPPORTED:
+        raise ValueError(
+            f"ASK has no {results_format} result document; "
+            "use srj, xml, or json"
+        )
+    if results_format in sinks.GRAPH_SERIALIZERS and form not in (
+        "construct", "describe"
+    ):
+        raise ValueError(
+            f"{results_format} is a graph serialization; "
+            f"query form is {form}"
+        )
     if trace and results_format != "json":
         raise ValueError(
             "--trace emits per-answer timings inside the JSON response "
@@ -112,6 +130,11 @@ def run(
             # plan report only — nothing executes beyond compilation
             return {"explain": engine.explain(query_text)}
         df = engine.query(query_text)
+        if results_format in sinks.GRAPH_SERIALIZERS:
+            # graph serialization: format triples JVM-side (the same
+            # ntriples() projection the HTTP server streams from) so
+            # the single collection loop below gathers finished lines
+            df = sinks.ntriples(df)
         if write_path is not None:
             if trace:
                 raise ValueError(
@@ -168,6 +191,21 @@ def run(
         if results_format == "json":
             payload = to_sparql_json(rows, df.columns)
             out["result"] = payload["results"]["bindings"]
+        elif form == "ask" and results_format in sinks.BOOLEAN_SERIALIZERS:
+            # W3C boolean document ({"head":{},"boolean":…} / <boolean>)
+            value = bool(rows[0]["ask"]) if rows else False
+            out["serialized"] = "".join(
+                sinks.BOOLEAN_SERIALIZERS[results_format](value)
+            )
+            out["format"] = results_format
+        elif results_format in sinks.GRAPH_SERIALIZERS:
+            # rows already carry the JVM-formatted `ntriple` column
+            # (df was wrapped in sinks.ntriples() before the single
+            # collection loop) — the driver only concatenates
+            out["serialized"] = "".join(
+                sinks.GRAPH_SERIALIZERS[results_format](rows)
+            )
+            out["format"] = results_format
         else:
             # W3C srj/CSV/TSV/XML text via the ONE serializer table
             # the HTTP endpoint also streams from (sinks.py)
@@ -207,7 +245,10 @@ def main(argv: list[str] | None = None) -> int:
                     )),
                     help="stdout serialization: SPARQL-JSON response "
                          "shape (default) or raw W3C srj/csv/tsv/xml "
-                         "text (srj = SPARQL 1.1 Query Results JSON)")
+                         "text (srj = SPARQL 1.1 Query Results JSON; "
+                         "ASK under srj/xml emits the boolean "
+                         "document) or nt = N-Triples for "
+                         "CONSTRUCT/DESCRIBE")
     ap.add_argument("--explain", action="store_true",
                     help="print the federation + Spark plan report "
                          "instead of executing the query")

@@ -34,13 +34,31 @@ _ACCEPT_FORMATS = {
     # legacy shape was being served under the W3C label)
     "application/sparql-results+json": "srj",
     "application/json": "json",
+    # graph serialization — only offered for CONSTRUCT/DESCRIBE
+    # (``_FORM_FORMATS``); an N-Triples Accept on a SELECT/ASK simply
+    # doesn't match and the request keeps its default
+    "application/n-triples": "nt",
 }
 
 # tie-break when ONE wildcard range matches several formats (same q,
 # same specificity, same position): server preference — legacy json
 # default first (so ``Accept: */*`` keeps the historical response),
 # then the W3C serializations
-_FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv"]
+_FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv", "nt"]
+
+# which formats each query form can serve (round-9 advice: per-form
+# result documents). ASK has no csv/tsv document; graph forms
+# additionally serve N-Triples (their bindings formats serialize the
+# s/p/o rows, which stays useful and is explicitly requested by
+# ?format=). Negotiation is restricted to the form's set, so e.g.
+# ``Accept: text/csv`` on an ASK falls through to the json default
+# instead of picking an unservable format.
+_FORM_FORMATS = {
+    "select": frozenset(("json", "srj", "csv", "tsv", "xml")),
+    "ask": frozenset(("json", "srj", "xml")),
+    "construct": frozenset(("json", "srj", "csv", "tsv", "xml", "nt")),
+    "describe": frozenset(("json", "srj", "csv", "tsv", "xml", "nt")),
+}
 
 # drift guards (round-8 review): a format reachable through Accept
 # negotiation must have a preference rank (else _negotiate raises on
@@ -54,6 +72,13 @@ if not set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF) or not (
         f"{sorted(set(_ACCEPT_FORMATS.values()))} not covered by "
         f"pref {_FORMAT_PREF} / mimes {sorted(sinks.RESULT_MIME)}"
     )
+if (
+    not all(v <= set(sinks.RESULT_MIME) for v in _FORM_FORMATS.values())
+    or not _FORM_FORMATS["ask"] - {"json"} <= set(sinks.BOOLEAN_SERIALIZERS)
+    or not _FORM_FORMATS["ask"].isdisjoint(sinks.ASK_UNSUPPORTED)
+    or not set(sinks.GRAPH_SERIALIZERS) <= _FORM_FORMATS["construct"]
+):
+    raise RuntimeError("per-query-form format table drift")
 
 
 # sentinel: the client explicitly refused every supported format
@@ -61,7 +86,20 @@ if not set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF) or not (
 NOT_ACCEPTABLE = "__not_acceptable__"
 
 
-def _negotiate(accept: str) -> "str | None":
+def _query_form(text: str) -> str:
+    """select|ask|construct|describe for ``text``. Parsing twice (here
+    and inside ``engine.query``) is microseconds of pure Python against
+    a distributed execution — and keeps the engine's dataset-clause
+    state handling in ONE place. Empty text defers to ``_sparql``'s
+    missing-query error."""
+    if not text:
+        return "select"
+    from ontario_spark.sparql.parser import parse
+
+    return parse(text).query_type
+
+
+def _negotiate(accept: str, supported: "frozenset | None" = None) -> "str | None":
     """RFC 7231 Accept negotiation over the supported result formats.
 
     Each supported media type takes its q from the MOST SPECIFIC
@@ -93,6 +131,8 @@ def _negotiate(accept: str) -> "str | None":
     best = None  # (-q, specificity, pos, pref, fmt)
     json_refused = False
     for mime, fmt in _ACCEPT_FORMATS.items():
+        if supported is not None and fmt not in supported:
+            continue
         major = mime.split("/", 1)[0]
         top = None  # (specificity, pos, q) — most specific match wins
         for mtype, qv, pos in entries:
@@ -218,14 +258,19 @@ class SparqlHTTPServer:
                 try:
                     if path == "/sparql":
                         # content negotiation: explicit ?format= wins,
-                        # else the Accept header picks among the four
+                        # else the Accept header picks among the
                         # standard result serializations (q-values
                         # honored: highest q wins, q=0 refuses —
                         # round-6 review fix for fixed-priority
-                        # substring matching)
+                        # substring matching). Negotiation is QUERY-
+                        # FORM-AWARE (round-9): ASK offers only the
+                        # formats with a boolean document, CONSTRUCT/
+                        # DESCRIBE additionally offer N-Triples.
+                        form = _query_form((q.get("query") or [""])[0])
                         if "format" not in q:
                             fmt = _negotiate(
-                                self.headers.get("Accept", "") or ""
+                                self.headers.get("Accept", "") or "",
+                                _FORM_FORMATS[form],
                             )
                             if fmt == NOT_ACCEPTABLE:
                                 self._reply(406, {
@@ -236,7 +281,7 @@ class SparqlHTTPServer:
                                 return
                             if fmt is not None:
                                 q["format"] = [fmt]
-                        out = outer._sparql(q)
+                        out = outer._sparql(q, form)
                         if isinstance(out, dict):
                             self._reply(200, out)
                         else:  # blocking mode streams its result rows
@@ -273,10 +318,12 @@ class SparqlHTTPServer:
         "srj": ']}, "error": %s, "truncated": true}',
     }
 
-    def _sparql(self, q: dict):
+    def _sparql(self, q: dict, form: str = "select"):
         """Returns a dict (non-blocking handshake) or a
         ``(chunks, content_type, err_terminator)`` triple for the
-        streaming blocking modes."""
+        streaming blocking modes. ``form`` is the parsed query form —
+        it picks the W3C result *document* family: boolean for ASK,
+        graph (N-Triples) for CONSTRUCT/DESCRIBE, bindings otherwise."""
         text = (q.get("query") or [""])[0]
         if not text:
             raise ValueError("missing ?query=")
@@ -312,6 +359,34 @@ class SparqlHTTPServer:
         if fmt not in sinks.RESULT_MIME:
             raise ValueError(
                 f"unknown format {fmt!r} (one of {sorted(sinks.RESULT_MIME)})"
+            )
+        # per-query-form refusals for explicit ?format= (negotiation
+        # never picks these — _FORM_FORMATS filters them out)
+        if form == "ask" and fmt in sinks.ASK_UNSUPPORTED:
+            raise ValueError(
+                f"ASK has no {fmt} result document; use srj, xml, or json"
+            )
+        if fmt in sinks.GRAPH_SERIALIZERS and form not in (
+            "construct", "describe"
+        ):
+            raise ValueError(
+                f"{fmt} is a graph serialization; query form is {form}"
+            )
+        if form == "ask" and fmt in sinks.BOOLEAN_SERIALIZERS:
+            # the 1-row ask frame evaluates BEFORE headers go out, so
+            # execution errors still surface as a clean 400
+            value = bool(df.first()["ask"])
+            return (
+                sinks.BOOLEAN_SERIALIZERS[fmt](value),
+                sinks.RESULT_MIME[fmt],
+                None,
+            )
+        if fmt in sinks.GRAPH_SERIALIZERS:
+            ndf = sinks.ntriples(df)  # JVM-side triple formatting
+            return (
+                sinks.GRAPH_SERIALIZERS[fmt](ndf.toLocalIterator()),
+                sinks.RESULT_MIME[fmt],
+                None,
             )
         if fmt == "json":
             return (

@@ -207,6 +207,34 @@ def sparql_srj_chunks(rows, columns: list[str]):
     yield "]}}"
 
 
+def sparql_srj_boolean_chunks(value: bool):
+    """ASK result → the W3C SPARQL 1.1 JSON *boolean* document
+    (``{"head": {}, "boolean": …}`` — NOT a bindings document; a
+    standards client doing ASK-over-Accept reads the ``boolean`` key,
+    round-9 advice)."""
+    yield '{"head": {}, "boolean": %s}' % ("true" if value else "false")
+
+
+def sparql_xml_boolean_chunks(value: bool):
+    """ASK result → the W3C XML ``<boolean>`` document."""
+    yield (
+        '<?xml version="1.0"?>\n'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">\n'
+        "<head/>\n<boolean>%s</boolean>\n</sparql>\n"
+        % ("true" if value else "false")
+    )
+
+
+def ntriples_chunks(rows):
+    """``application/n-triples`` serialization for graph results
+    (CONSTRUCT / DESCRIBE): one triple per line, streamed row-by-row.
+    ``rows`` iterate the ``ntriples()`` projection above (single
+    ``ntriple`` column) — formatting already happened JVM-side; the
+    driver only concatenates."""
+    for row in rows:
+        yield row["ntriple"] + "\n"
+
+
 RESULT_MIME = {
     # legacy engine response shape ({"vars", "result", ...} — the
     # reference's Flask body, app/query.py:147): NOT the W3C document,
@@ -217,6 +245,8 @@ RESULT_MIME = {
     "csv": "text/csv; charset=utf-8",
     "tsv": "text/tab-separated-values; charset=utf-8",
     "xml": "application/sparql-results+xml",
+    # graph serialization (CONSTRUCT / DESCRIBE only)
+    "nt": "application/n-triples",
 }
 
 # ONE shared format→serializer table for every consumer (HTTP server
@@ -233,12 +263,46 @@ RESULT_SERIALIZERS = {
     "xml": sparql_xml_chunks,
 }
 
+# Per-query-form tables (round-9 advice): ASK must serialize as the
+# W3C *boolean* document under srj/xml (a bindings document there is
+# non-conformant), and CONSTRUCT/DESCRIBE stream N-Triples. Formats
+# NOT in a form's table fall back to bindings-over-the-result-frame
+# (legal for graph results serialized as s/p/o rows; refused for
+# nonsensical pairs by the callers — see server._sparql / cli.run).
+BOOLEAN_SERIALIZERS = {
+    "srj": sparql_srj_boolean_chunks,
+    "xml": sparql_xml_boolean_chunks,
+}
+GRAPH_SERIALIZERS = {
+    "nt": ntriples_chunks,
+}
+
+# bindings formats that have NO defined boolean (ASK) document —
+# callers refuse these with a clear message instead of inventing one
+ASK_UNSUPPORTED = frozenset(("csv", "tsv"))
+
 # drift guard: every advertised format must be streamable (or the
-# specially-handled legacy json). Not assert — must survive python -O
-# (an optimized deployment would otherwise skip the fail-fast and hit
-# the round-7 class of runtime 400s instead).
-if set(RESULT_MIME) != set(RESULT_SERIALIZERS) | {"json"}:
+# specially-handled legacy json). Boolean serializers must shadow a
+# bindings format of the same name (same Accept type negotiates both),
+# and graph formats must be disjoint from bindings formats. Not
+# assert — must survive python -O (an optimized deployment would
+# otherwise skip the fail-fast and hit the round-7 class of runtime
+# 400s instead).
+if set(RESULT_MIME) != set(RESULT_SERIALIZERS) | {"json"} | set(
+    GRAPH_SERIALIZERS
+):
     raise RuntimeError(
         "RESULT_MIME / RESULT_SERIALIZERS drift: "
-        f"{sorted(RESULT_MIME)} vs {sorted(RESULT_SERIALIZERS)} + json"
+        f"{sorted(RESULT_MIME)} vs {sorted(RESULT_SERIALIZERS)} + json "
+        f"+ {sorted(GRAPH_SERIALIZERS)}"
     )
+if not set(BOOLEAN_SERIALIZERS) <= set(RESULT_SERIALIZERS) or (
+    set(GRAPH_SERIALIZERS) & (set(RESULT_SERIALIZERS) | {"json"})
+):
+    raise RuntimeError(
+        "per-query-form serializer drift: boolean "
+        f"{sorted(BOOLEAN_SERIALIZERS)} must shadow bindings formats; "
+        f"graph {sorted(GRAPH_SERIALIZERS)} must not"
+    )
+if not ASK_UNSUPPORTED <= set(RESULT_SERIALIZERS):
+    raise RuntimeError("ASK_UNSUPPORTED names unknown formats")

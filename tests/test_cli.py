@@ -173,6 +173,69 @@ def test_cli_srj_results_format(spark, sf_small, tmp_path):
     assert doc["results"]["bindings"][0]["name"]["type"] == "literal"
 
 
+def test_cli_ask_boolean_documents(spark, sf_small, tmp_path):
+    """ASK under --results-format srj/xml emits the W3C *boolean*
+    document, not a bindings document (round-9 advice)."""
+    import json as _json
+
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+
+    p = str(tmp_path / "cat.json")
+    serde.save(tpch_catalog(sf_small), p)
+    ask = (
+        "PREFIX ex: <http://ex.org/tpch/>\n"
+        "ASK { ?n a ex:Nation ; ex:name ?name }"
+    )
+    out = run(p, ask, spark=spark, results_format="srj")
+    assert _json.loads(out["serialized"]) == {"head": {}, "boolean": True}
+    out = run(p, ask, spark=spark, results_format="xml")
+    assert "<boolean>true</boolean>" in out["serialized"]
+    assert "<results>" not in out["serialized"]
+    # csv/tsv have no ASK document — refused before execution
+    import pytest
+
+    with pytest.raises(ValueError, match="ASK has no csv"):
+        run(p, ask, spark=spark, results_format="csv")
+
+
+def test_cli_construct_ntriples(spark, sf_small, tmp_path):
+    """CONSTRUCT under --results-format nt emits N-Triples lines; nt
+    on a SELECT is refused before execution."""
+    import pytest
+
+    from ontario_spark.catalog import serde
+    from ontario_spark.catalog.tpch_rdf import tpch_catalog
+
+    p = str(tmp_path / "cat.json")
+    serde.save(tpch_catalog(sf_small), p)
+    out = run(
+        p,
+        "PREFIX ex: <http://ex.org/tpch/>\n"
+        "CONSTRUCT { ?n <http://ex.org/named> ?name } WHERE "
+        "{ ?n a ex:Nation ; ex:name ?name }",
+        spark=spark,
+        results_format="nt",
+    )
+    assert out["format"] == "nt" and out["totalRows"] == 25
+    lines = [ln for ln in out["serialized"].split("\n") if ln]
+    assert len(lines) == 25
+    assert all(
+        ln.startswith("<http://ex.org/tpch/nation/")
+        and " <http://ex.org/named> " in ln
+        and ln.endswith(" .")
+        for ln in lines
+    )
+    with pytest.raises(ValueError, match="graph serialization"):
+        run(
+            p,
+            "PREFIX ex: <http://ex.org/tpch/>\n"
+            "SELECT ?name WHERE { ?n a ex:Nation ; ex:name ?name }",
+            spark=spark,
+            results_format="nt",
+        )
+
+
 def test_dief_metrics():
     sys_path_hack = __import__("sys").path
     import os

@@ -19,6 +19,17 @@ QUERY = (
     "SELECT ?c ?name WHERE { ?c a ex:Customer ; ex:name ?name } LIMIT 5"
 )
 
+ASK_QUERY = (
+    f"PREFIX ex: <{EX}>\n"
+    "ASK { ?c a ex:Customer ; ex:acctbal ?b . FILTER(?b > 0.0) }"
+)
+
+CONSTRUCT_QUERY = (
+    f"PREFIX ex: <{EX}>\n"
+    "CONSTRUCT { ?c <http://ex.org/hasName> ?name } WHERE "
+    "{ ?c a ex:Customer ; ex:name ?name }"
+)
+
 
 @pytest.fixture(scope="module")
 def server(spark, sf_small):
@@ -356,21 +367,27 @@ def test_406_message_formats_all_serve_200(server):
     via Accept."""
     from ontario_spark.server import _ACCEPT_FORMATS
 
-    for mime in _ACCEPT_FORMATS:
+    from ontario_spark import sinks
+
+    for mime, fmt in _ACCEPT_FORMATS.items():
+        # negotiation is query-form-aware: a graph format needs a
+        # graph query to be on offer (a SELECT simply keeps its
+        # default for an N-Triples Accept)
+        query = CONSTRUCT_QUERY if fmt in sinks.GRAPH_SERIALIZERS else QUERY
         req = Request(
             f"http://127.0.0.1:{server.port}/sparql?"
-            + urlencode({"query": QUERY}),
+            + urlencode({"query": query}),
             headers={"Accept": mime},
         )
         with urlopen(req, timeout=120) as r:
             assert r.status == 200, mime
             assert r.headers.get("Content-Type").split(";")[0] == mime.split(";")[0], mime
             r.read()
-    # and ?format= accepts every registered format key
-    from ontario_spark import sinks
-
+    # and ?format= accepts every registered format key (graph formats
+    # against a graph query)
     for fmt in sinks.RESULT_MIME:
-        q = urlencode({"query": QUERY, "format": fmt})
+        query = CONSTRUCT_QUERY if fmt in sinks.GRAPH_SERIALIZERS else QUERY
+        q = urlencode({"query": query, "format": fmt})
         ctype, _ = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
         assert ctype.split(";")[0] == sinks.RESULT_MIME[fmt].split(";")[0]
 
@@ -383,10 +400,128 @@ def test_format_registries_consistent():
     from ontario_spark import sinks
     from ontario_spark.server import _ACCEPT_FORMATS, _FORMAT_PREF
 
-    assert set(sinks.RESULT_MIME) == set(sinks.RESULT_SERIALIZERS) | {"json"}
+    assert set(sinks.RESULT_MIME) == set(sinks.RESULT_SERIALIZERS) | {
+        "json"
+    } | set(sinks.GRAPH_SERIALIZERS)
     assert set(_ACCEPT_FORMATS.values()) <= set(sinks.RESULT_MIME)
     assert set(_ACCEPT_FORMATS.values()) <= set(_FORMAT_PREF)
     assert set(_FORMAT_PREF) == set(sinks.RESULT_MIME)
+    # per-query-form tables (round-9): boolean serializers shadow
+    # bindings formats; graph formats are disjoint from bindings; every
+    # form table only names registered formats
+    from ontario_spark.server import _FORM_FORMATS
+
+    assert set(sinks.BOOLEAN_SERIALIZERS) <= set(sinks.RESULT_SERIALIZERS)
+    assert not set(sinks.GRAPH_SERIALIZERS) & set(sinks.RESULT_SERIALIZERS)
+    for form, fmts in _FORM_FORMATS.items():
+        assert fmts <= set(sinks.RESULT_MIME), form
+    assert _FORM_FORMATS["ask"] - {"json"} <= set(sinks.BOOLEAN_SERIALIZERS)
+    assert _FORM_FORMATS["ask"].isdisjoint(sinks.ASK_UNSUPPORTED)
+    assert set(sinks.GRAPH_SERIALIZERS) <= _FORM_FORMATS["construct"]
+
+
+def test_ask_accept_w3c_json_boolean_document(server):
+    """ASK negotiated via the W3C media type returns the W3C *boolean*
+    document ({"head": {}, "boolean": …}), not a bindings document
+    (round-9 advice: a standards client reads the `boolean` key)."""
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": ASK_QUERY}),
+        headers={"Accept": "application/sparql-results+json"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type").startswith(
+            "application/sparql-results+json"
+        )
+        doc = json.loads(r.read().decode())
+    assert doc == {"head": {}, "boolean": True}
+
+
+def test_ask_xml_boolean_document(server):
+    q = urlencode({"query": ASK_QUERY, "format": "xml"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("application/sparql-results+xml")
+    assert "<boolean>true</boolean>" in body and "<results>" not in body
+    # false case: an unsatisfiable pattern
+    q = urlencode({
+        "query": ASK_QUERY.replace("?b > 0.0", "?b > 1.0E18"),
+        "format": "srj",
+    })
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert json.loads(body) == {"head": {}, "boolean": False}
+
+
+def test_ask_csv_format_is_400(server):
+    q = urlencode({"query": ASK_QUERY, "format": "csv"})
+    with pytest.raises(Exception) as ex:
+        urlopen(f"http://127.0.0.1:{server.port}/sparql?{q}", timeout=120)
+    assert "400" in str(ex.value)
+
+
+def test_ask_csv_accept_falls_back_to_json(server):
+    """Accept: text/csv on an ASK: csv is not on the ASK format menu,
+    so negotiation keeps the legacy JSON default instead of picking an
+    unservable format."""
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": ASK_QUERY}),
+        headers={"Accept": "text/csv"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type").startswith("application/json")
+        out = json.loads(r.read().decode())
+    assert out["vars"] == ["ask"]
+
+
+def test_construct_nt_streams_ntriples(server):
+    """?format=nt on a CONSTRUCT streams application/n-triples."""
+    q = urlencode({"query": CONSTRUCT_QUERY, "format": "nt"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("application/n-triples")
+    lines = [ln for ln in body.split("\n") if ln]
+    assert len(lines) > 0
+    for ln in lines:
+        assert ln.startswith("<http://ex.org/tpch/customer/")
+        assert " <http://ex.org/hasName> " in ln
+        assert ln.endswith(" .")
+
+
+def test_construct_accept_ntriples_negotiates_nt(server):
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": CONSTRUCT_QUERY}),
+        headers={"Accept": "application/n-triples"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type").startswith(
+            "application/n-triples"
+        )
+        body = r.read().decode()
+    assert " <http://ex.org/hasName> " in body
+
+
+def test_select_nt_format_is_400(server):
+    q = urlencode({"query": QUERY, "format": "nt"})
+    with pytest.raises(Exception) as ex:
+        urlopen(f"http://127.0.0.1:{server.port}/sparql?{q}", timeout=120)
+    assert "400" in str(ex.value)
+
+
+def test_select_accept_ntriples_keeps_default(server):
+    """Accept: application/n-triples on a SELECT: nt is not on the
+    SELECT menu — the request keeps the legacy JSON default."""
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": QUERY}),
+        headers={"Accept": "application/n-triples"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type").startswith("application/json")
+        r.read()
 
 
 def test_srj_serializer_unit():
