@@ -191,7 +191,7 @@ class Catalog:
     # would pass pymysql/pymongo/neo4j-driver/HTTP closures here.
     executors: dict[str, object] = field(default_factory=dict)
 
-    REMOTE_TYPES = ("mysql", "ansi", "drill", "mongodb", "neo4j", "sparql")
+    REMOTE_TYPES = ("mysql", "ansi", "drill", "derby", "mongodb", "neo4j", "sparql")
 
     def source_of(self, tm: TripleMap) -> DataSource:
         return self.sources[self.map_source[tm.name]]

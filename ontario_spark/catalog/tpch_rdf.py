@@ -339,3 +339,95 @@ def tpch_trisource_catalog(sf_dir: str) -> Catalog:
         cat, "SupplierMap", "remote_mongo", "mongodb",
         executor_from_collections(parquet_doc_loader(sf_dir)),
     )
+
+
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def derby_customer_url(spark, sf_dir: str) -> str:
+    """Seed (once per ``sf_dir``) an embedded Derby database with the
+    customer table from the lake's parquet and return its JDBC URL.
+
+    Derby is the real-JDBC stand-in for the reference demo's MySQL
+    (``demo/docker-compose.yml``): it runs inside Spark's own JVM (its
+    jars ship with Spark), so the ``sources.jdbc`` executor exercises
+    the PRODUCTION fetch path — translated star SQL executed by the
+    remote database, rows landing directly in executor partitions —
+    without needing a database server in the sandbox. String columns
+    are created as VARCHAR explicitly: Spark's Derby dialect would
+    otherwise map StringType to CLOB, which Derby refuses to compare
+    or GROUP BY, breaking any pushed-down filter."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"ontario_derby_{key}")
+    db = os.path.join(base, "db")
+    url = f"jdbc:derby:{db}"
+    marker = os.path.join(base, "_seeded")
+    if os.path.exists(marker):
+        return url
+    os.makedirs(base, exist_ok=True)
+    from ontario_spark.data import table
+
+    df = table(spark, sf_dir, "customer")
+    coltypes = ", ".join(
+        f"{f.name} VARCHAR(256)"
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "string"
+    )
+    (
+        df.write.mode("overwrite")
+        .option("createTableColumnTypes", coltypes)
+        # quoted lowercase: the ANSI translator emits "customer", and
+        # Derby case-folds unquoted identifiers to uppercase
+        .jdbc(url + ";create=true", '"customer"', properties=DERBY_PROPS)
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return url
+
+
+def tpch_trisource_jdbc_catalog(spark, sf_dir: str) -> Catalog:
+    """``tpch_trisource_catalog`` with the SQL star served by the
+    PRODUCTION Spark-JDBC executor against embedded Derby instead of
+    the driver-side DuckDB stand-in — the bench registry routes
+    ``lslod_cq6_trisource`` through this catalog so its measured time
+    is evidence of the partitioned executor-side fetch path (round-9
+    advice; the JDBC path itself is integration-tested in
+    ``tests/test_jdbc.py``). The fetch is split into 4 disjoint
+    MOD-slices on the subject key whenever the translated SQL projects
+    it — one remote connection per partition, the Spark-native
+    equivalent of the reference's hand-rolled parallel fetch
+    (``wrappers/mysql/sparql2sql.py:108-166``)."""
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        parquet_doc_loader,
+    )
+    from ontario_spark.sources.jdbc import jdbc_executor
+
+    url = derby_customer_url(spark, sf_dir)
+
+    def preds(sql: str) -> "list[str] | None":
+        # Spark's predicate strings apply to the OUTER scope
+        # (``SELECT * FROM (sql) AS q WHERE <pred>``), so they must
+        # reference the star's projected ALIAS of the numeric subject
+        # key, not the inner table column
+        import re as _re
+
+        m = _re.search(r'"c_custkey" AS "([A-Za-z0-9_]+)"', sql)
+        if m is None:
+            return None
+        return [f'MOD("{m.group(1)}", 4) = {i}' for i in range(4)]
+
+    cat = _serve_remote(
+        tpch_catalog(sf_dir), "CustomerMap", "remote_sql", "derby",
+        jdbc_executor(
+            spark, url, properties=DERBY_PROPS, predicates_for=preds
+        ),
+    )
+    return _serve_remote(
+        cat, "SupplierMap", "remote_mongo", "mongodb",
+        executor_from_collections(parquet_doc_loader(sf_dir)),
+    )

@@ -138,7 +138,7 @@ def _compile_remote(
     — here a driver-side fetch followed by distributed processing).
 
     Executor call conventions per dstype:
-    - mysql/ansi/drill: ``executor(sql_text) -> [row dict]``
+    - mysql/ansi/drill/derby: ``executor(sql_text) -> [row dict]``
     - mongodb:          ``executor(collection, pipeline) -> [row dict]``
     - neo4j:            ``executor(cypher_text) -> [row dict]``
     - sparql:           ``executor(query_text) -> [binding dict]``
@@ -159,7 +159,7 @@ def _compile_remote(
     src = cat.source_of(tm)
     execr = cat.executor_for(tm)
     star = Star(subject=subject, triples=triples)
-    if src.dstype in ("mysql", "ansi", "drill"):
+    if src.dstype in ("mysql", "ansi", "drill", "derby"):
         sql, specs = star_sql(
             [tm], star, DIALECTS[src.dstype], conditions=remote_conds
         )

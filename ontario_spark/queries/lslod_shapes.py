@@ -23,7 +23,10 @@ Shape → source mapping (reference file cited per entry below):
 - SQ9  → wide ``SELECT DISTINCT *`` star + hop to a second star
 - CQ2  → OPTIONAL whose block BRIDGES both outer stars
 - CQ3  → wide star + case-insensitive REGEX filter, DISTINCT *
-- CQ6  → three-source chain (SQL wrapper + Mongo wrapper + lake)
+- CQ6  → three-source chain (SQL wrapper + Mongo wrapper + lake);
+         the SQL star runs the PRODUCTION Spark-JDBC executor against
+         embedded Derby (round-9) so the bench line measures the
+         partitioned executor-side fetch, not a driver stand-in
 - CQ9  → var-disjoint chains joined only by FILTER(STR(?a)=STR(?b))
 """
 
@@ -31,7 +34,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ontario_spark.catalog.tpch_rdf import tpch_catalog, tpch_trisource_catalog
+from ontario_spark.catalog.tpch_rdf import (
+    tpch_catalog,
+    tpch_trisource_jdbc_catalog,
+)
 from ontario_spark.compiler.query import SparqlEngine
 
 # shared namespace/URI constants live in sparql_suite — two copies
@@ -41,15 +47,19 @@ from ontario_spark.queries.sparql_suite import PFX, URI_O
 
 URI_C2 = "'http://ex.org/tpch/customer/' || CAST(o_custkey AS VARCHAR)"
 
+# catalog factories take (spark, sf_dir): the trisource topology's SQL
+# star is served by the PRODUCTION Spark-JDBC executor over embedded
+# Derby (round-9: the bench line for lslod_cq6_trisource measures the
+# executor-side partitioned fetch, not a driver-side stand-in)
 _CATALOGS = {
-    "base": tpch_catalog,
-    "trisource": tpch_trisource_catalog,
+    "base": lambda spark, sf_dir: tpch_catalog(sf_dir),
+    "trisource": tpch_trisource_jdbc_catalog,
 }
 
 
 def _runner(sparql: str, catalog: str = "base"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return SparqlEngine(spark, _CATALOGS[catalog](sf_dir)).query(
+        return SparqlEngine(spark, _CATALOGS[catalog](spark, sf_dir)).query(
             PFX + sparql
         )
 

@@ -93,12 +93,46 @@ class Dialect:
             s = s.replace("\\", "\\\\")
         return "'" + s.replace("'", "''") + "'"
 
+    def in_list(self, expr: str, vals: list) -> str:
+        """Render ``expr IN (…)`` over pushed-down key/lexical values.
+        Default: literal per value — engines with implicit coercion
+        (MySQL, DuckDB) compare a numeric column against string
+        lexemes fine."""
+        return f"{expr} IN ({', '.join(self.lit(v) for v in vals)})"
+
+
+# canonical integer lexeme: round-trips str(int(s)) == s, so rendering
+# it as a numeric literal cannot change which rows match
+_CANON_INT = re.compile(r"^-?(0|[1-9][0-9]*)$")
+
+
+class _DerbyDialect(Dialect):
+    """Apache Derby: standard quoting, but NO implicit cross-type
+    coercion — ``BIGINT_col IN ('7')`` and ``CAST(BIGINT AS VARCHAR)``
+    are both errors (42818 / 42846). Remote-frame key columns travel
+    through the engine as string lexemes (``df_to_bframe``'s lexical
+    convention), so a bound-join IN-list against a numeric Derby
+    column must be re-rendered: when every pushed lexeme is a
+    CANONICAL integer the values print as numeric literals (exact —
+    canonical lexemes round-trip; a non-canonical key like '007'
+    cannot equal any BIGINT's string form anyway, and mixed lists
+    fall back to quoted strings, correct for VARCHAR targets)."""
+
+    def in_list(self, expr: str, vals: list) -> str:
+        if all(
+            isinstance(v, str) and _CANON_INT.match(v) for v in vals
+        ):
+            return f"{expr} IN ({', '.join(v for v in vals)})"
+        return super().in_list(expr, vals)
+
 
 MYSQL = Dialect("mysql", "`", "CHAR", backslash_escapes=True)
 ANSI = Dialect("ansi", '"', "VARCHAR")  # DuckDB, Postgres, ...
 DRILL = Dialect("drill", "`", "VARCHAR")
+# CHAR str_cast: Derby refuses numeric→VARCHAR casts outright
+DERBY = _DerbyDialect("derby", '"', "CHAR")
 
-DIALECTS = {d.name: d for d in (MYSQL, ANSI, DRILL)}
+DIALECTS = {d.name: d for d in (MYSQL, ANSI, DRILL, DERBY)}
 
 
 # --- FILTER pushdown into remote dialects --------------------------------
@@ -429,13 +463,9 @@ def star_sql(
                 if not vals:
                     continue
                 if c.tpl is None and expr is not None:
-                    where.append(
-                        f"{expr} IN ({', '.join(d.lit(v) for v in vals)})"
-                    )
+                    where.append(d.in_list(expr, vals))
                 elif keyed is not None and c.tpl == keyed[1]:
-                    where.append(
-                        f"{keyed[0]} IN ({', '.join(d.lit(v) for v in vals)})"
-                    )
+                    where.append(d.in_list(keyed[0], vals))
             elif expr is not None:
                 where.append(_cond_sql(expr, c, d))
 

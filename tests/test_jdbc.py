@@ -110,3 +110,32 @@ def test_jdbc_executor_returns_dataframe(spark, derby_url):
     from pyspark.sql import DataFrame
 
     assert isinstance(out, DataFrame)
+
+
+def test_derby_dialect_in_list_rendering():
+    """Derby has no implicit cross-type coercion: canonical-integer
+    key lexemes must render as numeric literals so a BIGINT column
+    IN-list works; non-canonical / mixed lists stay quoted strings."""
+    from ontario_spark.sources.translate import ANSI, DERBY
+
+    assert DERBY.in_list('"k"', ["7", "10"]) == '"k" IN (7, 10)'
+    assert DERBY.in_list('"k"', ["007", "10"]) == "\"k\" IN ('007', '10')"
+    assert DERBY.in_list('"k"', ["a", "b"]) == "\"k\" IN ('a', 'b')"
+    assert DERBY.in_list('"k"', [7, 10]) == '"k" IN (7, 10)'  # native ints
+    # ANSI engines coerce, so string lexemes stay strings there
+    assert ANSI.in_list('"k"', ["7"]) == "\"k\" IN ('7')"
+
+
+def test_trisource_jdbc_catalog_end_to_end(spark, sf_small):
+    """The bench registry's trisource topology: Customer star over the
+    PRODUCTION Spark-JDBC path (embedded Derby seeded from the lake's
+    parquet), Supplier over the docstore seam, Nation from the lake —
+    verified against the same DuckDB oracle the driver gate uses."""
+    from ontario_spark.queries.lslod_shapes import ORACLE, QUERIES
+    from tests.oracle import assert_match, run_oracle
+
+    assert_match(
+        QUERIES["lslod_cq6_trisource"](spark, sf_small),
+        run_oracle(ORACLE["lslod_cq6_trisource"], sf_small),
+        "lslod_cq6_trisource_jdbc",
+    )
