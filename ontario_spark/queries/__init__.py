@@ -186,7 +186,13 @@ DRIVER_SURFACE = [
     # maybe_null/_join_compat §10.2 semantics
     "sparql_optional_compat",
     "sparql_nested_iterator",
-    "sparql_describe",
+    # round-9 swap: sparql_describe (green r5-r8; DESCRIBE stays
+    # pytest-gated and its s/p/o graph shape is driver-checked via
+    # lslod shapes) → the multi-triple OPTIONAL cascade representative
+    # of the round-9 LSLOD parity batch (CQ5's
+    # foodInteraction/biotransformation posture, never externally
+    # verified); the displaced row leads the post-cap registry
+    "lslod_cq5_optional_star",
     # round-5 rotation: rows green three straight rounds and
     # represented by surface siblings rotate out for families external
     # verification never covered — SCD2 dimension versioning (slot from
@@ -221,7 +227,10 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
-        # round-8 rotated-out rows first (each green 3+ rounds with its
+        # round-9 rotated-out row first (green r5-r8, DESCRIBE family
+        # displaced by the CQ5 multi-OPTIONAL cascade)
+        "sparql_describe",
+        # round-8 rotated-out rows (each green 3+ rounds with its
         # family still surface-represented; values_inline/aggregate
         # displaced by the late §10.2 swaps, mongo_join by the strictly
         # wider lslod_cq6_trisource)
