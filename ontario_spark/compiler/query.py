@@ -396,7 +396,16 @@ class SparqlEngine:
                 # FROM NAMED without FROM: the default graph is EMPTY
                 # (§13.2) — only GRAPH-scoped patterns can match
                 self._dataset_default = set()
-        bf = self._group(q.where, source_filter=self._dataset_default)
+        bf = self._group(
+            q.where,
+            source_filter=self._dataset_default,
+            # trailing-VALUES bound-join feed (round-9, lifting the
+            # parser's documented trade for never-UNDEF columns): the
+            # clause still JOINS after the finished pattern, but its
+            # keys additionally prune top-level remote-star / SERVICE
+            # fetches — pure transfer reduction, never a result change
+            values_hint=self._values_pushdown_hint(q.values_clause),
+        )
         if q.query_type != "select" and q.values_clause is not None:
             # trailing VALUES joins the FINISHED pattern for ASK /
             # CONSTRUCT / DESCRIBE too (§18.2.4.3 — after the whole
@@ -728,11 +737,40 @@ class SparqlEngine:
             u = u.union(b)
         return u
 
+    def _values_pushdown_hint(self, vb: "ValuesBlock | None") -> "BFrame | None":
+        """Trailing-VALUES columns with NO UNDEF cell, as a tiny frame
+        whose observed values can feed remote bound-join pushdown
+        (``_bound_key_conds`` / SERVICE VALUES batches).
+
+        Safety: a never-UNDEF column equi-joins the finished pattern,
+        so any top-level row whose var binds OUTSIDE the value list is
+        dropped by the trailing join anyway — pre-pruning the remote
+        fetch to the list removes only those rows. UNDEF-bearing
+        columns are wildcards (§10.2) and are EXCLUDED here, the same
+        guard ``_bound_key_conds`` applies via ``maybe_null``. The
+        hint feeds ONLY the top-level group: inside OPTIONAL/MINUS a
+        dropped fetch row changes padding/removal semantics."""
+        if vb is None:
+            return None
+        keep = [
+            i
+            for i, _ in enumerate(vb.variables)
+            if all(row[i] is not None for row in vb.rows)
+        ]
+        if not keep:
+            return None
+        block = ValuesBlock(
+            variables=[vb.variables[i] for i in keep],
+            rows=[tuple(row[i] for i in keep) for row in vb.rows],
+        )
+        return self._values(block)
+
     def _group(
         self,
         g: Group,
         key_hint: BFrame | None = None,
         source_filter: "str | set | None" = None,
+        values_hint: BFrame | None = None,
     ) -> BFrame:
         triples = [e for e in g.elements if isinstance(e, Triple)]
         var_pred = [t for t in triples if t.p.is_var]
@@ -883,11 +921,12 @@ class SparqlEngine:
                             pass  # applied in the final filter pass
         for plan in remote_star_plans:
             conds = {v: list(cs) for v, cs in remote_conds.items()}
-            # bound-join key sources: this group's own build frame, and
-            # the OUTER frame when this group hangs off one (OPTIONAL /
+            # bound-join key sources: this group's own build frame, the
+            # OUTER frame when this group hangs off one (OPTIONAL /
             # MINUS / EXISTS — NestedHashOptionalFilter posture: rows
-            # that can't match the outer keys can't affect the result)
-            for build in (bf, key_hint):
+            # that can't match the outer keys can't affect the result),
+            # and the trailing-VALUES hint (never-UNDEF columns only)
+            for build in (bf, key_hint, values_hint):
                 if build is None:
                     continue
                 for v, cs in self._bound_key_conds(
@@ -897,7 +936,7 @@ class SparqlEngine:
             f = compile_star(self.spark, self.catalog, plan, conds)
             bf = f if bf is None else bf.join(f, "inner")
         for sb in services:
-            svc = self._service(sb, bf)
+            svc = self._service(sb, bf, values_hint)
             bf = svc if bf is None else bf.join(svc)
         # UNDEF-bearing VALUES join AFTER the remote-star/SERVICE
         # frames (round-8 review fix: joining the NULL-encoded frame
@@ -1073,7 +1112,12 @@ class SparqlEngine:
         )
         return BFrame(probe, {})
 
-    def _service(self, sb: ServiceBlock, build: BFrame | None = None) -> BFrame:
+    def _service(
+        self,
+        sb: ServiceBlock,
+        build: BFrame | None = None,
+        values_hint: BFrame | None = None,
+    ) -> BFrame:
         """SERVICE <endpoint> { pattern }: ship the pattern as SPARQL
         text (the reference's mediator↔wrapper contract — SPARQL in,
         bindings out; ``Tree.getInfoIO:219-257``), pull bindings back
@@ -1131,15 +1175,29 @@ class SparqlEngine:
 
         max_keys = 100_000
         queries = [text]
-        shared = sorted(set(variables) & (build.variables if build else set()))
         # bound-join pushdown must use a var that is never unbound on
         # the build side: a maybe_null var's NULL rows join as §10.2
         # wildcards against EVERY remote binding, so batching only the
         # observed bound keys would under-fetch. All shared vars
         # flagged → no pushdown (unfiltered fetch, still correct).
-        shared = [v for v in shared if v not in build.maybe_null] if shared else []
+        # Key sources in preference order: the local joined frame
+        # (usually the tighter set), else the trailing-VALUES hint
+        # (round-9 — its columns are never-UNDEF by construction).
+        shared, skey = [], None
+        for src in (build, values_hint):
+            if src is None:
+                continue
+            cand = sorted(
+                v
+                for v in set(variables) & src.variables
+                if v not in src.maybe_null
+            )
+            if cand:
+                shared, skey = cand, src
+                break
         if shared:
             v = shared[0]
+            build = skey  # the frame the keys collect from
             # NULLs filtered BEFORE the limit so they can't mask the
             # max_keys+1 overflow sentinel (round-5 review fix)
             mdf = build.materialize(v).df

@@ -201,10 +201,12 @@ class Parser:
             # appended into the WHERE group, so an ASK whose trailing
             # VALUES constrained an OPTIONAL-bound variable could
             # force-bind it and answer differently from SELECT.
-            # Deliberate trade: trailing VALUES keys therefore do NOT
-            # feed SERVICE/wrapper bound-join pushdown — write the
-            # VALUES inline inside WHERE (the idiomatic form) when
-            # pushdown matters.
+            # Round-9: never-UNDEF trailing-VALUES columns DO feed
+            # SERVICE/wrapper bound-join pushdown again (the compiler
+            # threads them as a key hint into the top-level group —
+            # _values_pushdown_hint) while the join itself still
+            # applies after the finished pattern; UNDEF-bearing
+            # columns are §10.2 wildcards and never push.
             self.next()
             q.values_clause = self._values()
         if self.peek().type != "EOF":

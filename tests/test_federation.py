@@ -817,3 +817,98 @@ def test_hint_template_pruning_drops_unjoinable_remote_fetch(spark, sf_small):
 
     assert canon(rows) == canon(local)
     assert rows and all(r["bal"] is not None for r in rows)
+
+
+def test_trailing_values_feeds_service_pushdown(spark, sf_small):
+    """Round-9 (lifting the parser's documented trade): a trailing
+    W3C VALUES clause with never-UNDEF columns feeds SERVICE bound-join
+    pushdown — the endpoint sees VALUES batches of the clause's keys —
+    while join semantics stay the finished-pattern join (results
+    unchanged)."""
+    cat = tpch_catalog(sf_small)
+    reg = {f"{EX}region/{r['r_regionkey']}": r["r_name"]
+           for r in table(spark, sf_small, "region").collect()}
+    queries = []
+
+    def endpoint(query: str):
+        queries.append(query)
+        import re
+        m = re.search(r"VALUES \?r \{ ([^}]*)\}", query)
+        wanted = re.findall(r"<([^>]+)>", m.group(1)) if m else list(reg)
+        return [{"r": u, "rname": reg[u]} for u in wanted if u in reg]
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://remote.example/sparql": endpoint}
+    )
+    two = sorted(reg)[:2]
+    df = eng.query(
+        PFX
+        + """SELECT ?r ?rname WHERE {
+              SERVICE <http://remote.example/sparql> { ?r ex:name ?rname } }
+           VALUES ?r { <%s> <%s> }""" % (two[0], two[1])
+    )
+    rows = {(r["r"], r["rname"]) for r in df.collect()}
+    assert rows == {(u, reg[u]) for u in two}
+    # the endpoint received ONLY the two trailing-VALUES keys
+    assert queries and all("VALUES ?r {" in q for q in queries)
+    import re as _re
+    shipped = {
+        u for q in queries for u in _re.findall(r"<([^>]+region[^>]+)>", q)
+    }
+    assert shipped == set(two)
+
+
+def test_trailing_values_undef_column_never_pushes(spark, sf_small):
+    """An UNDEF-bearing trailing-VALUES column is a §10.2 wildcard —
+    it must NOT prune the SERVICE fetch (the unfiltered query ships),
+    and the wildcard row joins every remote binding."""
+    cat = tpch_catalog(sf_small)
+    reg = {f"{EX}region/{r['r_regionkey']}": r["r_name"]
+           for r in table(spark, sf_small, "region").collect()}
+    queries = []
+
+    def endpoint(query: str):
+        queries.append(query)
+        assert "VALUES" not in query  # wildcard column: no batches
+        return [{"r": u, "rname": n} for u, n in reg.items()]
+
+    eng = SparqlEngine(
+        spark, cat, service_executors={"http://remote.example/sparql": endpoint}
+    )
+    one = sorted(reg)[0]
+    df = eng.query(
+        PFX
+        + """SELECT ?r ?rname WHERE {
+              SERVICE <http://remote.example/sparql> { ?r ex:name ?rname } }
+           VALUES ?r { <%s> UNDEF }""" % one
+    )
+    assert df.count() == len(reg) + 1  # wildcard row matches all + the key
+
+
+def test_trailing_values_feeds_sql_star_in_list(spark, sf_small):
+    """Trailing VALUES on a reference-bound var of a remote SQL star
+    lands in the translated WHERE as an IN-list (bound-join pushdown
+    through _bound_key_conds), with unchanged results."""
+    from ontario_spark.catalog.tpch_rdf import tpch_federated_catalog
+
+    cat = tpch_federated_catalog(sf_small)
+    captured = []
+    orig = cat.executors["remote_sql"]
+
+    def spy(sql):
+        captured.append(sql)
+        return orig(sql)
+
+    cat.executors["remote_sql"] = spy
+    eng = SparqlEngine(spark, cat)
+    df = eng.query(
+        PFX
+        + """SELECT ?c ?seg WHERE {
+              ?c a ex:Customer ; ex:mktsegment ?seg . }
+           VALUES ?seg { "BUILDING" "MACHINERY" }"""
+    )
+    out = {r["seg"] for r in df.collect()}
+    assert out == {"BUILDING", "MACHINERY"}
+    assert captured and any(
+        "IN ('BUILDING', 'MACHINERY')" in q for q in captured
+    ), captured
