@@ -7,8 +7,11 @@ Interpretation: data grows 10×, the box stays local[32] — so ~10× time
 is per-core-linear scaling (perfect would need 10× the cores), < 10×
 means fixed overheads still dominate at this size, and >> 10× flags a
 superlinear operator (quadratic candidate generation, a hot task, a
-driver bottleneck). Results land in ``SCALE_PROBE.json``; SCALE.md
-carries the table.
+driver bottleneck). Every row records BOTH collect() and count-only
+timings (``*_count_sec`` / ``count_ratio``): when the two ratios
+diverge the growth is result-set serialization to the driver, not the
+distributed plan — compare ``count_ratio`` for plan health. Results
+land in ``SCALE_PROBE.json``; SCALE.md carries the table.
 
 Usage: python tools/run_scale_probe.py [probe_dir] [q1,q2,...] [scaleA,scaleB]
 
@@ -111,19 +114,34 @@ def main() -> None:
         rec: dict[str, float | int | str | None] = {}
         for scale in scales:
             spark.catalog.clearCache()
-            best, nrows = float("inf"), -1
+            best, best_cnt, nrows = float("inf"), float("inf"), -1
             try:
                 for _ in range(2):  # best-of-2, like bench.py
                     t0 = time.perf_counter()
                     nrows = len(queries[name](spark, f"{BASE}/{scale}").collect())
                     best = min(best, time.perf_counter() - t0)
+                # count-only variant BY DEFAULT (round-9 VERDICT: the
+                # EXISTS probe decomposed collect-vs-plan cost by hand;
+                # every row now records both, so a collect-dominated
+                # ratio — millions of rows serialized to the driver —
+                # can't read as a plan regression)
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[name](spark, f"{BASE}/{scale}").count()
+                    best_cnt = min(best_cnt, time.perf_counter() - t0)
                 rec[f"{scale}_sec"] = round(best, 3)
+                rec[f"{scale}_count_sec"] = round(best_cnt, 3)
                 rec[f"{scale}_rows"] = nrows
             except Exception as ex:  # record, keep probing the rest
                 rec[f"{scale}_err"] = f"{type(ex).__name__}: {ex}"[:200]
         a, b = f"{scales[0]}_sec", f"{scales[1]}_sec"
         if a in rec and b in rec:
             rec["ratio"] = round(rec[b] / max(rec[a], 1e-9), 2)
+            rec["count_ratio"] = round(
+                rec[f"{scales[1]}_count_sec"]
+                / max(rec[f"{scales[0]}_count_sec"], 1e-9),
+                2,
+            )
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
 
