@@ -83,7 +83,9 @@ class ExprCompiler:
         # exists_col(node) -> boolean Column for an expression-position
         # ExistsExpr — the engine supplies it after attaching one mark
         # column per node (query.py _mark_exists); None in contexts
-        # that cannot evaluate pattern marks (HAVING, ORDER BY, ...).
+        # that cannot evaluate pattern marks (ORDER BY, SERVICE-local
+        # filters, ...). HAVING supplies marks computed over the
+        # grouped solutions (round-9).
         self.exists_col = exists_col
 
     def _exists(self, e: ExistsExpr) -> Column:

@@ -187,11 +187,25 @@ def _prune_by_hint(plan, hint: "BFrame") -> None:
     m = hint.meta[s.value]
     if m.kind != KEYED:
         return
+    # Round-9 ADVICE fix: the join path supports CROSS-shape matches
+    # via lexical comparison (different skeletons can format equal
+    # URIs — ``…/e/{k}`` with k='12' equals ``…/e/1{k}`` with k='2'),
+    # so an alternative is pruned only when its skeleton PROVABLY
+    # cannot overlap the hint's: the literal prefixes before each
+    # skeleton's first key slot must diverge (neither a prefix of the
+    # other — then no URI can match both). Same-shape templates are
+    # prefix-equal and always survive.
+    hp = m.template.shape_key().split("{}", 1)[0]
+
+    def may_overlap(tpl) -> bool:
+        ap = tpl.shape_key().split("{}", 1)[0]
+        return ap.startswith(hp) or hp.startswith(ap)
+
     idx = [
         i
         for i, alt in enumerate(plan.alternatives)
         if alt[0].subject.kind != "template"
-        or alt[0].subject.template.same_shape(m.template)
+        or may_overlap(alt[0].subject.template)
     ]
     if idx and len(idx) < len(plan.alternatives):
         _keep(plan, idx)
@@ -1856,13 +1870,29 @@ class SparqlEngine:
                 | {s.var for s in computed},
             )
             if having is not None:
+                # [NOT] EXISTS in HAVING (§17.4.1.4; round-9 ADVICE):
+                # marks compute over the GROUPED solutions — group
+                # keys are ordinary variables, so correlation via a
+                # shared key var works exactly like row-level EXISTS
+                ex_nodes = collect_exists_exprs(having)
+                ex_cols: dict[int, str] = {}
+                if ex_nodes:
+                    bf, ex_cols = self._mark_exists(bf, ex_nodes)
                 hdt = dict(bf.df.dtypes)
                 hvc = ExprCompiler(
-                    lambda v: F.col(v), hdt.get, has_col=lambda c: c in hdt
+                    lambda v: F.col(v),
+                    hdt.get,
+                    has_col=lambda c: c in hdt,
+                    exists_col=(
+                        (lambda node: F.col(ex_cols[id(node)]))
+                        if ex_cols
+                        else None
+                    ),
                 )
-                bf = BFrame(
-                    bf.df.filter(hvc.boolean(having)), bf.meta, bf.maybe_null
-                )
+                fdf = bf.df.filter(hvc.boolean(having))
+                if ex_cols:
+                    fdf = fdf.drop("__exk", *ex_cols.values())
+                bf = BFrame(fdf, bf.meta, bf.maybe_null)
             if trailing is not None:
                 # §18.2.4.3: ValuesClause joins the grouped/HAVING-
                 # filtered solutions (shared vars equi-join; none

@@ -314,3 +314,109 @@ def test_keep_allowed_syncs_alt_groups(tmp_path):
     kept = dict(zip([frozenset(n) for n in names], plan.alt_groups))
     if frozenset({"PersonMap"}) in kept and frozenset({"BookMap"}) in kept:
         assert kept[frozenset({"PersonMap"})] != kept[frozenset({"BookMap"})]
+
+
+def test_hint_pruning_keeps_overlapping_template_shapes(tmp_path, spark):
+    """Round-9 ADVICE: different template skeletons can format EQUAL
+    URIs (res/{id} with id='12' == res/1{id} with id='2'), and the
+    join path finds those matches lexically — so hint-template pruning
+    inside an OPTIONAL must keep alternatives whose skeleton prefix
+    may overlap the outer template's, pruning only provably-disjoint
+    ones."""
+    from ontario_spark.compiler.query import SparqlEngine
+
+    cat = Catalog()
+    lake = _lake(
+        tmp_path,
+        {
+            "main": {"id": ["12", "3"], "name": ["a", "b"]},
+            "scores_same": {"id": ["3"], "score": [7]},
+            "scores_alt": {"id": ["2"], "score": [99]},
+        },
+    )
+    cat.add(
+        lake,
+        TripleMap(
+            name="MainMap",
+            source=LogicalSource(table="main"),
+            subject=tpl(EX + "res/{id}"),
+            subject_class=EX + "Main",
+            predicates=((EX + "name", ref("name")),),
+        ),
+        TripleMap(
+            name="SameScoreMap",
+            source=LogicalSource(table="scores_same"),
+            subject=tpl(EX + "res/{id}"),
+            subject_class=None,
+            predicates=((EX + "score", ref("score")),),
+        ),
+        TripleMap(
+            name="AltScoreMap",
+            source=LogicalSource(table="scores_alt"),
+            # OVERLAPPING skeleton: res/1{id} formats res/12 for id=2
+            subject=tpl(EX + "res/1{id}"),
+            subject_class=None,
+            predicates=((EX + "score", ref("score")),),
+        ),
+    )
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?x ?name ?sc WHERE {
+              ?x a ex:Main ; ex:name ?name .
+              OPTIONAL { ?x ex:score ?sc } }"""
+    )
+    rows = {(r["x"], r["name"], r["sc"]) for r in df.collect()}
+    assert rows == {
+        (EX + "res/12", "a", 99),  # cross-shape lexical match survives
+        (EX + "res/3", "b", 7),
+    }
+
+
+def test_hint_pruning_still_prunes_disjoint_templates(tmp_path, spark):
+    """The disjoint-prefix case (customer/{k} vs supplier/{k}) must
+    still prune — results identical either way; this guards the
+    optimization's soundness, the plan effect is covered by the
+    trisource suite."""
+    from ontario_spark.compiler.query import SparqlEngine
+
+    cat = Catalog()
+    lake = _lake(
+        tmp_path,
+        {
+            "main": {"id": ["1"], "name": ["a"]},
+            "sc_c": {"id": ["1"], "score": [5]},
+            "sc_s": {"id": ["1"], "score": [6]},
+        },
+    )
+    cat.add(
+        lake,
+        TripleMap(
+            name="MainMap",
+            source=LogicalSource(table="main"),
+            subject=tpl(EX + "customer/{id}"),
+            subject_class=EX + "Main",
+            predicates=((EX + "name", ref("name")),),
+        ),
+        TripleMap(
+            name="CScore",
+            source=LogicalSource(table="sc_c"),
+            subject=tpl(EX + "customer/{id}"),
+            subject_class=None,
+            predicates=((EX + "score", ref("score")),),
+        ),
+        TripleMap(
+            name="SScore",
+            source=LogicalSource(table="sc_s"),
+            subject=tpl(EX + "supplier/{id}"),
+            subject_class=None,
+            predicates=((EX + "score", ref("score")),),
+        ),
+    )
+    df = SparqlEngine(spark, cat).query(
+        PFX
+        + """SELECT ?x ?sc WHERE {
+              ?x a ex:Main ; ex:name ?name .
+              OPTIONAL { ?x ex:score ?sc } }"""
+    )
+    rows = {(r["x"], r["sc"]) for r in df.collect()}
+    assert rows == {(EX + "customer/1", 5)}

@@ -2167,6 +2167,44 @@ def test_exists_only_optional_condition_is_hoisted(engine, sf_small):
     )
 
 
+def test_exists_in_having(engine, sf_small):
+    """[NOT] EXISTS inside a HAVING constraint (§17.4.1.4 allows
+    EXISTS in any constraint position; round-9 ADVICE — this used to
+    fail with a generic 'not supported in this expression position').
+    The mark computes over the GROUPED solutions, correlated on the
+    group-key variable."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg .
+           } GROUP BY ?seg
+           HAVING (EXISTS { ?x ex:mktsegment ?seg ; ex:acctbal ?b .
+                            FILTER (?b > 9500.0) }
+                   && COUNT(?c) > 1)""",
+        """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+           WHERE c_mktsegment IN (SELECT c_mktsegment FROM customer
+                                  WHERE c_acctbal > 9500.0)
+           GROUP BY c_mktsegment HAVING COUNT(*) > 1""",
+        "exists_in_having",
+    )
+    # NOT EXISTS polarity
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg .
+           } GROUP BY ?seg
+           HAVING (NOT EXISTS { ?x ex:mktsegment ?seg ; ex:acctbal ?b .
+                                FILTER (?b > 9500.0) })""",
+        """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer
+           WHERE c_mktsegment NOT IN (SELECT c_mktsegment FROM customer
+                                      WHERE c_acctbal > 9500.0)
+           GROUP BY c_mktsegment""",
+        "not_exists_in_having",
+    )
+
+
 def test_exists_in_service_filter_refuses(spark, sf_small):
     """EXISTS inside a SERVICE block's FILTER would evaluate its
     pattern against the local catalog (the wrong dataset) — the
