@@ -1810,7 +1810,18 @@ class SparqlEngine:
                 else:
                     post.append((s.var, hoist_sel(s.expr)))
             if not aggs and not post:
-                raise QueryCompileError("GROUP BY without aggregates")
+                # Key-only projection (SELECT ?k ... GROUP BY ?k) is
+                # legal SPARQL (§18.2.4 — round-9): the grouped frame
+                # IS the answer (one row per key; the placeholder
+                # count below satisfies Spark's agg() and the final
+                # projection drops it). Projecting a var that is
+                # NEITHER a key nor an aggregate stays an error.
+                bad = [v for v in proj_vars if v not in q.group_by]
+                if bad:
+                    raise QueryCompileError(
+                        "GROUP BY: non-aggregate projected variable(s) "
+                        f"{bad} are not group keys (§18.2.4)"
+                    )
             # ORDER BY may contain aggregates (ORDER BY DESC(COUNT(?x)))
             # — hoist them into __sN agg columns too and sort on the
             # rewritten expression; the extra columns ride to the sort

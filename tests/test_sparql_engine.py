@@ -2205,6 +2205,47 @@ def test_exists_in_having(engine, sf_small):
     )
 
 
+def test_group_by_key_only_projection(engine, sf_small):
+    """SELECT ?k ... GROUP BY ?k with no aggregate is legal SPARQL
+    (§18.2.4; round-9 — previously refused): one row per key, and
+    HAVING with only an EXISTS mark still applies. A projected var
+    that is neither key nor aggregate stays a compile error."""
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg .
+           } GROUP BY ?seg ORDER BY ?seg""",
+        """SELECT c_mktsegment AS seg FROM customer
+           WHERE c_mktsegment IS NOT NULL
+           GROUP BY c_mktsegment ORDER BY seg""",
+        "group_by_key_only",
+    )
+    check(
+        engine,
+        sf_small,
+        """SELECT ?seg WHERE {
+             ?c a ex:Customer ; ex:mktsegment ?seg .
+           } GROUP BY ?seg
+           HAVING (NOT EXISTS { ?x ex:mktsegment ?seg ; ex:acctbal ?b .
+                                FILTER (?b > 9500.0) })""",
+        """SELECT c_mktsegment AS seg FROM customer
+           WHERE c_mktsegment NOT IN (SELECT c_mktsegment FROM customer
+                                      WHERE c_acctbal > 9500.0)
+           GROUP BY c_mktsegment""",
+        "group_by_key_only_having_exists",
+    )
+    from ontario_spark.compiler.query import QueryCompileError
+
+    with pytest.raises(QueryCompileError, match="not group keys"):
+        engine.query(
+            PFX
+            + """SELECT ?name WHERE {
+                  ?c a ex:Customer ; ex:name ?name ; ex:mktsegment ?seg .
+                } GROUP BY ?seg"""
+        )
+
+
 def test_exists_in_service_filter_refuses(spark, sf_small):
     """EXISTS inside a SERVICE block's FILTER would evaluate its
     pattern against the local catalog (the wrong dataset) — the
