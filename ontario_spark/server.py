@@ -7,10 +7,11 @@
 Stdlib-only (no Flask in this environment): a ThreadingHTTPServer over
 one shared SparkSession/engine. BOTH modes stream from
 ``toLocalIterator()`` — non-blocking holds the iterator per query id
-(one binding per /nextresult call); blocking (round-5) streams the
-rows straight into a chunked HTTP response — so the driver never
-materializes a full result set in either mode, the Spark analogue of
-the reference's queue-parking with bounded memory for large results.
+(one binding — or, under a W3C ?format=, one document fragment — per
+/nextresult call); blocking (round-5) streams the rows straight into
+a chunked HTTP response — so the driver never materializes a full
+result set in either mode, the Spark analogue of the reference's
+queue-parking with bounded memory for large results.
 """
 
 from __future__ import annotations
@@ -34,17 +35,18 @@ _ACCEPT_FORMATS = {
     # legacy shape was being served under the W3C label)
     "application/sparql-results+json": "srj",
     "application/json": "json",
-    # graph serialization — only offered for CONSTRUCT/DESCRIBE
-    # (``_FORM_FORMATS``); an N-Triples Accept on a SELECT/ASK simply
-    # doesn't match and the request keeps its default
+    # graph serializations — only offered for CONSTRUCT/DESCRIBE
+    # (``_FORM_FORMATS``); an N-Triples/Turtle Accept on a SELECT/ASK
+    # simply doesn't match and the request keeps its default
     "application/n-triples": "nt",
+    "text/turtle": "ttl",
 }
 
 # tie-break when ONE wildcard range matches several formats (same q,
 # same specificity, same position): server preference — legacy json
 # default first (so ``Accept: */*`` keeps the historical response),
 # then the W3C serializations
-_FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv", "nt"]
+_FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv", "nt", "ttl"]
 
 # which formats each query form can serve (round-9 advice: per-form
 # result documents). ASK has no csv/tsv document; graph forms
@@ -56,8 +58,8 @@ _FORMAT_PREF = ["json", "srj", "xml", "csv", "tsv", "nt"]
 _FORM_FORMATS = {
     "select": frozenset(("json", "srj", "csv", "tsv", "xml")),
     "ask": frozenset(("json", "srj", "xml")),
-    "construct": frozenset(("json", "srj", "csv", "tsv", "xml", "nt")),
-    "describe": frozenset(("json", "srj", "csv", "tsv", "xml", "nt")),
+    "construct": frozenset(("json", "srj", "csv", "tsv", "xml", "nt", "ttl")),
+    "describe": frozenset(("json", "srj", "csv", "tsv", "xml", "nt", "ttl")),
 }
 
 # drift guards (round-8 review): a format reachable through Accept
@@ -190,6 +192,26 @@ class SparqlHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _reply_raw(
+                self, text: str, ctype: str, ended: bool
+            ) -> None:
+                """One /nextresult fragment of a W3C result document.
+                The raw formats (csv/tsv, and fragments of srj/xml)
+                have no in-band end-of-stream channel the way the
+                legacy ``{"result": "EOF"}`` shape does, so the
+                terminal pop is signalled out-of-band with the
+                ``X-Stream-End: true`` header (body = the document's
+                closing fragment, possibly empty)."""
+                body = text.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header(
+                    "X-Stream-End", "true" if ended else "false"
+                )
+                self.end_headers()
+                self.wfile.write(body)
+
             def _reply_chunked(
                 self, chunks, ctype: str = "application/json",
                 err_terminator: "str | None" = None,
@@ -289,7 +311,12 @@ class SparqlHTTPServer:
                             chunks, ctype, err_term = out
                             self._reply_chunked(chunks, ctype, err_term)
                     elif path == "/nextresult":
-                        self._reply(200, outer._nextresult(q))
+                        out = outer._nextresult(q)
+                        if isinstance(out, dict):  # legacy json shape
+                            self._reply(200, out)
+                        else:  # W3C document fragment
+                            frag, ctype, ended = out
+                            self._reply_raw(frag, ctype, ended)
                     else:
                         self._reply(404, {"error": f"no route {path}"})
                 except Exception as ex:
@@ -335,33 +362,15 @@ class SparqlHTTPServer:
             default_graph_uris=q.get("default-graph-uri"),
             named_graph_uris=q.get("named-graph-uri"),
         )
-        if (q.get("mode") or ["blocking"])[0] == "non-blocking":
-            qid = uuid.uuid4().hex
-            with self._lock:
-                # bound driver state: a client that abandons a qid
-                # without draining to EOF would otherwise leak its
-                # iterator forever; evict LEAST-RECENTLY-TOUCHED past
-                # the cap (every /nextresult refreshes recency, so an
-                # actively-draining client is never killed mid-result
-                # unless all 64 slots are actively draining)
-                while len(self._pending) >= self.MAX_PENDING:
-                    self._pending.pop(next(iter(self._pending)))
-                self._pending[qid] = {
-                    "vars": df.columns,
-                    "it": df.toLocalIterator(),
-                    "qlock": threading.Lock(),
-                }
-            return {"qid": qid, "vars": df.columns}
-        # Blocking mode: result format via ?format= (json default; the
-        # three other W3C serializations stream through the same
-        # bounded-memory chunked path).
+        # Result format via ?format= (json default; negotiation filled
+        # q["format"] from Accept). Validated up front so BOTH modes
+        # get the same per-query-form refusals (negotiation never
+        # picks these — _FORM_FORMATS filters them out).
         fmt = (q.get("format") or ["json"])[0]
         if fmt not in sinks.RESULT_MIME:
             raise ValueError(
                 f"unknown format {fmt!r} (one of {sorted(sinks.RESULT_MIME)})"
             )
-        # per-query-form refusals for explicit ?format= (negotiation
-        # never picks these — _FORM_FORMATS filters them out)
         if form == "ask" and fmt in sinks.ASK_UNSUPPORTED:
             raise ValueError(
                 f"ASK has no {fmt} result document; use srj, xml, or json"
@@ -372,34 +381,65 @@ class SparqlHTTPServer:
             raise ValueError(
                 f"{fmt} is a graph serialization; query form is {form}"
             )
+        nonblocking = (q.get("mode") or ["blocking"])[0] == "non-blocking"
+        if nonblocking and fmt == "json":
+            # legacy protocol: one binding dict per /nextresult call
+            return self._park(
+                {
+                    "vars": df.columns,
+                    "it": df.toLocalIterator(),
+                    "qlock": threading.Lock(),
+                },
+                df.columns,
+                fmt,
+            )
+        # W3C document streams — ONE construction shared by blocking
+        # (chunked response) and non-blocking (/nextresult pops one
+        # fragment per call; round-9: format parity for /nextresult).
         if form == "ask" and fmt in sinks.BOOLEAN_SERIALIZERS:
             # the 1-row ask frame evaluates BEFORE headers go out, so
             # execution errors still surface as a clean 400
             value = bool(df.first()["ask"])
-            return (
-                sinks.BOOLEAN_SERIALIZERS[fmt](value),
-                sinks.RESULT_MIME[fmt],
-                None,
-            )
-        if fmt in sinks.GRAPH_SERIALIZERS:
+            chunks: "object" = sinks.BOOLEAN_SERIALIZERS[fmt](value)
+            err_term = None
+        elif fmt in sinks.GRAPH_SERIALIZERS:
             ndf = sinks.ntriples(df)  # JVM-side triple formatting
-            return (
-                sinks.GRAPH_SERIALIZERS[fmt](ndf.toLocalIterator()),
-                sinks.RESULT_MIME[fmt],
-                None,
+            chunks = sinks.GRAPH_SERIALIZERS[fmt](ndf.toLocalIterator())
+            err_term = None
+        elif fmt == "json":
+            chunks = self._blocking_chunks(df, t0)
+            err_term = self._ERR_TERMINATORS["json"]
+        else:
+            ser = sinks.RESULT_SERIALIZERS[fmt]  # shared table, no drift
+            chunks = ser(df.toLocalIterator(), df.columns)
+            err_term = self._ERR_TERMINATORS.get(fmt)
+        if nonblocking:
+            return self._park(
+                {
+                    "gen": chunks,
+                    "mime": sinks.RESULT_MIME[fmt],
+                    "qlock": threading.Lock(),
+                },
+                df.columns,
+                fmt,
             )
-        if fmt == "json":
-            return (
-                self._blocking_chunks(df, t0),
-                sinks.RESULT_MIME["json"],
-                self._ERR_TERMINATORS["json"],
-            )
-        ser = sinks.RESULT_SERIALIZERS[fmt]  # shared table, no drift
-        return (
-            ser(df.toLocalIterator(), df.columns),
-            sinks.RESULT_MIME[fmt],
-            self._ERR_TERMINATORS.get(fmt),
-        )
+        return (chunks, sinks.RESULT_MIME[fmt], err_term)
+
+    def _park(self, entry: dict, cols: list, fmt: str) -> dict:
+        """Store a non-blocking query's iterator/generator under a
+        fresh qid and return the handshake payload."""
+        qid = uuid.uuid4().hex
+        with self._lock:
+            # bound driver state: a client that abandons a qid
+            # without draining to EOF would otherwise leak its
+            # iterator forever; evict LEAST-RECENTLY-TOUCHED past
+            # the cap (every /nextresult refreshes recency, so an
+            # actively-draining client is never killed mid-result
+            # unless all 64 slots are actively draining)
+            while len(self._pending) >= self.MAX_PENDING:
+                self._pending.pop(next(iter(self._pending)))
+            self._pending[qid] = entry
+        return {"qid": qid, "vars": cols, "format": fmt}
 
     def _blocking_chunks(self, df, t0: float):
         """Blocking-mode body as a stream of JSON fragments: same
@@ -426,7 +466,11 @@ class SparqlHTTPServer:
             n,
         )
 
-    def _nextresult(self, q: dict) -> dict:
+    def _nextresult(self, q: dict):
+        """Legacy json entries → one binding dict per call (``{"result":
+        "EOF"}`` at end). W3C-format entries (round-9 parity) → one
+        document fragment per call as ``(fragment, mime, ended)``; the
+        terminal pop carries the closing fragment with ended=True."""
         qid = (q.get("qid") or [""])[0]
         with self._lock:
             entry = self._pending.get(qid)
@@ -437,6 +481,22 @@ class SparqlHTTPServer:
         # per-query lock: ThreadingHTTPServer serves each request on
         # its own thread, and next() on a shared generator from two
         # threads raises "generator already executing"
+        if "gen" in entry:
+            try:
+                with entry["qlock"]:
+                    frag = next(entry["gen"])
+            except StopIteration:
+                with self._lock:
+                    self._pending.pop(qid, None)
+                return ("", entry["mime"], True)
+            except Exception:
+                # a mid-stream execution error (lazy cast, dead
+                # SERVICE) kills the stream; drop the qid so the slot
+                # is reclaimed, surface the error as this call's 400
+                with self._lock:
+                    self._pending.pop(qid, None)
+                raise
+            return (frag, entry["mime"], False)
         try:
             with entry["qlock"]:
                 row = next(entry["it"])

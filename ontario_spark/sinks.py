@@ -235,6 +235,17 @@ def ntriples_chunks(rows):
         yield row["ntriple"] + "\n"
 
 
+def turtle_chunks(rows):
+    """``text/turtle`` serialization (round 9): N-Triples is a subset
+    of Turtle, so the canonical line-per-triple form IS a conformant
+    Turtle document — served under the Turtle media type for clients
+    that negotiate it (the most common graph Accept in the wild). No
+    prefix compaction: streaming chunk-by-chunk forbids a second pass
+    to discover namespaces, and absolute IRIs round-trip exactly."""
+    for row in rows:
+        yield row["ntriple"] + "\n"
+
+
 RESULT_MIME = {
     # legacy engine response shape ({"vars", "result", ...} — the
     # reference's Flask body, app/query.py:147): NOT the W3C document,
@@ -245,8 +256,9 @@ RESULT_MIME = {
     "csv": "text/csv; charset=utf-8",
     "tsv": "text/tab-separated-values; charset=utf-8",
     "xml": "application/sparql-results+xml",
-    # graph serialization (CONSTRUCT / DESCRIBE only)
+    # graph serializations (CONSTRUCT / DESCRIBE only)
     "nt": "application/n-triples",
+    "ttl": "text/turtle",
 }
 
 # ONE shared format→serializer table for every consumer (HTTP server
@@ -275,6 +287,7 @@ BOOLEAN_SERIALIZERS = {
 }
 GRAPH_SERIALIZERS = {
     "nt": ntriples_chunks,
+    "ttl": turtle_chunks,
 }
 
 # bindings formats that have NO defined boolean (ASK) document —

@@ -671,3 +671,131 @@ def test_protocol_default_graph_uri_param(spark, sf_small):
         assert scoped["totalRows"] == 0  # customers live on the remote member
     finally:
         srv.stop()
+
+
+# --- /nextresult W3C-format parity (round 9) ---------------------------
+
+
+def _next_frag(base: str, qid: str):
+    """One /nextresult pop of a W3C-format stream → (fragment,
+    content-type, ended)."""
+    with urlopen(f"{base}/nextresult?qid={qid}", timeout=120) as r:
+        return (
+            r.read().decode(),
+            r.headers.get("Content-Type"),
+            r.headers.get("X-Stream-End") == "true",
+        )
+
+
+def _drain_frags(base: str, qid: str, cap: int = 50):
+    frags, ctypes = [], set()
+    for _ in range(cap):
+        frag, ctype, ended = _next_frag(base, qid)
+        frags.append(frag)
+        ctypes.add(ctype)
+        if ended:
+            return "".join(frags), ctypes
+    raise AssertionError("stream never signalled X-Stream-End")
+
+
+def test_nextresult_srj_fragments(server):
+    """Non-blocking + format=srj: /nextresult pops W3C srj document
+    fragments; the concatenation is the exact bindings document the
+    blocking path serves (round-8 VERDICT item 8)."""
+    base = f"http://127.0.0.1:{server.port}"
+    out = _get(
+        f"{base}/sparql?"
+        + urlencode({"query": QUERY, "mode": "non-blocking", "format": "srj"})
+    )
+    assert out["format"] == "srj" and out["vars"] == ["c", "name"]
+    doc, ctypes = _drain_frags(base, out["qid"])
+    assert ctypes == {"application/sparql-results+json"}
+    parsed = json.loads(doc)
+    assert parsed["head"]["vars"] == ["c", "name"]
+    assert len(parsed["results"]["bindings"]) == 5
+    assert parsed["results"]["bindings"][0]["c"]["type"] == "uri"
+    # drained qid is forgotten
+    with pytest.raises(Exception):
+        _next_frag(base, out["qid"])
+
+
+def test_nextresult_csv_fragments(server):
+    base = f"http://127.0.0.1:{server.port}"
+    out = _get(
+        f"{base}/sparql?"
+        + urlencode({"query": QUERY, "mode": "non-blocking", "format": "csv"})
+    )
+    doc, ctypes = _drain_frags(base, out["qid"])
+    assert ctypes == {"text/csv; charset=utf-8"}
+    lines = doc.strip().split("\r\n")
+    assert lines[0] == "c,name" and len(lines) == 6
+
+
+def test_nextresult_accept_negotiated_srj(server):
+    """The Accept header picks the /nextresult fragment format the
+    same way it picks the blocking document."""
+    base = f"http://127.0.0.1:{server.port}"
+    req = Request(
+        f"{base}/sparql?" + urlencode({"query": QUERY, "mode": "non-blocking"}),
+        headers={"Accept": "application/sparql-results+json"},
+    )
+    with urlopen(req, timeout=120) as r:
+        out = json.loads(r.read().decode())
+    assert out["format"] == "srj"
+    doc, _ = _drain_frags(base, out["qid"])
+    assert json.loads(doc)["head"]["vars"] == ["c", "name"]
+
+
+def test_nextresult_ask_boolean_document(server):
+    """Non-blocking ASK under srj streams the W3C *boolean* document,
+    not a bindings document."""
+    base = f"http://127.0.0.1:{server.port}"
+    out = _get(
+        f"{base}/sparql?"
+        + urlencode(
+            {"query": ASK_QUERY, "mode": "non-blocking", "format": "srj"}
+        )
+    )
+    doc, _ = _drain_frags(base, out["qid"])
+    assert json.loads(doc) == {"head": {}, "boolean": True}
+
+
+def test_nextresult_legacy_default_unchanged(server):
+    """No format param + default Accept keeps the legacy one-binding-
+    per-call protocol (backwards compatibility)."""
+    base = f"http://127.0.0.1:{server.port}"
+    out = _get(
+        f"{base}/sparql?" + urlencode({"query": QUERY, "mode": "non-blocking"})
+    )
+    assert out.get("format", "json") == "json"
+    nxt = _get(f"{base}/nextresult?qid={out['qid']}")
+    assert nxt["result"] != "EOF" and "c" in nxt["result"]
+
+
+def test_construct_turtle_format_and_accept(server):
+    """text/turtle (round 9): ?format=ttl streams the canonical
+    line-per-triple form (N-Triples ⊂ Turtle) under the Turtle media
+    type, and Accept: text/turtle negotiates it; SELECT refuses it."""
+    q = urlencode({"query": CONSTRUCT_QUERY, "format": "ttl"})
+    ctype, body = _get_raw(f"http://127.0.0.1:{server.port}/sparql?{q}")
+    assert ctype.startswith("text/turtle")
+    lines = [ln for ln in body.split("\n") if ln]
+    assert lines and all(ln.endswith(" .") for ln in lines)
+
+    req = Request(
+        f"http://127.0.0.1:{server.port}/sparql?"
+        + urlencode({"query": CONSTRUCT_QUERY}),
+        headers={"Accept": "text/turtle"},
+    )
+    with urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type").startswith("text/turtle")
+        assert " <http://ex.org/hasName> " in r.read().decode()
+
+    with pytest.raises(Exception) as ex:
+        urlopen(
+            f"http://127.0.0.1:{server.port}/sparql?"
+            + urlencode({"query": QUERY, "format": "ttl"}),
+            timeout=120,
+        )
+    assert "400" in str(ex.value)
