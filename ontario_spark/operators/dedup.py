@@ -534,6 +534,57 @@ def contamination_overlap(
     ).filter(overlap >= threshold)
 
 
+def dup_gram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram statistics — the scalable,
+    set-free core of exact-substring dedup (the "dedup training data"
+    posture: a word n-gram occurring in ``min_docs``-or-more documents
+    marks a duplicated span). For each document with at least ``n``
+    tokens: the total n-gram POSITIONS (multiset, not set — a doc that
+    repeats a duplicated phrase is counted per occurrence), how many of
+    those positions carry a corpus-duplicated gram, and the fraction.
+    Downstream policies threshold ``dup_fraction`` to drop or trim.
+
+    Scale design: grams are hashed to xxhash64 immediately (8-byte
+    shuffle keys, never gram text). Two aggregations, both with
+    map-side partial combine: (gram, doc) → occurrence count first —
+    so a ubiquitous gram's rows collapse per-document BEFORE the
+    per-gram doc-frequency aggregate, bounding the skew any single
+    gram can produce at one row per document — then gram → doc
+    frequency. The join back is hash-long vs hash-long; AQE picks
+    broadcast when the duplicated-gram side is small. No all-pairs
+    step exists anywhere: cost is linear in total corpus positions.
+    Documents with fewer than ``n`` tokens emit no grams and are
+    omitted (they have no n-gram spans to dedup)."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    pos = exploded_shingles(df, id_col, text_col, n, distinct=False).select(
+        "id", F.xxhash64("shingle").alias("g")
+    )
+    per = pos.groupBy("g", "id").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = per.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_cnt = F.sum(
+        F.when(F.col("n_docs") >= min_docs, F.col("cnt")).otherwise(F.lit(0))
+    )
+    return (
+        per.join(freq, "g")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            dup_cnt.alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def keep_best(
     df: DataFrame,
     id_col: str,

@@ -376,6 +376,79 @@ def _corpus_cells(
     return result
 
 
+def seeded_cluster_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Deterministic seeded clustering — one Lloyd assignment step with
+    the ``k`` lowest-id vectors as seed centroids: every vector is
+    assigned to its highest-cosine seed (ties → lowest seed id). The
+    deterministic complement of the k-means IVF tier: semantic-domain
+    bucketing for corpus mixing where resumability and cross-engine
+    reproducibility matter more than centroid quality (re-running on
+    an appended corpus keeps every old assignment; k-means would move
+    all of them).
+
+    Scale design: the seeds are a bounded driver pull (``k`` rows via
+    TakeOrderedAndProject, no full sort), inlined into the plan as a
+    literal array — assignment is then a SINGLE narrow projection over
+    the corpus scan: per-row argmax across k in-plan centroids via
+    ``array_max`` over a ``transform`` lambda. No hash/range shuffle,
+    no window, no crossJoin row multiplication (the only exchange is
+    ``spread()``'s round-robin fan-out of small local fixtures, absent
+    on a real multi-partition scan) — at 100 TB the stage count is the
+    scan itself, and whole-stage codegen keeps the k×dim multiply-adds
+    JVM-side."""
+    seeds = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("cid"),
+            _dvec(F.col(vec_col)).alias("sv"),
+        )
+        .orderBy("cid")
+        .limit(k)
+        .collect()
+    )
+    seed_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cid"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["sv"]]).alias("sv"),
+            )
+            for r in seeds
+        ]
+    )
+    # full cosine inside the lambda (seed norms re-derived with the
+    # same sqrt(dot()) expression shape the oracle uses, so scores stay
+    # bit-comparable); struct ordering = (score desc via max, then
+    # smaller cid via the negated field)
+    best = F.array_max(
+        F.transform(
+            seed_arr,
+            lambda s: F.struct(
+                (
+                    dot(_dvec(F.col(vec_col)), s["sv"])
+                    / (F.col("__vnorm") * F.sqrt(dot(s["sv"], s["sv"])))
+                ).alias("score"),
+                (-s["cid"]).alias("__nc"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+    from ontario_spark.operators.textops import spread
+
+    return (
+        spread(corpus)
+        .withColumn("__vnorm", norm(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            best["cid"].alias("cluster_id"),
+            best["score"].alias("score"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

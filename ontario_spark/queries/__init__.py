@@ -82,12 +82,12 @@ DRIVER_SURFACE = [
     # comes from sparql_union, whose UNION semantics stay represented —
     # and driver-checked — by the strictly-wider sparql_source_union)
     "dedup_clusters",
-    # round-6 additions: sub-document containment + SemDeDup-style
-    # semantic dedup (slots from dedup_boilerplate — green r4-r5, the
-    # dedup family keeps five surface rows — and ann_topk_bruteforce —
-    # the ANN family stays represented by the scale-path
-    # ann_topk_bucketed)
-    "dedup_containment",
+    # round-9 swap: dedup_containment (green r6-r8; its exact score is
+    # strictly contained in surface row dedup_containment_anchors, the
+    # scale path of the same containment semantics) → the duplicated-
+    # span profile (exact-substring dedup posture, new round 9, never
+    # externally verified)
+    "dedup_dup_spans",
     # round-8 rotation (VERDICT r7 task 6): five rows green 3+ rounds
     # whose families keep other surface representatives rotate out
     # (sparql_star_join, sparql_optional, events_asof_join,
@@ -102,11 +102,12 @@ DRIVER_SURFACE = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "ann_topk_bucketed",
-    # round-6 late swap: emb_neardup_pairs' full pipeline is a strict
-    # sub-plan of surface row semantic_dedup (which composes it with
-    # connected components), so the slot goes to the ordered-funnel
-    # shape external verification never covered
-    "events_funnel",
+    # round-9 swap: events_funnel (green r6-r8; the events family stays
+    # surface-represented by retention_cohorts + pagerank +
+    # scd2_history) → deterministic seeded embedding clustering (new
+    # round 9, never externally verified — the oracle-able complement
+    # of the k-means IVF tier)
+    "emb_cluster_assign",
     "events_retention_cohorts",
     # text family: metrics rotated out round-8 (green r3-r7; the
     # family keeps perplexity + pii + novelty + chunks)
@@ -227,9 +228,13 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
-        # round-9 rotated-out row first (green r5-r8, DESCRIBE family
-        # displaced by the CQ5 multi-OPTIONAL cascade)
+        # round-9 rotated-out rows first (sparql_describe green r5-r8,
+        # displaced by the CQ5 multi-OPTIONAL cascade; dedup_containment
+        # green r6-r8, superseded on the surface by its anchors scale
+        # path; events_funnel green r6-r8, family still represented)
         "sparql_describe",
+        "dedup_containment",
+        "events_funnel",
         # round-8 rotated-out rows (each green 3+ rounds with its
         # family still surface-represented; values_inline/aggregate
         # displaced by the late §10.2 swaps, mongo_join by the strictly

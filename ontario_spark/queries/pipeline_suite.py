@@ -271,6 +271,44 @@ WHERE CAST(n_common AS DOUBLE) / LEAST(n_a, n_b) >= 0.5
 """
 
 
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup posture (round 9): per-document fraction
+    of 5-gram positions whose gram occurs in ≥2 documents — the
+    'duplicated span' signal from suffix-array training-data dedup,
+    re-expressed as two bounded hash aggregations (see
+    operators/dedup.py::dup_gram_stats for the 100 TB design)."""
+    return dedup.dup_gram_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2
+    )
+
+
+DEDUP_DUP_SPANS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, array_length(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4])) AS gram
+  FROM w WHERE array_length(w) >= 5
+), per AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+), freq AS (
+  SELECT gram, COUNT(*) AS n_docs FROM per GROUP BY gram
+)
+SELECT p.doc_id,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.n_docs >= 2 THEN p.cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       ROUND(CAST(SUM(CASE WHEN f.n_docs >= 2 THEN p.cnt ELSE 0 END)
+                  AS DOUBLE) / SUM(p.cnt), 6) AS dup_fraction
+FROM per p JOIN freq f USING (gram)
+GROUP BY p.doc_id
+"""
+
+
 def dedup_containment_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path containment (round 6): bottom-k anchor candidates +
     exact verify restricted to candidates — the 100×-safe variant of
@@ -851,6 +889,38 @@ WHERE rank <= 3
 
 
 ANN_BUCKETED_SQL = _ann_bucketed_sql()
+
+
+def emb_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded clustering (round 9): every embedding
+    assigned to its highest-cosine seed among the 8 lowest-id vectors
+    — shuffle-free per-row argmax over in-plan literal centroids (see
+    operators/similarity.py::seeded_cluster_assign)."""
+    return similarity.seeded_cluster_assign(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8
+    )
+
+
+EMB_CLUSTER_ASSIGN_SQL = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id AS cid, v AS sv FROM c ORDER BY vec_id LIMIT 8
+), scored AS (
+  SELECT c.vec_id, s.cid,
+         list_dot_product(c.v, s.sv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(s.sv, s.sv))) AS score
+  FROM c, s
+)
+SELECT vec_id, cid AS cluster_id, score FROM (
+  SELECT vec_id, cid, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid ASC) AS rn
+  FROM scored) t
+WHERE rn = 1
+"""
 
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1990,6 +2060,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_containment_anchors": dedup_containment_anchors,
+    "dedup_dup_spans": dedup_dup_spans,
     "dedup_clusters": dedup_clusters,
     "semantic_dedup": semantic_dedup,
     "dedup_keep_best": dedup_keep_best,
@@ -2007,6 +2078,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "emb_cluster_assign": emb_cluster_assign,
     "emb_neardup_pairs": emb_neardup_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -2052,6 +2124,7 @@ ORACLE = {
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
     "pipeline_incremental_ingest": PIPELINE_INCREMENTAL_SQL,
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
+    "dedup_dup_spans": DEDUP_DUP_SPANS_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
@@ -2059,6 +2132,7 @@ ORACLE = {
     "simhash_fingerprints": SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
+    "emb_cluster_assign": EMB_CLUSTER_ASSIGN_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

@@ -1000,3 +1000,75 @@ def test_ann_recall_at_k_pinned_registry_params(spark, sf_small):
     for name, (df, floor) in floors.items():
         r = recall(df)
         assert r >= floor, f"{name} recall@3 degraded: {r:.3f} < {floor}"
+
+
+def test_dup_gram_stats_marks_planted_spans(spark):
+    """A 5-gram shared by two docs marks exactly its positions as
+    duplicated; a unique doc scores 0; docs under 5 tokens are
+    omitted (no spans to dedup)."""
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, shared + " over the lazy dog"),        # 5 grams, 1 dup
+        (2, "intro words " + shared),              # 3 grams, 1 dup
+        (3, "totally unique text with no repeats here"),  # 0 dup
+        (4, "too short"),                          # omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_gram_stats(df, "doc_id", "text", n=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 5 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+    assert abs(out[1]["dup_fraction"] - 0.2) < 1e-9
+
+
+def test_dup_gram_stats_counts_positions_not_set(spark):
+    """A doc repeating a duplicated phrase counts each OCCURRENCE
+    (multiset positions), the Lee-et-al span semantics — a set-based
+    count would understate how much of the doc is duplicated."""
+    phrase = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, phrase + " filler " + phrase),  # the dup gram appears twice
+        (2, phrase),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dup_gram_stats(df, "doc_id", "text", n=5).collect()
+    }
+    # doc 1: 7 gram positions, the two exact-phrase positions are dup
+    assert out[1]["n_grams"] == 7 and out[1]["n_dup_grams"] == 2
+    assert out[2]["n_grams"] == 1 and out[2]["n_dup_grams"] == 1
+
+
+def test_seeded_cluster_assign_deterministic_and_total(spark, sf_small):
+    emb = table(spark, sf_small, "embeddings")
+    a = similarity.seeded_cluster_assign(emb, k=8)
+    b = similarity.seeded_cluster_assign(
+        emb.orderBy(F.desc("vec_id")).repartition(7), k=8
+    )
+    ra = sorted((r["vec_id"], r["cluster_id"]) for r in a.collect())
+    rb = sorted((r["vec_id"], r["cluster_id"]) for r in b.collect())
+    assert ra == rb and len(ra) == emb.count()
+    # seeds assign to themselves with cosine ~1
+    for r in a.filter(F.col("vec_id") < 8).collect():
+        assert r["cluster_id"] == r["vec_id"]
+        assert abs(r["score"] - 1.0) < 1e-9
+
+
+def test_seeded_cluster_assign_plan_is_shuffle_free(spark, sf_small):
+    """The assignment stage must be a narrow projection over the scan:
+    no hash/range shuffle, no window sort, no Python — the op's 100 TB
+    posture. (The only permitted Exchange is spread()'s round-robin
+    fan-out of a small local fixture, which a real multi-partition
+    scan never has.)"""
+    emb = table(spark, sf_small, "embeddings")
+    plan = similarity.seeded_cluster_assign(emb, k=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" not in plan, plan

@@ -41,6 +41,7 @@ PROBE_QUERIES = [
     "dedup_keep_best",
     "contamination_check",
     "fuzzy_part_names",
+    "dedup_dup_spans",
     # similarity / retrieval
     "emb_neardup_pairs",
     "ann_topk_bruteforce",
@@ -48,6 +49,7 @@ PROBE_QUERIES = [
     "ann_topk_ivf",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "emb_cluster_assign",
     "bm25_topk",
     # text
     "text_metrics",
