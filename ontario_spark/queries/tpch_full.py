@@ -6,9 +6,8 @@ columns that exist, keeping each query's join/agg/subquery SHAPE).
 Covered here: q7 q8 q10 q13 q14 q15 q17 q18 q19 q22. Together with
 ``tpch.py`` (q1 q3 q5 q6) that is every TPC-H query expressible without
 predicate substitution; ``tpch_shapes.py`` adds q4 q9 q11 q12 q16 q21
-with their missing-column predicates re-expressed (q2/q20 remain out —
-their defining MIN-supplycost / availqty logic has no stand-in without
-``partsupp``).
+with their missing-column predicates re-expressed, plus q2/q20 over a
+partsupp derived from lineitem (round 9) — all 22 shapes covered.
 
 Same policies as tpch.py: DECIMAL(18,6) per-row casts inside SUM/AVG so
 double aggregation is order-independent across engines; every LIMIT is

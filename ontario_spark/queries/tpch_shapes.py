@@ -4,12 +4,17 @@ schema lacks (``partsupp``, ``l_commitdate``/``l_receiptdate``,
 while keeping each query's defining SHAPE — the part the optimizer has
 to get right:
 
+- q2  — correlated regional-minimum scalar subquery (min window)
 - q4  — correlated EXISTS semi-join into the fact table, then agg
 - q9  — 5-way star join with an arithmetic profit measure
 - q11 — group-by vs a global-total threshold (scalar subquery)
 - q12 — fact⋈fact join with conditional (CASE) aggregation
 - q16 — NOT IN exclusion subquery + COUNT(DISTINCT)
+- q20 — nested IN subqueries with a correlated quantity threshold
 - q21 — double correlation: EXISTS + NOT EXISTS against the same table
+
+q2/q20 run over a partsupp DERIVED from lineitem (round 9 — see
+``_derived_partsupp``), completing all 22 TPC-H query shapes.
 
 Same policies as tpch.py: DECIMAL(18,6) per-row casts inside SUM so
 distributed double addition is order-independent; LIMIT always under a
@@ -347,7 +352,175 @@ LIMIT 10
 """
 
 
+# --- derived partsupp: the stand-in that completes the suite -------------
+#
+# The synthetic schema ships no partsupp table, which kept q2/q20 out
+# through round 8. Both queries' DEFINING shapes (q2: correlated
+# regional-minimum scalar subquery; q20: nested IN subqueries with a
+# correlated half-of-shipped-quantity threshold) survive intact over a
+# partsupp DERIVED from lineitem: every observed (partkey, suppkey)
+# pair becomes a partsupp row with supplycost = MIN unit price and
+# availqty = total shipped quantity. MIN over doubles is
+# order-independent (no addition), availqty uses the DECIMAL(18,6)
+# exact-sum pattern — both cross-engine deterministic, so the DuckDB
+# oracle reproduces the derivation bit-for-bit.
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "ps_supplycost"
+        ),
+        dsum("l_quantity", "ps_availqty"),
+    )
+
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+# --- q2: minimum-cost supplier (correlated regional-min subquery) --------
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape over the derived partsupp: for each EUROPE-sourced
+    part (p_size=15, name LIKE %bolt — stand-ins for size/type BRASS),
+    the supplier(s) achieving the REGIONAL MINIMUM supply cost. The
+    spec's correlated scalar subquery decorrelates into a min window
+    over the region-restricted join — one pass, no second partsupp
+    scan. nation/region are force-broadcast (25/5 rows at every SF);
+    part/supplier joins stay AQE-decided. LIMIT rides a unique sort
+    (acctbal desc, nation, supplier name, partkey)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & F.col("p_name").like("%bolt")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("__mc", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__mc"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+j AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost,
+         MIN(ps_supplycost) OVER (PARTITION BY p_partkey) AS mc
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_name LIKE '%bolt' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM j WHERE ps_supplycost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# --- q20: potential part promotion (nested IN + correlated threshold) ----
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape over the derived partsupp: suppliers in EUROPE
+    holding more than half the 1997 shipped quantity of any cold* part
+    (p_name LIKE 'cold%' stands in for 'forest%'). The spec's nested
+    IN subqueries become left-semi joins — partsupp semi-joins the
+    part subset, the correlated 1997-quantity threshold joins on the
+    (partkey, suppkey) pair, and supplier semi-joins the surviving
+    suppkeys: three key-hashed joins, no per-row probes. The threshold
+    compares exact decimal sums doubled (availqty*2 > shipped_1997),
+    so no 0.5× float rounding differs across engines."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    l97 = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "qty_1997"))
+    )
+    cand = (
+        ps.join(p, ps.ps_partkey == p.p_partkey, "left_semi")
+        .join(
+            l97,
+            (ps.ps_partkey == l97.l_partkey)
+            & (ps.ps_suppkey == l97.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty_1997"))
+        .select("ps_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(cand, s.s_suppkey == cand.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH ps AS ({_PS_SQL}),
+l97 AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_1997
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT ps_suppkey FROM ps
+  JOIN l97 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+    AND ps_availqty * 2 > qty_1997
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT ps_suppkey FROM cand)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_potential_promotion": q20_potential_promotion,
     "q4_order_priority": q4_order_priority,
     "q9_nation_year_profit": q9_nation_year_profit,
     "q11_important_parts": q11_important_parts,
@@ -358,6 +531,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q20_potential_promotion": Q20_SQL,
     "q4_order_priority": Q4_SQL,
     "q9_nation_year_profit": Q9_SQL,
     "q11_important_parts": Q11_SQL,
