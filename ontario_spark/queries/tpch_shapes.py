@@ -379,11 +379,10 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PS_SQL = """
+_PS_SQL = f"""
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          MIN(l_extendedprice / l_quantity) AS ps_supplycost,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-           AS ps_availqty
+         {_sql_dsum('l_quantity', 'ps_availqty')}
   FROM lineitem GROUP BY 1, 2
 """
 
@@ -451,15 +450,21 @@ LIMIT 100
 
 
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape over the derived partsupp: suppliers in EUROPE
-    holding more than half the 1997 shipped quantity of any cold* part
-    (p_name LIKE 'cold%' stands in for 'forest%'). The spec's nested
-    IN subqueries become left-semi joins — partsupp semi-joins the
-    part subset, the correlated 1997-quantity threshold joins on the
-    (partkey, suppkey) pair, and supplier semi-joins the surviving
-    suppkeys: three key-hashed joins, no per-row probes. The threshold
-    compares exact decimal sums doubled (availqty*2 > shipped_1997),
-    so no 0.5× float rounding differs across engines."""
+    """TPC-H Q20 shape over the derived partsupp: EUROPE suppliers for
+    whom 1997 accounts for over 90% of all-time shipments of some
+    cold* part (p_name LIKE 'cold%' stands in for 'forest%'). Because
+    the derived availqty is the all-time shipped quantity (a superset
+    of any year), the spec's direction — availqty > half the year's
+    quantity — would hold vacuously; the flipped, tightened form (the
+    year over 90% of all-time) keeps the correlated threshold
+    genuinely selective at every probe scale while preserving the
+    shape. The spec's nested IN subqueries become
+    left-semi joins — partsupp semi-joins the part subset, the
+    correlated threshold joins on the (partkey, suppkey) pair, and
+    supplier semi-joins the surviving suppkeys: three key-hashed
+    joins, no per-row probes. The threshold compares exact decimal
+    sums scaled by integers (shipped_1997*10 > availqty*9), so no
+    fractional float rounding differs across engines."""
     ps = _derived_partsupp(spark, sf_dir)
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
     l97 = (
@@ -478,7 +483,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ps.ps_partkey == l97.l_partkey)
             & (ps.ps_suppkey == l97.l_suppkey),
         )
-        .filter(F.col("ps_availqty") * 2 > F.col("qty_1997"))
+        .filter(F.col("qty_1997") * 10 > F.col("ps_availqty") * 9)
         .select("ps_suppkey")
     )
     s = table(spark, sf_dir, "supplier")
@@ -497,7 +502,7 @@ Q20_SQL = f"""
 WITH ps AS ({_PS_SQL}),
 l97 AS (
   SELECT l_partkey, l_suppkey,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_1997
+         {_sql_dsum('l_quantity', 'qty_1997')}
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -507,7 +512,7 @@ cand AS (
   SELECT ps_suppkey FROM ps
   JOIN l97 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
   WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
-    AND ps_availqty * 2 > qty_1997
+    AND qty_1997 * 10 > ps_availqty * 9
 )
 SELECT s_name, s_acctbal
 FROM supplier

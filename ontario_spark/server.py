@@ -198,10 +198,13 @@ class SparqlHTTPServer:
                 """One /nextresult fragment of a W3C result document.
                 The raw formats (csv/tsv, and fragments of srj/xml)
                 have no in-band end-of-stream channel the way the
-                legacy ``{"result": "EOF"}`` shape does, so the
-                terminal pop is signalled out-of-band with the
-                ``X-Stream-End: true`` header (body = the document's
-                closing fragment, possibly empty)."""
+                legacy ``{"result": "EOF"}`` shape does, so the end is
+                signalled out-of-band with the ``X-Stream-End: true``
+                header. The document's closing fragment arrives as the
+                LAST ordinary pop (ended=false); the terminal pop's
+                body is always empty — clients must concatenate every
+                body they receive, including the ones after the
+                document visually closes."""
                 body = text.encode()
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
@@ -470,7 +473,8 @@ class SparqlHTTPServer:
         """Legacy json entries → one binding dict per call (``{"result":
         "EOF"}`` at end). W3C-format entries (round-9 parity) → one
         document fragment per call as ``(fragment, mime, ended)``; the
-        terminal pop carries the closing fragment with ended=True."""
+        closing fragment is the last ordinary pop, then one final
+        empty-body pop with ended=True ends the stream."""
         qid = (q.get("qid") or [""])[0]
         with self._lock:
             entry = self._pending.get(qid)

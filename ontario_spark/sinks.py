@@ -235,15 +235,13 @@ def ntriples_chunks(rows):
         yield row["ntriple"] + "\n"
 
 
-def turtle_chunks(rows):
-    """``text/turtle`` serialization (round 9): N-Triples is a subset
-    of Turtle, so the canonical line-per-triple form IS a conformant
-    Turtle document — served under the Turtle media type for clients
-    that negotiate it (the most common graph Accept in the wild). No
-    prefix compaction: streaming chunk-by-chunk forbids a second pass
-    to discover namespaces, and absolute IRIs round-trip exactly."""
-    for row in rows:
-        yield row["ntriple"] + "\n"
+# ``text/turtle`` (round 9): N-Triples is a subset of Turtle, so the
+# canonical line-per-triple stream IS a conformant Turtle document —
+# same serializer, different media type (carried by RESULT_MIME). No
+# prefix compaction: streaming chunk-by-chunk forbids a second pass to
+# discover namespaces, and absolute IRIs round-trip exactly. One
+# function, not a copy — an escaping fix must not have to land twice.
+turtle_chunks = ntriples_chunks
 
 
 RESULT_MIME = {
