@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "pipeline_incremental_ingest",
     # TPC-H headliners
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
     "q3_shipping_priority",
     "q_top_orders_per_customer",
     "q_rollup_flag_status",
