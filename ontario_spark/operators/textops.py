@@ -240,6 +240,97 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     ).select(id_col, "content_hash", "shingle_anchor")
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
+) -> DataFrame:
+    """True winnowing fingerprints (the MOSS local-fingerprinting
+    scheme): hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep each window's minimum, emit the DISTINCT
+    minima as ``(id, fp)`` rows. Guarantee the bottom-1 anchor in
+    ``fingerprint`` lacks: ANY shared token run of length ≥ k + w - 1
+    between two documents shares at least one fingerprint, so an
+    inverted index on fp finds local overlaps (plagiarism-style
+    sub-document matches), not just whole-document similarity.
+
+    Scale design: everything up to the final explode is per-row array
+    expressions over the corpus scan (tokens → grams → 60-bit md5
+    hashes → per-window minima → distinct) — map-only, zero shuffle;
+    the fp stream is ~n_grams/w rows of 8-byte hashes. Hashes are
+    md5-derived (engine-portable) so the DuckDB oracle reproduces
+    every fingerprint bit-for-bit. Documents with fewer than ``k``
+    tokens emit nothing; documents with fewer than ``w`` grams emit
+    one fingerprint (the minimum over all their grams — the clipped
+    final window, matching the SQL frame semantics)."""
+    base = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= k)
+    base = base.select("id", grams_of(F.col("__toks"), k).alias("__grams"))
+    h60 = base.select(
+        "id",
+        F.transform(
+            F.col("__grams"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("__hs"),
+    )
+    m = F.greatest(F.size("__hs") - (w - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.array_min(F.slice(F.col("__hs"), i, w)),
+    )
+    return h60.select(
+        "id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
+) -> DataFrame:
+    """Per-document winnowing profile over ``winnow_fingerprints``:
+    fingerprint count and the global minimum (the bottom-1 anchor,
+    recovering ``fingerprint``'s shingle_anchor semantics as the
+    degenerate case)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    return fps.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+    )
+
+
+# GPT-2-style pretokenizer, constrained to constructs BOTH Java regex
+# (Spark) and RE2 (DuckDB) support identically: no lookarounds (RE2 has
+# none — the original GPT-2 pattern's trailing-space lookahead is
+# dropped), leftmost-first alternation (both engines' default), and
+# unicode classes \p{L}/\p{N} (both). Order matters: contractions
+# before letter runs, letters before numbers before punctuation runs.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def regex_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish token counting: real pretokenizer matches (the
+    GPT-2-family regex above), not the length/4 estimate
+    ``token_stats`` keeps for cheap profiling. Per document: total
+    regex tokens plus the class split (word / number / other, by the
+    match's first non-space character). Pure per-row
+    ``regexp_extract_all`` + array expressions — map-only, zero
+    shuffle, whole-stage codegen."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+    first = lambda t: F.substring(F.ltrim(t), 1, 1)  # noqa: E731
+    n_words = F.size(F.filter(toks, lambda t: first(t).rlike(r"\p{L}")))
+    n_nums = F.size(F.filter(toks, lambda t: first(t).rlike(r"\p{N}")))
+    n_ws = F.size(F.filter(toks, lambda t: F.trim(t) == ""))
+    return spread(df).select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        n_words.alias("n_word_tokens"),
+        n_nums.alias("n_num_tokens"),
+        (F.size(toks) - n_words - n_nums - n_ws).alias("n_other_tokens"),
+    )
+
+
 def frequent_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 50
 ) -> DataFrame:

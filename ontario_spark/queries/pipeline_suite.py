@@ -1131,6 +1131,83 @@ FROM sh
 """
 
 
+def text_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing fingerprints (round 9): per-doc count of
+    window-minimum 4-gram hashes at w=5 plus the global minimum — any
+    shared token run of ≥8 tokens between two docs shares a
+    fingerprint (see operators/textops.py::winnow_fingerprints)."""
+    return textops.winnow_profile(
+        table(spark, sf_dir, "documents"), "doc_id", "text", k=4, w=5
+    )
+
+
+TEXT_WINNOW_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(array_length(w) - 2, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+           AS grams
+  FROM t WHERE array_length(w) >= 4
+), h AS (
+  SELECT doc_id,
+         unnest(list_transform(grams,
+           g -> CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT))) AS h,
+         generate_subscripts(grams, 1) AS pos,
+         array_length(grams) AS n
+  FROM g
+), wins AS (
+  SELECT doc_id, pos, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= GREATEST(n - 4, 1)
+)
+SELECT doc_id, COUNT(*) AS n_fps, MIN(fp) AS min_fp
+FROM fps GROUP BY doc_id
+"""
+
+
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (round 9): real GPT-2-family
+    pretokenizer matches with a word/number/other class split (see
+    operators/textops.py::regex_token_stats; the pattern is
+    constrained to Java-regex ∩ RE2 so the oracle tokenizes
+    identically)."""
+    return textops.regex_token_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_BPE_PAT_SQL = textops.BPE_TOKEN_PATTERN.replace("'", "''")
+
+TEXT_REGEX_TOKENS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT_SQL}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  len(toks) AS n_bpe_tokens,
+  len(list_filter(toks,
+      x -> regexp_matches(substring(ltrim(x), 1, 1), '\\p{{L}}')))
+    AS n_word_tokens,
+  len(list_filter(toks,
+      x -> regexp_matches(substring(ltrim(x), 1, 1), '\\p{{N}}')))
+    AS n_num_tokens,
+  len(toks)
+    - len(list_filter(toks,
+        x -> regexp_matches(substring(ltrim(x), 1, 1), '\\p{{L}}')))
+    - len(list_filter(toks,
+        x -> regexp_matches(substring(ltrim(x), 1, 1), '\\p{{N}}')))
+    - len(list_filter(toks, x -> trim(x) = ''))
+    AS n_other_tokens
+FROM t
+"""
+
+
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined text-analysis profile: token counting, quality scoring,
     language ID, and fingerprinting in one result keyed on doc_id —
@@ -2084,6 +2161,8 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_winnow_profile": text_winnow_profile,
+    "text_regex_tokens": text_regex_tokens,
     "text_metrics": text_metrics,
     "text_pii_scan": text_pii_scan,
     "text_url_scan": text_url_scan,
@@ -2138,6 +2217,8 @@ ORACLE = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_winnow_profile": TEXT_WINNOW_SQL,
+    "text_regex_tokens": TEXT_REGEX_TOKENS_SQL,
     "text_metrics": TEXT_METRICS_SQL,
     "text_pii_scan": TEXT_PII_SQL,
     "text_url_scan": TEXT_URL_SCAN_SQL,

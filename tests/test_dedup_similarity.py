@@ -1072,3 +1072,58 @@ def test_seeded_cluster_assign_plan_is_shuffle_free(spark, sf_small):
     assert "rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Winnowing guarantee: any shared token run of >= k+w-1 (=8)
+    tokens yields at least one common fingerprint; disjoint docs
+    share none."""
+    from ontario_spark.operators import textops
+
+    run = "q w e r t y u i"  # 8 shared tokens
+    rows = [
+        (1, "prefix tokens here " + run + " suffix bits"),
+        (2, run + " completely different tail words"),
+        (3, "nothing in common with those documents at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = textops.winnow_fingerprints(df, "doc_id", "text", k=4, w=5)
+    by_doc = {
+        r["id"]: set()
+        for r in df.select(F.col("doc_id").alias("id")).collect()
+    }
+    for r in fps.collect():
+        by_doc[r["id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_fingerprints_short_doc_clipped_window(spark):
+    """Fewer grams than the window -> exactly one fingerprint (min of
+    all grams); fewer tokens than k -> no rows."""
+    from ontario_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z")],  # 2 grams; 0 grams
+        "doc_id long, text string",
+    )
+    out = textops.winnow_fingerprints(df, "doc_id", "text", k=4, w=5).collect()
+    assert len(out) == 1 and out[0]["id"] == 1
+
+
+def test_regex_token_stats_classes(spark):
+    from ontario_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "It's 42 cats, dogs!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           textops.regex_token_stats(df, "doc_id", "text").collect()}
+    r = out[1]
+    # It |'s | 42 | cats | , | dogs | !
+    assert r["n_bpe_tokens"] == 7
+    assert r["n_word_tokens"] == 3   # It, cats, dogs
+    assert r["n_num_tokens"] == 1    # 42
+    assert r["n_other_tokens"] == 3  # 's , !
+    assert out[2]["n_bpe_tokens"] == 0
