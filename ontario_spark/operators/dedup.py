@@ -585,6 +585,53 @@ def dup_gram_stats(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Local-overlap pair detection via winnowing fingerprints (the
+    MOSS inverted-index step): documents pair when they share at least
+    ``min_shared`` window-minimum k-gram hashes. Winnowing's guarantee
+    makes this POSITION-LOCAL: any shared token run of ≥ k+w-1 tokens
+    is detected regardless of how dissimilar the rest of the documents
+    are — the case Jaccard's union denominator and the bottom-k anchor
+    sample both dilute (a paragraph quoted inside two large unrelated
+    documents).
+
+    Scale design: fingerprint generation is map-only per-row arrays
+    (textops.winnow_fingerprints); the stream is ~n_grams/w 8-byte
+    hashes; the self-join is fp-keyed with the same doc-frequency cap
+    as the shingle joins (``max_fp_freq`` bounds any fp's fan-out at
+    cap²); shared-fp counting is one pair-keyed aggregate with
+    map-side combine. md5-derived hashes keep the DuckDB oracle
+    bit-exact."""
+    from ontario_spark.operators.textops import winnow_fingerprints
+
+    fps = _bounded_persist(winnow_fingerprints(df, id_col, text_col, k, w))
+    if max_fp_freq is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def keep_best(
     df: DataFrame,
     id_col: str,

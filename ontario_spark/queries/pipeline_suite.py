@@ -1208,6 +1208,57 @@ FROM t
 """
 
 
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing inverted-index pairs (round 9): docs sharing ≥2
+    window-minimum 4-gram hashes — position-local overlap detection
+    (see operators/dedup.py::winnow_overlap_pairs)."""
+    return dedup.winnow_overlap_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=4,
+        w=5,
+        min_shared=2,
+        max_fp_freq=1000,
+    )
+
+
+DEDUP_WINNOW_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(array_length(w) - 2, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+           AS grams
+  FROM t WHERE array_length(w) >= 4
+), h AS (
+  SELECT doc_id,
+         unnest(list_transform(grams,
+           g -> CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT))) AS h,
+         generate_subscripts(grams, 1) AS pos,
+         array_length(grams) AS n
+  FROM g
+), wins AS (
+  SELECT doc_id, pos, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= GREATEST(n - 4, 1)
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000
+), capped AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_fps
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined text-analysis profile: token counting, quality scoring,
     language ID, and fingerprinting in one result keyed on doc_id —
@@ -2138,6 +2189,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_containment_anchors": dedup_containment_anchors,
     "dedup_dup_spans": dedup_dup_spans,
+    "dedup_winnow_pairs": dedup_winnow_pairs,
     "dedup_clusters": dedup_clusters,
     "semantic_dedup": semantic_dedup,
     "dedup_keep_best": dedup_keep_best,
@@ -2204,6 +2256,7 @@ ORACLE = {
     "pipeline_incremental_ingest": PIPELINE_INCREMENTAL_SQL,
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "dedup_dup_spans": DEDUP_DUP_SPANS_SQL,
+    "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

@@ -1127,3 +1127,25 @@ def test_regex_token_stats_classes(spark):
     assert r["n_num_tokens"] == 1    # 42
     assert r["n_other_tokens"] == 3  # 's , !
     assert out[2]["n_bpe_tokens"] == 0
+
+
+def test_winnow_overlap_pairs_detects_local_quote(spark):
+    """A 10-token run quoted inside two otherwise-unrelated documents
+    must pair (position-local detection); unrelated docs must not."""
+    quote = "one two three four five six seven eight nine ten"
+    filler_a = " ".join(f"alpha{i}" for i in range(40))
+    filler_b = " ".join(f"beta{i}" for i in range(40))
+    rows = [
+        (1, filler_a + " " + quote),
+        (2, quote + " " + filler_b),
+        (3, " ".join(f"gamma{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_overlap_pairs(
+            df, "doc_id", "text", k=4, w=5, min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
