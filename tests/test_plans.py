@@ -175,3 +175,39 @@ def test_round6_operator_plan_shapes(spark, sf_small):
     plan = _plan(q["dedup_containment_anchors"](spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round9_operator_plan_shapes(spark, sf_small):
+    """Round-9 ops keep their stated scale shapes: no row-wise Python
+    anywhere; dup-span and winnow joins ride 8-byte hash keys (never
+    gram/fingerprint text); winnow fingerprint GENERATION is map-only
+    (no hash/range shuffle, no window — the only exchange allowed is
+    spread()'s fixture round-robin)."""
+    from ontario_spark.data import table
+    from ontario_spark.operators.textops import winnow_fingerprints
+
+    q = all_queries()
+    for name in (
+        "dedup_dup_spans", "dedup_winnow_pairs", "text_winnow_profile",
+        "text_regex_tokens", "emb_cluster_assign",
+        "q2_min_cost_supplier", "q20_potential_promotion",
+    ):
+        plan = _plan(q[name](spark, sf_small))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # hashed join keys: optimized joins mention no string concat of grams
+    for name in ("dedup_dup_spans", "dedup_winnow_pairs"):
+        opt = _optimized(q[name](spark, sf_small))
+        for line in opt.splitlines():
+            if "Join" in line:
+                assert "shingle" not in line and "gram" not in line, (
+                    name, line,
+                )
+    fp_plan = _plan(
+        winnow_fingerprints(
+            table(spark, sf_small, "documents"), "doc_id", "text"
+        )
+    )
+    assert "hashpartitioning" not in fp_plan
+    assert "rangepartitioning" not in fp_plan
+    assert "Window" not in fp_plan
