@@ -42,6 +42,9 @@ PROBE_QUERIES = [
     "contamination_check",
     "fuzzy_part_names",
     "dedup_dup_spans",
+    "dedup_winnow_pairs",
+    "text_winnow_profile",
+    "text_regex_tokens",
     # similarity / retrieval
     "emb_neardup_pairs",
     "ann_topk_bruteforce",
