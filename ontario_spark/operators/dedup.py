@@ -808,3 +808,97 @@ def fuzzy_string_pairs(
     return cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b")
     ).filter(F.col("dist") <= max_dist)
+
+
+def bloom_contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """``contamination_overlap`` with a Bloom-filter prefilter — the
+    runtime-filter shape for when even the benchmark's distinct
+    shingle-hash SET is too large to broadcast (billions of eval-suite
+    shingles): only the ``m_bits``-bit array (128 KiB at the default,
+    O(1) in data size) rides to every task, corpus shingles that fail
+    any of the ``k_hashes`` probes are dropped executor-side, and only
+    the tiny surviving candidate set pays the exact confirm join
+    against the real key set. Results are EXACT — the Bloom admits
+    false positives but the confirm join removes them, so the output
+    contract (and oracle) is identical to ``contamination_overlap``.
+
+    The bit array is built distributed: probe positions explode from
+    the benchmark keys, one ``bit_or`` aggregate packs them into ≤
+    ``m_bits/64`` words, and a single bounded ``collect_list`` (bounded
+    by the filter SIZE, never the data) assembles the word→bits map
+    that broadcasts with the plan. Membership tests are pure column
+    expressions (xxhash64 + shift/AND) inside codegen — no UDFs, no
+    driver-side set."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+
+    def _probes(key):
+        return [
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+            for i in range(k_hashes)
+        ]
+
+    def _word(pos):
+        return F.shiftright(pos, 6)
+
+    # mask for the bit within its 64-bit word (expr: PySpark's
+    # shiftleft wrapper takes only literal shift amounts)
+    _mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
+
+    bench_k = (
+        exploded_shingles(benchmark, id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("k"))
+        .dropDuplicates(["k"])
+    )
+    words = (
+        bench_k.select(F.explode(F.array(*_probes(F.col("k")))).alias("__pos"))
+        .select(_word(F.col("__pos")).alias("word"), _mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    bloom = words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
+    )
+
+    sh = exploded_shingles(corpus, id_col, text_col, n).select(
+        "id", F.xxhash64("shingle").alias("k")
+    )
+    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    tests = []
+    for i in range(k_hashes):
+        pos = f"pmod(xxhash64(k, {i}), {m_bits})"
+        tests.append(
+            f"(coalesce(element_at(__bloom, shiftright({pos}, 6)),"
+            f" CAST(0 AS BIGINT))"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod({pos}, 64) AS INT)))"
+            f" != 0"
+        )
+    candidate = F.expr(" AND ".join(tests))
+    cand = sh.crossJoin(F.broadcast(bloom)).filter(candidate).select("id", "k")
+    hits = cand.join(bench_k, "k").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_doc = totals.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )
+    overlap = F.col("n_hits").cast("double") / F.col("n_shingles")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.round(overlap, 6).alias("overlap"),
+    ).filter(overlap >= threshold)

@@ -318,3 +318,68 @@ def pagerank(
         prev_ranks = new_ranks
         ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    (the classic cohesion / community-structure statistic; beyond-
+    reference surface like the other graph operators here).
+
+    Input edges may be directed, duplicated, or contain self-loops —
+    they are canonicalized to a distinct undirected edge set first.
+
+    Scale design (100 TB of edges): the naive ``a<b<c`` three-way
+    self-join is quadratic in the max degree (a hub with d neighbors
+    drives d² wedge rows through the shuffle). Instead each undirected
+    edge is ORIENTED from its lower-(degree, id) endpoint to the
+    higher one; every node's oriented out-degree is then O(sqrt(m)),
+    wedges are enumerated only from oriented adjacency (Σ out_deg² ≤
+    m^1.5 rows total — the optimal bound for triangle listing), and a
+    wedge closes iff its (y, z) pair is itself an oriented edge: one
+    more equi-join. Each triangle is found exactly once. All joins are
+    plain shuffles on node keys; nothing collects.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    # degree of every endpoint, then orient low → high on (deg, id)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+        )
+    )
+    # wedges x→y, x→z with y < z (each unordered wedge once), closed by
+    # an oriented edge between y and z in EITHER orientation
+    e1 = oriented.select(F.col("x"), F.col("y"))
+    e2 = oriented.select(F.col("x"), F.col("y").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    closing = oriented.select(
+        F.least("x", "y").alias("y"), F.greatest("x", "y").alias("z")
+    )
+    tris = wedges.join(closing, ["y", "z"], "left_semi")
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

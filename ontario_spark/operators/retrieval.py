@@ -247,3 +247,47 @@ SELECT {id_col},
 FROM pv
 QUALIFY rank <= {k}
 """
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    id_col: str,
+    k0: int = 60,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion over N ranked candidate lists (the
+    standard hybrid-retrieval merge: lexical BM25 + dense cosine lists
+    fused as ``score(d) = Σ_lists 1 / (k0 + rank_list(d))``, Cormack et
+    al. 2009). Each input is ``(label, df)`` where ``df`` has
+    ``(id_col, rank_col)``; a document missing from a list contributes
+    0 for that list. Output: one row per document seen in ANY list,
+    with per-list ranks (NULL when absent), the fused score, and a
+    total-order ``fused_rank`` (score desc, id asc).
+
+    Determinism: each addend is a single IEEE division of exact small
+    integers and the addends are summed in the fixed label order, so
+    the fused score is bit-identical on any engine — no rounding
+    needed.
+
+    Scale: the candidate lists are top-k outputs (thousands of rows at
+    most, NOT corpus-sized), so every join is a broadcast of an
+    already-tiny frame and the window runs over ≤ Σk rows on one
+    partition by construction."""
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    fused = None
+    for label, df in ranked:
+        leg = df.select(
+            F.col(id_col), F.col(rank_col).alias(f"{label}_rank")
+        )
+        fused = leg if fused is None else fused.join(leg, id_col, "full_outer")
+    score = None
+    for label, _ in ranked:
+        addend = F.when(
+            F.col(f"{label}_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"{label}_rank").cast("double")),
+        ).otherwise(F.lit(0.0))
+        score = addend if score is None else score + addend
+    out = fused.withColumn("rrf_score", score)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return out.withColumn("fused_rank", F.row_number().over(w))

@@ -345,3 +345,67 @@ def epoch_shuffle(
     return df.withColumn("__shuffle_key", okey).orderBy(
         "__shuffle_key"
     ).drop("__shuffle_key")
+
+
+def weighted_topk(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    n: int,
+    salt: str = "aes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential sort keys
+    (Efraimidis–Spirakis A-ES): every row gets ``sk = ln(u) / w`` for a
+    deterministic md5-derived uniform ``u`` in (0, 1] and weight
+    ``w > 0``, and the n LARGEST keys win — inclusion probability is
+    proportional to weight, jointly correct for the whole sample, and
+    reproducible forever (same key+salt → same sample on any engine or
+    cluster size; reference behavior: weighted corpus mixing that a
+    resumable pipeline can replay).
+
+    Rows with NULL or non-positive weight have no defined inclusion
+    probability and are dropped (documented semantics, mirrored by the
+    oracle).
+
+    Scale: the selection is ``orderBy().limit(n)`` — Spark's
+    distributed TakeOrderedAndProject (per-partition top-n heaps merged
+    on the driver), NOT a global sort or a single-partition window; the
+    scan streams once with no shuffle. ``sk`` is emitted ROUNDed so the
+    cross-engine contract doesn't hinge on libm's last ulp; ties on the
+    rounded key break by ``key`` ascending, a total order."""
+    w = F.col(weight_col).cast("double")
+    u = (F.conv(_prefix(F.col(key), salt), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(_SPACE)
+    )
+    sk = F.round(F.log(u) / w, round_to)
+    return (
+        df.filter(w > 0)
+        .select(F.col(key), w.alias("weight"), sk.alias("sort_key"))
+        .orderBy(F.desc("sort_key"), F.asc(key))
+        .limit(n)
+    )
+
+
+def weighted_topk_sql(
+    table: str,
+    key: str,
+    weight_expr: str,
+    n: int,
+    salt: str = "aes",
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle replicating ``weighted_topk`` bit-for-bit: same
+    md5-prefix uniform, same ln(u)/w expression shape, same rounded
+    tiebreak."""
+    return f"""
+SELECT {key}, CAST({weight_expr} AS DOUBLE) AS weight,
+       ROUND(ln((CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '{salt}'),
+                                1, {_HEXW})) AS BIGINT) + 1.0)
+                / {float(_SPACE)!r})
+             / CAST({weight_expr} AS DOUBLE), {round_to}) AS sort_key
+FROM {table}
+WHERE CAST({weight_expr} AS DOUBLE) > 0
+ORDER BY sort_key DESC, {key} ASC
+LIMIT {n}
+"""

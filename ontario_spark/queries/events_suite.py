@@ -408,6 +408,63 @@ GROUP BY f.cohort_w, wks.w - f.cohort_w
 """
 
 
+def events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the co-interaction graph: users
+    are linked when they touched the same item key (``props.$.k``),
+    with an item-degree cap (≤ 30 distinct users) guarding against the
+    clique blow-up of hub items — the same skew discipline as the
+    shingle doc-frequency caps. Triangle listing itself is the
+    degree-ORIENTED wedge join (operators/graph.py::triangle_counts),
+    O(m^1.5) instead of the naive max-degree-quadratic self-join."""
+    from ontario_spark.operators.graph import triangle_counts
+
+    ev = table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id", F.get_json_object("props", "$.k").alias("k")
+        )
+        .filter(F.col("user_id").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+    )
+    ok = ui.groupBy("k").agg(F.count(F.lit(1)).alias("__d")).filter(
+        F.col("__d") <= 30
+    ).select("k")
+    a = ui.select(F.col("k"), F.col("user_id").alias("ua"))
+    b = ui.select(F.col("k").alias("kb"), F.col("user_id").alias("ub"))
+    pairs = (
+        a.join(ok, "k", "left_semi")
+        .join(b, (F.col("k") == F.col("kb")) & (F.col("ua") < F.col("ub")))
+        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    return triangle_counts(pairs, "src", "dst")
+
+
+EVENTS_TRIANGLES_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS k
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+), ok AS (
+  SELECT k FROM ui GROUP BY k HAVING COUNT(*) <= 30
+), e AS (
+  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+  FROM ui a JOIN ok USING (k) JOIN ui b
+    ON a.k = b.k AND a.user_id < b.user_id
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_scd2_history": events_scd2_history,
@@ -415,6 +472,7 @@ QUERIES = {
     "events_json_stats": events_json_stats,
     "events_value_quantiles": events_value_quantiles,
     "events_pagerank": events_pagerank,
+    "events_triangles": events_triangles,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
 }
@@ -426,6 +484,7 @@ ORACLE = {
     "events_json_stats": EVENTS_JSON_SQL,
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "events_pagerank": EVENTS_PAGERANK_SQL,
+    "events_triangles": EVENTS_TRIANGLES_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
 }

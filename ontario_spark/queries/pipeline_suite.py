@@ -2171,6 +2171,112 @@ FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 """
 
 
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential sort keys): a 120-doc sample of ``documents`` with
+    inclusion probability proportional to ``n_chars`` — the weighted
+    corpus-mixing primitive (operators/sampling.py::weighted_topk).
+    Selection is a distributed TakeOrderedAndProject, no shuffle."""
+    from ontario_spark.operators.sampling import weighted_topk
+
+    return weighted_topk(
+        table(spark, sf_dir, "documents"), "doc_id", "n_chars", n=120
+    )
+
+
+def _weighted_topk_sql() -> str:
+    from ontario_spark.operators.sampling import weighted_topk_sql
+
+    return weighted_topk_sql("documents", "doc_id", "n_chars", n=120)
+
+
+SAMPLE_WEIGHTED_TOPK_SQL = _weighted_topk_sql()
+
+
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) and exact-cosine top-20
+    for the vec_id=0 query embedding (dense) fused with Reciprocal
+    Rank Fusion — the two candidate lists full-outer-join on doc_id
+    and ``rrf = sum 1/(60+rank)`` ranks the union
+    (operators/retrieval.py::rrf_fuse). Both inputs are top-k frames
+    (rows bounded by k, not the corpus), so the fusion join and final
+    window are O(k)."""
+    from ontario_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, "doc_id", "text", ["spark", "vector", "merge"], k=20
+    ).select("doc_id", "rank")
+    sem = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([("lex", lex), ("sem", sem)], "doc_id")
+
+
+def _rrf_fusion_sql() -> str:
+    from ontario_spark.operators.retrieval import bm25_sql
+
+    lex = bm25_sql("documents", "doc_id", "text", ["spark", "vector", "merge"], k=20)
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM ({lex}) t
+), sem AS (
+  WITH c AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  ), q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id = 0),
+  scored AS (
+    SELECT c.vec_id AS doc_id,
+           list_dot_product(q.qv, c.v)
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(c.v, c.v))) AS score
+    FROM c, q WHERE c.vec_id != q.query_id
+  )
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored) t
+  WHERE rank <= 20
+), fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         CAST(l.rank AS INT) AS lex_rank, CAST(s.rank AS INT) AS sem_rank,
+         (CASE WHEN l.rank IS NOT NULL
+               THEN 1.0 / (60.0 + CAST(l.rank AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN s.rank IS NOT NULL
+                 THEN 1.0 / (60.0 + CAST(s.rank AS DOUBLE)) ELSE 0.0 END)
+           AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT)
+         AS fused_rank
+FROM fused
+"""
+
+
+RETRIEVAL_RRF_SQL = _rrf_fusion_sql()
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contamination_check`` through the Bloom-prefilter path: the
+    benchmark shingle set rides as a 128 KiB bit array (O(1) in data
+    size) instead of a broadcast key set, candidates that pass the
+    k-probe test pay an exact confirm join, and the output contract is
+    IDENTICAL to the exact operator — same oracle, different (and at
+    100 TB, the only feasible) physical shape
+    (operators/dedup.py::bloom_contamination_overlap)."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.bloom_contamination_overlap(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.08,
+    )
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -2179,11 +2285,13 @@ QUERIES = {
     "sample_group_cap": sample_group_cap,
     "sample_token_budget": sample_token_budget,
     "sample_fixed_holdout": sample_fixed_holdout,
+    "sample_weighted_topk": sample_weighted_topk,
     "sketch_event_stats": sketch_event_stats,
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
     "sketch_stats_check": sketch_stats_check,
     "bm25_topk": bm25_topk_docs,
+    "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
@@ -2198,6 +2306,7 @@ QUERIES = {
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "contamination_check": contamination_check,
+    "contamination_bloom": contamination_bloom,
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -2237,6 +2346,7 @@ ORACLE = {
     "sketch_hll_check": SKETCH_HLL_CHECK_SQL,
     "sketch_stats_check": SKETCH_STATS_CHECK_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "retrieval_rrf_fusion": RETRIEVAL_RRF_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
@@ -2244,6 +2354,7 @@ ORACLE = {
     "sample_group_cap": SAMPLE_GROUP_CAP_SQL,
     "sample_token_budget": SAMPLE_TOKEN_BUDGET_SQL,
     "sample_fixed_holdout": SAMPLE_FIXED_HOLDOUT_SQL,
+    "sample_weighted_topk": SAMPLE_WEIGHTED_TOPK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
@@ -2258,6 +2369,7 @@ ORACLE = {
     "dedup_dup_spans": DEDUP_DUP_SPANS_SQL,
     "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,
     "contamination_check": CONTAMINATION_SQL,
+    "contamination_bloom": CONTAMINATION_SQL,
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,

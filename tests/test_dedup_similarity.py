@@ -1149,3 +1149,41 @@ def test_winnow_overlap_pairs_detects_local_quote(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+class TestBloomContamination:
+    def test_tiny_filter_still_exact(self, spark, sf_small):
+        """With m_bits=1024 the Bloom saturates (high false-positive
+        rate), so the prefilter passes nearly everything — the confirm
+        join must still make the output EXACTLY equal the exact
+        operator's."""
+        from pyspark.sql import functions as F
+
+        from ontario_spark.data import table
+        from ontario_spark.operators import dedup
+
+        docs = table(spark, sf_small, "documents")
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        exact = dedup.contamination_overlap(
+            corpus, bench, "doc_id", "text", n=3, threshold=0.08
+        )
+        bloom = dedup.bloom_contamination_overlap(
+            corpus, bench, "doc_id", "text", n=3, threshold=0.08,
+            m_bits=1 << 10, k_hashes=2,
+        )
+        assert sorted(map(tuple, exact.collect())) == sorted(
+            map(tuple, bloom.collect())
+        )
+
+    def test_rejects_non_power_of_two(self, spark, sf_small):
+        import pytest
+
+        from ontario_spark.data import table
+        from ontario_spark.operators import dedup
+
+        docs = table(spark, sf_small, "documents")
+        with pytest.raises(ValueError):
+            dedup.bloom_contamination_overlap(
+                docs, docs, "doc_id", "text", m_bits=1000
+            )

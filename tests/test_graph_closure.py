@@ -196,3 +196,32 @@ def test_pagerank_ranks_by_inlinks(spark):
     # deterministic across invocations
     r2 = {row["node"]: row["rank"] for row in pagerank(edges, iters=5).collect()}
     assert r == r2
+
+
+class TestTriangleCounts:
+    def test_k4_every_node_in_three_triangles(self, spark):
+        from ontario_spark.operators.graph import triangle_counts
+
+        nodes = [1, 2, 3, 4]
+        edges = [(a, b) for a in nodes for b in nodes if a < b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_canonicalizes_direction_duplicates_and_loops(self, spark):
+        from ontario_spark.operators.graph import triangle_counts
+
+        # triangle 1-2-3 given as mixed directions + dups + a self-loop
+        # + a dangling edge; exactly one triangle must be found
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3), (3, 4)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_square_without_diagonal_has_no_triangles(self, spark):
+        from ontario_spark.operators.graph import triangle_counts
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+        )
+        assert triangle_counts(df).count() == 0

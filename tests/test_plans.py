@@ -211,3 +211,29 @@ def test_round9_operator_plan_shapes(spark, sf_small):
     assert "hashpartitioning" not in fp_plan
     assert "rangepartitioning" not in fp_plan
     assert "Window" not in fp_plan
+
+
+def test_round9b_operator_plan_shapes(spark, sf_small):
+    """The round-9 continuation ops keep their stated scale shapes: no
+    Python nodes anywhere; weighted sampling selects via distributed
+    TakeOrderedAndProject (per-partition heaps), never a global sort or
+    single-partition window; the Bloom prefilter's bit array rides as a
+    broadcast (no shuffle of the benchmark side against the corpus) and
+    its membership test stays in codegen (xxhash64 column expressions)."""
+    q = all_queries()
+    for name in (
+        "sample_weighted_topk", "retrieval_rrf_fusion",
+        "contamination_bloom", "events_triangles",
+    ):
+        plan = _plan(q[name](spark, sf_small))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+    wtop = _plan(q["sample_weighted_topk"](spark, sf_small))
+    assert "TakeOrderedAndProject" in wtop
+    assert "Window" not in wtop
+
+    bloom = _plan(q["contamination_bloom"](spark, sf_small))
+    assert "BroadcastExchange" in bloom
+    assert "xxhash64" in bloom

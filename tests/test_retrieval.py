@@ -81,3 +81,32 @@ def test_unigram_logprob_ranks_rare_tokens(spark):
     assert rare > common > 0
     # identical docs score identically (model is corpus-global)
     assert out[2]["avg_neg_logprob"] == common
+
+
+class TestRRFFusion:
+    def test_hand_computed_fusion(self, spark):
+        from ontario_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame([(10, 1), (20, 2)], ["doc_id", "rank"])
+        sem = spark.createDataFrame([(20, 1), (30, 2)], ["doc_id", "rank"])
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fuse([("lex", lex), ("sem", sem)], "doc_id").collect()
+        }
+        assert rows[20]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+        assert rows[10]["rrf_score"] == 1.0 / 61
+        assert rows[30]["rrf_score"] == 1.0 / 62
+        assert rows[10]["sem_rank"] is None and rows[30]["lex_rank"] is None
+        # doc 20 appears in both lists -> fused first
+        assert rows[20]["fused_rank"] == 1
+        assert rows[10]["fused_rank"] == 2  # 1/61 > 1/62
+        assert rows[30]["fused_rank"] == 3
+
+    def test_requires_two_lists(self, spark):
+        import pytest
+
+        from ontario_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+        with pytest.raises(ValueError):
+            rrf_fuse([("lex", lex)], "doc_id")

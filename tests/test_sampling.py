@@ -267,3 +267,31 @@ def test_epoch_shuffle_order(spark):
     assert got == again
     other = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 3, "s").collect()]
     assert got != other and sorted(other) == sorted(got)
+
+
+class TestWeightedTopk:
+    def test_exact_n_deterministic_and_positive_weights_only(self, spark):
+        from ontario_spark.operators.sampling import weighted_topk
+
+        rows = [(i, float(i % 7) - 1.0) for i in range(200)]  # some w <= 0
+        df = spark.createDataFrame(rows, ["k", "w"])
+        a = weighted_topk(df, "k", "w", n=30).collect()
+        b = weighted_topk(df, "k", "w", n=30).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 30
+        assert all(r["weight"] > 0 for r in a)
+        # keys are sorted descending with id tiebreak — a total order
+        ks = [(r["sort_key"], -r["k"]) for r in a]
+        assert ks == sorted(ks, reverse=True)
+
+    def test_heavier_rows_win_more_often(self, spark):
+        """Inclusion tracks weight: with half the rows at weight 10 and
+        half at weight 1, the heavy half must dominate the sample (the
+        A-ES guarantee, checked loosely over one deterministic draw)."""
+        from ontario_spark.operators.sampling import weighted_topk
+
+        rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(400)]
+        df = spark.createDataFrame(rows, ["k", "w"])
+        got = weighted_topk(df, "k", "w", n=80).collect()
+        heavy = sum(1 for r in got if r["weight"] == 10.0)
+        assert heavy > 60  # expectation ~74 of 80; far above parity
