@@ -902,3 +902,70 @@ def bloom_contamination_overlap(
         "n_hits",
         F.round(overlap, 6).alias("overlap"),
     ).filter(overlap >= threshold)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 16,
+    boundary_max: str = "07",
+) -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER every
+    position whose trailing ``window``-char rolling fingerprint
+    (md5 of the window, a content-only function of the local text)
+    sorts at or below ``boundary_max`` in its first two hex digits —
+    expected boundary rate (boundary_max+1)/256, so the default cuts
+    ~every 32 chars. Because boundaries depend only on LOCAL content,
+    an insertion early in a document shifts at most one chunk while
+    every later chunk re-aligns — the property that makes CDC dedup
+    find shared content that fixed-size chunking misses (the rsync /
+    LBFS / backup-dedup design; ``doc_chunks``' fixed token windows
+    are the contrast).
+
+    Scale: map-only — boundary detection and splitting are column
+    expressions (higher-order ``filter``/``transform`` over character
+    positions) evaluated per document with NO shuffle and no UDF; cost
+    is O(total chars) fingerprints, embarrassingly parallel across
+    partitions. Downstream consumers group by chunk hash (8-byte key),
+    never by chunk text.
+
+    Documents shorter than ``window`` become a single chunk. Emits
+    (id, chunk_id, chunk_text); empty trailing chunks (boundary at the
+    last char) are suppressed."""
+    if len(boundary_max) != 2:
+        raise ValueError("boundary_max must be two hex digits")
+    t = text_col
+    bs = (
+        f"CASE WHEN length({t}) >= {window} THEN "
+        f"filter(sequence({window}, length({t})), i -> "
+        f"substr(md5(substring({t}, i - {window - 1}, {window})), 1, 2)"
+        f" <= '{boundary_max}') ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    edges = f"concat(array(0), {bs}, array(length({t})))"
+    # The boundary scan (one md5 per character position) must run ONCE
+    # per document: materialize the edges array at a Generate (explode)
+    # node so every downstream reference is an ATTRIBUTE, not a
+    # re-inlined copy of the scan — higher-order functions evaluate
+    # interpreted with no common-subexpression elimination, so the
+    # naive nested expression recomputes the full scan per CHUNK
+    # (measured 40x slower at sf0.1).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.expr(edges).alias("__edges"),
+    )
+    ex = base.select(
+        "id",
+        "__t",
+        "__edges",
+        F.explode(F.expr("sequence(1, size(__edges) - 1)")).alias("chunk_id"),
+    )
+    return ex.select(
+        "id",
+        "chunk_id",
+        F.expr(
+            "substring(__t, element_at(__edges, chunk_id) + 1, "
+            "element_at(__edges, chunk_id + 1) - element_at(__edges, chunk_id))"
+        ).alias("chunk_text"),
+    ).filter(F.length("chunk_text") > 0)

@@ -659,3 +659,117 @@ def novelty_score(
             ).alias("novelty"),
         )
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize an http(s) URL for dedup keying: lowercase scheme
+    and host, strip the scheme's default port (:80 / :443), drop the
+    fragment, strip trailing path slashes, drop ``utm_*`` tracking
+    params, and SORT the surviving query params — so syntactic
+    variants of the same resource collapse to one key (web-crawl
+    dedup's first, cheapest pass: URL-level dedup removes refetches
+    before any content hashing). Pure regexp/array column expressions,
+    mirrored 1:1 by the DuckDB oracle; non-URL input yields NULL."""
+    scheme = F.lower(F.regexp_extract(url, r"^(https?)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(F.regexp_replace(hostport, r":80$", ""))
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.when(
+        scheme != "",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+        ),
+    )
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB expression replicating ``canonical_url`` bit-for-bit."""
+    scheme = f"lower(regexp_extract({url_expr}, '^(https?)://', 1))"
+    hostport = f"lower(regexp_extract({url_expr}, '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE regexp_replace({hostport}, ':80$', '') END"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({url_expr},"
+        f" '^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+([^?#]*)', 1), '/+$', '')"
+    )
+    params = (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split(regexp_extract({url_expr}, '\\?([^#]*)', 1), '&'),"
+        f" p -> p != '' AND NOT starts_with(p, 'utm_'))), '&')"
+    )
+    return (
+        f"CASE WHEN {scheme} != '' THEN {scheme} || '://' || {host} || {path}"
+        f" || CASE WHEN {params} != '' THEN '?' || {params} ELSE '' END END"
+    )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def quality_gates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1.2
+    repetition/format rules adapted to this corpus): per-document
+    boolean gates — word-count bounds, mean-word-length bounds,
+    fraction of words containing an alphabetic character, and presence
+    of common-stopword evidence — plus the conjunctive ``pass_all``.
+    Emitting the individual gate flags (not just the verdict) is the
+    curation-pipeline contract: rejected-by-which-rule drives corpus
+    triage dashboards. Pure column expressions, map-only, no shuffle."""
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl = (
+        (F.length(F.col(text_col)) - (n_words - F.lit(1))).cast("double")
+        / n_words
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS))
+    )
+    g_count = (n_words >= min_words) & (n_words <= max_words)
+    g_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    g_alpha = alpha_frac >= min_alpha_word_frac
+    g_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        g_count.alias("gate_word_count"),
+        g_wl.alias("gate_mean_word_len"),
+        g_alpha.alias("gate_alpha_words"),
+        g_stop.alias("gate_stopwords"),
+        (g_count & g_wl & g_alpha & g_stop).alias("pass_all"),
+    )

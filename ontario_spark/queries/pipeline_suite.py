@@ -2277,6 +2277,144 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup report: documents split at
+    rolling-fingerprint boundaries (operators/dedup.py::cdc_chunks —
+    boundaries move WITH the content, so shifted near-duplicates still
+    share chunks), then chunks shared by ≥ 2 documents grouped on the
+    16-byte chunk hash. The grouping shuffles only (hash, id, len) —
+    never chunk text."""
+    ch = dedup.cdc_chunks(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("id").alias("canonical_doc"),
+            F.min(F.length("chunk_text")).alias("chunk_len"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+DEDUP_CDC_SQL = """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS L,
+         CASE WHEN length(text) >= 16 THEN
+           list_filter(range(16, length(text) + 1),
+                       i -> substr(md5(text[i-15:i]), 1, 2) <= '07')
+         ELSE CAST([] AS BIGINT[]) END AS bs
+  FROM documents
+), e AS (
+  SELECT doc_id, text, [0] || bs || [L] AS edges FROM c
+), ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(edges)),
+                j -> text[edges[j]+1 : edges[j+1]])) AS chunk_text
+  FROM e
+)
+SELECT md5(chunk_text) AS chunk_hash,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc,
+       CAST(MIN(length(chunk_text)) AS INT) AS chunk_len
+FROM ch
+WHERE length(chunk_text) > 0
+GROUP BY md5(chunk_text)
+HAVING COUNT(*) >= 2
+"""
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the first pass of web-crawl curation): planted
+    syntactic variants of the same resource — host case, default
+    ports, trailing slashes, utm_* tracking params, fragments, query
+    param order — collapse to one canonical key
+    (operators/textops.py::canonical_url) and group. One shuffle on
+    the canonical string."""
+    docs = table(spark, sf_dir, "documents")
+    item = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://cdn.example.com/item/"), item))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://CDN.EXAMPLE.COM/item/"), item, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://cdn.example.com:443/item/"), item,
+                       F.lit("?utm_source=feed")))
+        .otherwise(
+            F.concat(F.lit("http://cdn.example.com/item/"), item,
+                     F.lit("?b=2&utm_campaign=z&a=1#frag")))
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    return (
+        planted.select("doc_id", textops.canonical_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc"))
+    )
+
+
+def _url_canonical_sql() -> str:
+    canon = textops.canonical_url_sql("url")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+         THEN 'https://cdn.example.com/item/' || CAST(doc_id % 50 AS VARCHAR)
+         WHEN doc_id % 4 = 1
+         THEN 'https://CDN.EXAMPLE.COM/item/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+         WHEN doc_id % 4 = 2
+         THEN 'https://cdn.example.com:443/item/' || CAST(doc_id % 50 AS VARCHAR)
+              || '?utm_source=feed'
+         ELSE 'http://cdn.example.com/item/' || CAST(doc_id % 50 AS VARCHAR)
+              || '?b=2&utm_campaign=z&a=1#frag' END AS url
+  FROM documents
+)
+SELECT {canon} AS canonical_url, COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_doc
+FROM planted GROUP BY canonical_url
+"""
+
+
+DEDUP_URL_CANONICAL_SQL = _url_canonical_sql()
+
+
+def text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gates over ``documents`` — per-rule boolean
+    flags + the conjunctive verdict
+    (operators/textops.py::quality_gates)."""
+    return textops.quality_gates(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+TEXT_QUALITY_GATES_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         array_length(toks) AS n_words,
+         CAST(length(text) - (array_length(toks) - 1) AS DOUBLE)
+           / array_length(toks) AS mean_wl,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+              AS DOUBLE) / array_length(toks) AS alpha_frac,
+         len(list_filter(toks, w -> lower(w) IN
+             ('the','be','to','of','and','that','have','with'))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       (n_words >= 20 AND n_words <= 100000) AS gate_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS gate_mean_word_len,
+       (alpha_frac >= 0.8) AS gate_alpha_words,
+       (stop_hits >= 2) AS gate_stopwords,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS pass_all
+FROM m
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -2293,6 +2431,8 @@ QUERIES = {
     "bm25_topk": bm25_topk_docs,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "dedup_exact": dedup_exact,
+    "dedup_cdc_chunks": dedup_cdc_chunks,
+    "dedup_url_canonical": dedup_url_canonical,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_containment_anchors": dedup_containment_anchors,
@@ -2320,6 +2460,7 @@ QUERIES = {
     "emb_neardup_pairs": emb_neardup_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
+    "text_quality_gates": text_quality_gates,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_winnow_profile": text_winnow_profile,
@@ -2356,6 +2497,8 @@ ORACLE = {
     "sample_fixed_holdout": SAMPLE_FIXED_HOLDOUT_SQL,
     "sample_weighted_topk": SAMPLE_WEIGHTED_TOPK_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_cdc_chunks": DEDUP_CDC_SQL,
+    "dedup_url_canonical": DEDUP_URL_CANONICAL_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_containment_anchors": DEDUP_CONTAINMENT_ANCHORS_SQL,
@@ -2380,6 +2523,7 @@ ORACLE = {
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
+    "text_quality_gates": TEXT_QUALITY_GATES_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_winnow_profile": TEXT_WINNOW_SQL,

@@ -1187,3 +1187,82 @@ class TestBloomContamination:
             dedup.bloom_contamination_overlap(
                 docs, docs, "doc_id", "text", m_bits=1000
             )
+
+
+class TestCDCChunks:
+    def _chunks(self, spark, rows):
+        from ontario_spark.operators.dedup import cdc_chunks
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = cdc_chunks(df, "doc_id", "text").collect()
+        by_doc = {}
+        for r in sorted(out, key=lambda r: (r["id"], r["chunk_id"])):
+            by_doc.setdefault(r["id"], []).append(r["chunk_text"])
+        return by_doc
+
+    def test_chunks_reassemble_to_original(self, spark):
+        import hashlib
+
+        base = " ".join(
+            hashlib.md5(str(i).encode()).hexdigest()[:5] for i in range(120)
+        )
+        got = self._chunks(spark, [(1, base), (2, "tiny"), (3, "")])
+        assert "".join(got[1]) == base
+        assert got[2] == ["tiny"]  # shorter than the window: one chunk
+        assert 3 not in got  # empty doc -> zero chunks
+        assert len(got[1]) > 3  # boundaries actually fire on 700 chars
+
+    def test_prefix_insertion_preserves_suffix_chunks(self, spark):
+        """THE content-defined property: prepending text shifts every
+        character position, but boundaries depend only on local
+        content, so all chunks after the first resync point are
+        IDENTICAL — fixed-size chunking would lose every one."""
+        import hashlib
+
+        base = " ".join(
+            hashlib.md5(str(i).encode()).hexdigest()[:5] for i in range(200)
+        )
+        got = self._chunks(spark, [(1, base), (2, "INSERTED PREFIX " + base)])
+        shared = set(got[1]) & set(got[2])
+        assert len(shared) >= len(got[1]) - 2  # all but the head region
+
+
+class TestURLCanonical:
+    def test_hand_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from ontario_spark.operators.textops import canonical_url
+
+        cases = [
+            (1, "https://CDN.Example.com:443/a/b/"),
+            (2, "https://cdn.example.com/a/b"),
+            (3, "http://Host.com:80/x?utm_source=s&b=2&a=1#frag"),
+            (4, "http://host.com/x?a=1&b=2"),
+            (5, "not a url"),
+            (6, "https://h.com/"),
+        ]
+        df = spark.createDataFrame(cases, ["i", "u"])
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+        }
+        assert got[1] == got[2] == "https://cdn.example.com/a/b"
+        assert got[3] == got[4] == "http://host.com/x?a=1&b=2"
+        assert got[5] is None
+        assert got[6] == "https://h.com"
+
+
+def test_quality_gates_edge_docs(spark):
+    from ontario_spark.operators.textops import quality_gates
+
+    rows = [
+        (1, ""),  # empty: 1 empty token, every gate fails
+        (2, " ".join(["the", "of", "and", "data"] * 10)),  # 40 words, passes
+        (3, " ".join(["zq9"] * 60)),  # no stopwords -> gate_stopwords false
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in quality_gates(df, "doc_id", "text").collect()}
+    assert not got[1]["pass_all"] and got[1]["n_words"] == 1
+    assert got[2]["pass_all"]
+    assert got[3]["gate_word_count"] and not got[3]["gate_stopwords"]
+    assert not got[3]["pass_all"]

@@ -237,3 +237,19 @@ def test_round9b_operator_plan_shapes(spark, sf_small):
     bloom = _plan(q["contamination_bloom"](spark, sf_small))
     assert "BroadcastExchange" in bloom
     assert "xxhash64" in bloom
+
+
+def test_cdc_and_url_quality_plan_shapes(spark, sf_small):
+    """CDC chunking stays map-only up to the chunk-hash aggregate (one
+    Generate for the explode, no Python nodes, and the only exchange is
+    the final hash aggregate / fixture spread); URL canonicalization
+    and the quality gates stay pure codegen expressions."""
+    q = all_queries()
+    for name in ("dedup_cdc_chunks", "dedup_url_canonical", "text_quality_gates"):
+        plan = _plan(q[name](spark, sf_small))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+    cdc = _plan(q["dedup_cdc_chunks"](spark, sf_small))
+    assert "Generate" in cdc  # edges materialized at the explode node
+    assert "Window" not in cdc
