@@ -72,7 +72,11 @@ DRIVER_SURFACE = [
     # now represented by sample_temperature_mix (round-5 temperature
     # mixing, never externally verified); sample_corpus_mix (green
     # r1-r5, same md5-predicate mechanics) leads the post-cap registry
-    "sample_temperature_mix",
+    # round-9 continuation swap: sample_temperature_mix (green r6-r8;
+    # the sampling family keeps sample_epoch_order + the new weighted
+    # row) → Efraimidis-Spirakis weighted sampling, new this round and
+    # never externally verified
+    "sample_weighted_topk",
     # round-6 late swaps: dedup_exact (green r1-r5, family keeps five
     # rows) → text_perplexity (unigram-LM filter); stream_user_sessions
     # (green r4-r5, stream family keeps four rows) → events_pagerank
@@ -117,8 +121,17 @@ DRIVER_SURFACE = [
     # stream_enriched_segments — and events_range_pairs — the temporal
     # family keeps events_asof_join + events_scd2_history)
     "text_pii_scan",
-    "doc_chunks",
-    "bm25_topk",
+    # round-9 continuation swap: doc_chunks (green r6-r8; chunking
+    # stays surface-represented by dedup_cdc_chunks, whose
+    # content-defined split + chunk-hash dedup strictly widens the
+    # fixed-window shape) → the Bloom-prefilter contamination path,
+    # the decontamination family's first direct surface row beyond the
+    # composed pipeline
+    "contamination_bloom",
+    # round-9 continuation swap: bm25_topk (green r6-r8) → RRF hybrid
+    # fusion, which STRICTLY CONTAINS it (the same bm25_topk call is
+    # its lexical leg, plus the dense cosine leg and the fusion join)
+    "retrieval_rrf_fusion",
     "sample_epoch_order",
     "mm_decode_stats",
     "sketch_hll_check",
@@ -147,7 +160,11 @@ DRIVER_SURFACE = [
     # round-5 work never externally verified; slot from
     # sparql_agg_distinct — aggregates stay represented by
     # sparql_aggregate + sparql_group_by_expr)
-    "sparql_term_functions",
+    # round-9 continuation swap: sparql_term_functions (green r6-r8;
+    # the function-library family stays represented by
+    # sparql_filter_functions) → degree-oriented triangle counting,
+    # the graph family's second surface row beside events_pagerank
+    "events_triangles",
     "sparql_path_closure",
     # round-8 late swap: VALUES semantics row upgraded to the UNDEF
     # wildcard form (§10.2 compatibility — this round's headline join
@@ -205,7 +222,10 @@ DRIVER_SURFACE = [
     # (near_cap) and stay under the pytest golden gate.
     "events_scd2_history",
     "fuzzy_part_names",
-    "dedup_keep_best",
+    # round-9 continuation swap: dedup_keep_best (green r5-r8; priority
+    # semantics stay pytest-gated) → content-defined chunk dedup, new
+    # this round and never externally verified
+    "dedup_cdc_chunks",
     # round-6: composed-pipeline family externally verified for the
     # first time (slot from sparql_lineitem_star; since the round-8
     # rotation, star joins stay driver-checked via
@@ -228,6 +248,14 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        # round-9 continuation rotated-out rows first (each green 3+
+        # rounds with its family still surface-represented; bm25 is
+        # strictly contained in the new RRF surface row)
+        "sample_temperature_mix",
+        "doc_chunks",
+        "bm25_topk",
+        "sparql_term_functions",
+        "dedup_keep_best",
         # round-9 rotated-out rows first (sparql_describe green r5-r8,
         # displaced by the CQ5 multi-OPTIONAL cascade; dedup_containment
         # green r6-r8, superseded on the surface by its anchors scale

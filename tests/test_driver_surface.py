@@ -23,7 +23,9 @@ FAMILIES = (
     # 6), whose plan strictly contains emb_neardup_pairs' pipeline
     ("emb_", "semantic_"),
     "text_",
-    "bm25_",
+    # lexical-retrieval family: represented by retrieval_rrf_fusion
+    # (round 9), whose fusion plan strictly contains bm25_topk's
+    ("bm25_", "retrieval_"),
     "mm_",
     "sketch_",
     "stream_",

@@ -40,6 +40,9 @@ PROBE_QUERIES = [
     "dedup_boilerplate",
     "dedup_keep_best",
     "contamination_check",
+    "contamination_bloom",
+    "dedup_cdc_chunks",
+    "dedup_url_canonical",
     "fuzzy_part_names",
     "dedup_dup_spans",
     "dedup_winnow_pairs",
@@ -54,15 +57,19 @@ PROBE_QUERIES = [
     "ann_topk_ivfpq",
     "emb_cluster_assign",
     "bm25_topk",
+    "retrieval_rrf_fusion",
     # text
     "text_metrics",
     "frequent_terms",
     "text_pii_scan",
     "sample_temperature_mix",
+    "sample_weighted_topk",
+    "text_quality_gates",
     # temporal + streaming
     "events_asof_join",
     "events_range_pairs",
     "events_scd2_history",
+    "events_triangles",
     "stream_events_hourly",
     "stream_user_sessions",
     # composed pipelines
