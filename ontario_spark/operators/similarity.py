@@ -1007,3 +1007,54 @@ def ivfpq_topk(
         )
     )
     return _adc_rank_and_rerank(cand, corpus, queries, id_col, vec_col, k, rerank)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-group mean-pooled embedding (the pooling step of doc-level
+    representations, cluster summaries, or class prototypes): one
+    centroid vector per label. Components are summed as
+    DECIMAL(28,12) — exact and ORDER-INDEPENDENT, so the result is
+    identical on any engine, partitioning, or shuffle arrival order
+    (a plain double sum would drift in the last ulp per reduction
+    tree) — then divided once and rounded.
+
+    Scale: posexplode → one (label, pos) hash aggregate → one (label)
+    re-assembly aggregate. Shuffle volume is rows × dim scalar cells,
+    the unavoidable minimum for exact pooling; no vector ever rides a
+    collect. Dim is bounded (embedding width), so the collected
+    per-label struct list in the re-assembly stage is O(dim)."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    comp = ex.groupBy("label", "pos").agg(
+        # exact decimal SUM (order-independent), then ONE double
+        # division — dividing decimal BY decimal lands in Spark's
+        # precision-overflow rule and silently truncates the result
+        # scale to 6; the float leg widens to double first (a direct
+        # float→decimal cast goes through the float's shortest string
+        # repr and loses everything past ~7 sig digits)
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            round_to,
+        ).alias("c"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid"),
+            F.max("__n").alias("n_vecs"),
+        )
+        .select("label", "n_vecs", "centroid")
+    )

@@ -2415,6 +2415,141 @@ FROM m
 """
 
 
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 additions composed end-to-end in ONE lazy plan, the
+    way a web-crawl curation run chains them: Gopher-style quality
+    gates (map-only) → content-defined-chunk duplication gate (docs
+    whose CDC chunks are mostly shared with OTHER documents are
+    near-duplicate boilerplate; chunk doc-frequency is one hash
+    aggregate) → exact-dedup canonical survivors → per-(source, lang)
+    doc/word budget report. Chunk-level stats join back on doc_id;
+    chunk text never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    gates = textops.quality_gates(docs, "doc_id", "text").filter(
+        F.col("pass_all")
+    ).select("doc_id", "n_words")
+
+    ch = dedup.cdc_chunks(docs, "doc_id", "text").select(
+        "id", F.md5("chunk_text").alias("h")
+    )
+    docfreq = ch.groupBy("h").agg(
+        F.count_distinct("id").alias("__df")
+    )
+    dupfrac = (
+        ch.join(docfreq, "h")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("__df") >= 2).cast("int")).alias("n_dup_chunks"),
+        )
+        .filter(
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks") <= 0.5
+        )
+        .select("doc_id")
+    )
+    canon = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "source", "lang")
+        .join(gates, "doc_id")
+        .join(dupfrac, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
+
+
+PIPELINE_WEB_CURATION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, lang, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), gates AS (
+  SELECT doc_id, array_length(toks) AS n_words
+  FROM (
+    SELECT doc_id, toks,
+           CAST(length(text) - (array_length(toks) - 1) AS DOUBLE)
+             / array_length(toks) AS mean_wl,
+           CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                AS DOUBLE) / array_length(toks) AS alpha_frac,
+           len(list_filter(toks, w -> lower(w) IN
+               ('the','be','to','of','and','that','have','with'))) AS stop_hits
+    FROM t)
+  WHERE array_length(toks) >= 20 AND array_length(toks) <= 100000
+    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+    AND alpha_frac >= 0.8 AND stop_hits >= 2
+), c AS (
+  SELECT doc_id, text, length(text) AS L,
+         CASE WHEN length(text) >= 16 THEN
+           list_filter(range(16, length(text) + 1),
+                       i -> substr(md5(text[i-15:i]), 1, 2) <= '07')
+         ELSE CAST([] AS BIGINT[]) END AS bs
+  FROM documents
+), e AS (
+  SELECT doc_id, text, [0] || bs || [L] AS edges FROM c
+), ch AS (
+  SELECT doc_id,
+         md5(unnest(list_transform(range(1, len(edges)),
+                    j -> text[edges[j]+1 : edges[j+1]]))) AS h
+  FROM e
+), chf AS (
+  SELECT doc_id, h FROM ch WHERE h != md5('')
+), docfreq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS df FROM chf GROUP BY h
+), dupfrac AS (
+  SELECT c2.doc_id
+  FROM chf c2 JOIN docfreq USING (h)
+  GROUP BY c2.doc_id
+  HAVING SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+         / CAST(COUNT(*) AS DOUBLE) <= 0.5
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), kept AS (
+  SELECT d.doc_id, d.source, d.lang, g.n_words
+  FROM documents d
+  JOIN gates g USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM dupfrac)
+    AND d.doc_id IN (SELECT doc_id FROM canon)
+)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM kept GROUP BY source, lang
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding per label (class prototypes / cluster
+    summaries) with exact DECIMAL component sums so the centroid is
+    engine- and order-independent
+    (operators/similarity.py::label_centroids)."""
+    return similarity.label_centroids(
+        table(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+EMB_LABEL_CENTROIDS_SQL = """
+WITH ix AS (
+  SELECT label, embedding, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), ex AS (
+  SELECT label, pos, CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS v
+  FROM ix
+), comp AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 9) AS c,
+         COUNT(*) AS n
+  FROM ex GROUP BY label, pos
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+       list(c ORDER BY pos) AS centroid
+FROM comp GROUP BY label
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -2457,6 +2592,7 @@ QUERIES = {
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "emb_cluster_assign": emb_cluster_assign,
+    "emb_label_centroids": emb_label_centroids,
     "emb_neardup_pairs": emb_neardup_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -2475,6 +2611,7 @@ QUERIES = {
     "sample_epoch_order": sample_epoch_order,
     "text_novelty": text_novelty,
     "pipeline_corpus_curation": pipeline_corpus_curation,
+    "pipeline_web_curation": pipeline_web_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
     "mm_decode_stats": mm_decode_stats,
@@ -2520,6 +2657,7 @@ ORACLE = {
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "emb_cluster_assign": EMB_CLUSTER_ASSIGN_SQL,
+    "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
@@ -2538,6 +2676,7 @@ ORACLE = {
     "sample_epoch_order": SAMPLE_EPOCH_ORDER_SQL,
     "text_novelty": TEXT_NOVELTY_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
+    "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,

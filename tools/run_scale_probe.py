@@ -75,6 +75,7 @@ PROBE_QUERIES = [
     # composed pipelines
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
+    "pipeline_web_curation",
     # TPC-H headliners
     "q1_pricing_summary",
     "q2_min_cost_supplier",
