@@ -409,13 +409,17 @@ GROUP BY f.cohort_w, wks.w - f.cohort_w
 
 
 def events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user triangle counts over the co-interaction graph: users
-    are linked when they touched the same item key (``props.$.k``),
-    with an item-degree cap (≤ 30 distinct users) guarding against the
-    clique blow-up of hub items — the same skew discipline as the
-    shingle doc-frequency caps. Triangle listing itself is the
-    degree-ORIENTED wedge join (operators/graph.py::triangle_counts),
-    O(m^1.5) instead of the naive max-degree-quadratic self-join."""
+    """Per-item triangle counts over the co-interaction graph: item
+    keys (``props.$.k``) are linked when the same user touched both.
+    The projection runs through the BOUNDED side of the bipartite
+    graph — items-per-user is capped (≤ 80; the generator holds it
+    ~constant as users scale), so per-user pair fan-out is O(cap²)
+    at ANY corpus size, where the user-per-item side grows with the
+    corpus and would blow up a user-projected graph (measured: its
+    item degrees grow 13 → 795 from sf0.001 → sf0.1, leaving a
+    degree-capped user graph with ZERO triangles past sf0.001).
+    Triangle listing is the degree-oriented wedge join
+    (operators/graph.py::triangle_counts), O(m^1.5)."""
     from ontario_spark.operators.graph import triangle_counts
 
     ev = table(spark, sf_dir, "events")
@@ -426,15 +430,15 @@ def events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("k").isNotNull())
         .distinct()
     )
-    ok = ui.groupBy("k").agg(F.count(F.lit(1)).alias("__d")).filter(
-        F.col("__d") <= 30
-    ).select("k")
-    a = ui.select(F.col("k"), F.col("user_id").alias("ua"))
-    b = ui.select(F.col("k").alias("kb"), F.col("user_id").alias("ub"))
+    ok = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("__d")).filter(
+        F.col("__d") <= 80
+    ).select("user_id")
+    a = ui.select(F.col("user_id"), F.col("k").alias("ka"))
+    b = ui.select(F.col("user_id").alias("ub"), F.col("k").alias("kb"))
     pairs = (
-        a.join(ok, "k", "left_semi")
-        .join(b, (F.col("k") == F.col("kb")) & (F.col("ua") < F.col("ub")))
-        .select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        a.join(ok, "user_id", "left_semi")
+        .join(b, (F.col("user_id") == F.col("ub")) & (F.col("ka") < F.col("kb")))
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
     return triangle_counts(pairs, "src", "dst")
@@ -446,11 +450,11 @@ WITH ui AS (
   FROM events
   WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
 ), ok AS (
-  SELECT k FROM ui GROUP BY k HAVING COUNT(*) <= 30
+  SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) <= 80
 ), e AS (
-  SELECT DISTINCT a.user_id AS a, b.user_id AS b
-  FROM ui a JOIN ok USING (k) JOIN ui b
-    ON a.k = b.k AND a.user_id < b.user_id
+  SELECT DISTINCT a.k AS a, b.k AS b
+  FROM ui a JOIN ok USING (user_id) JOIN ui b
+    ON a.user_id = b.user_id AND a.k < b.k
 ), tri AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM e e1
