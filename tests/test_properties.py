@@ -301,3 +301,58 @@ def test_parser_fuzz_raw_text_fails_closed(text):
     except SparqlSyntaxError:
         return
     assert isinstance(q, Query)
+
+
+# --- round-9 continuation operator invariants
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cdc_chunks_reassemble_exactly(spark, texts):
+    """CDC chunking is a PARTITION of the document: concatenating the
+    chunks in chunk_id order reproduces every non-empty document
+    byte-for-byte (unicode included), and empty documents emit no
+    chunks."""
+    from ontario_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got: dict[int, list] = {i: [] for i in range(len(texts))}
+    for r in cdc_chunks(df, "doc_id", "text").collect():
+        got[r["id"]].append((r["chunk_id"], r["chunk_text"]))
+    for i, text in enumerate(texts):
+        joined = "".join(c for _, c in sorted(got[i]))
+        assert joined == text
+        assert all(c != "" for _, c in got[i])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.text(alphabet="abxyz019.-_&=/:#?", max_size=40),
+)
+def test_canonical_url_is_idempotent(spark, tail):
+    """Canonicalizing a canonical URL is a no-op — the defining
+    property of a canonical form (otherwise two passes over the same
+    crawl disagree on keys)."""
+    from pyspark.sql import functions as F
+
+    from ontario_spark.operators.textops import canonical_url
+
+    url = "https://Host.Example.com:443/" + tail
+    df = spark.createDataFrame([(url,)], ["u"])
+    once = df.select(canonical_url(F.col("u")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c"))
+    a = once.collect()[0]["c"]
+    b = twice.collect()[0]["c"]
+    if a is not None:
+        assert a == b
