@@ -66,10 +66,13 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
-    # Best-of-N per query (default 2): single-shot numbers on a shared
+    # Best-of-N per query (default 3): single-shot numbers on a shared
     # box are GC/page-cache noise-dominated; the min is the query's
-    # actual cost.
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    # actual cost. Raised 2 → 3 in round 9 after measuring 3× swings
+    # on the SAME query minutes apart on this round's VM (SCALE.md
+    # "measure the box"): with N=2 one bad pair recorded 7.3 s for a
+    # query whose warm cost is 1.9 s.
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     for name in names:
         # Clear persisted intermediates BETWEEN queries (operators like
         # LSH/Jaccard persist hot intermediates; 88 queries × repeats

@@ -253,3 +253,14 @@ def test_cdc_and_url_quality_plan_shapes(spark, sf_small):
     cdc = _plan(q["dedup_cdc_chunks"](spark, sf_small))
     assert "Generate" in cdc  # edges materialized at the explode node
     assert "Window" not in cdc
+
+
+def test_centroids_and_web_curation_plan_shapes(spark, sf_small):
+    """Label-centroid pooling and the composed web-curation chain stay
+    JVM-side end to end."""
+    q = all_queries()
+    for name in ("emb_label_centroids", "pipeline_web_curation"):
+        plan = _plan(q[name](spark, sf_small))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
