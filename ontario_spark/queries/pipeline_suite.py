@@ -2429,8 +2429,13 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pass_all")
     ).select("doc_id", "n_words")
 
-    ch = dedup.cdc_chunks(docs, "doc_id", "text").select(
-        "id", F.md5("chunk_text").alias("h")
+    # the (id, chunk-hash) frame feeds BOTH the doc-frequency aggregate
+    # and the per-doc rejoin — persist it once or the per-character CDC
+    # boundary scan (the plan's dominant cost) runs twice
+    ch = dedup._bounded_persist(
+        dedup.cdc_chunks(docs, "doc_id", "text").select(
+            "id", F.md5("chunk_text").alias("h")
+        )
     )
     docfreq = ch.groupBy("h").agg(
         F.count_distinct("id").alias("__df")

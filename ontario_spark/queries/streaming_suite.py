@@ -7,8 +7,10 @@ streaming path computes exactly what batch does over the same rows."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ontario_spark.streaming.events import (
+    user_budget_cut,
     dedup_events,
     enriched_segment_counts,
     interval_join,
@@ -163,6 +165,39 @@ QUALIFY rank <= 3
 """
 
 
+def stream_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-buffered per-user running-budget cut (keep events in
+    event-time order while cumulative value stays within budget) — the
+    streaming form of the batch token-budget mix, folding exact
+    integer cents (streaming/events.py::user_budget_cut; the
+    transformWithState variant is environment-gated, see
+    ``tws_available``)."""
+    stream = read_event_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    return run_available_now(
+        user_budget_cut(stream), "stream_budget_cut_sink", output_mode="update"
+    )
+
+
+STREAM_BUDGET_CUT_SQL = """
+WITH c AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id
+                 ORDER BY ts, CAST(ROUND(value * 100) AS BIGINT)
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (run <= 150000) AS BIGINT) AS n_kept,
+       CAST(COALESCE(MAX(run) FILTER (run <= 150000), 0) AS BIGINT)
+         AS kept_cents,
+       (MAX(run) > 150000) AS budget_hit
+FROM c GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_click_purchase": stream_click_purchase,
     "stream_dedup": stream_dedup,
@@ -170,6 +205,7 @@ QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_user_sessions": stream_user_sessions,
     "stream_user_gaps": stream_user_gaps,
+    "stream_budget_cut": stream_budget_cut,
     "stream_trending_topk": stream_trending_topk,
 }
 
@@ -180,5 +216,6 @@ ORACLE = {
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
     "stream_user_gaps": STREAM_USER_GAPS_SQL,
+    "stream_budget_cut": STREAM_BUDGET_CUT_SQL,
     "stream_trending_topk": STREAM_TRENDING_TOPK_SQL,
 }

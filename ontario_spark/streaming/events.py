@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -435,3 +436,226 @@ def write_stream_exactly_once(
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+BUDGET_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_kept", LongType()),
+        StructField("kept_cents", LongType()),
+        StructField("budget_hit", BooleanType()),
+    ]
+)
+
+BUDGET_STATE_SCHEMA = StructType(
+    [
+        StructField("n_kept", LongType()),
+        StructField("kept_cents", LongType()),
+        StructField("budget_hit", BooleanType()),
+        StructField("pending_us", ArrayType(LongType())),
+        StructField("pending_cents", ArrayType(LongType())),
+    ]
+)
+
+
+def _fold_budget(n_kept, kept, hit, pairs, budget):
+    """Keep events in (ts, cents) order while the running total stays
+    within budget; the first overflow sets the flag and freezes the
+    cut (later cheaper events do NOT backfill — the reproducible
+    budget-cut contract)."""
+    for _, c in pairs:
+        if hit:
+            break
+        if kept + c > budget:
+            hit = True
+            break
+        kept += c
+        n_kept += 1
+    return n_kept, kept, hit
+
+
+def _budget_cents_col() -> Column:
+    # exact integer cents: values carry 2 decimals, so round(v*100)
+    # is the same integer on every engine — the fold never touches a
+    # float and bit-parity with the batch oracle needs no
+    # summation-order argument
+    return F.round(F.col("value") * 100, 0).cast("long")
+
+
+def user_budget_cut(
+    stream: DataFrame, budget_cents: int = 150_000, watermark: str = "24 hours"
+) -> DataFrame:
+    """Per-user running-budget cut: events are kept in event-time
+    order while the user's cumulative value stays within the budget —
+    the streaming form of the batch token-budget mix
+    (operators/sampling.py), and genuinely stateful (the cut point
+    depends on everything seen before it).
+
+    Same watermark-buffer discipline as ``user_event_gaps``: rows
+    join a per-key pending buffer; only rows at or below the
+    watermark FINALIZE into the running total, in (ts, cents) order
+    (a total order), so out-of-order arrival within the watermark can
+    never contradict an emitted fold. Each batch emits the
+    provisional fold of finalized + pending (update sink: last write
+    wins). State is bounded by the watermark horizon per key."""
+    from bisect import bisect_right
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    budget = int(budget_cents)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_kept, kept, hit, p_us, p_cents = state.get
+            buf = list(zip(p_us or [], p_cents or []))
+        else:
+            n_kept, kept, hit, buf = 0, 0, False, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_us = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            )
+            buf.extend(zip(ts_us.tolist(), pdf["cents"].tolist()))
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cut = bisect_right(buf, (wm_us, float("inf")))
+        n_kept, kept, hit = _fold_budget(n_kept, kept, hit, buf[:cut], budget)
+        buf = buf[cut:]
+        state.update(
+            (n_kept, kept, hit, [t for t, _ in buf], [c for _, c in buf])
+        )
+        pn, pk, ph = _fold_budget(n_kept, kept, hit, buf, budget)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_kept": pn,
+                    "kept_cents": pk,
+                    "budget_hit": ph,
+                }
+            ]
+        )
+
+    withc = stream.withColumn("cents", _budget_cents_col())
+    return (
+        withc.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=BUDGET_OUT_SCHEMA,
+            stateStructType=BUDGET_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas``'s Python workers require the
+    ``google.protobuf`` package (its state-server protocol is proto-
+    encoded); this container doesn't ship it, so the TWS variant is
+    environment-gated exactly like the Mongo/Neo4j live connectors —
+    the semantics stay covered by the ``applyInPandasWithState``
+    implementation above, which this build runs end-to-end."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_budget_cut_tws(
+    stream: DataFrame, budget_cents: int = 150_000, watermark: str = "24 hours"
+) -> DataFrame:
+    """``user_budget_cut`` on Spark 4's ``transformWithStateInPandas``
+    — the typed-state successor to ``applyInPandasWithState`` (named
+    ValueState/ListState handles instead of one packed tuple; requires
+    the RocksDB state store provider and the protobuf package, see
+    ``tws_available``). Identical semantics and output schema to
+    ``user_budget_cut``; a gated test asserts result equality when the
+    environment supports both."""
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(absent in this environment); use user_budget_cut, which "
+            "runs the same semantics on applyInPandasWithState"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    budget = int(budget_cents)
+
+    class BudgetCut(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.agg = handle.getValueState(
+                "agg", "n_kept bigint, kept_cents bigint, budget_hit boolean"
+            )
+            self.pending = handle.getListState(
+                "pending", "ts_us bigint, cents bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            from bisect import bisect_right
+
+            n_kept, kept, hit = (
+                tuple(self.agg.get()) if self.agg.exists() else (0, 0, False)
+            )
+            buf = (
+                [(r[0], r[1]) for r in self.pending.get()]
+                if self.pending.exists()
+                else []
+            )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                ts_us = (
+                    pd.to_datetime(pdf["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1000
+                )
+                buf.extend(zip(ts_us.tolist(), pdf["cents"].tolist()))
+            buf.sort()
+            wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+            cut = bisect_right(buf, (wm_us, float("inf")))
+            n_kept, kept, hit = _fold_budget(
+                n_kept, kept, hit, buf[:cut], budget
+            )
+            buf = buf[cut:]
+            self.agg.update((n_kept, kept, hit))
+            self.pending.clear()
+            if buf:
+                self.pending.put(buf)
+            pn, pk, ph = _fold_budget(n_kept, kept, hit, buf, budget)
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_kept": pn,
+                        "kept_cents": pk,
+                        "budget_hit": ph,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    withc = stream.withColumn("cents", _budget_cents_col())
+    return (
+        withc.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            BudgetCut(),
+            outputStructType=BUDGET_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -389,3 +389,105 @@ def test_exactly_once_sink_resumes_incrementally(spark, tmp_path):
     got2 = spark.read.option("basePath", out).parquet(out)
     assert got2.count() == 150
     assert got2.select("event_id").distinct().count() == 150
+
+
+def test_budget_cut_state_spans_batches(spark, tmp_path):
+    """Two files replayed as two micro-batches; user 7's budget is
+    exhausted by an event in the SECOND batch, so the cut point is
+    only computable with the running total carried across batches.
+    Also pins the no-backfill contract: the cheap event after the
+    overflow is NOT admitted."""
+    import os
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ontario_spark.streaming.events import (
+        EVENT_SCHEMA_NANOS,
+        run_available_now,
+        user_budget_cut,
+    )
+
+    d = str(tmp_path / "ev_budget")
+    os.makedirs(d)
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        path = f"{d}/{name}"
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    us = 1_000
+    base = 1_700_000_000_000_000_000
+    # budget 1000 cents: batch1 admits 4.00 + 5.00 (900); batch2's
+    # 2.00 overflows (1100 > 1000) and the later 0.50 must NOT backfill
+    write("b1.parquet", [
+        (1, base, 7, "a", 4.00, ""),
+        (2, base + 10_000_000 * us, 7, "a", 5.00, ""),
+    ], mtime=time.time() - 100)
+    write("b2.parquet", [
+        (3, base + 3_600_000_000 * us, 7, "a", 2.00, ""),
+        (4, base + 3_605_000_000 * us, 7, "a", 0.50, ""),
+    ], mtime=time.time())
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = run_available_now(
+        user_budget_cut(raw, budget_cents=1000),
+        "budget_span_sink",
+        output_mode="update",
+    )
+    # update sink: one row per batch; both batches tie on n_kept=2
+    # (batch 1 admits both its events, the overflow arrives in batch
+    # 2), so the FINAL state is the row that has seen the overflow
+    final = max(
+        (r for r in out.collect() if r["user_id"] == 7),
+        key=lambda r: (r["n_kept"], r["budget_hit"]),
+    )
+    assert final["n_kept"] == 2
+    assert final["kept_cents"] == 900
+    assert final["budget_hit"] is True
+
+
+def test_budget_cut_tws_variant_matches_when_available(spark, sf_small):
+    """The transformWithStateInPandas implementation must agree with
+    the applyInPandasWithState one row-for-row. Its Python workers
+    need google.protobuf (absent in this container), so the test
+    SKIPS here and runs wherever the dependency exists — same gating
+    pattern as the Mongo/Neo4j live connectors."""
+    import pytest
+
+    from ontario_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        tws_available,
+        user_budget_cut,
+        user_budget_cut_tws,
+    )
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError):
+            user_budget_cut_tws(read_event_stream(spark, sf_small))
+        pytest.skip("google.protobuf not installed; TWS workers need it")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    a = run_available_now(
+        user_budget_cut(read_event_stream(spark, sf_small)),
+        "budget_a_sink", output_mode="update",
+    )
+    b = run_available_now(
+        user_budget_cut_tws(read_event_stream(spark, sf_small)),
+        "budget_b_sink", output_mode="update",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
