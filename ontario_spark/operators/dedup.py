@@ -843,9 +843,12 @@ def bloom_contamination_overlap(
     if m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two")
 
+    # power-of-two m_bits lets probe positions come from a bitwise AND
+    # of the hash's low bits instead of a modulo — that is WHY the
+    # constructor enforces the constraint
     def _probes(key):
         return [
-            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+            F.xxhash64(key, F.lit(i)).bitwiseAND(F.lit(m_bits - 1))
             for i in range(k_hashes)
         ]
 
@@ -856,7 +859,10 @@ def bloom_contamination_overlap(
     # shiftleft wrapper takes only literal shift amounts)
     _mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
 
-    bench_k = (
+    # bench_k feeds the bit-array build AND the confirm join; sh feeds
+    # the per-doc totals AND the candidate probe — persist both or the
+    # shingle explode (the dominant scan) runs twice per side
+    bench_k = _bounded_persist(
         exploded_shingles(benchmark, id_col, text_col, n)
         .select(F.xxhash64("shingle").alias("k"))
         .dropDuplicates(["k"])
@@ -871,14 +877,16 @@ def bloom_contamination_overlap(
         F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
     )
 
-    sh = exploded_shingles(corpus, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("k")
+    sh = _bounded_persist(
+        exploded_shingles(corpus, id_col, text_col, n).select(
+            "id", F.xxhash64("shingle").alias("k")
+        )
     )
     totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     tests = []
     for i in range(k_hashes):
-        pos = f"pmod(xxhash64(k, {i}), {m_bits})"
+        pos = f"(xxhash64(k, {i}) & {m_bits - 1})"
         tests.append(
             f"(coalesce(element_at(__bloom, shiftright({pos}, 6)),"
             f" CAST(0 AS BIGINT))"

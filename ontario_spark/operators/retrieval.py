@@ -275,6 +275,9 @@ def rrf_fuse(
     partition by construction."""
     if len(ranked) < 2:
         raise ValueError("rrf_fuse needs at least two ranked lists")
+    labels = [label for label, _ in ranked]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"rrf_fuse labels must be unique, got {labels}")
     fused = None
     for label, df in ranked:
         leg = df.select(

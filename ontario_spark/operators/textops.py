@@ -670,7 +670,7 @@ def canonical_url(url: Column) -> Column:
     dedup's first, cheapest pass: URL-level dedup removes refetches
     before any content hashing). Pure regexp/array column expressions,
     mirrored 1:1 by the DuckDB oracle; non-URL input yields NULL."""
-    scheme = F.lower(F.regexp_extract(url, r"^(https?)://", 1))
+    scheme = F.lower(F.regexp_extract(url, r"^([Hh][Tt][Tt][Pp][Ss]?)://", 1))
     hostport = F.lower(F.regexp_extract(url, r"^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)", 1))
     host = F.when(
         scheme == "https", F.regexp_replace(hostport, r":443$", "")
@@ -704,7 +704,7 @@ def canonical_url(url: Column) -> Column:
 
 def canonical_url_sql(url_expr: str) -> str:
     """DuckDB expression replicating ``canonical_url`` bit-for-bit."""
-    scheme = f"lower(regexp_extract({url_expr}, '^(https?)://', 1))"
+    scheme = f"lower(regexp_extract({url_expr}, '^([Hh][Tt][Tt][Pp][Ss]?)://', 1))"
     hostport = f"lower(regexp_extract({url_expr}, '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)', 1))"
     host = (
         f"CASE WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
@@ -749,8 +749,16 @@ def quality_gates(
     triage dashboards. Pure column expressions, map-only, no shuffle."""
     toks = tokens(F.col(text_col))
     n_words = F.size(toks)
+    # EXACT mean word length (sum of token lengths / count) — the
+    # (length - separators) shortcut credits every EXTRA whitespace
+    # char to the words, letting multi-space/newline-separated junk
+    # through the [3, 10] band (review finding, round 9)
     mean_wl = (
-        (F.length(F.col(text_col)) - (n_words - F.lit(1))).cast("double")
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
         / n_words
     )
     alpha_frac = (

@@ -439,8 +439,10 @@ def events_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(ok, "user_id", "left_semi")
         .join(b, (F.col("user_id") == F.col("ub")) & (F.col("ka") < F.col("kb")))
         .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
-        .dropDuplicates(["src", "dst"])
     )
+    # no dropDuplicates here: triangle_counts canonicalizes + dedups
+    # the edge set itself; doing it twice shuffles the full edge list
+    # for nothing (review finding, round 9)
     return triangle_counts(pairs, "src", "dst")
 
 

@@ -2395,8 +2395,8 @@ WITH t AS (
 ), m AS (
   SELECT doc_id,
          array_length(toks) AS n_words,
-         CAST(length(text) - (array_length(toks) - 1) AS DOUBLE)
-           / array_length(toks) AS mean_wl,
+         CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+              AS DOUBLE) / array_length(toks) AS mean_wl,
          CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
               AS DOUBLE) / array_length(toks) AS alpha_frac,
          len(list_filter(toks, w -> lower(w) IN
@@ -2476,8 +2476,8 @@ WITH t AS (
   SELECT doc_id, array_length(toks) AS n_words
   FROM (
     SELECT doc_id, toks,
-           CAST(length(text) - (array_length(toks) - 1) AS DOUBLE)
-             / array_length(toks) AS mean_wl,
+           CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                AS DOUBLE) / array_length(toks) AS mean_wl,
            CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
                 AS DOUBLE) / array_length(toks) AS alpha_frac,
            len(list_filter(toks, w -> lower(w) IN

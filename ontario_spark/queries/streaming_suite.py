@@ -175,8 +175,28 @@ def stream_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, sf_dir).filter(
         F.col("user_id").isNotNull()
     )
-    return run_available_now(
+    sink = run_available_now(
         user_budget_cut(stream), "stream_budget_cut_sink", output_mode="update"
+    )
+    # the update-mode memory sink APPENDS one row per key per batch;
+    # n_seen (events ever received) is STRICTLY monotone per key —
+    # n_kept is not, a late-but-in-watermark expensive event can shrink
+    # the provisional fold — so max-by-n_seen IS the final state,
+    # robust to the fixture ever splitting into multiple micro-batches
+    # (review finding, round 9)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_seen", "n_kept", "kept_cents", "budget_hit")
+            ).alias("__s")
+        )
+        .select(
+            "user_id",
+            F.col("__s.n_kept").alias("n_kept"),
+            F.col("__s.kept_cents").alias("kept_cents"),
+            F.col("__s.budget_hit").alias("budget_hit"),
+        )
     )
 
 
@@ -187,7 +207,9 @@ WITH c AS (
            OVER (PARTITION BY user_id
                  ORDER BY ts, CAST(ROUND(value * 100) AS BIGINT)
                  ROWS UNBOUNDED PRECEDING) AS run
-  FROM events WHERE user_id IS NOT NULL
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+    AND CAST(ROUND(value * 100) AS BIGINT) >= 0
 )
 SELECT user_id,
        CAST(COUNT(*) FILTER (run <= 150000) AS BIGINT) AS n_kept,

@@ -438,9 +438,15 @@ def write_stream_exactly_once(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# n_seen (total events ever received for the key) is STRICTLY monotone
+# across a key's emitted rows — the selector consumers need to pick the
+# final state out of an update-mode sink that APPENDS one row per key
+# per batch. n_kept alone is NOT monotone: a late-but-in-watermark
+# expensive event sorts earlier and can shrink the provisional fold.
 BUDGET_OUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
+        StructField("n_seen", LongType()),
         StructField("n_kept", LongType()),
         StructField("kept_cents", LongType()),
         StructField("budget_hit", BooleanType()),
@@ -449,6 +455,7 @@ BUDGET_OUT_SCHEMA = StructType(
 
 BUDGET_STATE_SCHEMA = StructType(
     [
+        StructField("n_seen", LongType()),
         StructField("n_kept", LongType()),
         StructField("kept_cents", LongType()),
         StructField("budget_hit", BooleanType()),
@@ -482,6 +489,17 @@ def _budget_cents_col() -> Column:
     return F.round(F.col("value") * 100, 0).cast("long")
 
 
+def _budget_input(stream: DataFrame) -> DataFrame:
+    """Budget items are rows with a defined non-negative cost: NULL
+    values have no cost semantics (and would reach pandas as NaN,
+    poisoning the integer fold), and negative values would break the
+    once-over-always-over monotonicity the oracle's running-sum form
+    relies on — both are dropped, documented semantics mirrored by the
+    oracle."""
+    withc = stream.withColumn("cents", _budget_cents_col())
+    return withc.filter(F.col("cents").isNotNull() & (F.col("cents") >= 0))
+
+
 def user_budget_cut(
     stream: DataFrame, budget_cents: int = 150_000, watermark: str = "24 hours"
 ) -> DataFrame:
@@ -506,13 +524,14 @@ def user_budget_cut(
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            n_kept, kept, hit, p_us, p_cents = state.get
+            n_seen, n_kept, kept, hit, p_us, p_cents = state.get
             buf = list(zip(p_us or [], p_cents or []))
         else:
-            n_kept, kept, hit, buf = 0, 0, False, []
+            n_seen, n_kept, kept, hit, buf = 0, 0, 0, False, []
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            n_seen += len(pdf)
             ts_us = (
                 pd.to_datetime(pdf["ts"])
                 .astype("datetime64[ns]")
@@ -526,13 +545,14 @@ def user_budget_cut(
         n_kept, kept, hit = _fold_budget(n_kept, kept, hit, buf[:cut], budget)
         buf = buf[cut:]
         state.update(
-            (n_kept, kept, hit, [t for t, _ in buf], [c for _, c in buf])
+            (n_seen, n_kept, kept, hit, [t for t, _ in buf], [c for _, c in buf])
         )
         pn, pk, ph = _fold_budget(n_kept, kept, hit, buf, budget)
         yield pd.DataFrame(
             [
                 {
                     "user_id": key[0],
+                    "n_seen": n_seen,
                     "n_kept": pn,
                     "kept_cents": pk,
                     "budget_hit": ph,
@@ -540,9 +560,9 @@ def user_budget_cut(
             ]
         )
 
-    withc = stream.withColumn("cents", _budget_cents_col())
     return (
-        withc.withWatermark("ts", watermark)
+        _budget_input(stream)
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
@@ -595,7 +615,9 @@ def user_budget_cut_tws(
     class BudgetCut(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self.agg = handle.getValueState(
-                "agg", "n_kept bigint, kept_cents bigint, budget_hit boolean"
+                "agg",
+                "n_seen bigint, n_kept bigint, kept_cents bigint, "
+                "budget_hit boolean",
             )
             self.pending = handle.getListState(
                 "pending", "ts_us bigint, cents bigint"
@@ -604,8 +626,10 @@ def user_budget_cut_tws(
         def handleInputRows(self, key, rows, timer_values):
             from bisect import bisect_right
 
-            n_kept, kept, hit = (
-                tuple(self.agg.get()) if self.agg.exists() else (0, 0, False)
+            n_seen, n_kept, kept, hit = (
+                tuple(self.agg.get())
+                if self.agg.exists()
+                else (0, 0, 0, False)
             )
             buf = (
                 [(r[0], r[1]) for r in self.pending.get()]
@@ -615,6 +639,7 @@ def user_budget_cut_tws(
             for pdf in rows:
                 if not len(pdf):
                     continue
+                n_seen += len(pdf)
                 ts_us = (
                     pd.to_datetime(pdf["ts"])
                     .astype("datetime64[ns]")
@@ -629,7 +654,7 @@ def user_budget_cut_tws(
                 n_kept, kept, hit, buf[:cut], budget
             )
             buf = buf[cut:]
-            self.agg.update((n_kept, kept, hit))
+            self.agg.update((n_seen, n_kept, kept, hit))
             self.pending.clear()
             if buf:
                 self.pending.put(buf)
@@ -638,6 +663,7 @@ def user_budget_cut_tws(
                 [
                     {
                         "user_id": key[0],
+                        "n_seen": n_seen,
                         "n_kept": pn,
                         "kept_cents": pk,
                         "budget_hit": ph,
@@ -648,9 +674,9 @@ def user_budget_cut_tws(
         def close(self) -> None:
             pass
 
-    withc = stream.withColumn("cents", _budget_cents_col())
     return (
-        withc.withWatermark("ts", watermark)
+        _budget_input(stream)
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .transformWithStateInPandas(
             BudgetCut(),

@@ -1240,6 +1240,7 @@ class TestURLCanonical:
             (4, "http://host.com/x?a=1&b=2"),
             (5, "not a url"),
             (6, "https://h.com/"),
+            (7, "HTTPS://UP.Example.com/x"),  # uppercase SCHEME too
         ]
         df = spark.createDataFrame(cases, ["i", "u"])
         got = {
@@ -1250,6 +1251,7 @@ class TestURLCanonical:
         assert got[3] == got[4] == "http://host.com/x?a=1&b=2"
         assert got[5] is None
         assert got[6] == "https://h.com"
+        assert got[7] == "https://up.example.com/x"
 
 
 def test_quality_gates_edge_docs(spark):

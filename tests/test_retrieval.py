@@ -110,3 +110,5 @@ class TestRRFFusion:
         lex = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
         with pytest.raises(ValueError):
             rrf_fuse([("lex", lex)], "doc_id")
+        with pytest.raises(ValueError, match="unique"):
+            rrf_fuse([("lex", lex), ("lex", lex)], "doc_id")

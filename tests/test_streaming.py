@@ -445,13 +445,14 @@ def test_budget_cut_state_spans_batches(spark, tmp_path):
         "budget_span_sink",
         output_mode="update",
     )
-    # update sink: one row per batch; both batches tie on n_kept=2
-    # (batch 1 admits both its events, the overflow arrives in batch
-    # 2), so the FINAL state is the row that has seen the overflow
+    # update sink: one row per batch; n_seen is strictly monotone per
+    # key, so max-by-n_seen is the final state (the same selector the
+    # registry query uses)
     final = max(
         (r for r in out.collect() if r["user_id"] == 7),
-        key=lambda r: (r["n_kept"], r["budget_hit"]),
+        key=lambda r: r["n_seen"],
     )
+    assert final["n_seen"] == 4
     assert final["n_kept"] == 2
     assert final["kept_cents"] == 900
     assert final["budget_hit"] is True
