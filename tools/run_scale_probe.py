@@ -72,6 +72,7 @@ PROBE_QUERIES = [
     "events_triangles",
     "stream_events_hourly",
     "stream_user_sessions",
+    "stream_budget_cut",
     # composed pipelines
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
