@@ -977,3 +977,88 @@ def cdc_chunks(
             "element_at(__edges, chunk_id + 1) - element_at(__edges, chunk_id))"
         ).alias("chunk_text"),
     ).filter(F.length("chunk_text") > 0)
+
+
+def incremental_lsh_pairs(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash-LSH near-dup check: today's BATCH probes the
+    HISTORICAL corpus through band buckets — the index shape a daily
+    ingest actually runs. ``pipeline_incremental_ingest`` verifies
+    new×corpus pairs through the shingle-hash index (exact Jaccard,
+    cost ∝ batch shingles × index hits); this is the tier above it for
+    when even that probe is too wide: candidates exist only where a
+    batch doc and a corpus doc share a (band, bucket), so probe cost is
+    batch size × bands lookups. At production scale the corpus side's
+    banded signatures are a PERSISTED index maintained across runs —
+    here both sides derive from the fixture in one plan (the corpus
+    side is persisted so its shingle→minhash pipeline runs once per
+    call).
+
+    Output: (id_new, id_corpus, est_jaccard ≥ threshold), the estimate
+    being the fraction of equal minhashes — identical estimator to
+    ``minhash_lsh_pairs``, so the same md5-portable oracle machinery
+    checks it. ``max_bucket_size`` drops over-cap CORPUS (band, bucket)
+    groups (a bucket that hot is boilerplate exact-dedup should have
+    removed; same documented trade as ``hot_bucket="drop"``)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+
+    def banded(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+        keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c) for c in mh_cols[b * r : (b + 1) * r]]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.withColumn("bk", keys).select(
+            id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket")
+        )
+    bn = banded(new)
+    bc = _bounded_persist(banded(corpus))
+    if max_bucket_size is not None:
+        heavy = bc.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        ).filter(F.col("__n") > max_bucket_size)
+        bc = bc.join(
+            F.broadcast(heavy.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
+    a, b = bn.alias("a"), bc.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_new"),
+            F.col(f"b.{id_col}").alias("id_corpus"),
+            *[
+                (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int").alias(f"eq{i}")
+                for i, c in enumerate(mh_cols)
+            ],
+        )
+        .dropDuplicates(["id_new", "id_corpus"])
+    )
+    est = sum(F.col(f"eq{i}") for i in range(num_hashes)) / F.lit(
+        float(num_hashes)
+    )
+    return cand.select("id_new", "id_corpus", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )

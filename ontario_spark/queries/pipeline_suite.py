@@ -2555,6 +2555,78 @@ FROM comp GROUP BY label
 """
 
 
+def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup: today's batch (doc_id % 10 ==
+    7, the same split as ``pipeline_incremental_ingest``) probes the
+    historical corpus through band buckets — candidate cost is batch ×
+    bands, never corpus² (operators/dedup.py::incremental_lsh_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 10) == 7
+    return dedup.incremental_lsh_pairs(
+        docs.filter(is_new),
+        docs.filter(~is_new),
+        "doc_id",
+        "text",
+        threshold=0.4,
+    )
+
+
+def _incremental_lsh_sql() -> str:
+    """Two-sided variant of ``_minhash_lsh_sql``: banded batch probes
+    banded corpus."""
+    from ontario_spark.operators.dedup import _MERSENNE, _seed_coeffs
+
+    k, bands = 16, 8
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS mh{i}"
+        for i, (a, b) in enumerate(_seed_coeffs(k))
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5("
+        + " || '|' || ".join(f"mh{band * r + j}::VARCHAR" for j in range(r))
+        + ") AS bucket FROM sig"
+        for band in range(bands)
+    )
+    eqs = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM base GROUP BY doc_id
+), banded AS (
+  {banded}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7
+)
+SELECT id_new, id_corpus,
+       CAST({eqs} AS DOUBLE) / {k}.0 AS est_jaccard
+FROM pairs
+JOIN sig sa ON id_new = sa.doc_id
+JOIN sig sb ON id_corpus = sb.doc_id
+WHERE CAST({eqs} AS DOUBLE) / {k}.0 >= 0.4
+"""
+
+
+PIPELINE_INCR_NEARDUP_SQL = _incremental_lsh_sql()
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -2584,6 +2656,7 @@ QUERIES = {
     "dedup_boilerplate": dedup_boilerplate,
     "fuzzy_part_names": fuzzy_part_names,
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
+    "pipeline_incremental_neardup": pipeline_incremental_neardup,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "contamination_check": contamination_check,
     "contamination_bloom": contamination_bloom,
@@ -2650,6 +2723,7 @@ ORACLE = {
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
     "pipeline_incremental_ingest": PIPELINE_INCREMENTAL_SQL,
+    "pipeline_incremental_neardup": PIPELINE_INCR_NEARDUP_SQL,
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,
     "dedup_dup_spans": DEDUP_DUP_SPANS_SQL,
     "dedup_winnow_pairs": DEDUP_WINNOW_PAIRS_SQL,

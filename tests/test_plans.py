@@ -238,6 +238,10 @@ def test_round9b_operator_plan_shapes(spark, sf_small):
     assert "BroadcastExchange" in bloom
     assert "xxhash64" in bloom
 
+    incr = _plan(q["pipeline_incremental_neardup"](spark, sf_small))
+    assert "BatchEvalPython" not in incr
+    assert "ArrowEvalPython" not in incr
+
 
 def test_cdc_and_url_quality_plan_shapes(spark, sf_small):
     """CDC chunking stays map-only up to the chunk-hash aggregate (one

@@ -77,6 +77,7 @@ PROBE_QUERIES = [
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
     "pipeline_web_curation",
+    "pipeline_incremental_neardup",
     # TPC-H headliners
     "q1_pricing_summary",
     "q2_min_cost_supplier",
