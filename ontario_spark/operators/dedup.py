@@ -958,10 +958,16 @@ def cdc_chunks(
     # interpreted with no common-subexpression elimination, so the
     # naive nested expression recomputes the full scan per CHUNK
     # (measured 40x slower at sf0.1).
+    # coalesce makes the never-null edges array PROVABLY non-null:
+    # without it, Generate's inferred NOT-NULL constraint on its input
+    # clones the ENTIRE boundary-scan expression into a Filter below
+    # the Project — the md5-per-character scan would run twice per
+    # document (verified in the physical plan; the fallback branch
+    # never fires because concat of non-null arrays is non-null)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__t"),
-        F.expr(edges).alias("__edges"),
+        F.expr(f"coalesce({edges}, array(0))").alias("__edges"),
     )
     ex = base.select(
         "id",
