@@ -471,6 +471,81 @@ SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
 """
 
 
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the batch twin of
+    ``stream_user_sessions``: a new session starts when a user's
+    inter-event gap exceeds 30 minutes; one output row per session
+    with its span and event count. Two window passes over ONE
+    user-keyed shuffle (lag for the gap flag, running sum for the
+    session index) and a final per-session aggregate — the standard
+    sessionization shape at any scale (the shuffle key is user_id;
+    sessions never cross keys)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # TZ-invariant whole-second epoch from wall-clock parts (the
+    # retention-cohort idiom): NTZ timestamps cannot cast to long, and
+    # unix_timestamp would shift with the session zone
+    secs = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        * F.lit(86400)
+        + F.hour("ts") * F.lit(3600)
+        + F.minute("ts") * F.lit(60)
+        + F.second("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_flag = (
+        F.col("__secs") - F.lag("__secs").over(w) > 1800
+    ).cast("int")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        secs.alias("__secs"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "__secs",
+        F.coalesce(gap_flag, F.lit(0)).alias("__new"),
+    ).withColumn(
+        "session_idx",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max("__secs") - F.min("__secs")).alias("duration_s"),
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                    - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_flag
+  FROM events WHERE user_id IS NOT NULL
+), s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT)
+         - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_scd2_history": events_scd2_history,
@@ -480,6 +555,7 @@ QUERIES = {
     "events_pagerank": events_pagerank,
     "events_triangles": events_triangles,
     "events_funnel": events_funnel,
+    "events_sessions": events_sessions,
     "events_retention_cohorts": events_retention_cohorts,
 }
 
@@ -492,5 +568,6 @@ ORACLE = {
     "events_pagerank": EVENTS_PAGERANK_SQL,
     "events_triangles": EVENTS_TRIANGLES_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
 }
