@@ -154,11 +154,17 @@ def hyperplane_lsh_bucket(
     # every row would silently share one all-'0' bucket — turning the
     # bucket-local join into the full cross product the LSH exists to
     # avoid. Fail loudly instead.
+    # coalesce makes the bucket PROVABLY non-null (the value branch is
+    # a concat of non-null literals; the guard branch throws): without
+    # it, equi-joining on the bucket makes constraint inference clone
+    # this ENTIRE bits×dim projection fold into a Filter under the
+    # scan, evaluating it twice per row (round-9 plan audit; the same
+    # bug class as the CDC boundary scan)
     return F.expr(
-        f"CASE WHEN size({vec_expr}) = {dim} THEN concat("
+        f"coalesce(CASE WHEN size({vec_expr}) = {dim} THEN concat("
         + ", ".join(parts)
         + f") ELSE raise_error(concat('hyperplane_lsh_bucket: vector length ', "
-        f"CAST(size({vec_expr}) AS STRING), ' != dim {dim}')) END"
+        f"CAST(size({vec_expr}) AS STRING), ' != dim {dim}')) END, '')"
     )
 
 

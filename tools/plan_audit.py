@@ -1,0 +1,112 @@
+"""Sweep EVERY registry query's physical plan for pathology markers —
+the automated version of the pinned spot-checks in tests/test_plans.py:
+
+- row-wise / Arrow Python nodes outside the families that declare them
+  (mm_* decode stubs, stream_* stateful operators)
+- CartesianProduct / BroadcastNestedLoopJoin (a temporal or similarity
+  join that regressed to a nested loop)
+- higher-order-function lambdas cloned into Filter nodes by constraint
+  inference (the round-9 CDC bug class: the expensive expression runs
+  once per consumer)
+
+Prints one line per query with findings; exits 1 if any unexpected
+marker appears. Streaming queries are skipped (their plans only exist
+inside the running StreamingQuery).
+
+Usage: python tools/plan_audit.py [--sf /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PY_OK_PREFIXES = ("mm_", "stream_")
+
+# Triaged by-design markers (round-9 audit): BroadcastNestedLoopJoin is
+# the CORRECT physical join for a cross against a broadcast frame of
+# one-or-few rows — brute-force ANN's broadcast query set (and the ANN
+# tiers' rerank stage reusing it), BM25's single corpus-stats row, the
+# perplexity vocab-stats row, the Bloom bit-array row, TPC-H q22's
+# scalar avg, the skew profile's total row, and the §10.2
+# compatibility join's NULL-mask legs (tiny VALUES/UNDEF frames).
+# Lambdas living in an INTENDED Filter (a quality gate IS a filter)
+# are fine; the pathology is a lambda CLONED into a filter by
+# constraint inference while the same lambda feeds a Project above.
+EXPECTED = {
+    "ann_topk_bruteforce": {"BNLJ:BuildRight"},
+    "ann_topk_ivf": {"BNLJ:BuildRight"},
+    "ann_topk_ivfpq": {"BNLJ:BuildRight"},
+    "ann_topk_pq": {"BNLJ:BuildRight"},
+    "bm25_topk": {"BNLJ:BuildRight"},
+    "contamination_bloom": {"BNLJ:BuildRight"},
+    "lslod_cq2_bridge_optional": {"BNLJ:BuildRight"},
+    "q22_idle_customers": {"BNLJ:BuildRight"},
+    "q_skew_suppkey": {"BNLJ:BuildRight"},
+    "retrieval_rrf_fusion": {"BNLJ:BuildRight"},
+    "sparql_optional_compat": {"BNLJ:BuildRight"},
+    "sparql_values_undef": {"BNLJ:BuildLeft"},
+    "text_perplexity": {"BNLJ:BuildRight"},
+    "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from ontario_spark.queries import all_queries
+    from ontario_spark.session import get_spark
+
+    spark = get_spark("ontario-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("stream_"):
+            continue
+        try:
+            df = fn(spark, args.sf)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        except Exception as ex:  # audit must cover the rest either way
+            print(f"ERROR {name}: {type(ex).__name__}: {ex}")
+            bad += 1
+            continue
+        findings = []
+        if "CartesianProduct" in plan:
+            findings.append("CartesianProduct")
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            if marker in plan and not name.startswith(PY_OK_PREFIXES):
+                findings.append(marker)
+        # BroadcastNestedLoopJoin is legitimate ONLY for the tiny
+        # broadcast-one-row shapes (bloom bit-array, corpus-stats row)
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+            findings.append(f"BNLJ:{m.group(1)}")
+        # lambda cloned into a Filter (constraint-inference dup): a
+        # Filter line that itself contains a lambdafunction
+        for line in plan.splitlines():
+            s = line.strip()
+            if s.startswith(("Filter", "+- Filter", ":- Filter")) and (
+                "lambdafunction" in s
+            ):
+                findings.append("lambda-in-Filter")
+                break
+        unexpected = sorted(set(findings) - EXPECTED.get(name, set()))
+        if unexpected:
+            bad += 1
+            print(f"{name}: {', '.join(unexpected)}")
+    print(f"audited; {bad} queries with findings")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
