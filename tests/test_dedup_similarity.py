@@ -1268,3 +1268,34 @@ def test_quality_gates_edge_docs(spark):
     assert got[2]["pass_all"]
     assert got[3]["gate_word_count"] and not got[3]["gate_stopwords"]
     assert not got[3]["pass_all"]
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard_pinned(spark, sf_small):
+    """Recall pin for the LSH tier (the near-dup analogue of the ANN
+    recall@k pin): every pair the EXACT n-gram Jaccard join reports at
+    threshold 0.5 must be recovered by MinHash-LSH at its registry
+    parameters (16 hashes / 8 bands, est threshold 0.4) — banding with
+    r=2 rows per band gives a >=0.5-similar pair a miss probability of
+    (1 - s^r)^b <= (1-0.25)^8 ~= 10%, and the fixture's duplicate
+    structure sits far above the threshold, so measured recall is 1.0
+    at both sf0.001 and sf0.1. Pinned as a floor so a refactor of the
+    signature/banding machinery cannot silently degrade it."""
+    from ontario_spark.data import table
+    from ontario_spark.operators import dedup
+
+    docs = table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=1000
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.4
+        ).collect()
+    }
+    assert exact, "fixture lost its duplicate structure"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall degraded: {recall:.3f}"
