@@ -523,6 +523,61 @@ ORDER BY s_name
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout diagnostic: lineitem rows sorted by the Morton
+    interleave of (l_orderkey, l_partkey) low bits and cut into 64
+    equal buckets (= files a layout job would write); per-bucket
+    min/max spans of BOTH dimensions stay bounded at once — the
+    property that lets scans filtering on EITHER key prune files,
+    where a single-column sort clusters only itself
+    (storage.py::zorder_key; bit-shift codegen, engine-portable)."""
+    from pyspark.sql.window import Window
+
+    from ontario_spark.storage import zorder_key
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey").bitwiseAND(F.lit(0xFFFF))).alias("ok"),
+        (F.col("l_partkey").bitwiseAND(F.lit(0xFFFF))).alias("pk"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    z = zorder_key(["ok", "pk"], 16)
+    w = Window.orderBy(z, "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bucket", F.ntile(64).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("ok") - F.min("ok")).alias("ok_span"),
+            (F.max("pk") - F.min("pk")).alias("pk_span"),
+        )
+    )
+
+
+def _q_zorder_sql() -> str:
+    from ontario_spark.storage import zorder_key_sql
+
+    z = zorder_key_sql(["ok", "pk"], 16)
+    return f"""
+WITH m AS (
+  SELECT (l_orderkey & 65535) AS ok, (l_partkey & 65535) AS pk,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), b AS (
+  SELECT ok, pk,
+         ntile(64) OVER (ORDER BY {z}, l_orderkey, l_linenumber) AS bucket
+  FROM m
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(MAX(ok) - MIN(ok) AS BIGINT) AS ok_span,
+       CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span
+FROM b GROUP BY bucket
+"""
+
+
+Q_ZORDER_SQL = _q_zorder_sql()
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q20_potential_promotion": q20_potential_promotion,
@@ -533,6 +588,7 @@ QUERIES = {
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q_skew_suppkey": q_skew_suppkey,
+    "q_zorder_layout": q_zorder_layout,
 }
 
 ORACLE = {
@@ -545,4 +601,5 @@ ORACLE = {
     "q16_part_supplier_counts": Q16_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q_skew_suppkey": Q_SKEW_SQL,
+    "q_zorder_layout": Q_ZORDER_SQL,
 }

@@ -20,7 +20,7 @@ provides the two standard layout levers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -258,3 +258,47 @@ def compact_files(
         raise IOError(f"compact_files: could not swap in {tmp}")
     fs.delete(jold, True)
     return out_n
+
+
+def zorder_key(cols: "list[str]", bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of the low ``bits`` bits of the
+    given non-negative integer columns — the lakehouse layout-
+    clustering key: writing a table sorted by this key gives every
+    file a bounded min/max RANGE in EVERY listed dimension at once, so
+    scans filtering on ANY of them prune files (a single-column sort
+    clusters only that column; filters on the others read everything).
+
+    Pure bit-shift column expressions (codegen, no UDF), identical in
+    DuckDB (``zorder_key_sql``) so layouts derived on either engine
+    agree. Columns are masked to ``bits`` bits — callers bucket or
+    rank wider domains first (interleaving raw 64-bit keys would
+    overflow one long at 2 × 33 bits)."""
+    if not cols or len(cols) * bits > 63:
+        raise ValueError(f"need 1+ cols with cols*bits <= 63, got {cols}/{bits}")
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        masked = F.col(c).bitwiseAND(F.lit((1 << bits) - 1))
+        for i in range(bits):
+            # bit i of column j lands at interleaved position i*n + j
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(masked, i).bitwiseAND(F.lit(1)).cast("long"),
+                    i * n + j,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_key_sql(cols: "list[str]", bits: int = 16) -> str:
+    """DuckDB expression replicating ``zorder_key`` bit-for-bit."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        masked = f"({c} & {(1 << bits) - 1})"
+        for i in range(bits):
+            terms.append(f"(((({masked} >> {i}) & 1)) << {i * n + j})")
+    return "(" + " | ".join(terms) + ")"

@@ -150,3 +150,51 @@ def test_compact_files_refuses_partitioned_layout(spark, tmp_path):
     ).parquet(path)
     with pytest.raises(ValueError, match="Hive-partitioned"):
         compact_files(spark, path)
+
+
+class TestZOrderKey:
+    def test_hand_interleave(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from ontario_spark.storage import zorder_key
+
+        df = spark.createDataFrame(
+            [(3, 1), (0, 0), (5, 2), (65535, 65535)], ["x", "y"]
+        )
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", zorder_key(["x", "y"], 16).alias("z")
+            ).collect()
+        }
+        # x bits land at even positions, y bits at odd
+        assert got[(3, 1)] == 0b111
+        assert got[(0, 0)] == 0
+        assert got[(5, 2)] == 0b011001  # x=101 -> bits 0,4; y=010 -> bit 3
+        assert got[(65535, 65535)] == (1 << 32) - 1
+        with pytest.raises(ValueError):
+            zorder_key(["a", "b", "c", "d"], 16)  # 64 bits > 63
+
+    def test_matches_duckdb_expression(self, spark):
+        import duckdb
+
+        from ontario_spark.storage import zorder_key, zorder_key_sql
+
+        rows = [(a * 97 % 256, a * 53 % 256) for a in range(64)]
+        df = spark.createDataFrame(rows, ["x", "y"])
+        got = sorted(
+            tuple(r)
+            for r in df.select(
+                "x", "y", zorder_key(["x", "y"], 8).alias("z")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(
+            con.execute(
+                f"SELECT x, y, {zorder_key_sql(['x', 'y'], 8)} FROM t"
+            ).fetchall()
+        )
+        assert got == want
