@@ -524,28 +524,27 @@ ORDER BY s_name
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout diagnostic: lineitem rows sorted by the Morton
-    interleave of (l_orderkey, l_partkey) low bits and cut into 64
-    equal buckets (= files a layout job would write); per-bucket
-    min/max spans of BOTH dimensions stay bounded at once — the
-    property that lets scans filtering on EITHER key prune files,
-    where a single-column sort clusters only itself
-    (storage.py::zorder_key; bit-shift codegen, engine-portable)."""
-    from pyspark.sql.window import Window
-
+    """Z-order layout diagnostic: lineitem tiled into the 64 quadtree
+    cells given by the TOP 6 bits of the Morton interleave of
+    (l_orderkey, l_partkey) low-16-bit keys; per-cell min/max spans of
+    BOTH dimensions are bounded by construction (a 6-bit z prefix
+    fixes 3 high bits of each dim → spans ≤ 2¹³) — the property that
+    lets scans filtering on EITHER key prune files, where a
+    single-column sort clusters only itself (storage.py::zorder_key;
+    bit-shift codegen, engine-portable). Map-only + ONE aggregate —
+    a first draft used ntile over a global ORDER BY, which plans as a
+    single-partition window (the exact anti-pattern a layout job must
+    avoid; fixed z-RANGE tiles need no global rank at all)."""
     from ontario_spark.storage import zorder_key
 
     li = table(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey").bitwiseAND(F.lit(0xFFFF))).alias("ok"),
         (F.col("l_partkey").bitwiseAND(F.lit(0xFFFF))).alias("pk"),
-        "l_orderkey",
-        "l_linenumber",
     )
     z = zorder_key(["ok", "pk"], 16)
-    w = Window.orderBy(z, "l_orderkey", "l_linenumber")
     return (
-        li.withColumn("bucket", F.ntile(64).over(w))
-        .groupBy("bucket")
+        li.withColumn("cell", F.shiftright(z, 26))
+        .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             (F.max("ok") - F.min("ok")).alias("ok_span"),
@@ -560,18 +559,13 @@ def _q_zorder_sql() -> str:
     z = zorder_key_sql(["ok", "pk"], 16)
     return f"""
 WITH m AS (
-  SELECT (l_orderkey & 65535) AS ok, (l_partkey & 65535) AS pk,
-         l_orderkey, l_linenumber
+  SELECT (l_orderkey & 65535) AS ok, (l_partkey & 65535) AS pk
   FROM lineitem
-), b AS (
-  SELECT ok, pk,
-         ntile(64) OVER (ORDER BY {z}, l_orderkey, l_linenumber) AS bucket
-  FROM m
 )
-SELECT bucket, COUNT(*) AS n_rows,
+SELECT ({z} >> 26) AS cell, COUNT(*) AS n_rows,
        CAST(MAX(ok) - MIN(ok) AS BIGINT) AS ok_span,
        CAST(MAX(pk) - MIN(pk) AS BIGINT) AS pk_span
-FROM b GROUP BY bucket
+FROM m GROUP BY cell
 """
 
 

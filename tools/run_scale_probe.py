@@ -70,6 +70,7 @@ PROBE_QUERIES = [
     "events_range_pairs",
     "events_scd2_history",
     "events_triangles",
+    "events_sessions",
     "stream_events_hourly",
     "stream_user_sessions",
     "stream_budget_cut",
@@ -85,6 +86,7 @@ PROBE_QUERIES = [
     "q3_shipping_priority",
     "q_top_orders_per_customer",
     "q_rollup_flag_status",
+    "q_zorder_layout",
     # SPARQL engine (template-keyed joins + aggregation over the lake)
     "sparql_star_join",
     "sparql_lineitem_star",
