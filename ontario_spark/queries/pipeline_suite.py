@@ -2627,6 +2627,97 @@ WHERE CAST({eqs} AS DOUBLE) / {k}.0 >= 0.4
 PIPELINE_INCR_NEARDUP_SQL = _incremental_lsh_sql()
 
 
+def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query
+    embedding (vec_id < 5), the top-5 cosine neighbors EXCLUDING
+    near-duplicates (the split-bucket LSH near-dup pairs — a
+    near-duplicate of the anchor is a FALSE negative that poisons a
+    contrastive batch, the standard mining pitfall). Composition of
+    two probed operators in one lazy plan: brute-force top-k over the
+    broadcast query set, anti-join against the near-dup pair set on
+    the (anchor, candidate) key, re-rank the survivors."""
+    from pyspark.sql.window import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cand = similarity.brute_force_topk(emb, queries, k=20)
+    pairs = similarity.neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.92, bits=4, dim=64
+    )
+    # near-dup pairs are (lo, hi); normalize the candidate edge the
+    # same way so the anti-join hits regardless of direction
+    dup_edges = pairs.select(
+        F.col("id_a").alias("__lo"), F.col("id_b").alias("__hi")
+    )
+    normalized = cand.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.least("query_id", "neighbor_id").alias("__lo"),
+        F.greatest("query_id", "neighbor_id").alias("__hi"),
+    )
+    kept = normalized.join(dup_edges, ["__lo", "__hi"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        kept.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("negative_id"),
+                "neg_rank", "score")
+    )
+
+
+def _hard_negatives_sql() -> str:
+    from ontario_spark.operators.similarity import hyperplane_bucket_sql
+
+    bucket = hyperplane_bucket_sql("v", dim=64, bits=4)
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))) AS score
+  FROM c, q WHERE c.vec_id != q.query_id
+), cand AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored) t
+  WHERE rank <= 20
+), cb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM c
+), dup AS (
+  SELECT a.vec_id AS lo, b.vec_id AS hi
+  FROM cb a JOIN cb b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.92
+)
+SELECT query_id, neighbor_id AS negative_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS INT)
+         AS neg_rank,
+       score
+FROM cand
+WHERE NOT EXISTS (
+  SELECT 1 FROM dup
+  WHERE dup.lo = LEAST(cand.query_id, cand.neighbor_id)
+    AND dup.hi = GREATEST(cand.query_id, cand.neighbor_id)
+)
+QUALIFY neg_rank <= 5
+"""
+
+
+TRAIN_HARD_NEGATIVES_SQL = _hard_negatives_sql()
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -2672,6 +2763,7 @@ QUERIES = {
     "emb_cluster_assign": emb_cluster_assign,
     "emb_label_centroids": emb_label_centroids,
     "emb_neardup_pairs": emb_neardup_pairs,
+    "train_hard_negatives": train_hard_negatives,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_quality_gates": text_quality_gates,
@@ -2738,6 +2830,7 @@ ORACLE = {
     "emb_cluster_assign": EMB_CLUSTER_ASSIGN_SQL,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "train_hard_negatives": TRAIN_HARD_NEGATIVES_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_quality_gates": TEXT_QUALITY_GATES_SQL,
