@@ -102,6 +102,23 @@ class TestRRFFusion:
         assert rows[10]["fused_rank"] == 2  # 1/61 > 1/62
         assert rows[30]["fused_rank"] == 3
 
+    def test_three_lists_fuse(self, spark):
+        from ontario_spark.operators.retrieval import rrf_fuse
+
+        l1 = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+        l2 = spark.createDataFrame([(1, 2), (2, 1)], ["doc_id", "rank"])
+        l3 = spark.createDataFrame([(2, 3)], ["doc_id", "rank"])
+        rows = {
+            r["doc_id"]: r
+            for r in rrf_fuse(
+                [("a", l1), ("b", l2), ("c", l3)], "doc_id"
+            ).collect()
+        }
+        assert rows[1]["rrf_score"] == 1.0 / 61 + 1.0 / 62
+        assert rows[2]["rrf_score"] == 1.0 / 61 + 1.0 / 63
+        assert rows[1]["c_rank"] is None and rows[2]["a_rank"] is None
+        assert rows[1]["fused_rank"] == 1
+
     def test_requires_two_lists(self, spark):
         import pytest
 
