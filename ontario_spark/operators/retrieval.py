@@ -27,6 +27,7 @@ right order, so the result is bit-stable and DuckDB-reproducible.
 
 from __future__ import annotations
 
+import re
 import threading
 
 from pyspark.sql import DataFrame
@@ -278,6 +279,14 @@ def rrf_fuse(
     labels = [label for label, _ in ranked]
     if len(set(labels)) != len(labels):
         raise ValueError(f"rrf_fuse labels must be unique, got {labels}")
+    # labels are interpolated into column names resolved via F.col();
+    # a '.', space, or backtick would produce a confusing analyzer
+    # error (ambiguous/unresolvable reference) instead of failing here
+    bad = [l for l in labels if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", l)]
+    if bad:
+        raise ValueError(
+            f"rrf_fuse labels must be identifiers ([A-Za-z_][A-Za-z0-9_]*), got {bad}"
+        )
     fused = None
     for label, df in ranked:
         leg = df.select(

@@ -554,10 +554,19 @@ def neardup_pairs(
 
     if hot_bucket not in ("split", "drop"):
         raise ValueError(f"hot_bucket must be split|drop, got {hot_bucket!r}")
+    # coalesce makes the norm PROVABLY non-null: the downstream
+    # `score >= threshold` filter otherwise infers
+    # isnotnull(score) → isnotnull(nrm) and constraint inference
+    # clones the O(dim) SQRT(aggregate(zip_with(...))) lambda into a
+    # Filter below BOTH scans (the CDC/LSH-bucket bug class, caught by
+    # tools/plan_audit.py on train_hard_negatives). A null vec yields
+    # a null dot product, so the score stays null and the pair is
+    # dropped either way — values are unchanged, the inferred NOT-NULL
+    # check constant-folds away.
     c = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
+        F.coalesce(norm(F.col(vec_col)), F.lit(0.0)).alias("nrm"),
         hyperplane_lsh_bucket(vec_col, dim, bits).alias("bucket"),
     )
     if max_bucket_size is None:

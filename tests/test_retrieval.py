@@ -129,3 +129,13 @@ class TestRRFFusion:
             rrf_fuse([("lex", lex)], "doc_id")
         with pytest.raises(ValueError, match="unique"):
             rrf_fuse([("lex", lex), ("lex", lex)], "doc_id")
+
+    def test_rejects_non_identifier_labels(self, spark):
+        import pytest
+
+        from ontario_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+        for bad in ("a.b", "a b", "a`b", "1a", ""):
+            with pytest.raises(ValueError, match="identifiers"):
+                rrf_fuse([(bad, lex), ("sem", lex)], "doc_id")

@@ -51,6 +51,8 @@ EXPECTED = {
     "sparql_optional_compat": {"BNLJ:BuildRight"},
     "sparql_values_undef": {"BNLJ:BuildLeft"},
     "text_perplexity": {"BNLJ:BuildRight"},
+    "train_hard_negatives": {"BNLJ:BuildRight"},  # broadcast query set
+
     "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
 }
 
@@ -66,9 +68,10 @@ def main() -> int:
     spark = get_spark("ontario-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bad = 0
+    bad = audited = skipped = errors = 0
     for name, fn in sorted(all_queries().items()):
         if name.startswith("stream_"):
+            skipped += 1
             continue
         try:
             df = fn(spark, args.sf)
@@ -80,7 +83,9 @@ def main() -> int:
         except Exception as ex:  # audit must cover the rest either way
             print(f"ERROR {name}: {type(ex).__name__}: {ex}")
             bad += 1
+            errors += 1
             continue
+        audited += 1
         findings = []
         if "CartesianProduct" in plan:
             findings.append("CartesianProduct")
@@ -104,7 +109,10 @@ def main() -> int:
         if unexpected:
             bad += 1
             print(f"{name}: {', '.join(unexpected)}")
-    print(f"audited; {bad} queries with findings")
+    print(
+        f"audited {audited} (skipped {skipped} streaming, {errors} errored); "
+        f"{bad} queries with findings"
+    )
     return 1 if bad else 0
 
 
