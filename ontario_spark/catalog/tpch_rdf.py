@@ -248,23 +248,37 @@ def tpch_federated_catalog(sf_dir: str) -> Catalog:
     )
 
 
-def tpch_mongo_catalog(sf_dir: str) -> Catalog:
+def _doc_executor(sf_dir: str, spark=None):
+    """Document-store executor for the stand-in catalogs: the
+    DISTRIBUTED per-partition interpreter when a SparkSession is given
+    (driver/bench queries — the measured plan is an Arrow-batched
+    ``mapInPandas`` over the parquet doc frame, the connector's plan
+    shape), else the driver-side dict interpreter (unit tests that
+    exercise the interpreter semantics in isolation)."""
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        parquet_doc_loader,
+        spark_doc_executor,
+    )
+
+    if spark is not None:
+        return spark_doc_executor(spark, sf_dir)
+    return executor_from_collections(parquet_doc_loader(sf_dir))
+
+
+def tpch_mongo_catalog(sf_dir: str, spark=None) -> Catalog:
     """Federation-shaped catalog with the Customer molecule served by a
     DOCUMENT store: the star is translated to a Mongo aggregation
     pipeline (``translate.star_mongo``) and executed through the
     ``sources.docstore`` seam — documents loaded from the same parquet
     the oracle reads (the Derby-JDBC stand-in pattern; a live
     deployment swaps in the Spark MongoDB connector,
-    ``docstore.mongo_spark_reader``). Reference:
-    ``ontario/wrappers/mongodb/sparql2mongo.py:68``."""
-    from ontario_spark.sources.docstore import (
-        executor_from_collections,
-        parquet_doc_loader,
-    )
-
+    ``docstore.mongo_spark_reader``). With ``spark`` the pipeline is
+    interpreted per-partition (``docstore.spark_doc_executor``).
+    Reference: ``ontario/wrappers/mongodb/sparql2mongo.py:68``."""
     return _serve_remote(
         tpch_catalog(sf_dir), "CustomerMap", "remote_mongo", "mongodb",
-        executor_from_collections(parquet_doc_loader(sf_dir)),
+        _doc_executor(sf_dir, spark),
     )
 
 
@@ -326,18 +340,13 @@ def tpch_trisource_catalog(sf_dir: str) -> Catalog:
     molecule stays Spark-resident parquet. A query touching all three
     molecules exercises two different wrapper translations plus the
     lake in ONE plan — the reference's core value proposition."""
-    from ontario_spark.sources.docstore import (
-        executor_from_collections,
-        parquet_doc_loader,
-    )
-
     cat = _serve_remote(
         tpch_catalog(sf_dir), "CustomerMap", "remote_sql", "ansi",
         duckdb_sql_executor(sf_dir),
     )
     return _serve_remote(
         cat, "SupplierMap", "remote_mongo", "mongodb",
-        executor_from_collections(parquet_doc_loader(sf_dir)),
+        _doc_executor(sf_dir),
     )
 
 
@@ -400,11 +409,10 @@ def tpch_trisource_jdbc_catalog(spark, sf_dir: str) -> Catalog:
     MOD-slices on the subject key whenever the translated SQL projects
     it — one remote connection per partition, the Spark-native
     equivalent of the reference's hand-rolled parallel fetch
-    (``wrappers/mysql/sparql2sql.py:108-166``)."""
-    from ontario_spark.sources.docstore import (
-        executor_from_collections,
-        parquet_doc_loader,
-    )
+    (``wrappers/mysql/sparql2sql.py:108-166``). The Mongo star runs
+    through the distributed per-partition interpreter
+    (``docstore.spark_doc_executor``) for the same reason — every leg
+    of the trisource bench row measures a distributed plan."""
     from ontario_spark.sources.jdbc import jdbc_executor
 
     url = derby_customer_url(spark, sf_dir)
@@ -429,5 +437,5 @@ def tpch_trisource_jdbc_catalog(spark, sf_dir: str) -> Catalog:
     )
     return _serve_remote(
         cat, "SupplierMap", "remote_mongo", "mongodb",
-        executor_from_collections(parquet_doc_loader(sf_dir)),
+        _doc_executor(sf_dir, spark),
     )

@@ -34,7 +34,7 @@ _CATALOGS = {
     "split": lambda spark, sf: tpch_split_catalog(sf),
     "nested": tpch_nested_catalog,
     "federated": lambda spark, sf: tpch_federated_catalog(sf),
-    "mongo": lambda spark, sf: tpch_mongo_catalog(sf),
+    "mongo": lambda spark, sf: tpch_mongo_catalog(sf, spark),
     "cypher": lambda spark, sf: tpch_cypher_catalog(sf),
 }
 

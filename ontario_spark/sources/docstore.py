@@ -15,11 +15,16 @@ has no MongoDB server, so the same seam is served two ways:
   clean-room interpreter of exactly the stage subset our translator
   emits ($match/$unwind/$project/$skip/$limit with the $eq/$ne/
   $exists/$regex/$lt/$lte/$gt/$gte/$in operators), run over plain
-  Python dicts. Used by the integration tests AND by the
-  ``sparql_mongo_join`` driver query (documents loaded from the same
-  parquet the oracle reads — the Derby-JDBC test pattern). At scale
-  the stand-in's role is played by the connector; everything from the
-  pipeline text to the ColSpec lifting is shared.
+  Python dicts. Used by the integration tests (documents loaded from
+  the same parquet the oracle reads — the Derby-JDBC test pattern).
+  At scale the stand-in's role is played by the connector; everything
+  from the pipeline text to the ColSpec lifting is shared.
+- **Distributed stand-in** (``spark_doc_executor``): the SAME
+  interpreter run per-partition via Arrow-batched ``mapInPandas`` over
+  the parquet-loaded document frame — the driver queries
+  (``sparql_mongo_join``, ``lslod_cq6_trisource``) route through this
+  so their bench rows measure a distributed plan shape, not a
+  driver-side doc loop.
 """
 
 from __future__ import annotations
@@ -182,6 +187,145 @@ def parquet_doc_loader(sf_dir: str) -> Callable[[str], list[dict]]:
         return cache[name]
 
     return load
+
+
+def _resolve_type(schema, dotted: str):
+    """Type of a dotted document path within a Spark StructType (None
+    when the path doesn't exist)."""
+    from pyspark.sql.types import StructType
+
+    cur = schema
+    for part in dotted.split("."):
+        if not isinstance(cur, StructType) or part not in cur.fieldNames():
+            return None
+        cur = cur[part].dataType
+    return cur
+
+
+def _unwound(schema, parts: list[str]):
+    """Schema after ``$unwind`` of the dotted path ``parts``: the array
+    field becomes its element type, the struct chain above it is
+    rebuilt unchanged."""
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    fields = []
+    for f in schema.fields:
+        if f.name != parts[0]:
+            fields.append(f)
+        elif len(parts) > 1:
+            fields.append(StructField(f.name, _unwound(f.dataType, parts[1:]), True))
+        else:
+            dt = (
+                f.dataType.elementType
+                if isinstance(f.dataType, ArrayType)
+                else f.dataType
+            )
+            fields.append(StructField(f.name, dt, True))
+    return StructType(fields)
+
+
+def pipeline_schema(schema, stages: list[dict]):
+    """Result schema of interpreting ``stages`` over documents shaped
+    like ``schema`` — $match keeps it, $unwind element-izes one array
+    path, $project renames/narrows (unknown source paths surface as
+    nullable strings)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    cur = schema
+    for stage in stages:
+        ((op, arg),) = stage.items()
+        if op == "$unwind":
+            cur = _unwound(cur, arg[1:].split("."))
+        elif op == "$project":
+            fields = []
+            for out, src in arg.items():
+                if out == "_id":
+                    continue
+                t = _resolve_type(cur, src[1:]) if isinstance(src, str) else None
+                fields.append(StructField(out, t or StringType(), True))
+            cur = StructType(fields)
+    return cur
+
+
+def _jsonish(v):
+    """Arrow-batch cell → the plain-Python document value the
+    interpreter expects: numpy scalars/arrays unboxed, NaN (pandas'
+    null for numeric columns) → None (a missing field, matching the
+    driver-side loader where nulls never enter the dict)."""
+    import numpy as np
+
+    if isinstance(v, dict):
+        return {k: _jsonish(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonish(x) for x in v]
+    if isinstance(v, np.ndarray):
+        return [_jsonish(x) for x in v.tolist()]
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:
+        return None
+    return v
+
+
+def spark_doc_executor(spark, sf_dir: str):
+    """DISTRIBUTED stand-in executor with the mongodb call convention
+    ``executor(collection, pipeline) -> DataFrame``: the collection is
+    the parquet-loaded document frame and ``aggregate`` runs PER
+    PARTITION inside an Arrow-batched ``mapInPandas`` stage — the plan
+    the connector path would produce (partitioned remote read + pushed
+    pipeline), so bench rows over a Mongo star measure a distributed
+    plan instead of a driver-side Python loop (round-9 verdict item 1).
+    Results are identical to ``executor_from_collections(
+    parquet_doc_loader(sf_dir))``: same interpreter, same documents.
+
+    ``$skip``/``$limit`` are GLOBAL stages (our translator emits them
+    only for pushed LIMIT/OFFSET), so they split off and run as
+    ``df.offset``/``df.limit`` after the per-partition stages — same
+    set-level semantics as a single-node interpreter, which is all
+    Mongo guarantees without ``$sort``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DecimalType
+
+    from ontario_spark.data import table
+
+    def execr(collection: str, pipeline: list[dict]):
+        df = table(spark, sf_dir, collection)
+        # mirror parquet_doc_loader: documents in a real store carry
+        # JSON numbers, so decimals become doubles BEFORE interpreting
+        df = df.select(
+            *[
+                F.col(f.name).cast("double").alias(f.name)
+                if isinstance(f.dataType, DecimalType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+        local = [s for s in pipeline if next(iter(s)) not in ("$skip", "$limit")]
+        tail = [s for s in pipeline if next(iter(s)) in ("$skip", "$limit")]
+        out_schema = pipeline_schema(df.schema, local)
+        out_cols = [f.name for f in out_schema.fields]
+
+        def interpret(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                docs = [
+                    {k: _jsonish(v) for k, v in rec.items()}
+                    for rec in pdf.to_dict("records")
+                ]
+                rows = aggregate(docs, local)
+                yield pd.DataFrame(
+                    [[r.get(c) for c in out_cols] for r in rows],
+                    columns=out_cols,
+                )
+
+        out = df.mapInPandas(interpret, schema=out_schema)
+        for stage in tail:
+            ((op, arg),) = stage.items()
+            out = out.offset(arg) if op == "$skip" else out.limit(arg)
+        return out
+
+    return execr
 
 
 def mongo_spark_reader(

@@ -418,6 +418,95 @@ def test_mongo_executor_receives_pushed_match(spark, sf_small):
     assert match["c_acctbal"].get("$gt") == 9000.0
 
 
+def test_spark_doc_executor_matches_driver_standin(spark, sf_small):
+    """The distributed per-partition interpreter must return EXACTLY
+    the rows of the driver-side dict interpreter for the same pipeline
+    over the same collection (shared ``aggregate`` core, so any drift
+    would be in the Arrow record conversion or the schema walk)."""
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        parquet_doc_loader,
+        spark_doc_executor,
+    )
+
+    pipeline = [
+        {"$match": {"c_acctbal": {"$gt": 5000.0}, "c_name": {"$exists": True}}},
+        {"$project": {"name": "$c_name", "bal": "$c_acctbal", "_id": 0}},
+    ]
+    dist = spark_doc_executor(spark, sf_small)("customer", pipeline)
+    assert [f.name for f in dist.schema.fields] == ["name", "bal"]
+    got = sorted((r["name"], r["bal"]) for r in dist.collect())
+    want = sorted(
+        (r["name"], r["bal"])
+        for r in executor_from_collections(parquet_doc_loader(sf_small))(
+            "customer", pipeline
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_spark_doc_executor_unwind_skip_limit(spark, tmp_path):
+    """$unwind runs per-partition (array → element with sibling fields
+    intact); $skip/$limit are GLOBAL stages applied after the
+    distributed interpretation, so their set-level contract (count,
+    subset-of-full) holds regardless of partitioning."""
+    from ontario_spark.sources.docstore import spark_doc_executor
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}", [f"t{i}a", f"t{i}b"]) for i in range(10)],
+        "doc_id long, name string, tags array<string>",
+    ).repartition(4)
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs.parquet"))
+    execr = spark_doc_executor(spark, str(tmp_path))
+
+    unwound = execr(
+        "docs",
+        [
+            {"$unwind": "$tags"},
+            {"$project": {"doc_id": "$doc_id", "tag": "$tags", "_id": 0}},
+        ],
+    )
+    got = sorted((r["doc_id"], r["tag"]) for r in unwound.collect())
+    assert got == sorted(
+        (i, f"t{i}{s}") for i in range(10) for s in ("a", "b")
+    )
+
+    paged = execr(
+        "docs",
+        [
+            {"$project": {"doc_id": "$doc_id", "_id": 0}},
+            {"$skip": 3},
+            {"$limit": 4},
+        ],
+    )
+    rows = paged.collect()
+    assert len(rows) == 4
+    assert {r["doc_id"] for r in rows} <= set(range(10))
+
+
+def test_mongo_distributed_plan_shape(spark, sf_small):
+    """With a SparkSession the mongo catalog serves the star through
+    the distributed interpreter: the physical plan carries the Arrow-
+    batched MapInPandas stage (the connector's plan shape) and NO
+    driver-side doc loop, with results identical to the stand-in."""
+    from ontario_spark.catalog.tpch_rdf import tpch_mongo_catalog
+
+    sparql = (
+        PFX
+        + """SELECT ?name WHERE { ?c a ex:Customer ; ex:name ?name ;
+              ex:acctbal ?bal . FILTER (?bal > 9000.0) }"""
+    )
+    dist = SparqlEngine(spark, tpch_mongo_catalog(sf_small, spark)).query(sparql)
+    plan = dist._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "MapInPandas" in plan
+    local = SparqlEngine(spark, tpch_mongo_catalog(sf_small)).query(sparql)
+    assert sorted(r["name"] for r in dist.collect()) == sorted(
+        r["name"] for r in local.collect()
+    )
+
+
 def test_cypher_execution_end_to_end(spark, sf_small):
     """Full engine run through the graphstore interpreter, pushed
     STARTS WITH included, joined against the parquet nation star."""

@@ -114,44 +114,71 @@ def main() -> None:
     from ontario_spark.queries import all_queries
     from ontario_spark.session import get_spark
 
-    spark = get_spark("ontario-scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        s = get_spark("ontario-scale-probe")
+        s.sparkContext.setLogLevel("ERROR")
+        # same warmups as bench.py: JVM/codegen/Arrow pool + footers
+        for scale in scales:
+            for t in TABLES:
+                try:
+                    table(s, f"{BASE}/{scale}", t).limit(1).collect()
+                except Exception:
+                    pass
+        s.range(10_000).agg(F.sum(F.col("id").cast("decimal(18,6)"))).collect()
+        s.range(1_000).repartition(32).mapInPandas(lambda it: it, "id long").count()
+        return s
+
+    def context_dead(s) -> bool:
+        try:
+            return s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return True
+
+    spark = fresh_session()
     queries = all_queries()
 
-    # same warmups as bench.py: JVM/codegen/Arrow pool + parquet footers
-    for scale in scales:
-        for t in TABLES:
-            try:
-                table(spark, f"{BASE}/{scale}", t).limit(1).collect()
-            except Exception:
-                pass
-    spark.range(10_000).agg(F.sum(F.col("id").cast("decimal(18,6)"))).collect()
-    spark.range(1_000).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    def probe(name: str, scale: str, rec: dict) -> None:
+        spark.catalog.clearCache()
+        best, best_cnt, nrows = float("inf"), float("inf"), -1
+        for _ in range(2):  # best-of-2, like bench.py
+            t0 = time.perf_counter()
+            nrows = len(queries[name](spark, f"{BASE}/{scale}").collect())
+            best = min(best, time.perf_counter() - t0)
+        # count-only variant BY DEFAULT (round-9 VERDICT: the
+        # EXISTS probe decomposed collect-vs-plan cost by hand;
+        # every row now records both, so a collect-dominated
+        # ratio — millions of rows serialized to the driver —
+        # can't read as a plan regression)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, f"{BASE}/{scale}").count()
+            best_cnt = min(best_cnt, time.perf_counter() - t0)
+        rec[f"{scale}_sec"] = round(best, 3)
+        rec[f"{scale}_count_sec"] = round(best_cnt, 3)
+        rec[f"{scale}_rows"] = nrows
 
     out: dict[str, dict] = {}
     for name in names:
         rec: dict[str, float | int | str | None] = {}
         for scale in scales:
-            spark.catalog.clearCache()
-            best, best_cnt, nrows = float("inf"), float("inf"), -1
             try:
-                for _ in range(2):  # best-of-2, like bench.py
-                    t0 = time.perf_counter()
-                    nrows = len(queries[name](spark, f"{BASE}/{scale}").collect())
-                    best = min(best, time.perf_counter() - t0)
-                # count-only variant BY DEFAULT (round-9 VERDICT: the
-                # EXISTS probe decomposed collect-vs-plan cost by hand;
-                # every row now records both, so a collect-dominated
-                # ratio — millions of rows serialized to the driver —
-                # can't read as a plan regression)
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    queries[name](spark, f"{BASE}/{scale}").count()
-                    best_cnt = min(best_cnt, time.perf_counter() - t0)
-                rec[f"{scale}_sec"] = round(best, 3)
-                rec[f"{scale}_count_sec"] = round(best_cnt, 3)
-                rec[f"{scale}_rows"] = nrows
-            except Exception as ex:  # record, keep probing the rest
+                probe(name, scale, rec)
+            except Exception as ex:
+                # fail-isolated retry: one probe crashing the JVM
+                # (executor OOM stops the local SparkContext) must not
+                # cascade `stopped SparkContext` errors into every
+                # later row (the round-9 dedup_clusters/
+                # stream_user_sessions gap). Rebuild the session and
+                # re-run this probe once; only a second failure counts.
+                if context_dead(spark):
+                    spark = fresh_session()
+                    try:
+                        probe(name, scale, rec)
+                        continue
+                    except Exception as ex2:
+                        ex = ex2
+                        if context_dead(spark):
+                            spark = fresh_session()
                 rec[f"{scale}_err"] = f"{type(ex).__name__}: {ex}"[:200]
         a, b = f"{scales[0]}_sec", f"{scales[1]}_sec"
         if a in rec and b in rec:
