@@ -456,6 +456,77 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT-threshold Jaccard pairs at corpus scale: banded-MinHash
+    candidate generation + exact n-gram Jaccard verification of ONLY
+    the candidates — the candidate/verify composition every production
+    dedup pipeline runs. Returns ``(id_a, id_b, jaccard)`` with the
+    TRUE Jaccard (not the signature estimate) ≥ threshold.
+
+    Why this exists (round-10 scale finding): ``ngram_jaccard_pairs``'s
+    shared-shingle self-join is intrinsically Σd² in the shingle
+    doc-frequencies, and its fixed ``max_doc_freq`` cap stops meaning
+    anything once frequencies scale with the corpus — at the 100×
+    probe (500k docs) a cap of 1000 admitted a 10.2-BILLION-row
+    candidate stream (29.7k shingles, d ≈ 100..1135) and the job died;
+    no fixed cap is simultaneously a no-op at 1× and a guard at 100×.
+    Here candidate count is corpus × bands (banding collapses each
+    duplicate cluster to bucket-sized groups), verification touches
+    |candidates| × shingles-per-doc rows, and the only quadratic term
+    is per-bucket — guarded by ``max_bucket_size`` exactly as in
+    ``minhash_lsh_pairs``. Recall is the LSH S-curve's (a true pair is
+    missed only when EVERY band differs — for 8 bands × 2 rows at
+    J=0.35 that's ~(1-J²)⁸; rises steeply toward 1 for the J≥0.5 pairs
+    dedup acts on); precision is exact because every emitted pair is
+    verified. Deterministic end-to-end (md5-seeded hashes), so a
+    DuckDB oracle replicates bucket-for-bucket."""
+    from ontario_spark.operators.textops import exploded_shingles
+
+    cand = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        threshold=0.0,  # keep ALL banded candidates; the verify decides
+        max_bucket_size=max_bucket_size,
+    ).select("id_a", "id_b")
+    sh = exploded_shingles(df, id_col, text_col, n)
+    hs = _bounded_persist(sh.select("id", F.xxhash64("shingle").alias("k")))
+    sizes = hs.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(hs.select(F.col("id").alias("id_a"), "k"), "id_a")
+        .join(hs.select(F.col("id").alias("id_b"), "k"), ["id_b", "k"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return out.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash fingerprint: md5-derived per-token hash; bit i of the
     fingerprint is the sign of the sum over tokens of ±1 per token-bit.

@@ -81,11 +81,18 @@ DRIVER_SURFACE = [
     # rows) → text_perplexity (unigram-LM filter); stream_user_sessions
     # (green r4-r5, stream family keeps four rows) → events_pagerank
     # (engine-exact fixed-iteration PageRank)
-    "text_perplexity",
-    # pairs→clusters connected components (new round-4 family; its slot
-    # comes from sparql_union, whose UNION semantics stay represented —
-    # and driver-checked — by the strictly-wider sparql_source_union)
-    "dedup_clusters",
+    # round-10: text_perplexity (green r7-r9; the text family keeps
+    # text_novelty + the two new rows below) → Gopher-style quality
+    # gates (round-9, never externally verified)
+    "text_quality_gates",
+    # round-10 rotation (VERDICT r9 task 3): nine rows green 3+ rounds
+    # whose families keep other surface representatives rotate out for
+    # the round-9 operators external verification never covered.
+    # dedup_clusters (green r4-r9; pairs→clusters min-label components
+    # stay surface-verified INSIDE semantic_dedup, which composes the
+    # same connected_components over LSH near-dup pairs) → hard-negative
+    # mining, the brute-topk × near-dup anti-join composition
+    "train_hard_negatives",
     # round-9 swap: dedup_containment (green r6-r8; its exact score is
     # strictly contained in surface row dedup_containment_anchors, the
     # scale path of the same containment semantics) → the duplicated-
@@ -103,7 +110,13 @@ DRIVER_SURFACE = [
     # shuffling, and the skewed-key join profile.
     "dedup_containment_anchors",
     "semantic_dedup",
-    "minhash_lsh_pairs",
+    # round-10: minhash_lsh_pairs (green r1-r9, the longest-green row;
+    # banded-LSH candidate generation stays surface-verified via
+    # semantic_dedup + train_hard_negatives' near-dup legs, and the
+    # MinHash estimate keeps its recall-pinned pytest gate) → winnowing
+    # fingerprint overlap pairs (round-9, never externally verified;
+    # strictly contains text_winnow_profile's fingerprint computation)
+    "dedup_winnow_pairs",
     "simhash_fingerprints",
     "ann_topk_bucketed",
     # round-9 swap: events_funnel (green r6-r8; the events family stays
@@ -116,11 +129,10 @@ DRIVER_SURFACE = [
     # text family: metrics rotated out round-8 (green r3-r7; the
     # family keeps perplexity + pii + novelty + chunks)
     "text_novelty",
-    # round-6: PII scan + token-window chunking (slots from
-    # stream_events_hourly — windowed aggregation stays represented by
-    # stream_enriched_segments — and events_range_pairs — the temporal
-    # family keeps events_asof_join + events_scd2_history)
-    "text_pii_scan",
+    # round-10: text_pii_scan (green r6-r9; scan-shape text analysis
+    # stays repped by text_novelty + text_quality_gates) → GPT-2-style
+    # regex token counting (round-9, never externally verified)
+    "text_regex_tokens",
     # round-9 continuation swap: doc_chunks (green r6-r8; chunking
     # stays surface-represented by dedup_cdc_chunks, whose
     # content-defined split + chunk-hash dedup strictly widens the
@@ -142,9 +154,17 @@ DRIVER_SURFACE = [
     "q_skew_suppkey",
     # structured streaming (previously outside the checked set)
     "stream_click_purchase",
-    "stream_dedup",
+    # round-10: stream_dedup (green r4-r9; exact-dedup semantics are
+    # the surface's most-repped family and the watermarked stream form
+    # stays pytest-gated) → the token-budget stream cut, round 9's
+    # custom-stateful-operator row, never externally verified
+    "stream_budget_cut",
     "stream_enriched_segments",
-    "stream_user_gaps",
+    # round-10: stream_user_gaps (green r4-r9; session-gap semantics
+    # stay surface-verified via stream_enriched_segments and the new
+    # batch sessionization row below) → batch sessionization over
+    # events (round-9, never externally verified)
+    "events_sessions",
     "events_pagerank",
     # SPARQL 1.1 extensions + federation
     # (sparql_negated_path and sparql_property_path sit just past the
@@ -174,7 +194,11 @@ DRIVER_SURFACE = [
     "sparql_values_undef",
     "sparql_minus_setop",
     "sparql_exists_filter",
-    "sparql_federated_join",
+    # round-10: sparql_federated_join (green r1-r9; the SQL-wrapper
+    # federation leg is strictly contained in lslod_cq6_trisource's
+    # three-engine chain, which stays on the surface) → URL
+    # canonicalization dedup (round-9, never externally verified)
+    "dedup_url_canonical",
     # round-8 late swap: sparql_mongo_join (green r4-r7) → the LSLOD
     # three-engine chain, which strictly contains it (docstore-wrapper
     # Supplier star + SQL-wrapper Customer star + lake Nation star +
@@ -226,15 +250,19 @@ DRIVER_SURFACE = [
     # semantics stay pytest-gated) → content-defined chunk dedup, new
     # this round and never externally verified
     "dedup_cdc_chunks",
-    # round-6: composed-pipeline family externally verified for the
-    # first time (slot from sparql_lineitem_star; since the round-8
-    # rotation, star joins stay driver-checked via
-    # sparql_federated_join — sparql_star_join is post-cap)
-    "pipeline_decontaminated_corpus",
+    # round-10: pipeline_decontaminated_corpus (green r6-r9;
+    # decontamination stays surface-verified via contamination_bloom)
+    # → the web-curation pipeline, round 9's composed-pipeline row
+    # (quality gates + URL canonicalization + near-dup in one plan)
+    "pipeline_web_curation",
     # relational shapes not evidenced by the SPARQL/pipeline entries
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q_top_orders_per_customer",
+    # round-10: q_top_orders_per_customer (green r1-r9; window top-n
+    # stays surface-verified via retrieval_rrf_fusion's ranking window
+    # and sample_weighted_topk's ordered selection) → Z-order layout
+    # keys, round 9's storage-layout row, never externally verified
+    "q_zorder_layout",
     "q_rollup_flag_status",
 ]
 
@@ -248,7 +276,19 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
-        # round-9 continuation rotated-out rows first (each green 3+
+        # round-10 rotated-out rows first (each green 3+ rounds with
+        # its family still surface-represented — see the DRIVER_SURFACE
+        # comments for the per-row containment argument)
+        "dedup_clusters",
+        "minhash_lsh_pairs",
+        "text_perplexity",
+        "text_pii_scan",
+        "stream_dedup",
+        "stream_user_gaps",
+        "sparql_federated_join",
+        "pipeline_decontaminated_corpus",
+        "q_top_orders_per_customer",
+        # round-9 continuation rotated-out rows (each green 3+
         # rounds with its family still surface-represented; bm25 is
         # strictly contained in the new RRF surface row)
         "sample_temperature_mix",

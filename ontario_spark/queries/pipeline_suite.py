@@ -561,19 +561,31 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 3
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-
-    label propagation) over the n-gram-Jaccard pair graph, labeled by
-    the min doc_id per component — the step that turns a similarity
-    join into "keep one canonical doc per cluster"."""
+    label propagation) over the VERIFIED-LSH Jaccard pair graph,
+    labeled by the min doc_id per component — the step that turns a
+    similarity join into "keep one canonical doc per cluster".
+
+    Round-10 scale rebase: the pair graph comes from
+    ``dedup.lsh_verified_jaccard_pairs`` (banded-MinHash candidates +
+    exact Jaccard verification) instead of the exact shared-shingle
+    self-join — the 100× probe measured the old ``max_doc_freq=1000``
+    guard admitting a 10.2-billion-row candidate stream once shingle
+    doc-frequencies scaled with the corpus (SCALE.md), while the
+    banded path's candidate count stays corpus × bands. Every emitted
+    edge still carries TRUE Jaccard ≥ 0.35 (verified, not estimated),
+    and the whole pipeline is md5-deterministic so the DuckDB oracle
+    replicates it bucket-for-bucket."""
     from ontario_spark.operators.graph import connected_components
     from pyspark.sql.window import Window
 
-    pairs = dedup.ngram_jaccard_pairs(
+    pairs = dedup.lsh_verified_jaccard_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=3,
         threshold=0.35,
-        max_doc_freq=1000,
+        num_hashes=16,
+        bands=8,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(
@@ -583,10 +595,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Same shingle/pair CTEs as DEDUP_JACCARD_SQL, then components via a
-# recursive min-reachability CTE (r = every node reachable from n;
-# cluster_id = MIN(r) — identical labeling rule to min propagation).
-DEDUP_CLUSTERS_SQL = """
+# MinHash banding CTEs (same determinism story as _minhash_lsh_sql) +
+# exact-Jaccard verification of the banded candidates, then components
+# via a recursive min-reachability CTE (r = every node reachable from
+# n; cluster_id = MIN(r) — identical labeling rule to min propagation).
+def _dedup_clusters_sql() -> str:
+    from ontario_spark.operators.dedup import _MERSENNE, _seed_coeffs
+
+    k, bands = 16, 8
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS mh{i}"
+        for i, (a, b) in enumerate(_seed_coeffs(k))
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5("
+        + " || '|' || ".join(f"mh{band * r + j}::VARCHAR" for j in range(r))
+        + ") AS bucket FROM sig"
+        for band in range(bands)
+    )
+    return f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -597,14 +625,27 @@ WITH RECURSIVE sh AS (
 ), ex AS (
   SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
   FROM sh
-), rare AS (
-  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000
+), base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
+  FROM ex
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM base GROUP BY doc_id
+), banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
+  SELECT id_a, id_b, COUNT(*) AS n_common,
          ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN rare r ON a.shingle = r.shingle
-  GROUP BY a.doc_id, b.doc_id
+  FROM cand
+  JOIN ex a ON a.doc_id = id_a
+  JOIN ex b ON b.doc_id = id_b AND b.shingle = a.shingle
+  GROUP BY id_a, id_b
 ), jac AS (
   SELECT id_a, id_b FROM pairs
   WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
@@ -622,6 +663,9 @@ SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
 FROM comp
 """
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:

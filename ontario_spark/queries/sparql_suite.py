@@ -395,6 +395,28 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
            SELECT src AS x, dst AS loc FROM reach""",
         "base",
     ),
+    "sparql_path_grouped": (
+        # COMPOUND property path (round-10, VERDICT r9 task 7): a
+        # grouped alternation nested inside a quantified sequence —
+        # the closure operator iterates over the COMPILED inner-path
+        # frame (a union of two branches chained into a second hop),
+        # not a single predicate's edge list. Customer/Supplier reach
+        # their region through the nation hop; the order→customer
+        # branch contributes no composite edge (customers carry
+        # ex:nation, not ex:region), exercising an empty union branch
+        # inside the step.
+        """SELECT ?x ?r WHERE { ?x ((ex:nation|ex:customer)/ex:region)+ ?r . }""",
+        f"""SELECT DISTINCT src AS x, dst AS r FROM (
+             SELECT {URI_C} AS src,
+                    'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR) AS dst
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             UNION ALL
+             SELECT 'http://ex.org/tpch/supplier/' || CAST(s_suppkey AS VARCHAR),
+                    'http://ex.org/tpch/region/' || CAST(n_regionkey AS VARCHAR)
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           )""",
+        "base",
+    ),
     "sparql_values_inline": (
         """SELECT ?name ?price WHERE {
              ?o a ex:Order ; ex:orderpriority ?name ; ex:totalprice ?price .

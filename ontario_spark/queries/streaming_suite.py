@@ -130,6 +130,46 @@ FROM events c JOIN events p
 """
 
 
+def stream_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER interval join (round-10, VERDICT r9
+    task 8): converted clicks pair with their purchases; clicks that
+    did NOT convert emit with NULL purchase columns once the watermark
+    passes the end of their 1h attribution interval. The oracle
+    replays the watermark arithmetic: the global watermark is the min
+    across both inputs of (max event time − 2h delay), and an
+    unmatched click surfaces only when click_ts + 1h falls strictly
+    behind it — the final click of the replay stays correctly held in
+    state, so the batch oracle must hold it back too."""
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        interval_join(stream, how="left_outer"),
+        "stream_click_purchase_outer_sink",
+        output_mode="append",
+    )
+
+
+STREAM_CLICK_PURCHASE_OUTER_SQL = """
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+              - INTERVAL 2 HOUR AS w)
+SELECT c.user_id, c.event_id AS l_event, p.event_id AS r_event,
+       c.ts AS l_ts, p.ts AS r_ts
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT c.user_id, c.event_id AS l_event, CAST(NULL AS BIGINT) AS r_event,
+       c.ts AS l_ts, CAST(NULL AS TIMESTAMP) AS r_ts
+FROM c, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+  AND c.ts + INTERVAL 1 HOUR < wm.w
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-store streaming dedup — the streaming face of the exact-
     dedup pipeline operator; append mode emits each key once."""
@@ -222,6 +262,7 @@ FROM c GROUP BY user_id
 
 QUERIES = {
     "stream_click_purchase": stream_click_purchase,
+    "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup": stream_dedup,
     "stream_enriched_segments": stream_enriched_segments,
     "stream_events_hourly": stream_events_hourly,
@@ -233,6 +274,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_click_purchase": STREAM_CLICK_PURCHASE_SQL,
+    "stream_click_purchase_outer": STREAM_CLICK_PURCHASE_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_enriched_segments": STREAM_ENRICHED_SEGMENTS_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,

@@ -183,3 +183,41 @@ def executor_from_graph(
         return run_cypher(cypher, g)
 
     return execr
+
+
+def bolt_executor(
+    uri: str | None = None,
+    auth: "tuple[str, str] | None" = None,
+    database: str | None = None,
+    driver=None,
+) -> Callable[[str], list[dict]]:
+    """PRODUCTION ``Catalog.executors`` entry: run the emitted Cypher
+    through the Neo4j bolt driver (reference:
+    ``ontario/wrappers/neo4j/sparql2cypher.py:129`` executing via the
+    bolt client at ``:11-127``). One long-lived driver serves every
+    call — bound joins re-invoke the executor once per key batch, and
+    per-call connection setup is the classic federation-latency sink.
+
+    ``driver`` injects the transport: anything speaking the neo4j
+    driver's session surface (``driver.session(database=...)`` context
+    manager whose ``run(cypher)`` yields records with ``.data()``).
+    Tests exercise this executor end-to-end by injecting a stand-in
+    over the interpreter above (the Derby pattern from
+    ``sources/jdbc.py`` — same call path as production, sandbox-
+    available backend); production omits it and the real driver is
+    constructed, import-gated since the wheel isn't in this sandbox."""
+    if driver is None:
+        try:
+            from neo4j import GraphDatabase  # pragma: no cover
+        except ImportError as e:  # pragma: no cover - wheel not shipped
+            raise NotImplementedError(
+                "neo4j bolt driver not available in this environment; "
+                "inject a transport via driver= or use executor_from_graph"
+            ) from e
+        driver = GraphDatabase.driver(uri, auth=auth)  # pragma: no cover
+
+    def execr(cypher: str) -> list[dict]:
+        with driver.session(database=database) as s:
+            return [rec.data() for rec in s.run(cypher)]
+
+    return execr

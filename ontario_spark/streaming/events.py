@@ -167,6 +167,7 @@ def interval_join(
     right_type: str = "purchase",
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream–stream interval join: for each user, pair every
     ``left_type`` event with the ``right_type`` events that follow it
@@ -174,6 +175,19 @@ def interval_join(
     condition bounds the event-time range, so the state store retains
     each side only for the interval + watermark — the canonical bounded
     stream–stream join (attribution, funnel, click→purchase).
+
+    ``how="left_outer"`` (round-10, VERDICT r9 task 8) additionally
+    emits every unmatched left event with NULL right columns ONCE the
+    watermark passes the end of its join interval — the shape real
+    attribution pipelines need ("clicks that did NOT convert"), served
+    natively by Spark's outer stream–stream join. Emission is
+    watermark-driven: a left row becomes an outer result only when
+    ``l_ts + within`` falls behind the global watermark (min across
+    both inputs of max-event-time − delay), because until then a
+    matching right event could still arrive. The state bound is the
+    same as the inner form — the interval plus the watermark delay per
+    side; outer emission only changes WHEN evicted-unmatched state
+    surfaces, not how much state is held.
     """
     l = (
         stream.filter(F.col("event_type") == left_type)
@@ -198,6 +212,7 @@ def interval_join(
         (F.col("l_user") == F.col("r_user"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         F.col("l_user").alias("user_id"),
         "l_event",

@@ -1299,3 +1299,34 @@ def test_minhash_lsh_recall_vs_exact_jaccard_pinned(spark, sf_small):
     assert exact, "fixture lost its duplicate structure"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.95, f"LSH recall degraded: {recall:.3f}"
+
+
+def test_lsh_verified_jaccard_precision_and_recall(spark, sf_small):
+    """Round-10 verified-LSH pair join (the dedup_clusters scale
+    rebase): PRECISION is exact by construction — every emitted pair
+    must also be reported by the uncapped exact join at the same
+    threshold with the SAME true-Jaccard score — and RECALL against
+    the exact join is pinned (the fixture's duplicate structure sits
+    far above 0.35, where the 8-band S-curve is near 1)."""
+    from ontario_spark.data import table
+    from ontario_spark.operators import dedup
+
+    docs = table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35
+        ).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35
+        ).collect()
+    }
+    assert exact, "fixture lost its duplicate structure"
+    # precision: verified ⊆ exact, scores identical (true Jaccard)
+    for pair, score in verified.items():
+        assert pair in exact and score == exact[pair], pair
+    recall = len(verified) / len(exact)
+    assert recall >= 0.9, f"verified-LSH recall degraded: {recall:.3f}"

@@ -16,7 +16,12 @@ from ontario_spark.queries import (
 FAMILIES = (
     "sample_",
     "dedup_",
-    "minhash_",
+    # shingle-fingerprint near-dup candidate generation: carried by
+    # minhash_lsh_pairs r1-r9, since round 10 by the winnowing pair
+    # join (same family: per-doc fingerprint sketch → capped
+    # fingerprint-equality self-join); the MinHash estimator keeps its
+    # recall-pinned pytest gate and leads the post-cap registry
+    ("minhash_", "dedup_winnow_"),
     "simhash_",
     "ann_",
     # embedding near-dup family: represented by semantic_dedup (round

@@ -912,3 +912,99 @@ def test_trailing_values_feeds_sql_star_in_list(spark, sf_small):
     assert captured and any(
         "IN ('BUILDING', 'MACHINERY')" in q for q in captured
     ), captured
+
+
+def test_cypher_join_through_bolt_executor_injected_transport(spark, sf_small):
+    """Round-10 (VERDICT r9 task 6): run sparql_cypher_join's SPARQL
+    through ``graphstore.bolt_executor`` — the PRODUCTION call path
+    (long-lived driver, session context manager, record.data()
+    materialization) — with an injected transport speaking the neo4j
+    driver's exact session surface, backed by the tested interpreter
+    (the Derby pattern: same executor code as production, sandbox-
+    available backend). Results must equal the interpreter-direct
+    executor's."""
+    from ontario_spark.catalog.tpch_rdf import tpch_cypher_catalog
+    from ontario_spark.sources.docstore import parquet_doc_loader
+    from ontario_spark.sources.graphstore import bolt_executor, run_cypher
+
+    load = parquet_doc_loader(sf_small)
+    graph = {"Customer": load("customer")}
+    sessions: list[dict] = []
+
+    class FakeRecord:
+        def __init__(self, row: dict):
+            self._row = row
+
+        def data(self) -> dict:
+            return dict(self._row)
+
+    class FakeSession:
+        def __init__(self, database):
+            self.database = database
+            self.closed = False
+            self.ran: list[str] = []
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self.closed = True
+            return False
+
+        def run(self, cypher: str):
+            self.ran.append(cypher)
+            return [FakeRecord(r) for r in run_cypher(cypher, graph)]
+
+    class FakeBoltDriver:
+        def session(self, database=None):
+            s = FakeSession(database)
+            sessions.append(s.__dict__)
+            self.last = s
+            return s
+
+    sparql = (
+        PFX
+        + """SELECT ?name ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (STRSTARTS(?name, "Customer#00000001")) }"""
+    )
+    cat = tpch_cypher_catalog(sf_small)
+    cat.executors["remote_graph"] = bolt_executor(
+        database="tpch", driver=FakeBoltDriver()
+    )
+    got = sorted(
+        (r["name"], r["nname"])
+        for r in SparqlEngine(spark, cat).query(sparql).collect()
+    )
+    want = sorted(
+        (r["name"], r["nname"])
+        for r in SparqlEngine(spark, tpch_cypher_catalog(sf_small))
+        .query(sparql)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # the executor used the injected transport correctly: a session per
+    # call, the configured database, context-managed closure, and the
+    # translated Cypher (pushed STARTS WITH included) went through run()
+    assert sessions and all(s["closed"] for s in sessions)
+    assert all(s["database"] == "tpch" for s in sessions)
+    assert any("STARTS WITH" in q for s in sessions for q in s["ran"])
+
+
+def test_bolt_executor_gated_without_driver():
+    """Without an injected transport the real neo4j wheel is required;
+    its absence must surface as the documented environment gate, not an
+    ImportError mid-query."""
+    import pytest as _pytest
+
+    from ontario_spark.sources.graphstore import bolt_executor
+
+    try:
+        import neo4j  # noqa: F401
+
+        _pytest.skip("neo4j driver present; gate not exercisable")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError, match="bolt"):
+        bolt_executor("bolt://localhost:7687", auth=("u", "p"))

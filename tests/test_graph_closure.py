@@ -62,6 +62,51 @@ def test_parser_closure_ast():
     assert len(pcs2) == 1 and pcs2[0].min_len == 0
 
 
+def test_parser_grouped_quantified_path_ast():
+    """Round-10 (VERDICT r9 task 7): a grouped/compound path under a
+    quantifier — ``(p1/p2)+`` chains two triples into the closure's
+    step group; ``(p1|p2)+`` nests a UnionBlock."""
+    from ontario_spark.sparql.ast import Group, PathClosure, Triple, UnionBlock
+    from ontario_spark.sparql.parser import parse
+
+    q = parse("SELECT ?s ?o WHERE { ?s (<http://x/p>/<http://x/q>)+ ?o . }")
+    (pc,) = [e for e in q.where.elements if isinstance(e, PathClosure)]
+    assert pc.min_len == 1 and isinstance(pc.step, Group)
+    t1, t2 = pc.step.elements
+    assert isinstance(t1, Triple) and isinstance(t2, Triple)
+    assert t1.s.value == pc.src_var and t2.o.value == pc.dst_var
+    assert t1.o.value == t2.s.value  # fresh chain var links the hops
+
+    q2 = parse("SELECT ?s ?o WHERE { ?s (<http://x/p>|^<http://x/q>)* ?o . }")
+    (pc2,) = [e for e in q2.where.elements if isinstance(e, PathClosure)]
+    assert pc2.min_len == 0
+    (ub,) = pc2.step.elements
+    assert isinstance(ub, UnionBlock) and len(ub.branches) == 2
+    # the inverse branch swaps subject/object around the same step vars
+    (inv_t,) = ub.branches[1].elements
+    assert inv_t.s.value == pc2.dst_var and inv_t.o.value == pc2.src_var
+
+
+def test_engine_grouped_sequence_closure(spark, sf_small):
+    """``(ex:nation/ex:region)+`` closes over the COMPILED two-hop
+    frame: each composite edge jumps customer/supplier → region in one
+    step, and a nation is never an endpoint of the closure."""
+    from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
+    from ontario_spark.compiler.query import SparqlEngine
+
+    eng = SparqlEngine(spark, tpch_catalog(sf_small))
+    df = eng.query(
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT ?x ?r WHERE { ?x (ex:nation/ex:region)+ ?r . }"
+    )
+    rows = [(r["x"], r["r"]) for r in df.collect()]
+    assert rows and all("/region/" in r for _, r in rows)
+    assert all("/nation/" not in x for x, _ in rows)
+    assert any("/customer/" in x for x, _ in rows)
+    assert any("/supplier/" in x for x, _ in rows)
+    assert len(rows) == len(set(rows))  # ALP pair-distinct semantics
+
+
 def test_engine_star_identity(spark, sf_small):
     from ontario_spark.catalog.tpch_rdf import EX, tpch_catalog
     from ontario_spark.compiler.query import SparqlEngine
