@@ -330,29 +330,45 @@ def _seed_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, n: int = 3
-) -> DataFrame:
-    """MinHash signature per document (num_hashes bigint columns
-    ``mh0..``): base hash = low 60 bits of md5(shingle), then k
-    universal hashes, min-aggregated per document."""
-    from ontario_spark.operators.textops import exploded_shingles
-
-    sh = exploded_shingles(df, id_col, text_col, n, distinct=False).withColumnRenamed("id", id_col)
-    # 15 hex chars = 60 bits (round-5 review fix: 7 chars was a 28-bit
-    # base space, colliding ~0.3% of distinct shingles at 10^6 scale
-    # and making the % reduction a no-op); the mod brings it under
-    # _MERSENNE so the affine (h*a + b) stays within long range
-    base = (
+def _shingle_base_hash() -> Column:
+    """Base shingle hash shared by the MinHash family: low 60 bits of
+    md5(shingle) (round-5 review fix: 7 hex chars was a 28-bit space,
+    colliding ~0.3% of distinct shingles at 10^6 scale and making the
+    % reduction a no-op); the mod brings it under ``_MERSENNE`` so the
+    affine (h*a + b) stays within long range. Engine-reproducible —
+    the DuckDB oracles replicate it character-for-character."""
+    return (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % F.lit(_MERSENNE)
     )
-    sh = sh.select(id_col, base.alias("h"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash signature per document (num_hashes bigint columns
+    ``mh0..``): base hash = ``_shingle_base_hash``, then k universal
+    hashes, min-aggregated per document. ``hashed`` injects an already
+    base-hashed ``(id_col, h)`` frame so a caller that ALSO needs the
+    per-doc hash sets (verified-LSH) shingles the corpus once —
+    min(set) == min(multiset), so a distinct frame is equivalent."""
+    if hashed is None:
+        from ontario_spark.operators.textops import exploded_shingles
+
+        sh = exploded_shingles(
+            df, id_col, text_col, n, distinct=False
+        ).withColumnRenamed("id", id_col)
+        hashed = sh.select(id_col, _shingle_base_hash().alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_seed_coeffs(num_hashes))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -365,10 +381,12 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     hot_bucket: str = "split",
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash LSH near-dup join: band the signature, bucket-join per
     band, then filter candidates by estimated Jaccard (= fraction of
-    matching minhashes) >= threshold.
+    matching minhashes) >= threshold. ``hashed`` forwards a shared
+    base-hashed shingle frame to ``minhash_signatures``.
 
     With r = num_hashes/bands rows per band, the usual S-curve
     guarantees apply; candidate generation is linear in corpus size ×
@@ -389,7 +407,7 @@ def minhash_lsh_pairs(
     if hot_bucket not in ("split", "drop"):
         raise ValueError(f"hot_bucket must be split|drop, got {hot_bucket!r}")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, hashed=hashed)
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
     band_keys = F.array(
         *[
@@ -491,6 +509,13 @@ def lsh_verified_jaccard_pairs(
     DuckDB oracle replicates bucket-for-bucket."""
     from ontario_spark.operators.textops import exploded_shingles
 
+    # ONE corpus shingling serves both legs: the distinct (id, 60-bit
+    # md5 hash) sets drive the exact-intersection counts AND feed the
+    # signature min-aggregation (min over the set == min over the
+    # multiset). At lake scale the shingling scan is the dominant cost
+    # of this operator's build side — paying it twice was pure waste.
+    sh = exploded_shingles(df, id_col, text_col, n).withColumnRenamed("id", id_col)
+    hs = _bounded_persist(sh.select(id_col, _shingle_base_hash().alias("h")))
     cand = minhash_lsh_pairs(
         df,
         id_col,
@@ -500,22 +525,21 @@ def lsh_verified_jaccard_pairs(
         n=n,
         threshold=0.0,  # keep ALL banded candidates; the verify decides
         max_bucket_size=max_bucket_size,
+        hashed=hs,
     ).select("id_a", "id_b")
-    sh = exploded_shingles(df, id_col, text_col, n)
-    hs = _bounded_persist(sh.select("id", F.xxhash64("shingle").alias("k")))
-    sizes = hs.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = hs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
-        cand.join(hs.select(F.col("id").alias("id_a"), "k"), "id_a")
-        .join(hs.select(F.col("id").alias("id_b"), "k"), ["id_b", "k"])
+        cand.join(hs.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+        .join(hs.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     out = (
         inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
             "id_a",
         ).join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
             "id_b",
         )
     )
@@ -813,6 +837,54 @@ def remove_boilerplate(
                 " ",
             )
         ).alias("clean_hash"),
+    )
+
+
+def dedup_paragraph_instances(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 4,
+    min_instances: int = 2,
+) -> DataFrame:
+    """Paragraph-INSTANCE exact dedup (the Dolma-style sub-document
+    pass): every paragraph (fixed word chunk here — the corpus carries
+    no newlines) that occurs ≥ ``min_instances`` times ACROSS the
+    corpus keeps one canonical instance — the first by (doc, position)
+    order — and every other instance is marked for removal. Documents
+    survive with duplicated paragraphs dropped; corpus-unique content
+    is preserved exactly once.
+
+    Complements ``remove_boilerplate``, which drops over-frequent
+    lines from EVERY document including the first: frequency gating
+    loses singleton-preserving semantics, instance gating keeps them.
+
+    Returns ``(line_hash, id, pos, is_canonical)`` for the instances
+    of duplicated paragraphs only (the actionable set; unique
+    paragraphs are implicitly canonical).
+
+    Scale shape: one md5(line) hash shuffle carrying (id, pos, 16-byte
+    hash) — never the text; the canonical choice is a row_number
+    window over the same partitioning (no second shuffle), and the
+    duplicated-only restriction is a windowed count on that
+    partitioning too."""
+    from pyspark.sql.window import Window
+
+    lines = chunk_lines(df, id_col, text_col, chunk).select(
+        F.md5(F.col("line")).alias("line_hash"), F.col(id_col), F.col("pos")
+    )
+    w = Window.partitionBy("line_hash")
+    rn = F.row_number().over(w.orderBy(id_col, "pos"))
+    return (
+        lines.select(
+            "line_hash",
+            id_col,
+            "pos",
+            (rn == 1).alias("is_canonical"),
+            F.count(F.lit(1)).over(w).alias("__n"),
+        )
+        .filter(F.col("__n") >= min_instances)
+        .drop("__n")
     )
 
 

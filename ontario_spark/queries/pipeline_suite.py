@@ -784,6 +784,108 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified-LSH exact-Jaccard pairs (round 10): banded-MinHash
+    candidates, each verified with TRUE n-gram Jaccard — the
+    candidate/verify composition production dedup runs at corpus scale
+    (see dedup_clusters for why the fixed-doc-freq-cap exact self-join
+    does not survive 100×). Surfaced as its own row so the operator's
+    scores are externally checkable, not just the downstream
+    clusters."""
+    return dedup.lsh_verified_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.35,
+        num_hashes=16,
+        bands=8,
+    )
+
+
+def _dedup_lsh_verified_sql() -> str:
+    from ontario_spark.operators.dedup import _MERSENNE, _seed_coeffs
+
+    k, bands = 16, 8
+    r = k // bands
+    mins = ",\n    ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE}) AS mh{i}"
+        for i, (a, b) in enumerate(_seed_coeffs(k))
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5("
+        + " || '|' || ".join(f"mh{band * r + j}::VARCHAR" for j in range(r))
+        + ") AS bucket FROM sig"
+        for band in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), ex AS (
+  SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
+  FROM sh
+), base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MERSENNE} AS h
+  FROM ex
+), sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM base GROUP BY doc_id
+), banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT id_a, id_b, COUNT(*) AS n_common,
+         ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+  FROM cand
+  JOIN ex a ON a.doc_id = id_a
+  JOIN ex b ON b.doc_id = id_b AND b.shingle = a.shingle
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b,
+       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
+"""
+
+
+DEDUP_LSH_VERIFIED_SQL = _dedup_lsh_verified_sql()
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style paragraph-instance dedup (round 10): duplicated
+    paragraphs keep their first (doc, pos) instance, every other
+    instance is marked for removal — singleton-preserving, unlike the
+    frequency-gated boilerplate pass."""
+    return dedup.dedup_paragraph_instances(
+        table(spark, sf_dir, "documents"), "doc_id", "text", chunk=4
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, s AS pos, md5(array_to_string(ws[s+1:s+4], ' ')) AS line_hash
+  FROM w, LATERAL unnest(range(0, len(ws), 4)) AS t(s)
+)
+SELECT line_hash, doc_id, pos,
+       (ROW_NUMBER() OVER (PARTITION BY line_hash ORDER BY doc_id, pos)) = 1
+         AS is_canonical
+FROM chunks
+QUALIFY COUNT(*) OVER (PARTITION BY line_hash) >= 2
+"""
+
+
 def _minhash_lsh_sql() -> str:
     """DuckDB oracle for the full MinHash-LSH pipeline. Possible only
     because every hash in the operator is md5-derived (engine-
@@ -2798,6 +2900,8 @@ QUERIES = {
     "frequent_terms": frequent_terms_top,
     "text_repetition": text_repetition,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_lsh_verified": dedup_lsh_verified,
+    "dedup_paragraphs": dedup_paragraphs,
     "simhash_fingerprints": simhash_fingerprints,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
@@ -2868,6 +2972,8 @@ ORACLE = {
     "frequent_terms": FREQUENT_TERMS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
+    "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,

@@ -37,6 +37,8 @@ PROBE_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "dedup_clusters",
+    "dedup_lsh_verified",
+    "dedup_paragraphs",
     "dedup_boilerplate",
     "dedup_keep_best",
     "contamination_check",
