@@ -362,3 +362,155 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     from ontario_spark.operators.textops import spread
 
     return spread(media).mapInPandas(kernel, WAV_META_SCHEMA)
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synth_mp4(
+    timescale: int, duration: int, width: int, height: int, junk: bool = False
+) -> bytes:
+    """Minimal ISO-BMFF (MP4) container: ``ftyp`` + ``moov`` holding a
+    version-0 ``mvhd`` (timescale/duration) and one ``trak``/``tkhd``
+    (16.16 fixed-point width/height). No media data — the container
+    skeleton real ingest metadata scans read. ``junk=True`` inserts a
+    ``free`` box before ``moov`` AND an ``udta`` box inside it before
+    the real children, so parsers that assume fixed offsets fail — the
+    parser below must actually walk nested boxes."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + b"\x00" * 36  # identity matrix slot (zeroed — metadata only)
+        + b"\x00" * 24  # predefined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/rsvd
+        + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    trak = box(b"trak", tkhd)
+    children = (box(b"udta", b"") if junk else b"") + mvhd + trak
+    moov = box(b"moov", children)
+    return ftyp + (box(b"free", b"\x00" * 8) if junk else b"") + moov
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the ISO-BMFF boxes in
+    ``b[start:end]``; stops cleanly on truncation/corruption (size 1
+    64-bit boxes and size 0 to-end boxes included, per spec)."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # box extends to the end of the file
+            size = end - i
+        if size < 8 or i + size > end:
+            return  # corrupt/truncated: stop, report what was seen
+        yield btype, body, i + size
+        i += size
+
+
+def parse_mp4_header(b: bytes):
+    """REAL (not stubbed) ISO-BMFF container parsing — the video
+    counterpart of ``parse_wav_header``: pure byte peeking over the
+    nested box tree, no codec. Requires an ``ftyp`` box, then walks
+    ``moov`` → ``mvhd`` (timescale, duration; versions 0 and 1) and
+    ``moov`` → ``trak`` → ``tkhd`` (16.16 fixed-point width/height).
+    Returns (format, timescale, duration, width, height); all-None for
+    non-MP4 / truncated / corrupt payloads."""
+    import struct
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None, None, None, None, None
+    timescale = duration = width = height = None
+    for btype, s, e in _walk_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _walk_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 4:
+                ver = b[cs]
+                if ver == 0 and ce - cs >= 20:
+                    timescale, duration = struct.unpack(
+                        ">II", b[cs + 12 : cs + 20]
+                    )
+                elif ver == 1 and ce - cs >= 28:
+                    (timescale,) = struct.unpack(">I", b[cs + 20 : cs + 24])
+                    (duration,) = struct.unpack(">Q", b[cs + 24 : cs + 32])
+            elif ctype == b"trak":
+                for ttype, ts, te in _walk_boxes(b, cs, ce):
+                    # width/height CLOSE the box in both tkhd versions
+                    # (v1 only widens the leading time fields), so the
+                    # end-relative offset needs no version branch
+                    if ttype == b"tkhd" and te - ts >= 84:
+                        w_fx, h_fx = struct.unpack(">II", b[te - 8 : te])
+                        if width is None:
+                            width, height = w_fx >> 16, h_fx >> 16
+    if timescale in (None, 0) or duration is None:
+        return None, None, None, None, None
+    if not (0 < timescale < 2**31):
+        return None, None, None, None, None
+    return "mp4", timescale, duration, width, height
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Per-media MP4 container metadata via Arrow-batched
+    ``mapInPandas`` — same plumbing contract as ``image_metadata`` /
+    ``audio_metadata``: unknown payloads yield NULL fields, never a
+    failed batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("format", "timescale", "duration", "width", "height")}
+            for payload in pdf["payload"]:
+                f, t, d, w, h = parse_mp4_header(bytes(payload or b""))
+                out["format"].append(f)
+                out["timescale"].append(t)
+                out["duration"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{k: pd.Series(v, dtype="object") for k, v in out.items()},
+                }
+            )
+
+    from ontario_spark.operators.textops import spread
+
+    return spread(media).mapInPandas(kernel, MP4_META_SCHEMA)

@@ -2276,6 +2276,85 @@ FROM documents
 """
 
 
+def mm_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) box-tree parsing over synthesized video
+    containers (round 10 — the video leg beside PNG/JPEG and
+    RIFF/WAVE): each document becomes a minimal ftyp+moov skeleton
+    whose mvhd timescale/duration and tkhd 16.16 width/height derive
+    from doc_id (some with free/udta junk boxes forcing the nested
+    walk, some corrupt — raw text bytes — that must yield NULLs), and
+    the parser recovers them. The oracle recomputes the parameters
+    arithmetically, verifying the byte roundtrip end-to-end."""
+    from ontario_spark.operators.multimodal import synth_mp4, video_metadata
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        scales = (600, 1000, 90000)
+        dims = ((640, 360), (1280, 720), (1920, 1080), (3840, 2160))
+        for pdf in batches:
+            payloads = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                if i % 19 == 6:  # corrupt payload: not an ISO-BMFF box
+                    payloads.append((txt or "").encode("utf-8"))
+                else:
+                    w, h = dims[i % 4]
+                    payloads.append(
+                        synth_mp4(
+                            timescale=scales[i % 3],
+                            duration=1000 + i % 977,
+                            width=w,
+                            height=h,
+                            junk=(i % 7 == 0),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(synth, media_schema)
+    return video_metadata(media)
+
+
+MM_VIDEO_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 19 = 6 THEN NULL ELSE 'mp4' END AS format,
+       CASE WHEN doc_id % 19 = 6 THEN NULL
+            ELSE (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                  ELSE 90000 END) END::INT AS timescale,
+       CASE WHEN doc_id % 19 = 6 THEN NULL
+            ELSE 1000 + doc_id % 977 END::BIGINT AS duration,
+       CASE WHEN doc_id % 19 = 6 THEN NULL
+            ELSE (CASE doc_id % 4 WHEN 0 THEN 640 WHEN 1 THEN 1280
+                  WHEN 2 THEN 1920 ELSE 3840 END) END::INT AS width,
+       CASE WHEN doc_id % 19 = 6 THEN NULL
+            ELSE (CASE doc_id % 4 WHEN 0 THEN 360 WHEN 1 THEN 720
+                  WHEN 2 THEN 1080 ELSE 2160 END) END::INT AS height
+FROM documents
+"""
+
+
 # --- snapshot versioning --------------------------------------------------
 
 
@@ -2936,6 +3015,7 @@ QUERIES = {
     "mm_frame_stats": mm_frame_stats,
     "mm_feature_hist": mm_feature_hist,
     "mm_audio_metadata": mm_audio_metadata,
+    "mm_video_metadata": mm_video_metadata,
 }
 
 ORACLE = {
@@ -3005,4 +3085,5 @@ ORACLE = {
     "mm_frame_stats": MM_FRAME_STATS_SQL,
     "mm_feature_hist": MM_FEATURE_HIST_SQL,
     "mm_audio_metadata": MM_AUDIO_METADATA_SQL,
+    "mm_video_metadata": MM_VIDEO_METADATA_SQL,
 }

@@ -1330,3 +1330,50 @@ def test_lsh_verified_jaccard_precision_and_recall(spark, sf_small):
         assert pair in exact and score == exact[pair], pair
     recall = len(verified) / len(exact)
     assert recall >= 0.9, f"verified-LSH recall degraded: {recall:.3f}"
+
+
+def test_mp4_metadata_parses_real_box_trees(spark):
+    """Round-10 ISO-BMFF leg: the parser walks NESTED boxes (junk
+    free/udta boxes force it), handles 64-bit largesize and size-0
+    to-end boxes, and yields NULLs — never a failed Arrow batch — on
+    corrupt/truncated payloads."""
+    import struct
+
+    from ontario_spark.operators.multimodal import (
+        parse_mp4_header,
+        synth_mp4,
+        video_metadata,
+    )
+
+    plain = synth_mp4(90000, 5400, 1920, 1080)
+    junked = synth_mp4(600, 77, 640, 360, junk=True)
+    assert parse_mp4_header(plain) == ("mp4", 90000, 5400, 1920, 1080)
+    assert parse_mp4_header(junked) == ("mp4", 600, 77, 640, 360)
+
+    # 64-bit largesize on the moov box: size field 1 + 8-byte size
+    ftyp_len = 8 + len(b"isom") + 4 + len(b"isomiso2")
+    moov = plain[ftyp_len:]
+    (sz,) = struct.unpack(">I", moov[:4])
+    large = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", sz + 8) + moov[8:]
+    assert parse_mp4_header(plain[:ftyp_len] + large) == (
+        "mp4", 90000, 5400, 1920, 1080,
+    )
+    # size-0 box extends to end of file
+    tail = struct.pack(">I", 0) + b"moov" + moov[8:]
+    assert parse_mp4_header(plain[:ftyp_len] + tail) == (
+        "mp4", 90000, 5400, 1920, 1080,
+    )
+    # corrupt: truncated mid-box / not a container / inner size lies
+    assert parse_mp4_header(plain[:20]) == (None,) * 5
+    assert parse_mp4_header(b"clearly not video bytes") == (None,) * 5
+    lying = bytearray(plain)
+    lying[ftyp_len : ftyp_len + 4] = struct.pack(">I", len(plain) * 9)
+    assert parse_mp4_header(bytes(lying)) == (None,) * 5
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(plain)), (2, "video", bytearray(b"junk"))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in video_metadata(media).collect()}
+    assert rows[1]["width"] == 1920 and rows[1]["timescale"] == 90000
+    assert rows[2]["format"] is None and rows[2]["duration"] is None
