@@ -73,6 +73,37 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE grouped train/test split (round 10): the split key
+    is the GROUP (``source`` — a crawl's domain / provenance bucket),
+    not the document, so near-duplicates and templated pages within a
+    group can never straddle the train/test boundary — the standard
+    contamination control a per-doc hash split silently lacks. Pure
+    scan-stage predicate (a function of the group key), zero shuffle
+    before the stats rollup; per-(source, split) counts prove group
+    atomicity structurally: each source appears on exactly one side."""
+    from ontario_spark.operators.sampling import train_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, key="source", test_rate=0.25, salt="groups")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SAMPLE_GROUP_SPLIT_SQL = """
+SELECT source,
+  CASE WHEN substr(md5(CAST(source AS VARCHAR) || 'groups'), 1, 6)
+       < '400000' THEN 'test' ELSE 'train' END AS split,
+  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 def sample_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted mix of two deterministic slices of the corpus (the
     multi-source training-mix primitive)."""
@@ -2946,6 +2977,7 @@ TRAIN_HARD_NEGATIVES_SQL = _hard_negatives_sql()
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
+    "sample_group_split": sample_group_split,
     "sample_corpus_mix": sample_corpus_mix,
     "sample_temperature_mix": sample_temperature_mix,
     "sample_group_cap": sample_group_cap,
@@ -3025,6 +3057,7 @@ ORACLE = {
     "retrieval_rrf_fusion": RETRIEVAL_RRF_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
+    "sample_group_split": SAMPLE_GROUP_SPLIT_SQL,
     "sample_corpus_mix": SAMPLE_CORPUS_MIX_SQL,
     "sample_temperature_mix": SAMPLE_TEMPERATURE_MIX_SQL,
     "sample_group_cap": SAMPLE_GROUP_CAP_SQL,

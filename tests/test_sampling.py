@@ -295,3 +295,23 @@ class TestWeightedTopk:
         got = weighted_topk(df, "k", "w", n=80).collect()
         heavy = sum(1 for r in got if r["weight"] == 10.0)
         assert heavy > 60  # expectation ~74 of 80; far above parity
+
+
+def test_group_split_is_group_atomic(spark, sf_small):
+    """Leakage control: splitting by the GROUP key means every group
+    lands wholly on one side — no source may appear in both splits —
+    and the whole corpus is covered."""
+    from ontario_spark.data import table
+    from ontario_spark.operators.sampling import train_test_split
+
+    docs = table(spark, sf_small, "documents")
+    tagged = train_test_split(docs, key="source", test_rate=0.25, salt="groups")
+    per = (
+        tagged.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert per and all(r["n_splits"] == 1 for r in per)
+    assert tagged.count() == docs.count()
+    sides = {r["split"] for r in tagged.select("split").distinct().collect()}
+    assert sides <= {"train", "test"} and "train" in sides
