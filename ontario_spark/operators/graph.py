@@ -390,3 +390,66 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peel → ``(node, deg)`` for the nodes that
+    still carry edges after ``rounds`` iterations of "drop every node
+    with degree < k, then drop its edges". The k-core is the standard
+    density filter over interaction graphs (spam rings, dense
+    communities, robust co-occurrence sets); the peel is the textbook
+    distributed algorithm — no per-node ordering, just degree counts.
+
+    Like ``pagerank``, the round count is FIXED (not convergence-
+    probed) so a DuckDB oracle can unroll exactly the same number of
+    peels and hash-match the survivors; convergence at fixture scale
+    is pytest-checked by peeling once more and asserting a fixpoint
+    (tests/test_graph_extra.py).
+
+    Scale shape: input is canonicalized to a distinct undirected edge
+    set once (same as ``triangle_counts``); each round is one degree
+    aggregate (shuffle on node) + two semi-joins filtering the
+    symmetric edge list (shuffles on each endpoint) — per-round cost
+    is O(|edges alive|), lineage pinned per round like the closure/CC
+    loops, superseded iterates unpersisted."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sym = _pin(
+        und.unionAll(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    prev = sym
+    for _ in range(rounds):
+        alive = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("a")
+        )
+        sym = _pin(
+            sym.join(alive, "a", "left_semi").join(
+                alive.withColumnRenamed("a", "b"), "b", "left_semi"
+            )
+        )
+        prev.unpersist()
+        prev = sym
+    return sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("a").alias("node"), "deg"
+    )

@@ -100,6 +100,92 @@ def brute_force_topk(
     )
 
 
+def int8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4× compression tier
+    an embedding store runs before ANN serving: ``(id, n_dims, maxabs,
+    codes)`` with ``codes[i] = floor(x[i] / maxabs · 127)`` (all zeros
+    when ``maxabs`` is 0).
+
+    ``floor`` — not ``round`` — by design: the only exact-integer
+    quotients are the extremes (x = ±maxabs → ±127, where floor is
+    well-defined identically on every engine), so there is no rounding
+    half-boundary for Spark (HALF_UP) and DuckDB (half-away) to break
+    differently; every downstream statistic and the int8 dot product
+    are pure integer arithmetic. Map-only: one projection, zero
+    shuffles, whole-stage codegen."""
+    maxabs = F.array_max(F.transform(_dvec(F.col(vec_col)), F.abs))
+    codes = F.transform(
+        _dvec(F.col("__v")),
+        lambda x: F.when(
+            F.col("maxabs") > 0,
+            F.floor(x / F.col("maxabs") * F.lit(127.0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(F.col(vec_col)).alias("n_dims"),
+            maxabs.alias("maxabs"),
+            F.col(vec_col).alias("__v"),
+        )
+        .withColumn("codes", codes)
+        .select(F.col("id").alias(id_col), "n_dims", "maxabs", "codes")
+    )
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """ANN serving over int8 codes: rank by the INTEGER dot product of
+    quantized vectors (exact on every engine — no float accumulation
+    order to disagree about), deterministic id tiebreak. The quantized
+    score is a monotone-enough proxy for cosine on normalized-ish
+    embeddings; recall vs brute force is pytest-pinned. Same broadcast
+    shape as ``brute_force_topk``: the query side is small, the corpus
+    scan stays map-only until one TakeOrdered-style window per query."""
+    from ontario_spark.operators.textops import spread
+
+    q = int8_quantize(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("qcodes")
+    )
+    c = int8_quantize(spread(corpus), id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("ccodes")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qcodes"),
+                    F.col("ccodes"),
+                    lambda a, b: (a * b).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )
+
+
 LSH_SEED = "hyperplane-lsh"
 
 

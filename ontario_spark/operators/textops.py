@@ -624,6 +624,85 @@ def unigram_logprob(
     ).select(F.col("id").alias(id_col), "n_tokens", "avg_neg_logprob")
 
 
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much more
+    likely its unigrams are under a TARGET-domain LM than under the raw
+    corpus LM — ``logratio = Σ_term tf·(ln p_t(term) − ln p_r(term))``
+    with both LMs add-one smoothed over the SHARED raw vocabulary
+    (so target-OOV terms stay defined and drag the score down). The
+    classic use: ``target`` marks a small trusted slice (wiki/books),
+    and the top-weighted raw documents are resampled into the training
+    mix. Returns ``(id, n_tokens, dsir_logratio, keep)`` where ``keep``
+    is the logratio>0 gate.
+
+    Determinism discipline = ``unigram_logprob``: each per-term
+    contribution is rounded to ``round_to`` decimals and summed as
+    DECIMAL, so the score is order-independent and engine-exact (ln of
+    rational ratios never lands on the rounding grid). Scale shape:
+    ONE tokenize pass feeds both LMs (the target counts are a
+    conditional aggregate of the same explode — not a second scan),
+    term joins are vocab-sized, corpus totals are one broadcast row."""
+    tok = spread(df).select(
+        F.col(id_col).alias("id"),
+        target.alias("__t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("__t"), 1)).alias("ct"),
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.count(F.when(F.col("__t"), 1)).alias("nt"),
+        F.countDistinct("term").alias("v"),
+    )
+    contrib = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("ct") + 1).cast("double")
+                        / (F.col("nt") + F.col("v")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("nr") + F.col("v")).cast("double")
+                    )
+                ),
+                round_to,
+            )
+            .cast(f"decimal(18,{round_to})")
+            .alias("s"),
+        )
+    )
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.sum("s").alias("__sum"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.col("__sum").cast("double").alias("dsir_logratio"),
+            (F.col("__sum") > 0).alias("keep"),
+        )
+    )
+
+
 def novelty_score(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

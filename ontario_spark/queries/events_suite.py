@@ -471,6 +471,122 @@ SELECT node, COUNT(*) AS n_triangles FROM nodes GROUP BY node
 """
 
 
+def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the item co-interaction graph (round 10): repeatedly
+    peel items linked to fewer than 3 other items until only the
+    dense co-occurrence core survives — the graph-density filter a
+    curation pipeline uses to find robustly connected entities. Same
+    bounded-side bipartite projection as ``events_triangles``; fixed
+    3-round peel so the DuckDB oracle unrolls identically
+    (operators/graph.py::kcore)."""
+    from ontario_spark.operators.graph import kcore
+
+    ev = table(spark, sf_dir, "events")
+    ui = (
+        ev.select(
+            "user_id", F.get_json_object("props", "$.k").alias("k")
+        )
+        .filter(F.col("user_id").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+    )
+    ok = ui.groupBy("user_id").agg(F.count(F.lit(1)).alias("__d")).filter(
+        F.col("__d") <= 80
+    ).select("user_id")
+    a = ui.select(F.col("user_id"), F.col("k").alias("ka"))
+    b = ui.select(F.col("user_id").alias("ub"), F.col("k").alias("kb"))
+    pairs = (
+        a.join(ok, "user_id", "left_semi")
+        .join(b, (F.col("user_id") == F.col("ub")) & (F.col("ka") < F.col("kb")))
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+    )
+    return kcore(pairs, "src", "dst", k=3, rounds=3)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
+    prev = "s0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""a{i} AS (
+  SELECT a FROM {prev} GROUP BY a HAVING COUNT(*) >= {k}
+), s{i} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN a{i} x ON x.a = e.a JOIN a{i} y ON y.a = e.b
+)""")
+        prev = f"s{i}"
+    chain = ", ".join(steps)
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS k
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+), ok AS (
+  SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) <= 80
+), e AS (
+  SELECT DISTINCT a.k AS a, b.k AS b
+  FROM ui a JOIN ok USING (user_id) JOIN ui b
+    ON a.user_id = b.user_id AND a.k < b.k
+), s0 AS (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), {chain}
+SELECT a AS node, COUNT(*) AS deg FROM {prev} GROUP BY a
+"""
+
+
+EVENTS_KCORE_SQL = _kcore_sql(3, 3)
+
+
+def sketch_countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min frequency sketch (round 10): per-day 4×256
+    counter grids over the event item keys, merged by cell-wise sum,
+    probed with the 8 lowest keys — estimates and the ≥-exact
+    guarantee are integer-exact, so the DuckDB oracle hash-matches
+    them (operators/sketches.py::countmin_rollup)."""
+    from ontario_spark.operators.sketches import countmin_rollup
+
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.get_json_object("props", "$.k").alias("k"), "ts"
+    ).filter(F.col("k").isNotNull())
+    probes = keyed.select("k").distinct().orderBy("k").limit(8)
+    return countmin_rollup(keyed, "k", "ts", probes, depth=4, width=256)
+
+
+SKETCH_COUNTMIN_SQL = """
+WITH keyed AS (
+  SELECT json_extract_string(props, '$.k') AS k, CAST(ts AS DATE) AS day
+  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+), dk AS (
+  SELECT day, k, COUNT(*) AS cnt FROM keyed GROUP BY day, k
+), cells AS (
+  SELECT j, bucket, SUM(cell) AS cell FROM (
+    SELECT day, j, bucket, SUM(cnt) AS cell FROM (
+      SELECT day, cnt, j,
+             ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || k),
+                             1, 15))::BIGINT % 256 AS bucket
+      FROM dk CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ) GROUP BY day, j, bucket
+  ) GROUP BY j, bucket
+), probes AS (
+  SELECT DISTINCT k FROM keyed ORDER BY k LIMIT 8
+), pr AS (
+  SELECT k, j,
+         ('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || '|' || k),
+                         1, 15))::BIGINT % 256 AS bucket
+  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+), est AS (
+  SELECT k, MIN(cell) AS cm_estimate
+  FROM pr JOIN cells USING (j, bucket) GROUP BY k
+), exact AS (
+  SELECT keyed.k, COUNT(*) AS exact_count
+  FROM keyed JOIN probes ON probes.k = keyed.k GROUP BY keyed.k
+)
+SELECT exact.k, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       (cm_estimate >= exact_count) AS never_undercounts
+FROM exact JOIN est ON est.k = exact.k
+"""
+
+
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization — the batch twin of
     ``stream_user_sessions``: a new session starts when a user's
@@ -554,6 +670,8 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "events_pagerank": events_pagerank,
     "events_triangles": events_triangles,
+    "events_kcore": events_kcore,
+    "sketch_countmin_check": sketch_countmin_check,
     "events_funnel": events_funnel,
     "events_sessions": events_sessions,
     "events_retention_cohorts": events_retention_cohorts,
@@ -567,6 +685,8 @@ ORACLE = {
     "events_value_quantiles": EVENTS_QUANTILES_SQL,
     "events_pagerank": EVENTS_PAGERANK_SQL,
     "events_triangles": EVENTS_TRIANGLES_SQL,
+    "events_kcore": EVENTS_KCORE_SQL,
+    "sketch_countmin_check": SKETCH_COUNTMIN_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,

@@ -1100,6 +1100,86 @@ WHERE rn = 1
 """
 
 
+def emb_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization stats (round 10): code
+    sums / saturation counts are pure integer arithmetic over
+    floor-quantized codes, so DuckDB reproduces them bit-for-bit
+    (operators/similarity.py::int8_quantize)."""
+    q = similarity.int8_quantize(table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "maxabs",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_codes"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("sum_abs_codes"),
+        F.size(F.filter("codes", lambda c: F.abs(c) == 127))
+        .cast("int")
+        .alias("n_saturated"),
+    )
+
+
+EMB_INT8_QUANT_SQL = """
+WITH m AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS maxabs
+  FROM embeddings
+), c AS (
+  SELECT vec_id, maxabs, len(v) AS n_dims,
+         list_transform(v, x -> CASE WHEN maxabs > 0
+             THEN CAST(floor(x / maxabs * 127.0) AS INT) ELSE 0 END) AS codes
+  FROM m
+)
+SELECT vec_id, CAST(n_dims AS INT) AS n_dims, maxabs,
+       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+       CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+         AS sum_abs_codes,
+       CAST(len(list_filter(codes, x -> abs(x) = 127)) AS INT) AS n_saturated
+FROM c
+"""
+
+
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN serving (round 10): top-3 neighbors by the exact
+    INTEGER dot product of int8 codes — the compressed-index tier
+    between brute force and IVF/PQ; integer scores make the ranking
+    engine-exact, recall vs brute force is pytest-pinned
+    (operators/similarity.py::int8_topk)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(emb, _queries_subset(spark, sf_dir), k=3)
+
+
+ANN_INT8_SQL = """
+WITH m AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS maxabs
+  FROM embeddings
+), c AS (
+  SELECT vec_id,
+         list_transform(v, x -> CASE WHEN maxabs > 0
+             THEN CAST(floor(x / maxabs * 127.0) AS BIGINT) ELSE 0 END)
+           AS codes
+  FROM m
+), q AS (SELECT vec_id AS query_id, codes AS qcodes FROM c WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.qcodes, c.codes) AS BIGINT) AS qdot
+  FROM c JOIN q ON c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, qdot FROM (
+  SELECT query_id, neighbor_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer). No SQL oracle — DuckDB has no
     k-means; recall-vs-bruteforce and determinism are pytest-covered
@@ -2212,6 +2292,92 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (round 10): per-document unigram
+    log-likelihood ratio of the English slice (the 'target domain')
+    vs the whole corpus — the importance-resampling selection score
+    (operators/textops.py::dsir_logratio; DECIMAL-summed contributions
+    make it engine-exact like text_perplexity)."""
+    docs = table(spark, sf_dir, "documents")
+    return textops.dsir_logratio(
+        docs, "doc_id", "text", target=F.col("lang") == "en"
+    )
+
+
+SAMPLE_DSIR_WEIGHTS_SQL = """
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS t,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), vocab AS (
+  SELECT term, COUNT(*) AS cr,
+         COUNT(CASE WHEN t THEN 1 END) AS ct
+  FROM tok GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS nr, COUNT(CASE WHEN t THEN 1 END) AS nt,
+         COUNT(DISTINCT term) AS v
+  FROM tok
+), contrib AS (
+  SELECT doc_id, tf,
+         CAST(ROUND(
+           CAST(tf AS DOUBLE)
+             * (ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+                - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS s
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS INT) AS n_tokens,
+       CAST(SUM(s) AS DOUBLE) AS dsir_logratio,
+       (SUM(s) > 0) AS keep
+FROM contrib GROUP BY doc_id
+"""
+
+
+def sketch_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles (round 10): daily
+    per-type value histograms merged per type by summing bin counts —
+    the stored-sketch rollup pattern of ``sketch_hll_rollup`` with a
+    LOSSLESS merge, so the p50/p95 bin edges hash-match a DuckDB
+    oracle exactly (operators/sketches.py::histogram_quantile_rollup)."""
+    from ontario_spark.operators.sketches import histogram_quantile_rollup
+
+    return histogram_quantile_rollup(
+        table(spark, sf_dir, "events"), bin_width=5.0, qs=(0.5, 0.95)
+    )
+
+
+SKETCH_QUANTILE_ROLLUP_SQL = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+), cells AS (
+  SELECT g, COUNT(*) AS n_hist_cells FROM daily GROUP BY g
+), merged AS (
+  SELECT g, bin, SUM(cnt) AS cnt FROM daily GROUP BY g, bin
+), cum AS (
+  SELECT g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS total
+  FROM merged
+)
+SELECT cum.g AS event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(MAX(n_hist_cells) AS BIGINT) AS n_hist_cells,
+       MIN(CASE WHEN cum >= CAST(floor(0.5 * (total - 1)) AS BIGINT) + 1
+                THEN bin * 5.0 END) AS q50_lo,
+       MIN(CASE WHEN cum >= CAST(floor(0.95 * (total - 1)) AS BIGINT) + 1
+                THEN bin * 5.0 END) AS q95_lo
+FROM cum JOIN cells ON cells.g = cum.g
+GROUP BY cum.g
+"""
+
+
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 for a fixed keyword query — lexical
     retrieval on the driver surface (operators/retrieval.py)."""
@@ -2988,6 +3154,8 @@ QUERIES = {
     "sketch_hll_rollup": sketch_hll_rollup,
     "sketch_hll_check": sketch_hll_check,
     "sketch_stats_check": sketch_stats_check,
+    "sketch_quantile_rollup": sketch_quantile_rollup,
+    "sample_dsir_weights": sample_dsir_weights,
     "bm25_topk": bm25_topk_docs,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
     "dedup_exact": dedup_exact,
@@ -3016,6 +3184,8 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
+    "ann_topk_int8": ann_topk_int8,
+    "emb_int8_quant": emb_int8_quant,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
@@ -3053,6 +3223,8 @@ QUERIES = {
 ORACLE = {
     "sketch_hll_check": SKETCH_HLL_CHECK_SQL,
     "sketch_stats_check": SKETCH_STATS_CHECK_SQL,
+    "sketch_quantile_rollup": SKETCH_QUANTILE_ROLLUP_SQL,
+    "sample_dsir_weights": SAMPLE_DSIR_WEIGHTS_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "retrieval_rrf_fusion": RETRIEVAL_RRF_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
@@ -3090,6 +3262,8 @@ ORACLE = {
     "simhash_fingerprints": SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
+    "ann_topk_int8": ANN_INT8_SQL,
+    "emb_int8_quant": EMB_INT8_QUANT_SQL,
     "emb_cluster_assign": EMB_CLUSTER_ASSIGN_SQL,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,

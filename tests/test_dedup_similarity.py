@@ -91,6 +91,43 @@ def test_bucketed_topk_recall_vs_bruteforce(spark, sf_small):
     assert all(1 <= r.rank <= 3 for r in bk)
 
 
+def test_int8_topk_recall_vs_bruteforce(spark, sf_small):
+    """Int8-dot ranking must stay close to exact cosine: recall@3 floor
+    pinned (like the IVF/PQ tiers), every query answered, and the
+    integer scores must be reproducible run-to-run (exact arithmetic —
+    collect twice, identical)."""
+    emb = table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    quant = similarity.int8_topk(emb, queries, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = quant.collect()
+    q8 = {(r["query_id"], r["neighbor_id"]) for r in a}
+    assert {r.query_id for r in a} == {t[0] for t in e}
+    recall = len(e & q8) / len(e)
+    assert recall >= 0.5, recall
+    b = quant.collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_int8_quantize_bounds(spark, sf_small):
+    """Codes live in [-127, 127]; the max-|x| dimension quantizes to
+    exactly ±127 (floor of an exact ±127.0 quotient); zero vectors
+    would code to all-zeros (guard path)."""
+    q = similarity.int8_quantize(table(spark, sf_small, "embeddings"))
+    rows = q.select(
+        "vec_id",
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+        F.col("maxabs"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["lo"] <= r["hi"] <= 127
+        if r["maxabs"] > 0:
+            assert r["hi"] == 127 or r["lo"] == -127
+
+
 def test_multimodal_stub_raises(spark, sf_small):
     from ontario_spark.operators.multimodal import media_from_text, resize_images
 

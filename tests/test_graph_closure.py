@@ -270,3 +270,49 @@ class TestTriangleCounts:
             [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
         )
         assert triangle_counts(df).count() == 0
+
+
+class TestKCore:
+    def test_peels_tail_keeps_clique(self, spark):
+        from ontario_spark.operators.graph import kcore
+
+        # K4 clique (everyone degree 3) with a pendant chain 4-5-6:
+        # the 3-core is exactly the clique; 5 and 6 peel in two rounds
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r["node"]: r["deg"] for r in kcore(df, k=3, rounds=3).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_whole_graph_below_k_empties(self, spark):
+        from ontario_spark.operators.graph import kcore
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+        assert kcore(df, k=3, rounds=2).count() == 0
+
+    def test_fixture_rounds_reach_fixpoint(self, spark, sf_small):
+        """The registry query uses a FIXED 3-round peel (so the oracle
+        can unroll it); assert the fixture graph actually converges by
+        then — one more round must not change the survivor set."""
+        from ontario_spark.queries.events_suite import events_kcore
+        from ontario_spark.operators.graph import kcore
+        from ontario_spark.data import table
+        from pyspark.sql import functions as F
+
+        ev = table(spark, sf_small, "events")
+        ui = (
+            ev.select(
+                "user_id", F.get_json_object("props", "$.k").alias("k")
+            )
+            .filter(F.col("user_id").isNotNull() & F.col("k").isNotNull())
+            .distinct()
+        )
+        a = ui.select("user_id", F.col("k").alias("ka"))
+        b = ui.select(F.col("user_id").alias("ub"), F.col("k").alias("kb"))
+        pairs = a.join(
+            b, (F.col("user_id") == F.col("ub")) & (F.col("ka") < F.col("kb"))
+        ).select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+        r3 = {(r["node"], r["deg"]) for r in kcore(pairs, k=3, rounds=3).collect()}
+        r4 = {(r["node"], r["deg"]) for r in kcore(pairs, k=3, rounds=4).collect()}
+        assert r3 == r4
+        assert {(r["node"], r["deg"]) for r in events_kcore(spark, sf_small).collect()}

@@ -42,6 +42,8 @@ PY_OK_PREFIXES = ("mm_", "stream_")
 # Arrow-batched stage standing in for the connector's pushed read.
 EXPECTED = {
     "ann_topk_bruteforce": {"BNLJ:BuildRight"},
+    "ann_topk_int8": {"BNLJ:BuildRight"},  # broadcast query set
+    "sample_dsir_weights": {"BNLJ:BuildRight"},  # one LM-totals row
     "ann_topk_ivf": {"BNLJ:BuildRight"},
     "ann_topk_ivfpq": {"BNLJ:BuildRight"},
     "ann_topk_pq": {"BNLJ:BuildRight"},
@@ -65,6 +67,11 @@ EXPECTED = {
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "names",
+        nargs="*",
+        help="optional query names — audit only these (fast iteration)",
+    )
     args = ap.parse_args()
 
     from ontario_spark.queries import all_queries
@@ -74,7 +81,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     bad = audited = skipped = errors = 0
-    for name, fn in sorted(all_queries().items()):
+    registry = all_queries()
+    if args.names:
+        unknown = sorted(set(args.names) - set(registry))
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        registry = {n: registry[n] for n in args.names}
+    for name, fn in sorted(registry.items()):
         if name.startswith("stream_"):
             skipped += 1
             continue

@@ -58,6 +58,8 @@ PROBE_QUERIES = [
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "emb_cluster_assign",
+    "emb_int8_quant",
+    "ann_topk_int8",
     "bm25_topk",
     "retrieval_rrf_fusion",
     # text
@@ -66,13 +68,17 @@ PROBE_QUERIES = [
     "text_pii_scan",
     "sample_temperature_mix",
     "sample_weighted_topk",
+    "sample_dsir_weights",
     "text_quality_gates",
     # temporal + streaming
     "events_asof_join",
     "events_range_pairs",
     "events_scd2_history",
     "events_triangles",
+    "events_kcore",
     "events_sessions",
+    "sketch_quantile_rollup",
+    "sketch_countmin_check",
     "stream_events_hourly",
     "stream_user_sessions",
     "stream_budget_cut",
