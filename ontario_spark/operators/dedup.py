@@ -953,6 +953,137 @@ def fuzzy_string_pairs(
     ).filter(F.col("dist") <= max_dist)
 
 
+def record_link_scores(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    name_weights: tuple[float, float] = (4.0, -2.0),
+    max_dist: int = 2,
+    exact_fields: list[tuple[str, float, float]] | None = None,
+    numeric_fields: list[tuple[str, int, float, float]] | None = None,
+    threshold: float = 4.0,
+    q: int = 3,
+    max_gram_freq: int | None = None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter record linkage: candidate record pairs from
+    q-gram blocking on ``name_col`` (the ``fuzzy_string_pairs``
+    machinery, applied to record ids) — optionally COMPOSITE with
+    ``block_col`` (candidates must also share that value: the classic
+    multi-pass blocking that keeps q-gram fan-out from going
+    quadratic when names draw from a small vocabulary; measured 77×
+    superlinear candidate growth on the TPC-H name generator without
+    it) — scored by summing per-field log-odds weights — agreement adds ``w_agree``, disagreement adds
+    ``w_disagree`` (negative). Fields: the name itself (agreement =
+    Levenshtein ≤ ``max_dist``), ``exact_fields`` (equality), and
+    ``numeric_fields`` (|a−b| ≤ tol). Pairs scoring ≥ ``threshold``
+    are links. This is the probabilistic-ER layer above the plain
+    fuzzy match: one field can disagree (a typo'd brand) and strong
+    agreement elsewhere still links the records.
+
+    Determinism: weights are caller-supplied literals — use dyadic
+    rationals (4.0, -2.0, 1.5, …) and the ≤6-term fixed-order double
+    sum is exact on every engine, so a DuckDB oracle hash-matches
+    scores. Recall inherits the q-gram blocking caveat documented on
+    ``fuzzy_string_pairs``; ``max_gram_freq`` is the same skew guard.
+
+    Scale shape: blocking self-joins 3-byte gram keys over the record
+    projection (ids + compared fields only — never payload columns);
+    Levenshtein and the weight CASEs run JVM-side on surviving
+    candidates."""
+    exact_fields = exact_fields or []
+    numeric_fields = numeric_fields or []
+    cols = (
+        [F.col(id_col).alias("id"), F.col(name_col).alias("name")]
+        + [F.col(c).alias(c) for c, _, _ in exact_fields]
+        + [F.col(c).alias(c) for c, _, _, _ in numeric_fields]
+    )
+    if block_col is not None and block_col not in {c for c, *_ in exact_fields} | {
+        c for c, *_ in numeric_fields
+    }:
+        cols.append(F.col(block_col).alias(block_col))
+    recs = df.select(*cols)
+    starts = F.when(
+        F.length("name") >= q,
+        F.sequence(F.lit(1), F.length("name") - q + 1),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    gram = F.explode(
+        F.array_distinct(
+            F.transform(starts, lambda i: F.col("name").substr(i, F.lit(q)))
+        )
+    ).alias("gram")
+    if block_col is not None:
+        grams = recs.select(
+            "id", F.col(block_col).cast("string").alias("__blk"), gram
+        ).withColumn(
+            "gram", F.concat(F.col("__blk"), F.lit("|"), F.col("gram"))
+        )
+    else:
+        grams = recs.select("id", gram)
+    grams = grams.select("id", "gram")
+    if max_gram_freq is not None:
+        heavy = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_gram_freq)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(heavy), "gram", "left_anti")
+    cand = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ra = recs.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("__na"),
+        *[F.col(c).alias(f"__a_{c}") for c, _, _ in exact_fields],
+        *[F.col(c).alias(f"__a_{c}") for c, _, _, _ in numeric_fields],
+    )
+    rb = recs.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("__nb"),
+        *[F.col(c).alias(f"__b_{c}") for c, _, _ in exact_fields],
+        *[F.col(c).alias(f"__b_{c}") for c, _, _, _ in numeric_fields],
+    )
+    scored = cand.join(ra, "id_a").join(rb, "id_b").withColumn(
+        "name_dist", F.levenshtein("__na", "__nb")
+    )
+    # fixed evaluation order: name first, then fields in declaration
+    # order — the oracle adds the same terms in the same order
+    score = F.when(
+        F.col("name_dist") <= max_dist, F.lit(name_weights[0])
+    ).otherwise(F.lit(name_weights[1]))
+    agree_terms = []
+    for c, wa, wd in exact_fields:
+        a = F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        agree_terms.append(a)
+        score = score + F.when(a, F.lit(wa)).otherwise(F.lit(wd))
+    for c, tol, wa, wd in numeric_fields:
+        a = F.abs(F.col(f"__a_{c}") - F.col(f"__b_{c}")) <= tol
+        agree_terms.append(a)
+        score = score + F.when(a, F.lit(wa)).otherwise(F.lit(wd))
+    n_agree = (
+        F.when(F.col("name_dist") <= max_dist, 1).otherwise(0)
+        if not agree_terms
+        else sum(
+            (F.when(t, 1).otherwise(0) for t in agree_terms),
+            F.when(F.col("name_dist") <= max_dist, 1).otherwise(0),
+        )
+    )
+    return (
+        scored.withColumn("score", score)
+        .withColumn("n_agree", n_agree.cast("int"))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "name_dist", "n_agree", "score")
+    )
+
+
 def bloom_contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -590,6 +590,93 @@ FROM cand WHERE levenshtein(name_a, name_b) <= 3
 """
 
 
+def er_record_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over parts (round
+    10): candidate pairs from COMPOSITE blocking (same brand AND a
+    shared name trigram — multi-pass blocking keeps the candidate set
+    linear-ish where bare trigram blocking measured 77x superlinear
+    growth on this name generator), scored by per-field log-odds
+    weights — name within Levenshtein 3 (+4/−2), brand equality
+    (+3/−1.5), container equality (+2/−1), size within ±2
+    (+1.5/−0.75); links at score ≥ 8 — brand is the block, so a
+    link needs name+type agreement and size is the field allowed to
+    disagree (the probabilistic-ER point). Dyadic weights keep the
+    fixed-order double sum engine-exact
+    (operators/dedup.py::record_link_scores)."""
+    pairs = dedup.record_link_scores(
+        table(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        name_weights=(4.0, -2.0),
+        max_dist=3,
+        exact_fields=[("p_brand", 3.0, -1.5), ("p_type", 2.0, -1.0)],
+        numeric_fields=[("p_size", 2, 1.5, -0.75)],
+        threshold=8.0,
+        block_col="p_brand",
+    )
+    # registry surface: the per-record linkage profile (degree, best
+    # score, best partner) — O(records) rows where the raw pair set
+    # grows with the square of entity-group sizes (this generator
+    # repeats its small name vocabulary, so pair volume is a property
+    # of the data, not the plan)
+    sym = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("partner"), "score"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("partner"), "score"
+        )
+    )
+    return sym.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.max("score").alias("best_score"),
+        F.min("partner").alias("min_partner"),
+    )
+
+
+ER_RECORD_LINKS_SQL = """
+WITH recs AS (
+  SELECT p_partkey AS id, p_name AS name, p_brand, p_type, p_size
+  FROM part
+), grams AS (
+  SELECT id, p_brand || '|' || unnest(list_distinct(list_transform(
+    range(1, GREATEST(len(name) - 1, 1)), i -> substr(name, i, 3)))) AS gram
+  FROM recs
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         levenshtein(ra.name, rb.name) AS name_dist,
+         (ra.p_brand = rb.p_brand) AS brand_ok,
+         (ra.p_type = rb.p_type) AS cont_ok,
+         (abs(ra.p_size - rb.p_size) <= 2) AS size_ok
+  FROM cand
+  JOIN recs ra ON ra.id = cand.id_a
+  JOIN recs rb ON rb.id = cand.id_b
+), links AS (
+  SELECT id_a, id_b,
+         CAST((CASE WHEN name_dist <= 3 THEN 4.0 ELSE -2.0 END)
+              + (CASE WHEN brand_ok THEN 3.0 ELSE -1.5 END)
+              + (CASE WHEN cont_ok THEN 2.0 ELSE -1.0 END)
+              + (CASE WHEN size_ok THEN 1.5 ELSE -0.75 END) AS DOUBLE)
+           AS score
+  FROM scored
+  WHERE (CASE WHEN name_dist <= 3 THEN 4.0 ELSE -2.0 END)
+        + (CASE WHEN brand_ok THEN 3.0 ELSE -1.5 END)
+        + (CASE WHEN cont_ok THEN 2.0 ELSE -1.0 END)
+        + (CASE WHEN size_ok THEN 1.5 ELSE -0.75 END) >= 8.0
+), sym AS (
+  SELECT id_a AS id, id_b AS partner, score FROM links
+  UNION ALL
+  SELECT id_b AS id, id_a AS partner, score FROM links
+)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_links,
+       MAX(score) AS best_score,
+       MIN(partner) AS min_partner
+FROM sym GROUP BY id
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → duplicate CLUSTERS: connected components (min-
     label propagation) over the VERIFIED-LSH Jaccard pair graph,
@@ -3171,6 +3258,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_boilerplate": dedup_boilerplate,
     "fuzzy_part_names": fuzzy_part_names,
+    "er_record_links": er_record_links,
     "pipeline_incremental_ingest": pipeline_incremental_ingest,
     "pipeline_incremental_neardup": pipeline_incremental_neardup,
     "corpus_snapshot_diff": corpus_snapshot_diff,
@@ -3247,6 +3335,7 @@ ORACLE = {
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
+    "er_record_links": ER_RECORD_LINKS_SQL,
     "pipeline_incremental_ingest": PIPELINE_INCREMENTAL_SQL,
     "pipeline_incremental_neardup": PIPELINE_INCR_NEARDUP_SQL,
     "corpus_snapshot_diff": CORPUS_SNAPSHOT_DIFF_SQL,

@@ -91,6 +91,38 @@ def test_bucketed_topk_recall_vs_bruteforce(spark, sf_small):
     assert all(1 <= r.rank <= 3 for r in bk)
 
 
+def test_record_link_scores_fellegi_sunter(spark):
+    """FS semantics: a pair with one disagreeing field still links when
+    agreement elsewhere outweighs it; a pair below threshold doesn't;
+    composite blocking never pairs records from different blocks."""
+    rows = [
+        # near-identical except size (numeric disagree) — links
+        (1, "acme rocket skates", "B1", 10),
+        (2, "acme rocket skatez", "B1", 99),
+        # same name, different block — NEVER a candidate
+        (3, "acme rocket skates", "B2", 10),
+        # same block, name too far — scores below threshold
+        (4, "zzz completely other", "B1", 10),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "brand", "size"])
+    got = dedup.record_link_scores(
+        df,
+        "id",
+        "name",
+        name_weights=(4.0, -2.0),
+        max_dist=2,
+        exact_fields=[("brand", 3.0, -1.5)],
+        numeric_fields=[("size", 2, 1.5, -0.75)],
+        threshold=6.0,
+        block_col="brand",
+    ).collect()
+    links = {(r["id_a"], r["id_b"]): r for r in got}
+    assert set(links) == {(1, 2)}
+    r = links[(1, 2)]
+    # name agrees (dist 1), brand agrees, size disagrees: 4+3-0.75
+    assert r["score"] == 6.25 and r["n_agree"] == 2 and r["name_dist"] == 1
+
+
 def test_int8_topk_recall_vs_bruteforce(spark, sf_small):
     """Int8-dot ranking must stay close to exact cosine: recall@3 floor
     pinned (like the IVF/PQ tiers), every query answered, and the

@@ -46,6 +46,7 @@ PROBE_QUERIES = [
     "dedup_cdc_chunks",
     "dedup_url_canonical",
     "fuzzy_part_names",
+    "er_record_links",
     "dedup_dup_spans",
     "dedup_winnow_pairs",
     "text_winnow_profile",
