@@ -187,6 +187,46 @@ IMAGE_META_SCHEMA = StructType(
 )
 
 
+def synth_png(w: int, h: int) -> bytes:
+    """Minimal valid-enough PNG: signature + IHDR with the given
+    dimensions (no IDAT — header parsing never reads past IHDR)."""
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00" * 4
+    )
+
+
+def synth_jpeg(w: int, h: int) -> bytes:
+    """Minimal JPEG stream: SOI + APP0 + SOF0 carrying the dimensions
+    + EOI."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def synth_gif(w: int, h: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor (little-
+    endian dims) + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
 def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
     """REAL (not stubbed) container-header parsing — PNG IHDR and JPEG
     SOF markers carry dimensions in plain bytes, no codec needed. This
@@ -197,6 +237,11 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
         w = int.from_bytes(b[16:20], "big")
         h = int.from_bytes(b[20:24], "big")
         return "png", w, h
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: little-endian u16 width, height
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return "gif", w, h
     if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 < len(b):

@@ -2488,6 +2488,79 @@ def _bm25_sql() -> str:
 BM25_TOPK_SQL = _bm25_sql()
 
 
+def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image container parsing over synthesized payloads (round
+    10 — the image sibling of mm_audio/mm_video): each document
+    becomes a PNG, JPEG, or GIF whose dimensions derive from doc_id
+    (every 4th payload is corrupt text bytes that must yield NULLs);
+    parse_image_header recovers format + dims from raw bytes — PNG
+    IHDR (big-endian), JPEG SOF scan, GIF logical screen descriptor
+    (little-endian) — and the oracle recomputes them arithmetically,
+    verifying the byte roundtrip end-to-end."""
+    from ontario_spark.operators.multimodal import (
+        image_metadata,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    media_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, txt in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 16 + (i * 7) % 1000, 16 + (i * 13) % 800
+                kind = i % 4
+                if kind == 0:
+                    payloads.append(synth_png(w, h))
+                elif kind == 1:
+                    payloads.append(synth_jpeg(w, h))
+                elif kind == 2:
+                    payloads.append(synth_gif(w, h))
+                else:
+                    payloads.append((txt or "").encode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.mapInPandas(synth, media_schema)
+    return image_metadata(media)
+
+
+MM_IMAGE_METADATA_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE NULL END AS format,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 16 + (doc_id * 7) % 1000 END::INT AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 16 + (doc_id * 13) % 800 END::INT AS height
+FROM documents
+"""
+
+
 def mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RIFF/WAVE header parsing over synthesized audio payloads:
     each document becomes a canonical PCM WAV whose parameters derive
@@ -3305,6 +3378,7 @@ QUERIES = {
     "mm_frame_stats": mm_frame_stats,
     "mm_feature_hist": mm_feature_hist,
     "mm_audio_metadata": mm_audio_metadata,
+    "mm_image_metadata": mm_image_metadata,
     "mm_video_metadata": mm_video_metadata,
 }
 
@@ -3381,5 +3455,6 @@ ORACLE = {
     "mm_frame_stats": MM_FRAME_STATS_SQL,
     "mm_feature_hist": MM_FEATURE_HIST_SQL,
     "mm_audio_metadata": MM_AUDIO_METADATA_SQL,
+    "mm_image_metadata": MM_IMAGE_METADATA_SQL,
     "mm_video_metadata": MM_VIDEO_METADATA_SQL,
 }

@@ -283,10 +283,18 @@ def test_image_metadata_parses_real_headers(spark):
         sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
         return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
+    def gif(w, h):
+        # header + logical screen descriptor (LE dims) + trailer
+        return (
+            b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+        )
+
     rows = [
         (1, "image", png(640, 480)),
         (2, "image", jpeg(1920, 1080)),
         (3, "image", b"not an image at all"),
+        (4, "image", gif(320, 200)),
+        (5, "image", b"GIF89a\x40"),  # truncated before the descriptor
     ]
     media = spark.createDataFrame(
         rows, "media_id long, media_type string, payload binary"
@@ -296,6 +304,8 @@ def test_image_metadata_parses_real_headers(spark):
     assert got[1] == ("png", 640, 480)
     assert got[2] == ("jpeg", 1920, 1080)
     assert got[3] == (None, None, None)
+    assert got[4] == ("gif", 320, 200)
+    assert got[5] == (None, None, None)
 
 
 def test_jpeg_scan_fill_bytes_and_post_sos_garbage():
