@@ -118,7 +118,12 @@ DRIVER_SURFACE = [
     # strictly contains text_winnow_profile's fingerprint computation)
     "dedup_winnow_pairs",
     "simhash_fingerprints",
-    "ann_topk_bucketed",
+    # round-10 continuation: ann_topk_bucketed (green r4-r9; the
+    # LSH-bucketed ANN plan stays pytest-gated and its bucketing is
+    # surface-exercised inside semantic_dedup's LSH leg) → int8
+    # quantized ANN serving, new this round and never externally
+    # verified (exact integer dot-product ranking)
+    "ann_topk_int8",
     # round-9 swap: events_funnel (green r6-r8; the events family stays
     # surface-represented by retention_cohorts + pagerank +
     # scd2_history) → deterministic seeded embedding clustering (new
@@ -145,8 +150,16 @@ DRIVER_SURFACE = [
     # its lexical leg, plus the dense cosine leg and the fusion join)
     "retrieval_rrf_fusion",
     "sample_epoch_order",
-    "mm_decode_stats",
-    "sketch_hll_check",
+    # round-10 continuation: mm_decode_stats (green r1-r9, the
+    # longest-green multimodal row; its Arrow-batched decode plumbing
+    # stays pytest-gated) → real image container parsing with the
+    # synthesized PNG/JPEG/GIF roundtrip, new this round
+    "mm_image_metadata",
+    # round-10 continuation: sketch_hll_check (green r4-r9; the
+    # derived-exactness HLL bound stays pytest-gated) → the mergeable
+    # Count-Min rollup, new this round and never externally verified
+    # (integer-exact estimates, >=-exact guarantee hash-checked)
+    "sketch_countmin_check",
     # round-8: events_asof_join rotated out (green r4-r7; the temporal
     # family stays surface-represented by events_scd2_history) — its
     # slot goes to the skewed-key join profile, a relational shape
@@ -165,7 +178,12 @@ DRIVER_SURFACE = [
     # batch sessionization row below) → batch sessionization over
     # events (round-9, never externally verified)
     "events_sessions",
-    "events_pagerank",
+    # round-10 continuation: events_pagerank (green r6-r9; the graph
+    # family keeps events_triangles on the surface and pagerank's
+    # DECIMAL-grid iteration stays under the pytest+sf0.1 gates) →
+    # k-core decomposition, new this round and never externally
+    # verified (fixed-round peel, unrolled oracle)
+    "events_kcore",
     # SPARQL 1.1 extensions + federation
     # (sparql_negated_path and sparql_property_path sit just past the
     # cap — the path family stays represented by sparql_path_closure)
@@ -245,7 +263,11 @@ DRIVER_SURFACE = [
     # family). The displaced rows lead the post-cap registry
     # (near_cap) and stay under the pytest golden gate.
     "events_scd2_history",
-    "fuzzy_part_names",
+    # round-10 continuation: fuzzy_part_names (green r6-r9) →
+    # Fellegi-Sunter record linkage, which STRICTLY WIDENS it (the
+    # same q-gram blocking + Levenshtein verify is the name feature,
+    # plus composite blocking and per-field log-odds scoring)
+    "er_record_links",
     # round-9 continuation swap: dedup_keep_best (green r5-r8; priority
     # semantics stay pytest-gated) → content-defined chunk dedup, new
     # this round and never externally verified
@@ -276,9 +298,15 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
-        # round-10 rotated-out rows first (each green 3+ rounds with
-        # its family still surface-represented — see the DRIVER_SURFACE
-        # comments for the per-row containment argument)
+        # round-10 continuation rotated-out rows first (each green 3+
+        # rounds with its family still surface-represented — see the
+        # DRIVER_SURFACE comments for the per-row containment argument)
+        "ann_topk_bucketed",
+        "mm_decode_stats",
+        "sketch_hll_check",
+        "events_pagerank",
+        "fuzzy_part_names",
+        # round-10 rotated-out rows (same policy)
         "dedup_clusters",
         "minhash_lsh_pairs",
         "text_perplexity",

@@ -35,6 +35,9 @@ FAMILIES = (
     "sketch_",
     "stream_",
     "events_",  # temporal joins (as-of / range)
+    # entity resolution: q-gram fuzzy matching r6-r9, widened to
+    # Fellegi-Sunter linkage (round 10 — same blocking + verify inside)
+    ("fuzzy_", "er_"),
     "sparql_",
     "q",  # relational
 )
