@@ -270,6 +270,94 @@ def hyperplane_bucket_sql(
     return " || ".join(cases)
 
 
+JL_SEED = "jl-projection"
+
+
+def random_projection_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: str = JL_SEED,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a verifiable
+    norm-preservation readout: project each embedding onto ``out_dim``
+    seeded dyadic hyperplanes (the ``_hyperplanes`` family — literals
+    identical on every engine) and emit ``ratio = ||Px||²·(dim/out_dim)
+    / ||x||²``, the quantity JL says concentrates near 1, plus a
+    wide-bound ``jl_ok`` flag. This is the dimensionality-reduction
+    tier of an embedding pipeline (4× smaller vectors for clustering /
+    coarse search), made oracle-checkable: every fold keeps the strict
+    i=0..dim-1 order, so doubles match DuckDB's ``list_dot_product``
+    bit-for-bit.
+
+    Map-only: one projection expression per row, zero shuffles,
+    whole-stage codegen — same single-``F.expr`` construction as
+    ``hyperplane_lsh_bucket`` (bits×dim literals through one py4j
+    call). Zero vectors yield NULL ratio/flag (guarded division)."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    dv = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    projs = []
+    for j in range(out_dim):
+        arr = "array(" + ", ".join(f"{w!r}D" for w in planes[j]) + ")"
+        projs.append(
+            f"aggregate(zip_with({dv}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+    proj_norm_sq = " + ".join(f"({p} * {p})" for p in projs)
+    norm_sq = (
+        f"aggregate(zip_with({dv}, {dv}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    scale = float(dim) / float(out_dim)
+    return df.select(
+        F.col(id_col),
+        F.expr(norm_sq).alias("norm_sq"),
+        F.expr(
+            f"CASE WHEN size({vec_col}) = {dim} THEN {proj_norm_sq} "
+            f"ELSE raise_error('random_projection_stats: bad dim') END"
+        ).alias("proj_norm_sq"),
+    ).select(
+        id_col,
+        "norm_sq",
+        "proj_norm_sq",
+        F.when(
+            F.col("norm_sq") > 0,
+            F.col("proj_norm_sq") * F.lit(scale) / F.col("norm_sq"),
+        ).alias("jl_ratio"),
+        F.when(
+            F.col("norm_sq") > 0,
+            (F.col("proj_norm_sq") * F.lit(scale) / F.col("norm_sq"))
+            .between(0.2, 5.0),
+        ).alias("jl_ok"),
+    )
+
+
+def random_projection_sql(
+    vec_expr: str,
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: str = JL_SEED,
+) -> tuple[str, str]:
+    """DuckDB (proj_norm_sq, norm_sq) expressions reproducing
+    ``random_projection_stats`` bit-for-bit over a list-of-DOUBLE SQL
+    expression."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    projs = []
+    for p in planes:
+        # literals must parse STRING→DOUBLE: a bare decimal literal is
+        # DECIMAL in DuckDB and `1.23::DOUBLE` double-rounds through
+        # the DECIMAL intermediate — ~1-ulp drift vs Spark's (and
+        # strtod's) correctly-rounded parse on ~30% of the plane
+        # components (the sign-only bucket SQL never noticed; an
+        # exact-value oracle does)
+        lits = ", ".join(f"'{x!r}'::DOUBLE" for x in p)
+        projs.append(f"list_dot_product({vec_expr}, [{lits}])")
+    proj_norm_sq = " + ".join(f"({p} * {p})" for p in projs)
+    return proj_norm_sq, f"list_dot_product({vec_expr}, {vec_expr})"
+
+
 def bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1267,6 +1267,39 @@ WHERE rank <= 3
 """
 
 
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 with the norm-preservation ratio
+    (round 10): seeded dyadic plane literals + strict-order folds make
+    the doubles engine-exact
+    (operators/similarity.py::random_projection_stats)."""
+    return similarity.random_projection_stats(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=64, out_dim=16,
+    )
+
+
+def _emb_random_projection_sql() -> str:
+    proj, norm = similarity.random_projection_sql("v", dim=64, out_dim=16)
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, {norm} AS norm_sq, {proj} AS proj_norm_sq FROM c
+)
+SELECT vec_id, norm_sq, proj_norm_sq,
+       CASE WHEN norm_sq > 0
+            THEN proj_norm_sq * 4.0 / norm_sq END AS jl_ratio,
+       CASE WHEN norm_sq > 0
+            THEN proj_norm_sq * 4.0 / norm_sq BETWEEN 0.2 AND 5.0
+       END AS jl_ok
+FROM s
+"""
+
+
+EMB_RANDOM_PROJECTION_SQL = _emb_random_projection_sql()
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer). No SQL oracle — DuckDB has no
     k-means; recall-vs-bruteforce and determinism are pytest-covered
@@ -3347,6 +3380,7 @@ QUERIES = {
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
     "emb_int8_quant": emb_int8_quant,
+    "emb_random_projection": emb_random_projection,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
@@ -3427,6 +3461,7 @@ ORACLE = {
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "emb_int8_quant": EMB_INT8_QUANT_SQL,
+    "emb_random_projection": EMB_RANDOM_PROJECTION_SQL,
     "emb_cluster_assign": EMB_CLUSTER_ASSIGN_SQL,
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,

@@ -60,6 +60,7 @@ PROBE_QUERIES = [
     "ann_topk_ivfpq",
     "emb_cluster_assign",
     "emb_int8_quant",
+    "emb_random_projection",
     "ann_topk_int8",
     "bm25_topk",
     "retrieval_rrf_fusion",
