@@ -398,6 +398,62 @@ WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.5
 """
 
 
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering exact Jaccard join (round 10, PPJoin family):
+    complete recall at subquadratic candidate cost — rare-first global
+    shingle ordering, per-doc prefixes, prefix-collision candidates,
+    exact verify (operators/dedup.py::prefix_jaccard_pairs;
+    completeness vs the exact self-join is pytest-asserted)."""
+    return dedup.prefix_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5,
+    )
+
+
+DEDUP_PREFIX_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, GREATEST(array_length(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents)
+), hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM hx GROUP BY doc_id
+), dfreq AS (
+  SELECT h, COUNT(*) AS df FROM hx GROUP BY h
+), ranked AS (
+  SELECT hx.doc_id, hx.h, sizes.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY hx.doc_id
+                            ORDER BY dfreq.df, hx.h) AS rn
+  FROM hx JOIN dfreq ON dfreq.h = hx.h
+  JOIN sizes ON sizes.doc_id = hx.doc_id
+), prefix AS (
+  SELECT doc_id, h FROM ranked
+  WHERE rn <= n_sh - CEIL(0.5 * n_sh) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN hx ea ON ea.doc_id = c.id_a
+  JOIN hx eb ON eb.doc_id = c.id_b AND eb.h = ea.h
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeping the LONGEST copy per content hash (tiebreak
     lowest id) — the multi-source merge rule."""
@@ -3362,6 +3418,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "semantic_dedup": semantic_dedup,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "dedup_boilerplate": dedup_boilerplate,
     "fuzzy_part_names": fuzzy_part_names,
     "er_record_links": er_record_links,
@@ -3441,6 +3498,7 @@ ORACLE = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "dedup_prefix_jaccard": DEDUP_PREFIX_JACCARD_SQL,
     "dedup_boilerplate": DEDUP_BOILERPLATE_SQL,
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
     "er_record_links": ER_RECORD_LINKS_SQL,

@@ -91,6 +91,28 @@ def test_bucketed_topk_recall_vs_bruteforce(spark, sf_small):
     assert all(1 <= r.rank <= 3 for r in bk)
 
 
+def test_prefix_jaccard_complete_vs_exact(spark, sf_small):
+    """The prefix-filtering theorem in practice: the candidate-pruned
+    join must return EXACTLY the exact self-join's pairs (complete
+    recall, identical scores) — unlike the df-capped or MinHash tiers,
+    this tier is lossless by construction."""
+    docs = table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert exact  # fixture must contain near-dups or this test is vacuous
+    assert pref == exact
+
+
 def test_record_link_scores_fellegi_sunter(spark):
     """FS semantics: a pair with one disagreeing field still links when
     agreement elsewhere outweighs it; a pair below threshold doesn't;

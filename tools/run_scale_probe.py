@@ -34,6 +34,7 @@ PROBE_QUERIES = [
     # dedup family (skew-sensitive candidate generation)
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_prefix_jaccard",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "dedup_clusters",
