@@ -555,12 +555,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """SimHash fingerprint: md5-derived per-token hash; bit i of the
     fingerprint is the sign of the sum over tokens of ±1 per token-bit.
     One integer per document; hamming-close fingerprints ≈ similar
-    token multisets."""
+    token multisets. ``bits`` up to 60 (the token hash is the trailing
+    ``ceil(bits/4)`` hex chars of the md5 — 15 chars = 60 bits keeps
+    the unsigned value inside a BIGINT on every engine)."""
     from ontario_spark.operators.textops import spread, tokens
 
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in 1..60")
+    width = (bits + 3) // 4
     tok = spread(df).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    # low 8 hex chars of md5 → 32-bit unsigned token hash
-    th = F.conv(F.substring(F.md5(F.col("tok")), 25, 8), 16, 10).cast("long")
+    # trailing hex chars of md5 → `bits`-bit unsigned token hash
+    th = F.conv(F.substring(F.md5(F.col("tok")), 33 - width, width), 16, 10).cast("long")
     tok = tok.select(id_col, th.alias("th"))
     bit_sums = [
         F.sum(
@@ -573,6 +578,150 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)
     )
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    max_hamming: int = 3,
+    band_cap: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs within SimHash hamming distance
+    ``max_hamming``, found WITHOUT an all-pairs comparison.
+
+    Pigeonhole banding (the Manku/Jain/Sarma WWW'07 web-dedup
+    construction): split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` equal-width chunks — two fingerprints within
+    hamming distance ``max_hamming`` must agree EXACTLY on at least one
+    chunk, so per-chunk equi-joins have complete recall over un-capped
+    buckets. Candidates are verified with an exact
+    ``bit_count(a XOR b) <= max_hamming``.
+
+    Scale shape (100 TB): the join carries one (id, fingerprint) row
+    per doc per band — never the text. Chunk width ``bits//(k+1)``
+    (default 15 bits) keys the self-join on up to 32k buckets per band;
+    the bucket-size table is bounded by ``bands * 2^width`` rows
+    (≤131k), so the skew filter is a broadcast join regardless of
+    corpus size. A degenerate chunk shared by millions of docs (near-
+    empty texts) would make one bucket quadratic — ``band_cap`` drops
+    buckets larger than the cap deterministically (the standard banded-
+    LSH recall/cost dial; the DuckDB oracle mirrors the cap exactly).
+    """
+    n_bands = max_hamming + 1
+    width, rem = divmod(bits, n_bands)
+    if rem:
+        raise ValueError("bits must divide evenly into max_hamming+1 bands")
+    fp = _bounded_persist(simhash(df, id_col, text_col, bits=bits))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = (
+        fp.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("bc"))
+        .select(
+            id_col,
+            "simhash",
+            F.col("bc.band").alias("band"),
+            F.col("bc.chunk").alias("chunk"),
+        )
+    )
+    keep = (
+        banded.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= band_cap)
+        .select("band", "chunk")
+    )
+    banded = banded.join(F.broadcast(keep), ["band", "chunk"])
+    a = banded.select(
+        F.col("band"), F.col("chunk"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("chunk"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        # fingerprints are functions of the ids, so any surviving row
+        # per pair carries identical sh_a/sh_b values
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level overlap matrix: exact n-gram-shingle Jaccard for
+    every unordered pair of sources (crawl snapshots, vendors, dumps).
+    The source-selection complement of the per-document dedup joins —
+    "how much of vendor B is already in snapshot A" BEFORE paying for
+    document-level dedup of the union.
+
+    Scale shape: documents collapse to DISTINCT (source, shingle-hash)
+    rows — one explode + one dedup shuffle keyed by the 64-bit shingle
+    hash, never the text. The intersection self-join is keyed on the
+    shingle hash and its fan-out per shingle is bounded by the NUMBER
+    OF SOURCES (not documents) squared — sources are dozens, so no
+    doc-frequency cap is needed, unlike the per-document joins. The
+    final pair grid is |sources|² rows: driver-trivial.
+    """
+    from ontario_spark.operators.textops import exploded_shingles
+
+    sh = (
+        exploded_shingles(df, source_col, text_col, n, distinct=False)
+        .select(F.col("id").alias("source"), F.xxhash64("shingle").alias("sk"))
+        .dropDuplicates(["source", "sk"])
+    )
+    sh = _bounded_persist(sh)
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sk")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    grid = (
+        sizes.alias("sa")
+        .crossJoin(F.broadcast(sizes.alias("sb")))
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )
+    out = grid.join(inter, ["source_a", "source_b"], "left").withColumn(
+        "n_common", F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return out.select(
+        "source_a", "source_b", "n_a", "n_b", "n_common", jac.alias("jaccard")
+    )
 
 
 def contamination_overlap(

@@ -200,6 +200,93 @@ def bm25_topk(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword
+    extraction / doc-labeling primitive (corpus topical profiling,
+    cluster naming, cheap keyword targeting before a BM25 pass).
+
+    idf uses the smoothed form ``ln((N+1)/(df+1)) + 1`` (never
+    negative, defined for df = N). Determinism discipline matches
+    ``bm25_topk``: the score is rounded to ``round_to`` decimals
+    BEFORE ranking and ties break on the term string, so the selected
+    terms are engine-independent and the DuckDB oracle hash-matches.
+
+    Scale shape: ``term_stats`` is the one explode+aggregate pass over
+    the corpus (the inverted-index build); document frequency is a
+    per-term aggregate joined BACK onto the term table (AQE broadcasts
+    it when the vocabulary is small; at web scale it shuffles on the
+    term key, which is exactly the partitioning term_stats already
+    produced). N is ONE scalar row, broadcast-cross-joined — no
+    driver-side action anywhere. The per-doc top-k window partitions
+    on the document id — the same key the tf table is already hashed
+    by, so ranking adds no extra shuffle."""
+    ts = term_stats(df, id_col, text_col).select(id_col, "term", "tf")
+    n_docs = F.broadcast(ts.agg(F.countDistinct(id_col).alias("__n")))
+    # ts is distinct per (id, term), so doc frequency = rows per term
+    dfreq = ts.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        (F.col("__n").cast("double") + 1.0) / (F.col("__df").cast("double") + 1.0)
+    ) + F.lit(1.0)
+    scored = (
+        ts.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf"),
+            F.round(F.col("tf").cast("double") * idf, round_to).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "term", "tf", "tfidf")
+    )
+
+
+def tfidf_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of ``tfidf_top_terms`` — same tokenization as
+    ``bm25_sql``, same smoothed idf, same round-then-rank discipline."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, lower(unnest(regexp_split_to_array(trim({text_col}), '\\s+'))) AS term
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM tok GROUP BY {id_col}, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(DISTINCT {id_col}) AS n FROM tf),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * (ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0),
+               {round_to}) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT {id_col},
+       CAST(ROW_NUMBER() OVER (PARTITION BY {id_col}
+                               ORDER BY tfidf DESC, term) AS INT) AS term_rank,
+       term, tf, tfidf
+FROM scored
+QUALIFY term_rank <= {k}
+"""
+
+
 def bm25_sql(
     table: str,
     id_col: str,

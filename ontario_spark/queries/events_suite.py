@@ -662,8 +662,97 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def events_bfs_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS: minimum hop count from three seed users over the
+    UNDIRECTED user↔item interaction graph (same node naming as
+    events_pagerank — 'u<user_id>' / 'k<props.k>'), depth ≤ 4. The
+    "within k hops of a flagged account" expansion shape; state is one
+    row per visited node, one frontier⋈edges shuffle per level."""
+    from ontario_spark.operators.graph import bfs_depths
+
+    ev = table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & F.col("user_id").isNotNull())
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([("u1",), ("u2",), ("u3",)], ["node"])
+    return bfs_depths(edges, seeds, max_depth=4)
+
+
+EVENTS_BFS_SQL = """
+WITH RECURSIVE eb AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+         'k' || json_extract_string(props, '$.k') AS dst
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), e AS (
+  SELECT src, dst FROM eb UNION SELECT dst, src FROM eb
+), walk(node, depth) AS (
+  SELECT * FROM (VALUES ('u1', 0), ('u2', 0), ('u3', 0)) v(node, depth)
+  UNION
+  SELECT e.dst, walk.depth + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.depth < 4
+)
+SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
+"""
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Markov chain: adjacent event-type bigram
+    counts and transition probabilities. One lead-window pass over the
+    per-user timeline ((ts, event_id) unique ordering — deterministic),
+    then a bounded |event types|² aggregate; the probability divides
+    two exact integers, so the double is engine-identical."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 9
+        ).alias("p"),
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), c AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 9) AS p
+FROM c
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
+    "events_bfs_depth": events_bfs_depth,
+    "events_transitions": events_transitions,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
@@ -679,6 +768,8 @@ QUERIES = {
 
 ORACLE = {
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_bfs_depth": EVENTS_BFS_SQL,
+    "events_transitions": EVENTS_TRANSITIONS_SQL,
     "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,

@@ -1140,6 +1140,105 @@ FROM bits GROUP BY doc_id
 """
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within hamming distance 3 of a 60-bit SimHash,
+    via pigeonhole banding (4×15-bit chunks) + exact bit_count verify
+    — the Manku WWW'07 web-dedup join, no all-pairs step."""
+    return dedup.simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=60, max_hamming=3, band_cap=200,
+    )
+
+
+# 60-bit simhash (trailing 15 md5 hex chars), banded into 4 chunks of
+# 15 bits, bucket cap 200 mirrored via a window count — character-for-
+# character the plan dedup.simhash_hamming_pairs builds.
+DEDUP_SIMHASH_PAIRS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 18, 15))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, b.i,
+         SUM(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) b
+  GROUP BY doc_id, b.i
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS sh
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sh, b.band, (sh >> (b.band * 15)) & 32767 AS chunk
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) b
+), kept AS (
+  SELECT doc_id, sh, band, chunk FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band, chunk) AS bn FROM banded
+  ) WHERE bn <= 200
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact 3-gram Jaccard between SOURCES (the corpus-
+    selection overlap matrix): distinct shingles per source, shingle-
+    keyed intersection join, |sources|² output grid."""
+    return dedup.source_ngram_overlap(
+        table(spark, sf_dir, "documents"), "text", "source", n=3
+    )
+
+
+CORPUS_SOURCE_OVERLAP_SQL = """
+WITH sh AS (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source,
+           unnest(list_transform(
+             range(1, GREATEST(array_length(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents)
+  )
+), sizes AS (
+  SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)) AS jaccard
+FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+"""
+
+
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF,
+    round-then-rank deterministic (see retrieval.tfidf_top_terms)."""
+    from ontario_spark.operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+def _tfidf_sql() -> str:
+    from ontario_spark.operators.retrieval import tfidf_sql
+
+    return tfidf_sql("documents", "doc_id", "text", k=3)
+
+
+TEXT_TFIDF_SQL = _tfidf_sql()
+
+
 # --- similarity search --------------------------------------------------
 
 
@@ -3433,6 +3532,9 @@ QUERIES = {
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_paragraphs": dedup_paragraphs,
     "simhash_fingerprints": simhash_fingerprints,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "corpus_source_overlap": corpus_source_overlap,
+    "text_tfidf_terms": text_tfidf_terms,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
@@ -3515,6 +3617,9 @@ ORACLE = {
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "corpus_source_overlap": CORPUS_SOURCE_OVERLAP_SQL,
+    "text_tfidf_terms": TEXT_TFIDF_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

@@ -1478,3 +1478,56 @@ def test_mp4_metadata_parses_real_box_trees(spark):
     rows = {r["media_id"]: r for r in video_metadata(media).collect()}
     assert rows[1]["width"] == 1920 and rows[1]["timescale"] == 90000
     assert rows[2]["format"] is None and rows[2]["duration"] is None
+
+
+def test_simhash_hamming_pairs_complete_recall(spark, docs):
+    """Pigeonhole guarantee: with no bucket cap binding, the banded
+    join finds EVERY pair within the hamming radius — cross-checked
+    against exact all-pairs hamming over the fingerprints."""
+    sub = docs.filter(F.col("doc_id") < 120)
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_hamming_pairs(
+            sub, "doc_id", "text", bits=60, max_hamming=3, band_cap=10**9
+        ).collect()
+    }
+    fps = dedup.simhash(sub, "doc_id", "text", bits=60).collect()
+    exact = {}
+    for i, a in enumerate(fps):
+        for b in fps[i + 1 :]:
+            h = bin(a.simhash ^ b.simhash).count("1")
+            if h <= 3:
+                key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                exact[key] = h
+    assert banded == exact
+    assert exact, "fixture must contain at least one near-dup pair"
+
+
+def test_simhash_hamming_pairs_planted(spark):
+    """Exact duplicates are hamming-0; unrelated docs don't pair."""
+    pairs = dedup.simhash_hamming_pairs(
+        _planted(spark), "doc_id", "text", bits=60, max_hamming=3
+    ).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found.get((1, 2)) == 0
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_source_overlap_grid_and_bounds(spark, docs):
+    """Full |sources|C2 grid, jaccard in [0,1], and a self-consistency
+    check: a source unioned with itself under a new label is jaccard
+    1.0 against the original."""
+    out = dedup.source_ngram_overlap(docs, "text", "source").collect()
+    n_sources = docs.select("source").distinct().count()
+    assert len(out) == n_sources * (n_sources - 1) // 2
+    for r in out:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_common <= min(r.n_a, r.n_b)
+    one = docs.filter(F.col("source") == out[0].source_a)
+    both = one.unionByName(one.withColumn("source", F.lit("zz_clone")))
+    dup = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in dedup.source_ngram_overlap(both, "text", "source").collect()
+    }
+    # a source relabeled and unioned back is jaccard 1.0 vs itself
+    assert dup == {(out[0].source_a, "zz_clone"): 1.0}

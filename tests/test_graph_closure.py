@@ -316,3 +316,52 @@ class TestKCore:
         r4 = {(r["node"], r["deg"]) for r in kcore(pairs, k=3, rounds=4).collect()}
         assert r3 == r4
         assert {(r["node"], r["deg"]) for r in events_kcore(spark, sf_small).collect()}
+
+
+class TestBfsDepths:
+    def test_hand_built_graph(self, spark):
+        from ontario_spark.operators.graph import bfs_depths
+
+        # 1→2→3→4→5 chain + shortcut 1→4 + island 9→10
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (9, 10)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {
+            (r.node, r.depth)
+            for r in bfs_depths(edges, seeds, max_depth=6).collect()
+        }
+        # shortcut wins: 4 at depth 1, 5 at depth 2; island unreached
+        assert got == {(1, 0), (2, 1), (4, 1), (3, 2), (5, 2)}
+
+    def test_depth_cap_and_multi_seed(self, spark):
+        from ontario_spark.operators.graph import bfs_depths
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(0,), (7,)], ["node"])
+        got = {
+            (r.node, r.depth)
+            for r in bfs_depths(edges, seeds, max_depth=2).collect()
+        }
+        # min over seeds; nothing past depth 2
+        assert got == {(0, 0), (1, 1), (2, 2), (7, 0), (8, 1), (9, 2)}
+
+    def test_relaxation_invariant_on_events_graph(self, spark, sf_small):
+        """d(v) <= d(u) + 1 for every edge u→v with d(u) < cap — the
+        BFS optimality certificate, checked on the real fixture."""
+        from ontario_spark.queries.events_suite import events_bfs_depth
+        from ontario_spark.data import table
+        from pyspark.sql import functions as F
+
+        depth = {r.node: r.depth for r in events_bfs_depth(spark, sf_small).collect()}
+        ev = table(spark, sf_small, "events")
+        fwd = ev.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("k"), F.get_json_object("props", "$.k")).alias("dst"),
+        ).filter(F.col("dst").isNotNull()).collect()
+        for r in fwd:
+            for u, v in ((r.src, r.dst), (r.dst, r.src)):
+                if u in depth and depth[u] < 4:
+                    assert v in depth and depth[v] <= depth[u] + 1

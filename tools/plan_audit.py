@@ -59,6 +59,10 @@ EXPECTED = {
     "sparql_values_undef": {"BNLJ:BuildLeft"},
     "text_perplexity": {"BNLJ:BuildRight"},
     "train_hard_negatives": {"BNLJ:BuildRight"},  # broadcast query set
+    "text_tfidf_terms": {"BNLJ:BuildRight"},  # one corpus-size row
+    # source-pair grid: cross of per-SOURCE size tables (dozens of
+    # rows each, broadcast) — the |sources|² output is the point
+    "corpus_source_overlap": {"BNLJ:BuildRight"},
 
     "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
 }
