@@ -507,3 +507,69 @@ def bfs_depths(
         visited = _pin(visited.unionByName(new))
         frontier = new
     return visited
+
+
+def bipartite_cooccurrence(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_common: int = 2,
+    max_items_per_user: int | None = None,
+) -> DataFrame:
+    """Item-item co-occurrence projection of a user↔item bipartite
+    graph: for every item pair sharing ≥ ``min_common`` users, the
+    co-user count and its cosine normalization
+    ``n_common / sqrt(deg_a · deg_b)`` — the classic item-similarity
+    prep for co-view/co-purchase features and retrieval negatives.
+
+    Scale shape (100 TB of interactions): the projection self-joins
+    the DISTINCT (user, item) relation on the user key, so a power
+    user with d items emits d² pairs — ``max_items_per_user`` drops
+    those users via an anti-join against the (few, by definition)
+    heavy keys before the join, bounding any key's fan-out at cap²
+    (the max_doc_freq discipline of the shingle joins). Degrees are
+    computed from the UNCAPPED relation, so cosine denominators stay
+    exact; the join payload is two item ids, never attributes.
+    Determinism: cosine = exact-integer count / sqrt(exact-integer
+    product) — two correctly-rounded IEEE ops, engine-identical."""
+    ui = (
+        df.select(F.col(user_col).alias("u"), F.col(item_col).alias("i"))
+        .filter(F.col("u").isNotNull() & F.col("i").isNotNull())
+        .dropDuplicates(["u", "i"])
+    )
+    ui = _pin(ui)
+    deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("deg"))
+    joinable = ui
+    if max_items_per_user is not None:
+        heavy = (
+            ui.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") > max_items_per_user)
+            .select("u")
+        )
+        joinable = ui.join(heavy, "u", "left_anti")
+    a = joinable.select("u", F.col("i").alias("item_a"))
+    b = joinable.select("u", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    out = (
+        pairs.join(
+            deg.select(F.col("i").alias("item_a"), F.col("deg").alias("deg_a")),
+            "item_a",
+        )
+        .join(
+            deg.select(F.col("i").alias("item_b"), F.col("deg").alias("deg_b")),
+            "item_b",
+        )
+    )
+    cos = F.col("n_common").cast("double") / F.sqrt(
+        (F.col("deg_a") * F.col("deg_b")).cast("double")
+    )
+    return out.select(
+        "item_a", "item_b", "n_common", "deg_a", "deg_b", cos.alias("cosine")
+    )

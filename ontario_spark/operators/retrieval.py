@@ -287,6 +287,183 @@ QUALIFY term_rank <= {k}
 """
 
 
+def rm3_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    exp_weight: float = 0.5,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-style): score
+    the corpus with the original terms, take the ``fb_docs`` best
+    documents as implicit relevance feedback, pick the ``fb_terms``
+    heaviest non-query terms inside them (by summed tf — exact
+    integers, tie on the term string), and re-score the corpus with
+    the expanded weighted term set. The classic recall-widening step
+    between keyword search and dense retrieval.
+
+    Unlike ``bm25_scores`` (compile-time constants → one column per
+    term, fixed-order double sum), the expanded term set is DATA-
+    dependent, so both scoring passes are fully RELATIONAL: terms live
+    in a small weighted frame broadcast-joined onto the inverted
+    index, and each document's score is a sum of per-term
+    contributions cast to DECIMAL(28,12) — exact and order-
+    independent (the ``label_centroids`` discipline), so no column
+    enumeration is needed and the DuckDB oracle hash-matches. The
+    whole expansion is ONE lazy plan — no driver-side action anywhere.
+
+    Scale shape: ``term_stats`` (the explode+aggregate inverted-index
+    build) runs once and feeds both passes plus the df/avgdl stats
+    (persisted via the module's bounded cache); every join against it
+    is either a broadcast (term frames, corpus-stats row) or keyed on
+    the term/id partitioning it already has. Top-fb and top-k
+    selections are ``orderBy().limit()`` — distributed TakeOrdered,
+    never a global sort."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    spark = df.sparkSession
+    ts = _cached_per_doc(
+        df,
+        (id(df), id_col, text_col, "__term_stats"),
+        lambda: term_stats(df, id_col, text_col),
+    )
+    docs = ts.groupBy(id_col).agg(F.max("dl").alias("dl"))
+    # dl is integer-valued: the double sum inside avg() is exact and
+    # order-independent (same argument as bm25_scores)
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+        )
+    )
+    dfreq = ts.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    def scored(term_frame: DataFrame, out_col: str) -> DataFrame:
+        j = (
+            ts.join(F.broadcast(term_frame), "term")
+            .join(dfreq, "term")
+            .crossJoin(stats)
+        )
+        idf = F.log(
+            (F.col("__n").cast("double") - F.col("__df") + 0.5)
+            / (F.col("__df") + 0.5)
+            + 1.0
+        )
+        tf = F.col("tf").cast("double")
+        denom = tf + k1 * (
+            1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl")
+        )
+        contrib = F.col("w") * idf * (tf * (k1 + 1.0)) / denom
+        return (
+            j.select(F.col(id_col), contrib.cast("decimal(28,12)").alias("__c"))
+            .groupBy(id_col)
+            .agg(F.sum("__c").alias("__s"))
+            .select(
+                F.col(id_col),
+                F.round(F.col("__s").cast("double"), round_to).alias(out_col),
+            )
+        )
+
+    orig = spark.createDataFrame([(t, 1.0) for t in terms], ["term", "w"])
+    fb = (
+        scored(orig, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(fb_docs)
+        .select(id_col)
+    )
+    exp = (
+        ts.join(fb, id_col, "left_semi")
+        .filter(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("__w"))
+        .orderBy(F.desc("__w"), F.asc("term"))
+        .limit(fb_terms)
+        .select("term", F.lit(float(exp_weight)).alias("w"))
+    )
+    top = (
+        scored(orig.unionByName(exp), "rm3_r")
+        .orderBy(F.desc("rm3_r"), F.asc(id_col))
+        .limit(k)
+    )
+    order = [F.desc("rm3_r"), F.asc(id_col)]
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order))).select(
+        id_col, "rank", "rm3_r"
+    )
+
+
+def rm3_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    exp_weight: float = 0.5,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of ``rm3_topk`` — same tokenization, same
+    relational DECIMAL-sum scoring, same feedback selection."""
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    vals = ", ".join(f"(CAST('{t}' AS VARCHAR), CAST(1.0 AS DOUBLE))" for t in terms)
+    not_in = ", ".join(f"'{t}'" for t in terms)
+    contrib = f"""o.w * ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * (CAST(ts.tf AS DOUBLE) * ({k1} + 1.0))
+               / (CAST(ts.tf AS DOUBLE)
+                  + {k1} * (1.0 - {b} + {b} * CAST(ts.dl AS DOUBLE) / s.avgdl))"""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, lower(unnest(regexp_split_to_array(trim({text_col}), '\\s+'))) AS term
+  FROM {table}
+), tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM tok GROUP BY {id_col}, term
+), doc AS (
+  SELECT {id_col}, SUM(tf) AS dl FROM tf GROUP BY {id_col}
+), ts AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, doc.dl FROM tf JOIN doc USING ({id_col})
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM doc
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), orig(term, w) AS (
+  VALUES {vals}
+), score0 AS (
+  SELECT ts.{id_col},
+         ROUND(CAST(SUM(CAST({contrib} AS DECIMAL(28,12))) AS DOUBLE), {round_to})
+           AS score
+  FROM ts JOIN orig o USING (term) JOIN dfq USING (term) CROSS JOIN stats s
+  GROUP BY ts.{id_col}
+), fb AS (
+  SELECT {id_col} FROM score0 ORDER BY score DESC, {id_col} LIMIT {fb_docs}
+), exp AS (
+  SELECT term, CAST({exp_weight} AS DOUBLE) AS w FROM (
+    SELECT term, SUM(tf) AS w_ FROM ts
+    WHERE {id_col} IN (SELECT {id_col} FROM fb) AND term NOT IN ({not_in})
+    GROUP BY term ORDER BY w_ DESC, term LIMIT {fb_terms}
+  )
+), allt AS (
+  SELECT term, w FROM orig UNION ALL SELECT term, w FROM exp
+), scoref AS (
+  SELECT ts.{id_col},
+         ROUND(CAST(SUM(CAST({contrib} AS DECIMAL(28,12))) AS DOUBLE), {round_to})
+           AS rm3_r
+  FROM ts JOIN allt o USING (term) JOIN dfq USING (term) CROSS JOIN stats s
+  GROUP BY ts.{id_col}
+)
+SELECT {id_col},
+       CAST(ROW_NUMBER() OVER (ORDER BY rm3_r DESC, {id_col}) AS INT) AS rank,
+       rm3_r
+FROM (SELECT * FROM scoref ORDER BY rm3_r DESC, {id_col} LIMIT {k})
+"""
+
+
 def bm25_sql(
     table: str,
     id_col: str,

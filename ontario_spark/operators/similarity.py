@@ -1247,3 +1247,48 @@ def label_centroids(
         )
         .select("label", "n_vecs", "centroid")
     )
+
+
+def label_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label outlier candidates — the label-noise / mislabel
+    detector: each vector's squared euclidean distance to its OWN
+    label's centroid, top-k most-distant per label. The cheap first
+    pass of confident-learning-style cleanup (vectors far from their
+    class prototype are review candidates).
+
+    Determinism: centroids come from ``label_centroids`` (exact
+    DECIMAL component sums, rounded — engine-independent); the
+    distance expands to ``|v|² − 2·v·c + |c|²`` — three index-ordered
+    folds combined in one fixed expression, so the double is
+    bit-identical on any engine; it is then rounded before ranking
+    with an id tiebreak (the bm25_topk discipline).
+
+    Scale shape: centroids are one row per label (broadcast); the
+    distance pass is map-only over the embedding scan; the per-label
+    top-k is a row_number window partitioned on the label — the same
+    key the join just hashed by."""
+    from pyspark.sql.window import Window
+
+    cent = label_centroids(df, label_col, vec_col)
+    joined = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col).alias("__v")
+    ).join(F.broadcast(cent.select("label", "centroid")), "label")
+    dv = _dvec(F.col("__v"))
+    c = F.col("centroid")
+    d2 = dot(dv, dv) - 2.0 * dot(dv, c) + dot(c, c)
+    w = Window.partitionBy("label").orderBy(F.desc("d2_r"), F.asc(id_col))
+    return (
+        joined.select(
+            F.col(id_col), "label", F.round(d2, round_to).alias("d2_r")
+        )
+        .withColumn("out_rank", F.row_number().over(w))
+        .filter(F.col("out_rank") <= k)
+        .select("label", "out_rank", id_col, "d2_r")
+    )

@@ -704,6 +704,50 @@ SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
 """
 
 
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence over the user↔item bipartite graph
+    (co-interaction counts + cosine normalization) — the recsys /
+    feature-prep projection; power users capped at 100 items so no
+    user key fans out quadratically
+    (operators/graph.py::bipartite_cooccurrence)."""
+    from ontario_spark.operators.graph import bipartite_cooccurrence
+
+    ev = table(spark, sf_dir, "events")
+    ui = ev.select(
+        F.col("user_id").alias("u"),
+        F.get_json_object(F.col("props"), "$.k").alias("i"),
+    )
+    return bipartite_cooccurrence(
+        ui, "u", "i", min_common=2, max_items_per_user=100
+    )
+
+
+EVENTS_COOC_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+), deg AS (
+  SELECT i, COUNT(*) AS deg FROM ui GROUP BY i
+), heavy AS (
+  SELECT u FROM ui GROUP BY u HAVING COUNT(*) > 100
+), j AS (
+  SELECT * FROM ui WHERE u NOT IN (SELECT u FROM heavy)
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_common
+  FROM j a JOIN j b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(p.n_common AS DOUBLE)
+         / sqrt(CAST(da.deg * db.deg AS DOUBLE)) AS cosine
+FROM pairs p
+JOIN deg da ON da.i = p.item_a
+JOIN deg db ON db.i = p.item_b
+"""
+
+
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral Markov chain: adjacent event-type bigram
     counts and transition probabilities. One lead-window pass over the
@@ -753,6 +797,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_bfs_depth": events_bfs_depth,
     "events_transitions": events_transitions,
+    "events_item_cooccurrence": events_item_cooccurrence,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
@@ -770,6 +815,7 @@ ORACLE = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_bfs_depth": EVENTS_BFS_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
+    "events_item_cooccurrence": EVENTS_COOC_SQL,
     "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,

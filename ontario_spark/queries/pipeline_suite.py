@@ -3325,6 +3325,74 @@ FROM comp GROUP BY label
 """
 
 
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 per-label outlier candidates by squared euclidean
+    distance to the own-label centroid — the mislabel/label-noise
+    first pass (operators/similarity.py::label_outliers)."""
+    return similarity.label_outliers(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", k=5
+    )
+
+
+EMB_LABEL_OUTLIERS_SQL = """
+WITH ix AS (
+  SELECT label, embedding, unnest(range(len(embedding))) AS pos
+  FROM embeddings
+), ex AS (
+  SELECT label, pos, CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS v
+  FROM ix
+), comp AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*), 9) AS c
+  FROM ex GROUP BY label, pos
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+), v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+  FROM embeddings
+), d AS (
+  SELECT v.vec_id, v.label,
+         ROUND(list_dot_product(v.dv, v.dv)
+               - 2.0 * list_dot_product(v.dv, c.centroid)
+               + list_dot_product(c.centroid, c.centroid), 6) AS d2_r
+  FROM v JOIN cent c USING (label)
+)
+SELECT label,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY d2_r DESC, vec_id) AS INT) AS out_rank,
+       vec_id, d2_r
+FROM d
+QUALIFY out_rank <= 5
+"""
+
+
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback retrieval: original BM25
+    pass → top-10 feedback docs → 5 heaviest expansion terms →
+    re-scored top-20, all ONE lazy relational plan with exact
+    DECIMAL score sums (operators/retrieval.py::rm3_topk)."""
+    from ontario_spark.operators.retrieval import rm3_topk
+
+    return rm3_topk(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["spark", "vector", "merge"],
+        k=20,
+    )
+
+
+def _rm3_sql() -> str:
+    from ontario_spark.operators.retrieval import rm3_sql
+
+    return rm3_sql("documents", "doc_id", "text", ["spark", "vector", "merge"], k=20)
+
+
+RETRIEVAL_PRF_SQL = _rm3_sql()
+
+
 def pipeline_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-LSH near-dup: today's batch (doc_id % 10 ==
     7, the same split as ``pipeline_incremental_ingest``) probes the
@@ -3506,6 +3574,8 @@ QUERIES = {
     "sample_dsir_weights": sample_dsir_weights,
     "bm25_topk": bm25_topk_docs,
     "retrieval_rrf_fusion": retrieval_rrf_fusion,
+    "retrieval_prf_expansion": retrieval_prf_expansion,
+    "emb_label_outliers": emb_label_outliers,
     "dedup_exact": dedup_exact,
     "dedup_cdc_chunks": dedup_cdc_chunks,
     "dedup_url_canonical": dedup_url_canonical,
@@ -3582,6 +3652,8 @@ ORACLE = {
     "sample_dsir_weights": SAMPLE_DSIR_WEIGHTS_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "retrieval_rrf_fusion": RETRIEVAL_RRF_SQL,
+    "retrieval_prf_expansion": RETRIEVAL_PRF_SQL,
+    "emb_label_outliers": EMB_LABEL_OUTLIERS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_train_test": SAMPLE_TRAIN_TEST_SQL,
     "sample_group_split": SAMPLE_GROUP_SPLIT_SQL,

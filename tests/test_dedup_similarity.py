@@ -1531,3 +1531,18 @@ def test_source_overlap_grid_and_bounds(spark, docs):
     }
     # a source relabeled and unioned back is jaccard 1.0 vs itself
     assert dup == {(out[0].source_a, "zz_clone"): 1.0}
+
+
+def test_label_outliers_flags_planted_outlier(spark):
+    from ontario_spark.operators.similarity import label_outliers
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + 0.01 * i, 0.0], "a"))
+        rows.append((10 + i, [0.0, 2.0 + 0.01 * i], "b"))
+    rows.append((99, [9.0, 9.0], "a"))  # planted far outlier in label a
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = label_outliers(df, "vec_id", "embedding", "label", k=2).collect()
+    a1 = [r for r in out if r.label == "a" and r.out_rank == 1]
+    assert len(a1) == 1 and a1[0].vec_id == 99
+    assert all(1 <= r.out_rank <= 2 for r in out)

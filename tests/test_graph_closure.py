@@ -365,3 +365,34 @@ class TestBfsDepths:
             for u, v in ((r.src, r.dst), (r.dst, r.src)):
                 if u in depth and depth[u] < 4:
                     assert v in depth and depth[v] <= depth[u] + 1
+
+
+class TestBipartiteCooccurrence:
+    def test_hand_built_counts_and_cap(self, spark):
+        from ontario_spark.operators.graph import bipartite_cooccurrence
+
+        rows = [
+            (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            # duplicate interaction must not double-count
+            (1, "x"),
+        ]
+        df = spark.createDataFrame(rows, ["u", "i"])
+        out = {
+            (r.item_a, r.item_b): r
+            for r in bipartite_cooccurrence(df, "u", "i", min_common=2).collect()
+        }
+        assert set(out) == {("x", "y")}
+        r = out[("x", "y")]
+        assert (r.n_common, r.deg_a, r.deg_b) == (2, 3, 2)
+        assert abs(r.cosine - 2 / (6 ** 0.5)) < 1e-12
+        # cap: user 1 has 2 items; cap=1 drops every pair
+        capped = bipartite_cooccurrence(
+            df, "u", "i", min_common=2, max_items_per_user=1
+        ).collect()
+        assert capped == []
+        # degrees stay uncapped even when the cap binds
+        loose = bipartite_cooccurrence(
+            df, "u", "i", min_common=1, max_items_per_user=2
+        ).collect()
+        for row in loose:
+            assert row.deg_a in (1, 2, 3) and row.deg_b in (1, 2, 3)

@@ -152,9 +152,8 @@ def test_tfidf_rare_term_outranks_ubiquitous(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = tfidf_top_terms(df, "doc_id", "text", k=4).collect()
     d1 = {r.term: r for r in out if r.doc_id == 1}
-    # 'rare' (df=1) beats 'common' (df=3) in doc 1 despite tf 1 vs 3:
-    # 1*(ln(4/2)+1)=1.69 vs 3*(ln(4/4)+1)=3.0 — wait, tf wins here;
-    # assert the actual scores instead of the folklore
+    # hand-checked: common scores 3*(ln(4/4)+1)=3.0, rare scores
+    # 1*(ln(4/2)+1)≈1.69 — tf dominates at this df spread
     assert d1["common"].tfidf > d1["rare"].tfidf
     assert d1["common"].term_rank == 1
     # within equal tf, lower df scores strictly higher
@@ -180,3 +179,40 @@ def test_tfidf_k_bound_and_rank_contiguity(spark, sf_small):
     for ranks in per_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_rm3_expansion_recalls_feedback_vocabulary(spark):
+    """Docs sharing vocabulary with the feedback set but containing NO
+    original query term enter the expanded results — the point of PRF."""
+    from ontario_spark.operators.retrieval import bm25_topk, rm3_topk
+
+    rows = [
+        (1, "anchor zebra quagga okapi"),
+        (2, "anchor zebra gnu"),
+        (3, "zebra quagga wildebeest"),   # no 'anchor'
+        (4, "quagga okapi zebra"),        # no 'anchor'
+        (5, "totally unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = {r.doc_id for r in bm25_topk(df, "doc_id", "text", ["anchor"], k=5).collect()}
+    assert plain == {1, 2}  # bm25 only sees literal matches
+    rm3 = {r.doc_id for r in rm3_topk(
+        df, "doc_id", "text", ["anchor"], fb_docs=2, fb_terms=3, k=5
+    ).collect()}
+    assert {1, 2, 3, 4} <= rm3 and 5 not in rm3
+
+
+def test_rm3_rank_contiguous_and_bounded(spark, sf_small):
+    from ontario_spark.data import table
+    from ontario_spark.operators.retrieval import rm3_topk
+
+    out = rm3_topk(
+        table(spark, sf_small, "documents"), "doc_id", "text",
+        ["spark", "vector", "merge"], k=20,
+    ).collect()
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(
+        range(1, len(out) + 1)
+    )
+    assert len(out) <= 20
+    scores = [r.rm3_r for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)

@@ -60,6 +60,7 @@ EXPECTED = {
     "text_perplexity": {"BNLJ:BuildRight"},
     "train_hard_negatives": {"BNLJ:BuildRight"},  # broadcast query set
     "text_tfidf_terms": {"BNLJ:BuildRight"},  # one corpus-size row
+    "retrieval_prf_expansion": {"BNLJ:BuildRight"},  # one (N, avgdl) row
     # source-pair grid: cross of per-SOURCE size tables (dozens of
     # rows each, broadcast) — the |sources|² output is the point
     "corpus_source_overlap": {"BNLJ:BuildRight"},

@@ -50,8 +50,11 @@ PROBE_QUERIES = [
     "er_record_links",
     "dedup_dup_spans",
     "dedup_winnow_pairs",
+    "dedup_simhash_pairs",
+    "corpus_source_overlap",
     "text_winnow_profile",
     "text_regex_tokens",
+    "text_tfidf_terms",
     # similarity / retrieval
     "emb_neardup_pairs",
     "ann_topk_bruteforce",
@@ -79,6 +82,8 @@ PROBE_QUERIES = [
     "events_scd2_history",
     "events_triangles",
     "events_kcore",
+    "events_bfs_depth",
+    "events_transitions",
     "events_sessions",
     "sketch_quantile_rollup",
     "sketch_countmin_check",
