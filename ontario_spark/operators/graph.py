@@ -573,3 +573,102 @@ def bipartite_cooccurrence(
     return out.select(
         "item_a", "item_b", "n_common", "deg_a", "deg_b", cos.alias("cosine")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_to: int = 10,
+    node_col: str = "node",
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: the teleport mass lands
+    only on the ``seeds`` set (uniformly), so ranks measure proximity
+    to the seeds rather than global importance — the standard
+    seed-expansion scorer (related-item discovery, trust propagation,
+    "accounts near these flagged ones"). Dangling mass is not
+    redistributed, matching ``pagerank``'s leaked variant.
+
+    Same determinism discipline as ``pagerank`` (per-edge
+    contributions rounded to ``round_to + 4`` and summed as DECIMAL,
+    ranks re-rounded to ``round_to``; separated grids), and the seed
+    teleport is ONE double division ``(1-d)/|S|`` written identically
+    in the oracle, so the unrolled DuckDB SQL hash-matches. Same
+    two-shuffle iteration and lineage pinning; the per-node seed flag
+    is computed once and pinned, not re-derived per round."""
+    cdec = f"decimal(28,{round_to + 4})"
+    dec = f"decimal(28,{round_to})"
+    teleport = round(1.0 - damping, 12)
+    e = _pin(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull()
+        )
+    )
+    s = seeds.select(F.col(node_col).alias("node")).dropDuplicates(["node"])
+    nodes = _pin(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    ns_row = F.broadcast(s.agg(F.count(F.lit(1)).alias("__ns")))
+    flagged = _pin(
+        nodes.join(s.select("node", F.lit(1).alias("__sflag")), "node", "left")
+        .crossJoin(ns_row)
+        .select(
+            "node",
+            F.col("__sflag").isNotNull().alias("__seed"),
+            F.col("__ns"),
+        )
+    )
+    seed_unit = F.when(
+        F.col("__seed"), F.lit(1.0) / F.col("__ns").cast("double")
+    ).otherwise(F.lit(0.0))
+    seed_tele = F.when(
+        F.col("__seed"), F.lit(teleport) / F.col("__ns").cast("double")
+    ).otherwise(F.lit(0.0))
+    ranks = flagged.select(
+        "node", F.round(seed_unit, round_to).cast(dec).alias("r")
+    )
+    prev_ranks = None
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(
+                    F.col("r").cast("double") / F.col("deg").cast("double"),
+                    round_to + 4,
+                )
+                .cast(cdec)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = _pin(
+            flagged.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    seed_tele
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inflow"), F.lit(0).cast(cdec)).cast(
+                        "double"
+                    ),
+                    round_to,
+                )
+                .cast(dec)
+                .alias("r"),
+            )
+        )
+        if prev_ranks is not None:
+            prev_ranks.unpersist()
+        prev_ranks = new_ranks
+        ranks = new_ranks
+    return ranks.select("node", F.col("r").cast("double").alias("rank"))

@@ -860,3 +860,47 @@ def quality_gates(
         g_stop.alias("gate_stopwords"),
         (g_count & g_wl & g_alpha & g_stop).alias("pass_all"),
     )
+
+
+def bpe_merge_candidates(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """One byte-pair-encoding merge round over the corpus: the top-k
+    adjacent character pairs by corpus frequency — the inner loop of
+    vocabulary induction (BPE/WordPiece training), expressed
+    relationally so a tokenizer can be trained where the corpus lives
+    instead of sampling it down to one machine.
+
+    Scale shape: the corpus collapses to the DISTINCT lowercased word
+    table with frequencies FIRST (one hash aggregate — vocabulary is
+    sublinear in corpus size), so the character-pair explode runs over
+    unique words, weighted by the word count; pair totals are one more
+    hash aggregate and the top-k is a distributed TakeOrdered. Exact
+    integer counts end-to-end, id tiebreak on the pair string."""
+    wf = (
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.lower(F.col("w")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "f",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.withColumn("merge_rank", F.row_number().over(w)).select(
+        "merge_rank", "pair", "pair_count"
+    )

@@ -704,6 +704,83 @@ SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
 """
 
 
+def events_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the three seed users over the
+    UNDIRECTED user↔item interaction graph — seed-proximity scoring
+    (related-item discovery / trust expansion), 5 DECIMAL-grid
+    iterations so the unrolled DuckDB oracle hash-matches
+    (operators/graph.py::personalized_pagerank)."""
+    from ontario_spark.operators.graph import personalized_pagerank
+
+    ev = table(spark, sf_dir, "events")
+    fwd = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & F.col("user_id").isNotNull())
+    # DISTINCT interaction graph (the oracle's UNION dedups too): PPR
+    # proximity should count a user-item relationship once, not once
+    # per repeat event — unlike events_pagerank, which deliberately
+    # weights edges by interaction multiplicity
+    fwd = fwd.dropDuplicates(["src", "dst"])
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([("u1",), ("u2",), ("u3",)], ["node"])
+    return personalized_pagerank(edges, seeds, iters=5, damping=0.85)
+
+
+def _ppr_sql(iters: int = 5) -> str:
+    seed_list = "('u1', 'u2', 'u3')"
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT nodes.node,
+         CAST(ROUND(CASE WHEN nodes.node IN {seed_list}
+                         THEN 0.15 / (SELECT ns FROM nsn) ELSE 0.0 END
+           + 0.85 * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE), 10)
+           AS DECIMAL(28,10)) AS r
+  FROM nodes LEFT JOIN (
+    SELECT e.dst,
+           CAST(ROUND(CAST(r.r AS DOUBLE) / deg.deg, 14)
+             AS DECIMAL(28,14)) AS c
+    FROM e JOIN {prev} r ON r.node = e.src JOIN deg ON deg.src = e.src
+  ) c ON c.dst = nodes.node
+  GROUP BY nodes.node
+)""")
+        prev = f"r{i}"
+    chain = ", ".join(steps)
+    return f"""
+WITH eb AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+         'k' || json_extract_string(props, '$.k') AS dst
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), e AS (
+  SELECT src, dst FROM eb UNION SELECT dst, src FROM eb
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+  UNION SELECT DISTINCT dst FROM e
+  UNION SELECT * FROM (VALUES ('u1'), ('u2'), ('u3')) s(node)
+), nsn AS (SELECT COUNT(*) AS ns FROM (VALUES ('u1'), ('u2'), ('u3')) s(node)),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (
+  SELECT node,
+         CAST(ROUND(CASE WHEN node IN {seed_list}
+                         THEN 1.0 / (SELECT ns FROM nsn) ELSE 0.0 END, 10)
+           AS DECIMAL(28,10)) AS r
+  FROM nodes
+), {chain}
+SELECT node, CAST(r AS DOUBLE) AS rank FROM {prev}
+"""
+
+
+EVENTS_PPR_SQL = _ppr_sql(5)
+
+
 def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item co-occurrence over the user↔item bipartite graph
     (co-interaction counts + cosine normalization) — the recsys /
@@ -798,6 +875,7 @@ QUERIES = {
     "events_bfs_depth": events_bfs_depth,
     "events_transitions": events_transitions,
     "events_item_cooccurrence": events_item_cooccurrence,
+    "events_ppr": events_ppr,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
@@ -816,6 +894,7 @@ ORACLE = {
     "events_bfs_depth": EVENTS_BFS_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "events_item_cooccurrence": EVENTS_COOC_SQL,
+    "events_ppr": EVENTS_PPR_SQL,
     "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,

@@ -1222,6 +1222,36 @@ LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
 """
 
 
+def vocab_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (adjacent character pairs by
+    corpus frequency) — one vocabulary-induction round computed where
+    the corpus lives (operators/textops.py::bpe_merge_candidates)."""
+    from ontario_spark.operators.textops import bpe_merge_candidates
+
+    return bpe_merge_candidates(table(spark, sf_dir, "documents"), "text", k=20)
+
+
+VOCAB_MERGE_SQL = """
+WITH tok AS (
+  SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+  FROM documents
+), wf AS (
+  SELECT w, COUNT(*) AS f FROM tok GROUP BY w HAVING length(w) >= 2
+), pairs AS (
+  SELECT unnest(list_transform(
+           range(1, length(w)),
+           i -> substr(w, CAST(i AS INT), 2))) AS pair, f
+  FROM wf
+), agg AS (
+  SELECT pair, SUM(f) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
+         AS merge_rank,
+       pair, CAST(pair_count AS BIGINT) AS pair_count
+FROM (SELECT * FROM agg ORDER BY pair_count DESC, pair LIMIT 20)
+"""
+
+
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF,
     round-then-rank deterministic (see retrieval.tfidf_top_terms)."""
@@ -3605,6 +3635,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "corpus_source_overlap": corpus_source_overlap,
     "text_tfidf_terms": text_tfidf_terms,
+    "vocab_merge_candidates": vocab_merge_candidates,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
@@ -3692,6 +3723,7 @@ ORACLE = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "corpus_source_overlap": CORPUS_SOURCE_OVERLAP_SQL,
     "text_tfidf_terms": TEXT_TFIDF_SQL,
+    "vocab_merge_candidates": VOCAB_MERGE_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

@@ -396,3 +396,38 @@ class TestBipartiteCooccurrence:
         ).collect()
         for row in loose:
             assert row.deg_a in (1, 2, 3) and row.deg_b in (1, 2, 3)
+
+
+class TestPersonalizedPagerank:
+    def test_mass_localizes_at_seeds(self, spark):
+        from ontario_spark.operators.graph import personalized_pagerank
+
+        # two disjoint components; seed in the first only
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("x", "y"), ("y", "x")],
+            ["src", "dst"],
+        )
+        seeds = spark.createDataFrame([("a",)], ["node"])
+        r = {row.node: row.rank for row in
+             personalized_pagerank(edges, seeds, iters=8).collect()}
+        # unreachable component gets exactly zero
+        assert r["x"] == 0.0 and r["y"] == 0.0
+        # the seed holds the most mass; everything reachable has some
+        assert r["a"] > r["b"] > 0 and r["c"] > 0
+        # leaked-variant invariant: total mass never exceeds 1
+        assert sum(r.values()) <= 1.0 + 1e-9
+
+    def test_uniform_seed_set_reduces_toward_pagerank_shape(self, spark):
+        from ontario_spark.operators.graph import pagerank, personalized_pagerank
+
+        # seeding EVERY node uniformly makes PPR = PageRank (same
+        # recurrence, same teleport distribution)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([("a",), ("b",), ("c",)], ["node"])
+        pr = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+        ppr = {r.node: r.rank for r in
+               personalized_pagerank(edges, seeds, iters=5).collect()}
+        assert pr == ppr

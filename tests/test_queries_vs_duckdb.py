@@ -61,3 +61,19 @@ def test_all_oracles_match_at_sf01(spark):
     sf = "/root/testdata/sf0.1"
     for name in sorted(o):
         assert_match(q[name](spark, sf), run_oracle(o[name], sf), name)
+
+
+def test_bpe_merge_candidates_hand_counted(spark):
+    from ontario_spark.operators.textops import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "aba aba cd"), (2, "ab e")], ["doc_id", "text"]
+    )
+    # word freqs: aba=2, cd=1, ab=1 ('e' dropped: length < 2)
+    # pairs: aba -> ab, ba (x2 each); cd -> cd; ab -> ab
+    out = {r.pair: (r.merge_rank, r.pair_count) for r in
+           bpe_merge_candidates(df, "text", k=10).collect()}
+    assert out["ab"] == (1, 3)
+    assert out["ba"] == (2, 2)
+    assert out["cd"] == (3, 1)
+    assert len(out) == 3
