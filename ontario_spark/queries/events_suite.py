@@ -354,6 +354,108 @@ SELECT '3_purchase_after_click', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
 """
 
 
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement features: per user, the
+    exponentially time-decayed event count and value sum (half-life
+    7 days against a FIXED anchor instant — never now(), so the
+    feature is reproducible). The standard freshness feature for
+    ranking/credit models.
+
+    Determinism: ages derive from TZ-less whole-second epochs (the
+    retention-cohort discipline); each per-event weight
+    ``exp(-λ·age)`` is cast to DECIMAL(28,13) and summed exactly —
+    order-independent — then rounded once at 9 decimals. The grids are
+    FOUR orders apart (the pagerank discipline): with less separation
+    a sum landing exactly on a 9th-decimal half-boundary gets
+    tie-broken differently by Spark (HALF_UP on the shortest repr)
+    and DuckDB (binary-double rounding) — observed as a 1e-9 flip on
+    one sf0.01 row at scale 12. Scale shape: map-only weight computation + ONE
+    user-keyed hash aggregate."""
+    import math
+
+    lam = math.log(2.0) / (7 * 86400)  # half-life: 7 days, in seconds
+    anchor = 1706745600  # 2024-02-01 00:00:00 UTC, after the fixture range
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    secs = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        * F.lit(86400)
+        + F.hour("ts") * F.lit(3600)
+        + F.minute("ts") * F.lit(60)
+        + F.second("ts")
+    )
+    age = (F.lit(anchor) - secs).cast("double")
+    w = F.exp(F.lit(-lam) * age)
+    return (
+        ev.select(
+            "user_id",
+            w.cast("decimal(28,13)").alias("__w"),
+            (F.coalesce(F.col("value"), F.lit(0.0)) * w)
+            .cast("decimal(28,13)")
+            .alias("__wv"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("__w").cast("double"), 9).alias("decayed_count"),
+            F.round(F.sum("__wv").cast("double"), 9).alias("decayed_value"),
+        )
+    )
+
+
+def _decayed_sql() -> str:
+    import math
+
+    lam = math.log(2.0) / (7 * 86400)
+    return f"""
+WITH aged AS (
+  SELECT user_id, value,
+         CAST(1706745600 - floor(epoch(ts)) AS DOUBLE) AS age
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(exp({-lam!r} * age) AS DECIMAL(28,13)))
+             AS DOUBLE), 9) AS decayed_count,
+       ROUND(CAST(SUM(CAST(COALESCE(value, 0.0) * exp({-lam!r} * age)
+             AS DECIMAL(28,13))) AS DOUBLE), 9) AS decayed_value
+FROM aged GROUP BY user_id
+"""
+
+
+EVENTS_DECAYED_SQL = _decayed_sql()
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (feature binning): NTILE(10)
+    bucket edges + counts of the value distribution per event type,
+    with a unique (value, event_id) ordering so bucket assignment is
+    engine-deterministic. One window pass + one bounded aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+EVENTS_DECILES_SQL = """
+WITH t AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM t GROUP BY event_type, decile
+"""
+
+
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts (round 6): users grouped by first-seen
     week, activity counted per (cohort_week, weeks_since) — the
@@ -876,6 +978,8 @@ QUERIES = {
     "events_transitions": events_transitions,
     "events_item_cooccurrence": events_item_cooccurrence,
     "events_ppr": events_ppr,
+    "events_decayed_engagement": events_decayed_engagement,
+    "events_value_deciles": events_value_deciles,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
@@ -895,6 +999,8 @@ ORACLE = {
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "events_item_cooccurrence": EVENTS_COOC_SQL,
     "events_ppr": EVENTS_PPR_SQL,
+    "events_decayed_engagement": EVENTS_DECAYED_SQL,
+    "events_value_deciles": EVENTS_DECILES_SQL,
     "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,
