@@ -227,6 +227,29 @@ def synth_gif(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
 
 
+def synth_tiff(w: int, h: int, big_endian: bool = False) -> bytes:
+    """Minimal TIFF (the EXIF container format): byte-order header +
+    one IFD holding ImageWidth(256)/ImageLength(257) as SHORTs.
+    Values < 4 bytes are left-justified in the value field per the
+    TIFF 6.0 spec — identical slicing for both byte orders."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    hdr = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", 8)
+    )
+    entries = b""
+    for tag, val in ((256, w), (257, h)):
+        entries += (
+            struct.pack(bo + "HHI", tag, 3, 1)
+            + struct.pack(bo + "H", val)
+            + b"\x00\x00"
+        )
+    return hdr + struct.pack(bo + "H", 2) + entries + struct.pack(bo + "I", 0)
+
+
 def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
     """REAL (not stubbed) container-header parsing — PNG IHDR and JPEG
     SOF markers carry dimensions in plain bytes, no codec needed. This
@@ -242,6 +265,30 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
         w = int.from_bytes(b[6:8], "little")
         h = int.from_bytes(b[8:10], "little")
         return "gif", w, h
+    if len(b) >= 8 and b[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF/EXIF
+        order = "little" if b[:2] == b"II" else "big"
+        off = int.from_bytes(b[4:8], order)
+        w = h = None
+        if off + 2 <= len(b):
+            n = int.from_bytes(b[off : off + 2], order)
+            for k in range(n):
+                e = off + 2 + 12 * k
+                if e + 12 > len(b):
+                    break
+                tag = int.from_bytes(b[e : e + 2], order)
+                typ = int.from_bytes(b[e + 2 : e + 4], order)
+                if tag in (256, 257) and typ in (3, 4):
+                    # SHORT values sit left-justified in the 4-byte
+                    # value field — same slice under either byte order
+                    raw = b[e + 8 : e + 10] if typ == 3 else b[e + 8 : e + 12]
+                    v = int.from_bytes(raw, order)
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+        if w is not None and h is not None:
+            return "tiff", w, h
+        return "tiff", None, None
     if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         while i + 9 < len(b):

@@ -424,6 +424,59 @@ FROM aged GROUP BY user_id
 EVENTS_DECAYED_SQL = _decayed_sql()
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality anomaly scan: events whose value sits ≥3 standard
+    deviations from their type's mean. The two moments are exact
+    DECIMAL(28,12) sums (order-independent), so mean/std/z are fixed
+    expressions over exact aggregates — engine-identical; z is rounded
+    before thresholding so the flagged set is deterministic. One
+    bounded per-type aggregate broadcast back onto the scan."""
+    dec = "decimal(28,12)"
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast(dec)).alias("__s"),
+        F.sum((F.col("value") * F.col("value")).cast(dec)).alias("__sq"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    n = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = F.greatest(
+        F.col("__sq").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        j.select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 3.0)
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+), st AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,12))) AS s,
+         SUM(CAST(value * value AS DECIMAL(28,12))) AS sq
+  FROM v GROUP BY event_type
+), scored AS (
+  SELECT v.event_id, v.event_type, v.value,
+         ROUND((v.value - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(GREATEST(
+                   CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+                   0.0)), 6) AS z
+  FROM v JOIN st USING (event_type)
+)
+SELECT event_id, event_type, value, z FROM scored WHERE ABS(z) >= 3.0
+"""
+
+
 def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency discretization (feature binning): NTILE(10)
     bucket edges + counts of the value distribution per event type,
@@ -980,6 +1033,7 @@ QUERIES = {
     "events_ppr": events_ppr,
     "events_decayed_engagement": events_decayed_engagement,
     "events_value_deciles": events_value_deciles,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "events_scd2_history": events_scd2_history,
     "events_range_pairs": events_range_pairs,
     "events_json_stats": events_json_stats,
@@ -1001,6 +1055,7 @@ ORACLE = {
     "events_ppr": EVENTS_PPR_SQL,
     "events_decayed_engagement": EVENTS_DECAYED_SQL,
     "events_value_deciles": EVENTS_DECILES_SQL,
+    "events_anomaly_zscore": EVENTS_ANOMALY_SQL,
     "events_scd2_history": EVENTS_SCD2_SQL,
     "events_range_pairs": EVENTS_RANGE_SQL,
     "events_json_stats": EVENTS_JSON_SQL,

@@ -2709,17 +2709,20 @@ BM25_TOPK_SQL = _bm25_sql()
 def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image container parsing over synthesized payloads (round
     10 — the image sibling of mm_audio/mm_video): each document
-    becomes a PNG, JPEG, or GIF whose dimensions derive from doc_id
-    (every 4th payload is corrupt text bytes that must yield NULLs);
-    parse_image_header recovers format + dims from raw bytes — PNG
-    IHDR (big-endian), JPEG SOF scan, GIF logical screen descriptor
-    (little-endian) — and the oracle recomputes them arithmetically,
-    verifying the byte roundtrip end-to-end."""
+    becomes a PNG, JPEG, GIF, or TIFF whose dimensions derive from
+    doc_id (every 5th payload is corrupt text bytes that must yield
+    NULLs); parse_image_header recovers format + dims from raw bytes —
+    PNG IHDR (big-endian), JPEG SOF scan, GIF logical screen
+    descriptor (little-endian), TIFF IFD walk under BOTH byte orders
+    (alternating II/MM by doc_id — the EXIF container) — and the
+    oracle recomputes them arithmetically, verifying the byte
+    roundtrip end-to-end."""
     from ontario_spark.operators.multimodal import (
         image_metadata,
         synth_gif,
         synth_jpeg,
         synth_png,
+        synth_tiff,
     )
     from pyspark.sql.types import (
         BinaryType,
@@ -2745,13 +2748,15 @@ def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, txt in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 w, h = 16 + (i * 7) % 1000, 16 + (i * 13) % 800
-                kind = i % 4
+                kind = i % 5
                 if kind == 0:
                     payloads.append(synth_png(w, h))
                 elif kind == 1:
                     payloads.append(synth_jpeg(w, h))
                 elif kind == 2:
                     payloads.append(synth_gif(w, h))
+                elif kind == 3:
+                    payloads.append(synth_tiff(w, h, big_endian=(i // 5) % 2 == 0))
                 else:
                     payloads.append((txt or "").encode("utf-8"))
             yield pd.DataFrame(
@@ -2769,11 +2774,11 @@ def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MM_IMAGE_METADATA_SQL = """
 SELECT doc_id AS media_id,
-       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-            WHEN 2 THEN 'gif' ELSE NULL END AS format,
-       CASE WHEN doc_id % 4 = 3 THEN NULL
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff' ELSE NULL END AS format,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
             ELSE 16 + (doc_id * 7) % 1000 END::INT AS width,
-       CASE WHEN doc_id % 4 = 3 THEN NULL
+       CASE WHEN doc_id % 5 = 4 THEN NULL
             ELSE 16 + (doc_id * 13) % 800 END::INT AS height
 FROM documents
 """

@@ -1546,3 +1546,14 @@ def test_label_outliers_flags_planted_outlier(spark):
     a1 = [r for r in out if r.label == "a" and r.out_rank == 1]
     assert len(a1) == 1 and a1[0].vec_id == 99
     assert all(1 <= r.out_rank <= 2 for r in out)
+
+
+def test_tiff_parse_roundtrip_both_byte_orders():
+    from ontario_spark.operators.multimodal import parse_image_header, synth_tiff
+
+    assert parse_image_header(synth_tiff(640, 480)) == ("tiff", 640, 480)
+    assert parse_image_header(synth_tiff(17, 9, big_endian=True)) == ("tiff", 17, 9)
+    # magic without a reachable IFD: recognized container, NULL dims
+    assert parse_image_header(b"II*\x00\xff\xff\xff\xff") == ("tiff", None, None)
+    # truncated below the header threshold: unknown
+    assert parse_image_header(b"II*\x00") == (None, None, None)
