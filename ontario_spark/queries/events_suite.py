@@ -1025,8 +1025,85 @@ FROM c
 """
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution (round 10): each purchase is
+    credited to the user's most recent preceding click/view within a
+    24h lookback, else the 'none' channel; revenue rolls up per
+    (channel, day). One running ``last(..., ignorenulls)`` window over
+    the per-user timeline ((ts, event_id) total order — deterministic
+    ROWS frame), then a bounded channel×day aggregate; revenue sums as
+    DECIMAL so the double is order-independent. Zone note: both touch
+    and purchase epochs shift by the same session-zone offset, so the
+    24h difference is zone-free (same argument as events_asof_join)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).filter(F.col("user_id").isNotNull())
+    t = ts_micros(F.col("ts"))
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "event_type",
+        "ts",
+        "value",
+        t.alias("__t"),
+        F.last(F.when(is_touch, t), ignorenulls=True).over(w).alias("__touch_t"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("__touch_c"),
+    )
+    pur = tagged.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("__touch_t").isNotNull()
+            & (F.col("__t") - F.col("__touch_t") <= F.lit(86_400_000_000)),
+            F.col("__touch_c"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return pur.groupBy("channel", "day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS t
+  FROM events WHERE user_id IS NOT NULL
+), w AS (
+  SELECT event_type, ts, value, t,
+    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN t END
+               IGNORE NULLS) OVER win AS touch_t,
+    LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS) OVER win AS touch_c
+  FROM ev
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT CASE WHEN touch_t IS NOT NULL AND t - touch_t <= 86400000000
+              THEN touch_c ELSE 'none' END AS channel,
+         strftime(ts, '%Y-%m-%d') AS day, value
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT channel, day, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM p GROUP BY channel, day
+"""
+
+
 QUERIES = {
     "events_asof_join": events_asof_join,
+    "events_attribution": events_attribution,
     "events_bfs_depth": events_bfs_depth,
     "events_transitions": events_transitions,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -1067,4 +1144,5 @@ ORACLE = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
+    "events_attribution": EVENTS_ATTRIBUTION_SQL,
 }

@@ -3591,6 +3591,244 @@ QUALIFY neg_rank <= 5
 TRAIN_HARD_NEGATIVES_SQL = _hard_negatives_sql()
 
 
+def train_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training features (round 10): for every
+    purchase event, features computed ONLY from the user's history
+    strictly BEFORE the event — the leakage-safe feature join a
+    training pipeline needs (a feature that peeks at or past the label
+    timestamp poisons the model). Three window frames over one
+    per-user epoch-micros ordering: a 7-day trailing click count
+    (RANGE frame ending at 1 μs preceding, so same-instant peers are
+    excluded in both engines), an all-history prior-spend DECIMAL sum,
+    and a prior-signup flag. One shuffle on user_id; frames are
+    range-based so timestamp ties cannot reorder results."""
+    from pyspark.sql.window import Window
+
+    from ontario_spark.operators.asof import ts_micros
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            ts_micros(F.col("ts")).alias("__t"),
+        )
+    )
+    week = 7 * 86_400_000_000
+    base = Window.partitionBy("user_id").orderBy("__t")
+    w7 = base.rangeBetween(-week, -1)
+    wall = base.rangeBetween(Window.unboundedPreceding, -1)
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).over(w7),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prior_clicks_7d"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            )
+            .over(wall)
+            .cast("double"),
+            F.lit(0.0),
+        ).alias("prior_spend"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("event_type") == "signup", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).over(wall),
+            F.lit(0),
+        ).alias("signed_up"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("label_value"),
+        "prior_clicks_7d",
+        "prior_spend",
+        "signed_up",
+    )
+
+
+TRAIN_PIT_FEATURES_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+  FROM events WHERE user_id IS NOT NULL
+), f AS (
+  SELECT event_id, user_id, event_type, value,
+    CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY t
+      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS prior_clicks_7d,
+    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,6)) END) OVER (
+      PARTITION BY user_id ORDER BY t
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE), 0.0)
+      AS prior_spend,
+    COALESCE(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY user_id ORDER BY t
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS signed_up
+  FROM ev
+)
+SELECT event_id, user_id, value AS label_value,
+       prior_clicks_7d, prior_spend, signed_up
+FROM f WHERE event_type = 'purchase'
+"""
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts (round 10): adjacent-token
+    pair frequencies plus the conditional probability p(w2|w1) — the
+    count tables an n-gram LM (or a tokenizer-health / repetitive-text
+    report) trains from. Bigrams come from zipping each token array
+    with its own tail (map-side, no window over an exploded corpus —
+    the per-doc array never leaves the row until the single count
+    shuffle); the probability divides two exact integers so the
+    rounded double is engine-identical. Pairs seen < 3 times are cut
+    to keep the table the LM-relevant head, and the cut is applied
+    AFTER the conditional denominator so p is the true corpus
+    probability, not a renormalized one."""
+    toks = textops.tokens(F.lower(F.col("text")))
+    n = F.size(toks)
+    tail = F.greatest(n - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(toks, 1, tail),
+        F.slice(toks, 2, tail),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        F.explode(bi).alias("__b")
+    )
+    counts = docs.groupBy(
+        F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    tot = Window.partitionBy("w1")
+    return counts.select(
+        "w1",
+        "w2",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 9
+        ).alias("p"),
+    ).filter(F.col("n") >= 3)
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT u[1] AS w1, u[2] AS w2
+  FROM (
+    SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS u
+    FROM t WHERE len(toks) >= 2
+  )
+), c AS (
+  SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY w1, w2
+)
+SELECT w1, w2, n, p FROM (
+  SELECT w1, w2, n,
+         ROUND(CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 9) AS p
+  FROM c
+) WHERE n >= 3
+"""
+
+
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded negative sampling for recommendation/contrastive
+    training (round 10): each purchasing user's positive (user, item)
+    pairs plus exactly 2 deterministic negatives — items the user
+    never interacted with in ANY event, ranked by md5(user:item) so
+    every engine (and every re-run on resharded data) samples the
+    SAME negatives. The candidate space is users × the distinct-item
+    vocabulary (a bounded broadcast side — item vocab, not corpus,
+    drives the fan-out), anti-joined against interactions; at lake
+    scale the item list stays a broadcast and the anti-join shuffles
+    only on user_id."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    inter = (
+        ev.select(F.col("user_id").alias("u"), k.alias("i"))
+        .filter(F.col("u").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+    )
+    pos = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("u"), k.alias("i"))
+        .filter(F.col("u").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+    )
+    items = F.broadcast(inter.select("i").distinct())
+    users = pos.select("u").distinct()
+    cand = users.crossJoin(items).join(inter, ["u", "i"], "left_anti")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy(
+        F.md5(F.concat_ws(":", F.col("u").cast("string"), F.col("i"))), "i"
+    )
+    neg = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 2)
+        .select("u", "i")
+    )
+    return pos.select(
+        F.col("u").alias("user_id"), F.col("i").alias("item"), F.lit(1).alias("label")
+    ).unionAll(
+        neg.select(
+            F.col("u").alias("user_id"),
+            F.col("i").alias("item"),
+            F.lit(0).alias("label"),
+        )
+    )
+
+
+SAMPLE_NEGATIVE_PAIRS_SQL = """
+WITH inter AS (
+  SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+), pos AS (
+  SELECT DISTINCT user_id AS u, json_extract_string(props, '$.k') AS i
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+), items AS (SELECT DISTINCT i FROM inter),
+users AS (SELECT DISTINCT u FROM pos),
+cand AS (
+  SELECT users.u, items.i FROM users CROSS JOIN items
+  WHERE NOT EXISTS (SELECT 1 FROM inter x WHERE x.u = users.u AND x.i = items.i)
+), neg AS (
+  SELECT u, i FROM (
+    SELECT u, i,
+           ROW_NUMBER() OVER (PARTITION BY u
+                              ORDER BY md5(u::VARCHAR || ':' || i), i) AS r
+    FROM cand) t WHERE r <= 2
+)
+SELECT u AS user_id, i AS item, 1 AS label FROM pos
+UNION ALL
+SELECT u AS user_id, i AS item, 0 AS label FROM neg
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_train_test": sample_train_test,
@@ -3653,6 +3891,9 @@ QUERIES = {
     "emb_label_centroids": emb_label_centroids,
     "emb_neardup_pairs": emb_neardup_pairs,
     "train_hard_negatives": train_hard_negatives,
+    "train_pit_features": train_pit_features,
+    "text_bigram_lm": text_bigram_lm,
+    "sample_negative_pairs": sample_negative_pairs,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_quality_gates": text_quality_gates,
@@ -3738,6 +3979,9 @@ ORACLE = {
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "train_hard_negatives": TRAIN_HARD_NEGATIVES_SQL,
+    "train_pit_features": TRAIN_PIT_FEATURES_SQL,
+    "text_bigram_lm": TEXT_BIGRAM_LM_SQL,
+    "sample_negative_pairs": SAMPLE_NEGATIVE_PAIRS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_quality_gates": TEXT_QUALITY_GATES_SQL,
