@@ -672,3 +672,65 @@ def personalized_pagerank(
         prev_ranks = new_ranks
         ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation → ``(node, label)``
+    community assignments: every node starts as its own label; each
+    round it adopts the label held by the PLURALITY of its neighbors,
+    ties broken by minimum label — fully deterministic, so the same
+    rounds unroll in a DuckDB oracle and hash-match. Communities are
+    the classic unsupervised grouping over interaction graphs
+    (near-dup families, user cliques, topic clusters) when components
+    are too coarse (one giant blob) and modularity solvers are too
+    order-sensitive to reproduce across engines.
+
+    Scale shape: same canonical distinct undirected edge set as
+    ``kcore``/``triangle_counts``, symmetrized once and pinned; each
+    round is one join (neighbor labels, shuffle on node id), one
+    (node, label) count aggregate, and one per-node argmax window —
+    O(|edges|) per round, no per-node adjacency list materialization,
+    lineage pinned per round so the plan does not grow."""
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    sym = _pin(
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("label"))
+    for i in range(rounds):
+        nb = sym.join(labels, sym["b"] == labels["node"]).select(
+            sym["a"], labels["label"]
+        )
+        cnt = nb.groupBy("a", "label").agg(F.count(F.lit(1)).alias("__c"))
+        new = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+        prev, labels = labels, _pin(new)
+        if hasattr(prev, "unpersist") and i > 0:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+    return labels

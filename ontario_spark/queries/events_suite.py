@@ -1076,6 +1076,76 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plurality-label communities over the item co-interaction graph
+    (round 10): 3 synchronous label-propagation rounds, ties to the
+    minimum label — the unsupervised grouping between connected
+    components (too coarse) and modularity solvers (not reproducible
+    across engines). Same bounded bipartite projection as
+    events_kcore; DuckDB unrolls the identical 3 rounds
+    (operators/graph.py::label_propagation)."""
+    from ontario_spark.operators.graph import label_propagation
+
+    ev = table(spark, sf_dir, "events")
+    ui = (
+        ev.select("user_id", F.get_json_object("props", "$.k").alias("k"))
+        .filter(F.col("user_id").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+    )
+    ok = (
+        ui.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter(F.col("__d") <= 80)
+        .select("user_id")
+    )
+    a = ui.select(F.col("user_id"), F.col("k").alias("ka"))
+    b = ui.select(F.col("user_id").alias("ub"), F.col("k").alias("kb"))
+    pairs = (
+        a.join(ok, "user_id", "left_semi")
+        .join(b, (F.col("user_id") == F.col("ub")) & (F.col("ka") < F.col("kb")))
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+    )
+    return label_propagation(pairs, "src", "dst", rounds=3)
+
+
+def _communities_sql(rounds: int = 3) -> str:
+    prev = "l0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""l{i} AS (
+  SELECT a AS node, label FROM (
+    SELECT s.a, l.label,
+           ROW_NUMBER() OVER (PARTITION BY s.a
+                              ORDER BY COUNT(*) DESC, l.label) AS rn
+    FROM sym s JOIN {prev} l ON l.node = s.b
+    GROUP BY s.a, l.label
+  ) t WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    chain = ", ".join(steps)
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS k
+  FROM events
+  WHERE user_id IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+), ok AS (
+  SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) <= 80
+), e AS (
+  SELECT DISTINCT a.k AS a, b.k AS b
+  FROM ui a JOIN ok USING (user_id) JOIN ui b
+    ON a.user_id = b.user_id AND a.k < b.k
+), sym AS (
+  SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+), l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+), {chain}
+SELECT node, label FROM {prev}
+"""
+
+
+EVENTS_COMMUNITIES_SQL = _communities_sql(3)
+
+
 EVENTS_ATTRIBUTION_SQL = """
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS t
@@ -1104,6 +1174,7 @@ FROM p GROUP BY channel, day
 QUERIES = {
     "events_asof_join": events_asof_join,
     "events_attribution": events_attribution,
+    "events_communities": events_communities,
     "events_bfs_depth": events_bfs_depth,
     "events_transitions": events_transitions,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -1145,4 +1216,5 @@ ORACLE = {
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
+    "events_communities": EVENTS_COMMUNITIES_SQL,
 }

@@ -431,3 +431,44 @@ class TestPersonalizedPagerank:
         ppr = {r.node: r.rank for r in
                personalized_pagerank(edges, seeds, iters=5).collect()}
         assert pr == ppr
+
+
+class TestLabelPropagation:
+    def _lp(self, spark, edges, rounds=3):
+        from ontario_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            r.node: r.label
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+
+    def test_two_cliques_with_bridge(self, spark):
+        # Two triangles joined by one bridge edge: the bridge does not
+        # merge them (each node has 2 in-clique neighbors vs 1 across),
+        # so the converged assignment keeps two distinct communities.
+        # (The label NAME of the far triangle may leak across the
+        # bridge in round 1 — classic synchronous-LPA behavior — but
+        # the partition structure stays separate.)
+        tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+        tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+        out = self._lp(spark, tri1 + tri2 + [("c", "x")])
+        assert out["a"] == out["b"] == out["c"]
+        assert out["x"] == out["y"] == out["z"]
+        assert out["a"] != out["x"]
+
+    def test_tie_breaks_to_min_label(self, spark):
+        # Path a-b-c: after round 1, b sees {a, c} equally often and
+        # must take the MINIMUM label.
+        out = self._lp(spark, [("a", "b"), ("b", "c")], rounds=1)
+        assert out["b"] == "a"
+
+    def test_fixture_rounds_are_stable_on_events_graph(self, spark, sf_small):
+        # One extra round over the registry's item graph must not
+        # change the assignment count distribution wildly: labels
+        # partition the same node set.
+        from ontario_spark.queries.events_suite import events_communities
+
+        out = events_communities(spark, sf_small)
+        nodes = [r.node for r in out.collect()]
+        assert len(nodes) == len(set(nodes))

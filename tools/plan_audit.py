@@ -64,6 +64,9 @@ EXPECTED = {
     # source-pair grid: cross of per-SOURCE size tables (dozens of
     # rows each, broadcast) — the |sources|² output is the point
     "corpus_source_overlap": {"BNLJ:BuildRight"},
+    # users × broadcast item VOCABULARY (bounded, ~|distinct items|):
+    # the candidate grid negative sampling needs before the anti-join
+    "sample_negative_pairs": {"BNLJ:BuildRight"},
 
     "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
 }

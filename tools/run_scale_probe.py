@@ -84,6 +84,11 @@ PROBE_QUERIES = [
     "events_kcore",
     "events_bfs_depth",
     "events_transitions",
+    "events_attribution",
+    "events_communities",
+    "train_pit_features",
+    "text_bigram_lm",
+    "sample_negative_pairs",
     "events_sessions",
     "sketch_quantile_rollup",
     "sketch_countmin_check",
