@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ontario_spark.streaming.events import (
+    chained_daily_rollup,
     user_budget_cut,
     dedup_events,
     enriched_segment_counts,
@@ -260,8 +261,36 @@ FROM c GROUP BY user_id
 """
 
 
+def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained multi-stateful streaming pipeline (round 10): hourly
+    tumbling window → daily window-on-window rollup, both stateful
+    operators in ONE append-mode query (streaming/events.py::
+    chained_daily_rollup). The oracle replays the append-mode cutoff:
+    a daily window emits once the watermark (max event ts − 2h) passes
+    its end, so the final partial day is correctly held in state and
+    the batch SQL must hold it back too."""
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        chained_daily_rollup(stream),
+        "stream_daily_rollup_sink",
+        output_mode="append",
+    )
+
+
+STREAM_DAILY_ROLLUP_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT date_trunc('day', ts) AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events, wm
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
 QUERIES = {
     "stream_click_purchase": stream_click_purchase,
+    "stream_daily_rollup": stream_daily_rollup,
     "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup": stream_dedup,
     "stream_enriched_segments": stream_enriched_segments,
@@ -274,6 +303,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_click_purchase": STREAM_CLICK_PURCHASE_SQL,
+    "stream_daily_rollup": STREAM_DAILY_ROLLUP_SQL,
     "stream_click_purchase_outer": STREAM_CLICK_PURCHASE_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_enriched_segments": STREAM_ENRICHED_SEGMENTS_SQL,

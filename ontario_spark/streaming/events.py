@@ -385,6 +385,43 @@ def run_available_now(
     return spark.table(name)
 
 
+def chained_daily_rollup(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """TWO chained stateful aggregations in ONE streaming query
+    (round 10): a watermarked hourly tumbling window rolled up into a
+    daily window — the multi-stateful-operator pipeline Spark supports
+    since 3.4 (window-on-window in append mode). The shape every
+    metrics pipeline wants (fine-grained pre-agg + coarse rollup
+    without a second job or an intermediate table); state for BOTH
+    operators is watermark-bounded, and the hourly partial sums ride
+    DECIMAL so the final double is exact. Append-mode emission: a
+    daily window surfaces once the propagated watermark (max event
+    time − delay) passes its end — the replay oracle applies the same
+    cutoff."""
+    hourly = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sv"),
+        )
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"), F.col("event_type"))
+        .agg(
+            F.sum("__n").cast("long").alias("n_events"),
+            F.sum("__sv").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("d.start").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def trending_topk(hourly_counts: DataFrame, k: int = 3) -> DataFrame:
     """Top-k event types per window from the windowed-counts table.
 

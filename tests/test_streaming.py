@@ -492,3 +492,37 @@ def test_budget_cut_tws_variant_matches_when_available(spark, sf_small):
         "budget_b_sink", output_mode="update",
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_chained_daily_rollup_holds_back_open_day(spark, sf_small):
+    """The chained hourly→daily query must emit exactly the days whose
+    window END the propagated watermark (max ts − 2h) has passed —
+    the last (partial) day of the replay stays in state."""
+    from ontario_spark.data import table
+    from ontario_spark.streaming.events import (
+        chained_daily_rollup,
+        read_event_stream,
+        run_available_now,
+    )
+    import pyspark.sql.functions as F
+
+    out = run_available_now(
+        chained_daily_rollup(read_event_stream(spark, sf_small)),
+        "chained_rollup_test_sink",
+        output_mode="append",
+    )
+    ev = table(spark, sf_small, "events")
+    wm = ev.agg(F.max("ts")).first()[0]
+    emitted_days = {r.day.date() for r in out.select("day").distinct().collect()}
+    import datetime
+
+    cutoff = (wm - datetime.timedelta(hours=2)).date()
+    # every emitted day window ends on or before the watermark day
+    assert max(emitted_days) < cutoff
+    # and the day count matches the number of CLOSED days exactly
+    all_days = {
+        r.d.date() if hasattr(r.d, "date") else r.d
+        for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()
+    }
+    closed = {d for d in all_days if d + datetime.timedelta(days=1) <= cutoff}
+    assert emitted_days == closed
