@@ -21,6 +21,7 @@ _MODULES = [
     "ontario_spark.queries.pipeline_suite",
     "ontario_spark.queries.events_suite",
     "ontario_spark.queries.streaming_suite",
+    "ontario_spark.queries.eval_suite",
 ]
 
 

@@ -1,0 +1,223 @@
+"""Offline-evaluation queries: the grading half of a training-data
+pipeline (operators/evalmetrics.py). Retrieval NDCG over the served
+embedding index, operating points + calibration for the quality /
+language filters, and the language-ID confusion matrix — each with a
+DuckDB oracle carrying the IDENTICAL integer/decimal literals, so the
+scores (not just the counts) hash-match across engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontario_spark.data import table
+from ontario_spark.operators import evalmetrics, similarity, textops
+
+# thresholds rendered with repr() into BOTH engines so the literal
+# doubles are bit-identical
+PR_THRESHOLDS = [round(0.05 * i, 2) for i in range(10)]
+
+
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact cosine retrieval against same-label relevance
+    — the retrieval-quality readout for the embedding index. Scaled-
+    integer discounts (evalmetrics.DISCOUNTS) keep the aggregation
+    exact; one final division makes the double."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ranking = similarity.brute_force_topk(emb, queries, k=10)
+    return evalmetrics.ndcg_at_k(ranking, emb, k=10)
+
+
+def _ndcg_sql() -> str:
+    disc_case, cum_case = evalmetrics.ndcg_sql_fragments(k=10)
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS qlab FROM c WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, q.qlab, c.vec_id AS neighbor_id, c.label AS nlab,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))) AS score
+  FROM c, q WHERE c.vec_id != q.query_id
+), r AS (
+  SELECT query_id, qlab, nlab,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+), lc AS (
+  SELECT label, COUNT(*) AS n_lab FROM c GROUP BY label
+), per AS (
+  SELECT query_id, qlab,
+         SUM(CASE WHEN nlab = qlab THEN {disc_case}
+                  ELSE CAST(0 AS BIGINT) END) AS dcg_scaled,
+         SUM(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS n_retrieved_relevant
+  FROM r WHERE rank <= 10 GROUP BY query_id, qlab
+), fin AS (
+  SELECT p.query_id, lc.n_lab - 1 AS n_relevant,
+         CAST(p.n_retrieved_relevant AS BIGINT) AS n_retrieved_relevant,
+         p.dcg_scaled, LEAST(lc.n_lab - 1, 10) AS k_eff
+  FROM per p JOIN lc ON lc.label = p.qlab
+)
+SELECT query_id, n_relevant, n_retrieved_relevant,
+       CASE WHEN n_relevant <= 0 THEN 0.0
+            ELSE ROUND(CAST(dcg_scaled AS DOUBLE)
+                       / CAST({cum_case} AS DOUBLE), 9) END AS ndcg
+FROM fin
+"""
+
+
+EVAL_NDCG_SQL = _ndcg_sql()
+
+
+def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scores = textops.quality_score(docs, "doc_id", "text")
+    return scores.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "stopword_ratio",
+        "alpha_ratio",
+        (F.col("lang") == "en").alias("is_en"),
+    )
+
+
+_DOC_SCORES_CTE = """
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks,
+                w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+           / array_length(toks) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(text) AS alpha_ratio,
+         (lang = 'en') AS is_en
+  FROM t
+)
+"""
+
+
+def eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the stopword-ratio scorer as an
+    English-detector, at 10 thresholds in ONE aggregate pass — the
+    operating-point sweep that picks a filter threshold."""
+    return evalmetrics.pr_curve(
+        _doc_scores(spark, sf_dir), "stopword_ratio", "is_en", PR_THRESHOLDS
+    )
+
+
+def _pr_curve_sql() -> str:
+    points = []
+    for t in PR_THRESHOLDS:
+        points.append(f"""
+  SELECT CAST({t!r} AS DOUBLE) AS threshold,
+         SUM(CASE WHEN stopword_ratio >= {t!r} AND is_en THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN stopword_ratio >= {t!r} AND NOT is_en THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN stopword_ratio < {t!r} AND is_en THEN 1 ELSE 0 END) AS fn
+  FROM s""")
+    union = "\n  UNION ALL".join(points)
+    return (
+        _DOC_SCORES_CTE
+        + f""", pt AS ({union})
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+  CASE WHEN tp + fp > 0
+       THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 9) ELSE 0.0 END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 9) ELSE 0.0 END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 9)
+       ELSE 0.0 END AS f1
+FROM pt
+"""
+    )
+
+
+EVAL_PR_CURVE_SQL = _pr_curve_sql()
+
+
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins for the alpha-ratio score against the
+    English gold label: exact counts, DECIMAL-summed mean score,
+    empirical positive rate per equal-width bin."""
+    return evalmetrics.calibration_bins(
+        _doc_scores(spark, sf_dir), "alpha_ratio", "is_en", n_bins=10
+    )
+
+
+EVAL_CALIBRATION_SQL = (
+    _DOC_SCORES_CTE
+    + """
+SELECT bin, n,
+       ROUND(CAST(ss AS DOUBLE) / n, 9) AS mean_score,
+       ROUND(CAST(np AS DOUBLE) / n, 9) AS frac_positive
+FROM (
+  SELECT LEAST(CAST(FLOOR(alpha_ratio * 10) AS INT), 9) AS bin,
+         COUNT(*) AS n,
+         SUM(CAST(alpha_ratio AS DECIMAL(28,12))) AS ss,
+         SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS np
+  FROM s
+  WHERE alpha_ratio IS NOT NULL AND alpha_ratio >= 0 AND alpha_ratio <= 1
+  GROUP BY 1
+) b
+"""
+)
+
+
+def eval_confusion_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-language × predicted-language confusion counts for the
+    marker-word language identifier, with each cell's share of its
+    gold row (per-class recall surface)."""
+    docs = table(spark, sf_dir, "documents")
+    pred = textops.lang_id(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return evalmetrics.confusion_matrix(joined, "lang", "pred_lang")
+
+
+EVAL_CONFUSION_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, w -> lower(w) IN ('the','a','of','and','to'))) AS s_en,
+    len(list_filter(toks, w -> lower(w) IN ('der','die','das','und','ein'))) AS s_de,
+    len(list_filter(toks, w -> lower(w) IN ('le','la','les','et','un'))) AS s_fr,
+    len(list_filter(toks, w -> lower(w) IN ('el','los','las','y','una'))) AS s_es
+  FROM t
+), p AS (
+  SELECT lang AS gold,
+    CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+         ELSE 'fr' END AS pred
+  FROM s
+), c AS (
+  SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY gold, pred
+)
+SELECT gold, pred, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY gold) AS DOUBLE), 9) AS row_share
+FROM c
+"""
+
+
+QUERIES = {
+    "eval_retrieval_ndcg": eval_retrieval_ndcg,
+    "eval_pr_curve": eval_pr_curve,
+    "eval_calibration_bins": eval_calibration_bins,
+    "eval_confusion_langid": eval_confusion_langid,
+}
+
+ORACLE = {
+    "eval_retrieval_ndcg": EVAL_NDCG_SQL,
+    "eval_pr_curve": EVAL_PR_CURVE_SQL,
+    "eval_calibration_bins": EVAL_CALIBRATION_SQL,
+    "eval_confusion_langid": EVAL_CONFUSION_SQL,
+}

@@ -42,6 +42,8 @@ PY_OK_PREFIXES = ("mm_", "stream_")
 # Arrow-batched stage standing in for the connector's pushed read.
 EXPECTED = {
     "ann_topk_bruteforce": {"BNLJ:BuildRight"},
+    # brute-force ranking leg (broadcast query set) feeding the NDCG agg
+    "eval_retrieval_ndcg": {"BNLJ:BuildRight"},
     "ann_topk_int8": {"BNLJ:BuildRight"},  # broadcast query set
     "sample_dsir_weights": {"BNLJ:BuildRight"},  # one LM-totals row
     "ann_topk_ivf": {"BNLJ:BuildRight"},
