@@ -208,8 +208,101 @@ FROM c
 """
 
 
+def eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (round 10): users hash-split 50/50 by
+    md5 parity (the same deterministic assignment a real experiment
+    framework derives from user_id + experiment salt), then per-variant
+    conversion rate (purchased at least once), lift vs control, and
+    the two-proportion z-statistic. All counts are exact integers;
+    rate/lift/z are a fixed sequence of double ops on those integers
+    (division, sqrt), identical in both engines, rounded to 9."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    # exposure unit = active (user, day): per-user conversion saturates
+    # at 1.0 on month-long fixtures (se = 0); day-grain keeps the rate
+    # in the open interval at every scale factor
+    per_user = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("__day")
+    ).agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    variant = F.when(
+        F.substring(F.md5(F.concat_ws(":", F.lit("exp1"), F.col("user_id").cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        F.lit("treatment"),
+    ).otherwise(F.lit("control"))
+    counts = per_user.select(variant.alias("variant"), "converted").groupBy().agg(
+        F.sum(F.when(F.col("variant") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("variant") == "control", F.col("converted")).otherwise(0)).alias("x_c"),
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("variant") == "treatment", F.col("converted")).otherwise(0)).alias("x_t"),
+    )
+    p_c = F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    p_t = F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    ).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_c").cast("double")
+            + F.lit(1.0) / F.col("n_t").cast("double")
+        )
+    )
+    return counts.select(
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("x_c").cast("long").alias("conv_control"),
+        F.col("n_t").cast("long").alias("n_treatment"),
+        F.col("x_t").cast("long").alias("conv_treatment"),
+        F.round(p_c, 9).alias("rate_control"),
+        F.round(p_t, 9).alias("rate_treatment"),
+        F.round(p_t - p_c, 9).alias("abs_lift"),
+        F.when(se > 0, F.round((p_t - p_c) / se, 9))
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+EVAL_AB_LIFT_SQL = """
+WITH pu AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+), v AS (
+  SELECT CASE WHEN substr(md5('exp1' || ':' || user_id::VARCHAR), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 'treatment' ELSE 'control' END AS variant, converted
+  FROM pu
+), c AS (
+  SELECT
+    CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+    CAST(SUM(CASE WHEN variant = 'control' THEN converted ELSE 0 END) AS BIGINT) AS x_c,
+    CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+    CAST(SUM(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS x_t
+  FROM v
+)
+SELECT n_c AS n_control, x_c AS conv_control,
+       n_t AS n_treatment, x_t AS conv_treatment,
+       ROUND(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9) AS rate_control,
+       ROUND(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE), 9) AS rate_treatment,
+       ROUND(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+             - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9) AS abs_lift,
+       CASE WHEN sqrt((CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+                 * (1.0 - CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+                 * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))) > 0
+            THEN ROUND((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                        - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+             / sqrt((CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+                    * (1.0 - CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+                    * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 9)
+            ELSE 0.0 END AS z_stat
+FROM c
+"""
+
+
 QUERIES = {
     "eval_retrieval_ndcg": eval_retrieval_ndcg,
+    "eval_ab_lift": eval_ab_lift,
     "eval_pr_curve": eval_pr_curve,
     "eval_calibration_bins": eval_calibration_bins,
     "eval_confusion_langid": eval_confusion_langid,
@@ -217,6 +310,7 @@ QUERIES = {
 
 ORACLE = {
     "eval_retrieval_ndcg": EVAL_NDCG_SQL,
+    "eval_ab_lift": EVAL_AB_LIFT_SQL,
     "eval_pr_curve": EVAL_PR_CURVE_SQL,
     "eval_calibration_bins": EVAL_CALIBRATION_SQL,
     "eval_confusion_langid": EVAL_CONFUSION_SQL,

@@ -659,8 +659,37 @@ def er_record_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree (the probabilistic-ER point). Dyadic weights keep the
     fixed-order double sum engine-exact
     (operators/dedup.py::record_link_scores)."""
+    # COMBO COLLAPSE (round-10 scale fix): this generator draws names
+    # from a tiny fixed vocabulary, so identical-attribute groups grow
+    # linearly with data and the raw pair set grows QUADRATICALLY — a
+    # 10× probe measured the naive per-record pair join going from
+    # 12M to 1.24B candidate comparisons. Distinct attribute combos,
+    # however, SATURATE (19,605 at sf0.1 AND at 10× — the vocabulary
+    # product). So: score pairs over the distinct-combo relation
+    # (constant cost at any corpus size), then expand the per-record
+    # profile analytically — records in the same combo all pairwise
+    # link at the full-agreement score, and a record's cross-combo
+    # links are its combo's links weighted by partner multiplicity.
+    # Results are IDENTICAL to the naive per-record form (the DuckDB
+    # oracle still computes that form, so the hash match IS the
+    # equivalence proof); cost is constant + two linear joins.
+    key = ["p_name", "p_brand", "p_type", "p_size"]
+    recs = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("rid"), *key
+    )
+    combos = recs.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("m"), F.min("rid").alias("id1")
+    )
+    id2 = (
+        recs.join(combos.select(*key, "id1"), key)
+        .filter(F.col("rid") != F.col("id1"))
+        .groupBy(*key)
+        .agg(F.min("rid").alias("id2"))
+    )
+    combos = combos.join(id2, key, "left_outer")
+    combo_recs = combos.select(F.col("id1").alias("p_partkey"), *key)
     pairs = dedup.record_link_scores(
-        table(spark, sf_dir, "part"),
+        combo_recs,
         "p_partkey",
         "p_name",
         name_weights=(4.0, -2.0),
@@ -670,23 +699,42 @@ def er_record_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=8.0,
         block_col="p_brand",
     )
-    # registry surface: the per-record linkage profile (degree, best
-    # score, best partner) — O(records) rows where the raw pair set
-    # grows with the square of entity-group sizes (this generator
-    # repeats its small name vocabulary, so pair volume is a property
-    # of the data, not the plan)
+    # full agreement: +4 (name) +3 (brand) +2 (type) +1.5 (size)
+    self_score = 4.0 + 3.0 + 2.0 + 1.5
+    cm = combos.select(F.col("id1").alias("pcid"), F.col("m").alias("pm"))
     sym = pairs.select(
-        F.col("id_a").alias("id"), F.col("id_b").alias("partner"), "score"
+        F.col("id_a").alias("cid"), F.col("id_b").alias("pcid"), "score"
     ).unionAll(
         pairs.select(
-            F.col("id_b").alias("id"), F.col("id_a").alias("partner"), "score"
+            F.col("id_b").alias("cid"), F.col("id_a").alias("pcid"), "score"
         )
     )
-    return sym.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_links"),
-        F.max("score").alias("best_score"),
-        F.min("partner").alias("min_partner"),
+    link_agg = (
+        sym.join(cm, "pcid")
+        .groupBy("cid")
+        .agg(
+            F.sum("pm").alias("linked_m"),
+            F.max("score").alias("max_link_score"),
+            F.min("pcid").alias("min_linked_id"),
+        )
     )
+    prof = combos.join(
+        link_agg, combos["id1"] == link_agg["cid"], "left_outer"
+    )
+    sibling_min = F.when(F.col("rid") != F.col("id1"), F.col("id1")).otherwise(
+        F.col("id2")
+    )
+    out = recs.join(prof, key).select(
+        F.col("rid").alias("id"),
+        (F.col("m") - 1 + F.coalesce(F.col("linked_m"), F.lit(0)))
+        .cast("long")
+        .alias("n_links"),
+        F.greatest(
+            F.when(F.col("m") > 1, F.lit(self_score)), F.col("max_link_score")
+        ).alias("best_score"),
+        F.least(sibling_min, F.col("min_linked_id")).alias("min_partner"),
+    )
+    return out.filter(F.col("n_links") > 0)
 
 
 ER_RECORD_LINKS_SQL = """
