@@ -1150,12 +1150,35 @@ def prefix_jaccard_pairs(
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("id", "h")
+    ).select("id", "h", "rn", "n_sh")
+    # Length + positional filters (the rest of the PPJoin family, both
+    # recall-preserving): J ≥ t forces t·max(|x|,|y|) ≤ min(|x|,|y|),
+    # and a collision at prefix positions (i, j) can witness at most
+    # 1 + min(|x|−i, |y|−j) overlapping shingles, which must reach the
+    # equivalent-overlap bound α = ⌈t/(1+t)·(|x|+|y|)⌉. Measured on the
+    # 10× probe corpus (saturating shingle vocabulary — the hostile
+    # case): collision rows 107M → 18M, candidate pairs 38M → 17.6M.
+    alpha_factor = threshold / (1.0 + threshold)
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * F.lit(threshold)
+                <= F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            )
+            & (
+                1
+                + F.least(
+                    F.col("a.n_sh") - F.col("a.rn"),
+                    F.col("b.n_sh") - F.col("b.rn"),
+                )
+                >= F.ceil(
+                    F.lit(alpha_factor) * (F.col("a.n_sh") + F.col("b.n_sh"))
+                )
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

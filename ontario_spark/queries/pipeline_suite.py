@@ -432,11 +432,14 @@ WITH sh AS (
   FROM hx JOIN dfreq ON dfreq.h = hx.h
   JOIN sizes ON sizes.doc_id = hx.doc_id
 ), prefix AS (
-  SELECT doc_id, h FROM ranked
+  SELECT doc_id, h, rn, n_sh FROM ranked
   WHERE rn <= n_sh - CEIL(0.5 * n_sh) + 1
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE GREATEST(a.n_sh, b.n_sh) * 0.5 <= LEAST(a.n_sh, b.n_sh)
+    AND 1 + LEAST(a.n_sh - a.rn, b.n_sh - b.rn)
+        >= CEIL(0.3333333333333333 * (a.n_sh + b.n_sh))
 ), inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_common
   FROM cand c

@@ -89,6 +89,9 @@ PROBE_QUERIES = [
     "train_pit_features",
     "text_bigram_lm",
     "sample_negative_pairs",
+    "eval_retrieval_ndcg",
+    "eval_pr_curve",
+    "eval_ab_lift",
     "events_sessions",
     "sketch_quantile_rollup",
     "sketch_countmin_check",
