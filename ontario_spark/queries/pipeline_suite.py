@@ -3880,8 +3880,121 @@ SELECT u AS user_id, i AS item, 0 AS label FROM neg
 """
 
 
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed temporal training-set build (round 10): the classic
+    time-split recipe in ONE lazy plan — labels from the last ~half of
+    the event log (purchases on/after Jan 16), features STRICTLY from
+    the days before it (click count, DECIMAL spend, distinct items),
+    and 2 seeded md5-ranked negatives per labeled user drawn from the
+    feature-window item vocabulary (so the negative sampler cannot see
+    the label window either). The temporal wall makes the whole table
+    leakage-free by construction; every piece reuses this round's
+    primitives (PIT-style windows, negative sampling) and the single
+    plan keeps Catalyst free to share the events scan."""
+    cutoff = "2024-01-16"
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = F.get_json_object(F.col("props"), "$.k")
+    pre = ev.filter(F.date_format("ts", "yyyy-MM-dd") < cutoff)
+    post = ev.filter(F.date_format("ts", "yyyy-MM-dd") >= cutoff)
+    pos = (
+        post.filter((F.col("event_type") == "purchase") & k.isNotNull())
+        .select(F.col("user_id").alias("u"), k.alias("i"))
+        .distinct()
+    )
+    feat = pre.groupBy(F.col("user_id").alias("u")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks_pre"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,6)"),
+                )
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("spend_pre"),
+        F.count_distinct(k).alias("n_items_pre"),
+    )
+    inter_pre = (
+        pre.select(F.col("user_id").alias("u"), k.alias("i"))
+        .filter(k.isNotNull())
+        .distinct()
+    )
+    items = F.broadcast(inter_pre.select("i").distinct())
+    users = pos.select("u").distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy(
+        F.md5(F.concat_ws(":", F.col("u").cast("string"), F.col("i"))), "i"
+    )
+    neg = (
+        users.crossJoin(items)
+        .join(inter_pre, ["u", "i"], "left_anti")
+        .join(pos, ["u", "i"], "left_anti")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 2)
+        .select("u", "i")
+    )
+    pairs = pos.select("u", "i", F.lit(1).alias("label")).unionAll(
+        neg.select("u", "i", F.lit(0).alias("label"))
+    )
+    return pairs.join(feat, "u", "left_outer").select(
+        F.col("u").alias("user_id"),
+        F.col("i").alias("item"),
+        "label",
+        F.coalesce("n_clicks_pre", F.lit(0)).cast("long").alias("n_clicks_pre"),
+        F.coalesce("spend_pre", F.lit(0.0)).alias("spend_pre"),
+        F.coalesce("n_items_pre", F.lit(0)).cast("long").alias("n_items_pre"),
+    )
+
+
+PIPELINE_TRAINING_SET_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, event_type, value,
+         json_extract_string(props, '$.k') AS i,
+         strftime(ts, '%Y-%m-%d') AS day
+  FROM events WHERE user_id IS NOT NULL
+), pre AS (SELECT * FROM ev WHERE day < '2024-01-16'),
+post AS (SELECT * FROM ev WHERE day >= '2024-01-16'),
+pos AS (
+  SELECT DISTINCT u, i FROM post
+  WHERE event_type = 'purchase' AND i IS NOT NULL
+), feat AS (
+  SELECT u,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_clicks_pre,
+    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+      AS spend_pre,
+    CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items_pre
+  FROM pre GROUP BY u
+), inter_pre AS (
+  SELECT DISTINCT u, i FROM pre WHERE i IS NOT NULL
+), items AS (SELECT DISTINCT i FROM inter_pre),
+users AS (SELECT DISTINCT u FROM pos),
+neg AS (
+  SELECT u, i FROM (
+    SELECT c.u, c.i,
+           ROW_NUMBER() OVER (PARTITION BY c.u
+                              ORDER BY md5(c.u::VARCHAR || ':' || c.i), c.i) AS r
+    FROM (SELECT users.u, items.i FROM users CROSS JOIN items) c
+    WHERE NOT EXISTS (SELECT 1 FROM inter_pre x WHERE x.u = c.u AND x.i = c.i)
+      AND NOT EXISTS (SELECT 1 FROM pos p WHERE p.u = c.u AND p.i = c.i)
+  ) t WHERE r <= 2
+), pairs AS (
+  SELECT u, i, 1 AS label FROM pos
+  UNION ALL SELECT u, i, 0 AS label FROM neg
+)
+SELECT pairs.u AS user_id, pairs.i AS item, label,
+       COALESCE(n_clicks_pre, 0) AS n_clicks_pre,
+       COALESCE(spend_pre, 0.0) AS spend_pre,
+       COALESCE(n_items_pre, 0) AS n_items_pre
+FROM pairs LEFT JOIN feat ON feat.u = pairs.u
+"""
+
+
 QUERIES = {
     "sample_stratified": sample_stratified,
+    "pipeline_training_set": pipeline_training_set,
     "sample_train_test": sample_train_test,
     "sample_group_split": sample_group_split,
     "sample_corpus_mix": sample_corpus_mix,
@@ -4033,6 +4146,7 @@ ORACLE = {
     "train_pit_features": TRAIN_PIT_FEATURES_SQL,
     "text_bigram_lm": TEXT_BIGRAM_LM_SQL,
     "sample_negative_pairs": SAMPLE_NEGATIVE_PAIRS_SQL,
+    "pipeline_training_set": PIPELINE_TRAINING_SET_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_quality_gates": TEXT_QUALITY_GATES_SQL,

@@ -69,6 +69,7 @@ EXPECTED = {
     # users × broadcast item VOCABULARY (bounded, ~|distinct items|):
     # the candidate grid negative sampling needs before the anti-join
     "sample_negative_pairs": {"BNLJ:BuildRight"},
+    "pipeline_training_set": {"BNLJ:BuildRight"},  # same negative grid
 
     "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
 }
