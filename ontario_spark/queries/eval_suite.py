@@ -73,6 +73,161 @@ FROM fin
 EVAL_NDCG_SQL = _ndcg_sql()
 
 
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs per query: the rank of the FIRST
+    same-label neighbor in the exact cosine top-10 and its reciprocal
+    (exact 1/rank, one division). Queries with no relevant retrieved
+    get rr = 0.0 — the standard convention, kept as explicit rows so
+    the macro-MRR is a plain AVG over this table."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ranking = similarity.brute_force_topk(emb, queries, k=10)
+    lab = emb.select("vec_id", "label")
+    r = (
+        ranking.join(
+            F.broadcast(
+                lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                    "label", "__qlab"
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            lab.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "__nlab"
+            ),
+            "neighbor_id",
+        )
+    )
+    first_rel = r.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("__nlab") == F.col("__qlab"), F.col("rank"))
+        ).alias("first_rel_rank")
+    )
+    return first_rel.select(
+        "query_id",
+        "first_rel_rank",
+        F.when(
+            F.col("first_rel_rank").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel_rank").cast("double"), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rr"),
+    )
+
+
+EVAL_MRR_SQL = """
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS qlab FROM c WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, q.qlab, c.vec_id AS neighbor_id, c.label AS nlab,
+         list_dot_product(q.qv, c.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))) AS score
+  FROM c, q WHERE c.vec_id != q.query_id
+), r AS (
+  SELECT query_id, qlab, nlab,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+), fr AS (
+  SELECT query_id,
+         MIN(CASE WHEN nlab = qlab THEN rank END) AS first_rel_rank
+  FROM r WHERE rank <= 10 GROUP BY query_id
+)
+SELECT query_id, first_rel_rank,
+       CASE WHEN first_rel_rank IS NOT NULL
+            THEN ROUND(1.0 / CAST(first_rel_rank AS DOUBLE), 9)
+            ELSE 0.0 END AS rr
+FROM fr
+"""
+
+
+def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH-bucketed ANN tier measured against the
+    exact brute-force top-3, per query — BOTH sides are deterministic
+    compositions of the same cosine/tiebreak rules, so the recall of
+    the approximate index is itself an oracle-checkable number (the
+    pytest floor pins it; this row lets the external gate hash it)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, qs, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.bucketed_topk(emb, qs, k=3, bits=4, dim=64).select(
+        "query_id", F.col("neighbor_id").alias("__approx_n")
+    )
+    hit = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["__approx_n"]),
+        "left_semi",
+    )
+    n_hits = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(n_hits, "query_id", "left_outer").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double"),
+            9,
+        ).alias("recall_at_3"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    bucket = similarity.hyperplane_bucket_sql("v", dim=64, bits=4)
+    return f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM c
+), q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC,
+             c.vec_id ASC) AS rank
+    FROM c, q WHERE c.vec_id != q.query_id) t
+  WHERE rank <= 3
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, cb.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, cb.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(cb.v, cb.v))) DESC,
+             cb.vec_id ASC) AS rank
+    FROM cb JOIN q ON cb.bucket = q.bucket AND cb.vec_id != q.query_id) t
+  WHERE rank <= 3
+), hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+), base AS (
+  SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id
+)
+SELECT b.query_id, b.n_exact,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST(b.n_exact AS DOUBLE), 9) AS recall_at_3
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
+EVAL_ANN_RECALL_SQL = _ann_recall_sql()
+
+
 def _doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     scores = textops.quality_score(docs, "doc_id", "text")
@@ -302,6 +457,8 @@ FROM c
 
 QUERIES = {
     "eval_retrieval_ndcg": eval_retrieval_ndcg,
+    "eval_retrieval_mrr": eval_retrieval_mrr,
+    "eval_ann_recall": eval_ann_recall,
     "eval_ab_lift": eval_ab_lift,
     "eval_pr_curve": eval_pr_curve,
     "eval_calibration_bins": eval_calibration_bins,
@@ -310,6 +467,8 @@ QUERIES = {
 
 ORACLE = {
     "eval_retrieval_ndcg": EVAL_NDCG_SQL,
+    "eval_retrieval_mrr": EVAL_MRR_SQL,
+    "eval_ann_recall": EVAL_ANN_RECALL_SQL,
     "eval_ab_lift": EVAL_AB_LIFT_SQL,
     "eval_pr_curve": EVAL_PR_CURVE_SQL,
     "eval_calibration_bins": EVAL_CALIBRATION_SQL,

@@ -44,6 +44,8 @@ EXPECTED = {
     "ann_topk_bruteforce": {"BNLJ:BuildRight"},
     # brute-force ranking leg (broadcast query set) feeding the NDCG agg
     "eval_retrieval_ndcg": {"BNLJ:BuildRight"},
+    "eval_retrieval_mrr": {"BNLJ:BuildRight"},
+    "eval_ann_recall": {"BNLJ:BuildRight"},  # exact leg of the recall check
     "ann_topk_int8": {"BNLJ:BuildRight"},  # broadcast query set
     "sample_dsir_weights": {"BNLJ:BuildRight"},  # one LM-totals row
     "ann_topk_ivf": {"BNLJ:BuildRight"},
