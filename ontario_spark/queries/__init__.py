@@ -173,7 +173,12 @@ DRIVER_SURFACE = [
     # stays pytest-gated) → the token-budget stream cut, round 9's
     # custom-stateful-operator row, never externally verified
     "stream_budget_cut",
-    "stream_enriched_segments",
+    # round-10 continuation session: stream_enriched_segments (green
+    # r4-r9; the stream-static broadcast-join leg stays pytest-gated
+    # and the windowed-agg shape is strictly widened by the chained
+    # rollup) → hourly→daily multi-stateful rollup, the round's new
+    # streaming capability, never externally verified
+    "stream_daily_rollup",
     # round-10: stream_user_gaps (green r4-r9; session-gap semantics
     # stay surface-verified via stream_enriched_segments and the new
     # batch sessionization row below) → batch sessionization over
@@ -235,7 +240,13 @@ DRIVER_SURFACE = [
     # driver-checked via sparql_federated_join and every other
     # sparql_* row; OPTIONAL's left-outer shape via the pytest gate
     # and the trailing-VALUES-after-OPTIONAL regression tests)
-    "sparql_source_union",
+    # round-10 continuation session: sparql_source_union (green r1-r9;
+    # Xunion semantics stay pytest-gated at two scale factors, the
+    # same evidence class VERDICT accepted for the rotated Xask /
+    # Xconstruct heads in round 9) → retrieval NDCG@10, the
+    # offline-eval family's first surface row (integer-scaled
+    # discounts, new this session, never externally verified)
+    "eval_retrieval_ndcg",
     "sparql_distinct_orderby_page",
     # (sparql_string_functions moved just past the cap to make room for
     # bm25_topk — same fn-library family as sparql_filter_functions,
@@ -280,7 +291,12 @@ DRIVER_SURFACE = [
     "pipeline_web_curation",
     # relational shapes not evidenced by the SPARQL/pipeline entries
     "q1_pricing_summary",
-    "q3_shipping_priority",
+    # round-10 continuation session: q3_shipping_priority (green
+    # r1-r9; the filtered join+agg+topn shape stays covered by q1 +
+    # q_skew_suppkey + q_rollup_flag_status on the surface and the
+    # full TPC-H pytest suite) → last-touch attribution, this
+    # session's windowed analytics row, never externally verified
+    "events_attribution",
     # round-10: q_top_orders_per_customer (green r1-r9; window top-n
     # stays surface-verified via retrieval_rrf_fusion's ranking window
     # and sample_weighted_topk's ordered selection) → Z-order layout
@@ -299,7 +315,12 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
-        # round-10 continuation rotated-out rows first (each green 3+
+        # round-10 continuation-session rotated-out rows first (same
+        # policy; containment arguments in the DRIVER_SURFACE comments)
+        "sparql_source_union",
+        "stream_enriched_segments",
+        "q3_shipping_priority",
+        # round-10 continuation rotated-out rows (each green 3+
         # rounds with its family still surface-represented — see the
         # DRIVER_SURFACE comments for the per-row containment argument)
         "ann_topk_bucketed",

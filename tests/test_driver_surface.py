@@ -40,6 +40,10 @@ FAMILIES = (
     ("fuzzy_", "er_"),
     "sparql_",
     "q",  # relational
+    # offline evaluation (round-10 continuation): NDCG on the surface,
+    # MRR / ANN-recall / PR-curve / calibration / confusion / A-B lift
+    # behind it in the registry
+    "eval_",
 )
 
 
