@@ -73,6 +73,8 @@ HEADLINE_SUITE = [
     "q_zorder_layout",             # storage layout keys
     "lslod_cq6_trisource",         # three-engine federation
     "pipeline_decontaminated_corpus",  # composed pipelines
+    # --- round-10 continuation: one NEW family (offline evaluation) ---
+    "eval_retrieval_ndcg",         # retrieval-quality eval
 ]
 
 # Pinned box-speed calibration: stable-code queries present since
