@@ -1025,6 +1025,54 @@ FROM c
 """
 
 
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill (round 10): per-type daily
+    event counts on the COMPLETE day grid between the corpus min and
+    max day — missing (type, day) cells emit 0 instead of vanishing,
+    which is what any downstream forecasting/alerting consumer needs.
+    The grid is one broadcast row exploded through ``sequence()``
+    (days × types is bounded metadata, never data-sized); the counts
+    aggregate is the only shuffle."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("__d"), "event_type"
+    )
+    bounds = ev.agg(
+        F.min("__d").alias("d0"), F.max("__d").alias("d1")
+    )
+    grid_days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("__d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = F.broadcast(grid_days).crossJoin(F.broadcast(types))
+    daily = ev.groupBy("__d", "event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return grid.join(daily, ["__d", "event_type"], "left_outer").select(
+        F.date_format("__d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d, event_type FROM events
+), bounds AS (
+  SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev
+), grid AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d,
+         event_type
+  FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+), daily AS (
+  SELECT d, event_type, COUNT(*) AS n FROM ev GROUP BY d, event_type
+)
+SELECT strftime(grid.d, '%Y-%m-%d') AS day, grid.event_type,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+FROM grid LEFT JOIN daily
+  ON daily.d = grid.d AND daily.event_type = grid.event_type
+"""
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution (round 10): each purchase is
     credited to the user's most recent preceding click/view within a
@@ -1175,6 +1223,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_attribution": events_attribution,
     "events_communities": events_communities,
+    "events_daily_gapfill": events_daily_gapfill,
     "events_bfs_depth": events_bfs_depth,
     "events_transitions": events_transitions,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -1217,4 +1266,5 @@ ORACLE = {
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_communities": EVENTS_COMMUNITIES_SQL,
+    "events_daily_gapfill": EVENTS_GAPFILL_SQL,
 }

@@ -440,8 +440,81 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation (round 10): all four grouping
+    combinations of (flag, status) — cells, both one-dimension
+    margins, and the grand total — in ONE partial-aggregating pass
+    (ROLLUP's sibling; Spark expands the sets map-side so lineitem
+    still scans once)."""
+    from ontario_spark.operators.textops import spread
+
+    l = spread(table(spark, sf_dir, "lineitem"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+Q_CUBE_FLAG_STATUS_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+  COALESCE(l_linestatus, 'ALL') AS status,
+  {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (round 10): order counts per market segment, one column
+    per order priority — the wide report layout every BI export wants.
+    Spark's relational pivot with an EXPLICIT value list (so the plan
+    is a single conditional aggregate, no extra distinct-values job);
+    the oracle writes the same thing as portable conditional
+    aggregation."""
+    pr = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderpriority"
+    )
+    wide = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderpriority", pr)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("c_mktsegment").alias("segment")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0))
+        .cast("long")
+        .alias(f"p{i + 1}")
+        for i, p in enumerate(pr)
+    ]
+    return wide.select(*cols)
+
+
+Q_PIVOT_SEGMENT_SQL = """
+SELECT c_mktsegment AS segment,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q_cube_flag_status": q_cube_flag_status,
+    "q_pivot_segment_priority": q_pivot_segment_priority,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_revenue_change": q6_revenue_change,
@@ -460,6 +533,8 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": Q1_SQL,
+    "q_cube_flag_status": Q_CUBE_FLAG_STATUS_SQL,
+    "q_pivot_segment_priority": Q_PIVOT_SEGMENT_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,
     "q6_revenue_change": Q6_SQL,

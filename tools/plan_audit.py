@@ -72,6 +72,9 @@ EXPECTED = {
     # the candidate grid negative sampling needs before the anti-join
     "sample_negative_pairs": {"BNLJ:BuildRight"},
     "pipeline_training_set": {"BNLJ:BuildRight"},  # same negative grid
+    # day grid × type vocabulary: both sides broadcast one-row/bounded
+    # metadata frames — the grid is the POINT of gap-fill resampling
+    "events_daily_gapfill": {"BNLJ:BuildLeft"},
 
     "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
 }
