@@ -91,3 +91,55 @@ def snapshot_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    payload: str,
+    op_col: str = "op",
+    order_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """MERGE-style changelog application (round 10): produce the
+    post-apply snapshot of ``base`` given a CDC stream of upserts and
+    deletes — the lakehouse ``MERGE INTO`` semantics (last writer per
+    key wins, ordered by ``order_cols``): the key's final ``'D'``
+    removes it, a final upsert sets ``payload``, untouched base keys
+    pass through, and upserts for keys absent from base INSERT them.
+
+    Scale shape: one window over the changelog keyed+ordered per key
+    (picks the final op — the only changelog shuffle), one full-outer
+    hash join with the base on the key. No driver state; both sides
+    shuffle once. Deterministic: ``order_cols`` must form a total
+    order per key (pass a tiebreaker column, e.g. an event id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    last = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key).alias("__k"),
+            F.col(op_col).alias("__op"),
+            F.col(payload).alias("__new"),
+        )
+    )
+    b = base.select(F.col(key), F.col(payload))
+    joined = b.join(last, b[key] == last["__k"], "full_outer")
+    return (
+        joined.filter(
+            # deletes drop the key; a lone base row or an upsert stays
+            (F.col("__op").isNull()) | (F.col("__op") != "D")
+        )
+        .select(
+            F.coalesce(F.col(key), F.col("__k")).alias(key),
+            F.coalesce(F.col("__new"), F.col(payload)).alias(payload),
+            F.when(F.col("__op").isNull(), F.lit("unchanged"))
+            .when(F.col(key).isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+        )
+    )

@@ -1073,6 +1073,60 @@ FROM grid LEFT JOIN daily
 """
 
 
+def events_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over the lake (round 10): the event stream
+    replayed as a CDC changelog against the customer dimension —
+    errors delete the key, any other final event upserts the account
+    balance to its value, untouched customers pass through, unknown
+    keys insert (operators/versioning.py::apply_changelog; one
+    changelog window + one full-outer key join, both single
+    shuffles)."""
+    from ontario_spark.operators.versioning import apply_changelog
+
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_acctbal")
+    )
+    ch = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("user_id").alias("c_custkey"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("value").alias("c_acctbal"),
+            "ts",
+            "event_id",
+        )
+    )
+    return apply_changelog(
+        base,
+        ch,
+        key="c_custkey",
+        payload="c_acctbal",
+        order_cols=("ts", "event_id"),
+    )
+
+
+EVENTS_APPLY_CHANGELOG_SQL = """
+WITH ch AS (
+  SELECT user_id AS k,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value AS new_v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IS NOT NULL
+), last AS (SELECT k, op, new_v FROM ch WHERE rn = 1)
+SELECT COALESCE(c_custkey, k) AS c_custkey,
+       COALESCE(new_v, c_acctbal) AS c_acctbal,
+       CASE WHEN op IS NULL THEN 'unchanged'
+            WHEN c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS status
+FROM customer FULL OUTER JOIN last ON c_custkey = last.k
+WHERE op IS NULL OR op != 'D'
+"""
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch marketing attribution (round 10): each purchase is
     credited to the user's most recent preceding click/view within a
@@ -1224,6 +1278,7 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_communities": events_communities,
     "events_daily_gapfill": events_daily_gapfill,
+    "events_apply_changelog": events_apply_changelog,
     "events_bfs_depth": events_bfs_depth,
     "events_transitions": events_transitions,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -1267,4 +1322,5 @@ ORACLE = {
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_communities": EVENTS_COMMUNITIES_SQL,
     "events_daily_gapfill": EVENTS_GAPFILL_SQL,
+    "events_apply_changelog": EVENTS_APPLY_CHANGELOG_SQL,
 }

@@ -68,3 +68,35 @@ def test_snapshot_diff_null_keys_classify_by_side(spark):
     assert len(by_status["added"]) == 1  # new NULL-key row
     assert by_status["added"][0]["new_hash"] is not None
     assert len(by_status["unchanged"]) == 1
+
+
+class TestApplyChangelog:
+    def test_merge_semantics_by_hand(self, spark):
+        from ontario_spark.operators.versioning import apply_changelog
+
+        base = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+        )
+        ch = spark.createDataFrame(
+            [
+                (1, "U", 11.0, 1, 1),   # update key 1
+                (1, "U", 12.0, 2, 2),   # later update wins
+                (2, "D", 0.0, 1, 3),    # delete key 2
+                (4, "U", 40.0, 1, 4),   # insert new key 4
+                (5, "D", 0.0, 1, 5),    # delete of absent key: no row
+                (6, "U", 60.0, 1, 6),   # insert then delete → no row
+                (6, "D", 0.0, 2, 7),
+            ],
+            ["k", "op", "v", "ts", "eid"],
+        )
+        out = {
+            r.k: (r.v, r.status)
+            for r in apply_changelog(
+                base, ch, key="k", payload="v", order_cols=("ts", "eid")
+            ).collect()
+        }
+        assert out == {
+            1: (12.0, "updated"),
+            3: (30.0, "unchanged"),
+            4: (40.0, "inserted"),
+        }
