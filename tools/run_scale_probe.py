@@ -92,6 +92,13 @@ PROBE_QUERIES = [
     "eval_retrieval_ndcg",
     "eval_pr_curve",
     "eval_ab_lift",
+    "eval_retrieval_mrr",
+    "eval_ann_recall",
+    "q_cube_flag_status",
+    "q_pivot_segment_priority",
+    "events_daily_gapfill",
+    "events_apply_changelog",
+    "pipeline_training_set",
     "events_sessions",
     "sketch_quantile_rollup",
     "sketch_countmin_check",
