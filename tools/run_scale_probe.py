@@ -105,6 +105,7 @@ PROBE_QUERIES = [
     "stream_events_hourly",
     "stream_user_sessions",
     "stream_budget_cut",
+    "stream_daily_rollup",
     # composed pipelines
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
