@@ -2226,6 +2226,114 @@ def _temperature_mix_sql() -> str:
 SAMPLE_TEMPERATURE_MIX_SQL = _temperature_mix_sql()
 
 
+def text_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/copyright compliance gate (round 10): per-source counts
+    of documents carrying rights markers — the legal filter every
+    training-corpus build runs before ingestion. Like text_pii_scan,
+    the synthetic corpus carries no markers, so deterministic fakes
+    are planted first (doc_id-residue-keyed copyright lines, SPDX
+    identifiers, CC-license phrases — both engines construct identical
+    text), making every count data-dependent and oracle-checked.
+    Pure regexp_count column expressions; one bounded per-source
+    aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    rem = F.col("doc_id") % 5
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                rem == 0,
+                F.concat(
+                    F.lit(" Copyright (c) 20"),
+                    (F.col("doc_id") % 30).cast("string"),
+                    F.lit(" Example Corp. All rights reserved."),
+                ),
+            )
+            .when(rem == 1, F.lit(" SPDX-License-Identifier: MIT"))
+            .when(
+                rem == 2,
+                F.lit(
+                    " This work is licensed under a Creative Commons"
+                    " Attribution 4.0 International License."
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("__t"),
+    )
+    t = F.col("__t")
+    has_copyright = (
+        F.regexp_count(t, F.lit(r"(?i)copyright \(c\) \d{4}")) > 0
+    ).cast("int")
+    has_spdx = (
+        F.regexp_count(t, F.lit(r"SPDX-License-Identifier: [A-Za-z0-9.\-]+")) > 0
+    ).cast("int")
+    has_cc = (
+        F.regexp_count(t, F.lit(r"(?i)creative commons attribution")) > 0
+    ).cast("int")
+    rights_reserved = (
+        F.regexp_count(t, F.lit(r"(?i)all rights reserved")) > 0
+    ).cast("int")
+    per_doc = planted.select(
+        "source",
+        has_copyright.alias("__c"),
+        has_spdx.alias("__s"),
+        has_cc.alias("__cc"),
+        rights_reserved.alias("__rr"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__c").cast("long").alias("n_copyright"),
+        F.sum("__s").cast("long").alias("n_spdx"),
+        F.sum("__cc").cast("long").alias("n_cc_license"),
+        F.sum("__rr").cast("long").alias("n_rights_reserved"),
+        F.sum(
+            F.when(
+                (F.col("__c") + F.col("__s") + F.col("__cc") + F.col("__rr"))
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+TEXT_LICENSE_SCAN_SQL = """
+WITH planted AS (
+  SELECT doc_id, source,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' Copyright (c) 20' || CAST(doc_id % 30 AS VARCHAR)
+                       || ' Example Corp. All rights reserved.'
+           WHEN 1 THEN ' SPDX-License-Identifier: MIT'
+           WHEN 2 THEN ' This work is licensed under a Creative Commons'
+                       || ' Attribution 4.0 International License.'
+           ELSE '' END AS t
+  FROM documents
+), per_doc AS (
+  SELECT source,
+    CASE WHEN regexp_matches(t, 'copyright \\(c\\) \\d{4}', 'i')
+         THEN 1 ELSE 0 END AS c,
+    CASE WHEN regexp_matches(t, 'SPDX-License-Identifier: [A-Za-z0-9.\\-]+')
+         THEN 1 ELSE 0 END AS s,
+    CASE WHEN regexp_matches(t, 'creative commons attribution', 'i')
+         THEN 1 ELSE 0 END AS cc,
+    CASE WHEN regexp_matches(t, 'all rights reserved', 'i')
+         THEN 1 ELSE 0 END AS rr
+  FROM planted
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(c) AS BIGINT) AS n_copyright,
+  CAST(SUM(s) AS BIGINT) AS n_spdx,
+  CAST(SUM(cc) AS BIGINT) AS n_cc_license,
+  CAST(SUM(rr) AS BIGINT) AS n_rights_reserved,
+  CAST(SUM(CASE WHEN c + s + cc + rr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection/redaction gate (round 5). The synthetic corpus
     carries no PII, so deterministic fakes are planted first (emails /
@@ -4067,6 +4175,7 @@ QUERIES = {
     "text_regex_tokens": text_regex_tokens,
     "text_metrics": text_metrics,
     "text_pii_scan": text_pii_scan,
+    "text_license_scan": text_license_scan,
     "text_url_scan": text_url_scan,
     "text_perplexity": text_perplexity,
     "doc_chunks": doc_chunks,
@@ -4156,6 +4265,7 @@ ORACLE = {
     "text_regex_tokens": TEXT_REGEX_TOKENS_SQL,
     "text_metrics": TEXT_METRICS_SQL,
     "text_pii_scan": TEXT_PII_SQL,
+    "text_license_scan": TEXT_LICENSE_SCAN_SQL,
     "text_url_scan": TEXT_URL_SCAN_SQL,
     "text_perplexity": TEXT_PERPLEXITY_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
