@@ -99,6 +99,7 @@ PROBE_QUERIES = [
     "events_daily_gapfill",
     "events_apply_changelog",
     "pipeline_training_set",
+    "text_license_scan",
     "events_sessions",
     "sketch_quantile_rollup",
     "sketch_countmin_check",
