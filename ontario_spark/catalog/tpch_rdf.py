@@ -285,17 +285,28 @@ def tpch_mongo_catalog(sf_dir: str, spark=None) -> Catalog:
 def tpch_cypher_catalog(sf_dir: str) -> Catalog:
     """Federation-shaped catalog with the Customer molecule served by a
     GRAPH store: the star is translated to Cypher
-    (``translate.star_cypher``) and executed through the
-    ``sources.graphstore`` interpreter over nodes loaded from parquet
-    (a bolt-driver executor has the identical call convention).
-    Reference: ``ontario/wrappers/neo4j/sparql2cypher.py:129``."""
+    (``translate.star_cypher``) and executed through
+    ``graphstore.bolt_executor`` — the PRODUCTION call path (session
+    context manager, record.data() materialization) — over an
+    in-process transport backed by the interpreter (round 11: the
+    bench row now measures the bolt seam, not a direct interpreter
+    call). Reference: ``ontario/wrappers/neo4j/sparql2cypher.py:129``
+    executing via the bolt client at ``:11-127``."""
     from ontario_spark.sources.docstore import parquet_doc_loader
-    from ontario_spark.sources.graphstore import executor_from_graph
+    from ontario_spark.sources.graphstore import (
+        bolt_executor,
+        interpreter_bolt_driver,
+    )
 
     load = parquet_doc_loader(sf_dir)
     return _serve_remote(
         tpch_catalog(sf_dir), "CustomerMap", "remote_graph", "neo4j",
-        executor_from_graph(lambda: {"Customer": load("customer")}),
+        bolt_executor(
+            database="tpch",
+            driver=interpreter_bolt_driver(
+                lambda: {"Customer": load("customer")}
+            ),
+        ),
     )
 
 

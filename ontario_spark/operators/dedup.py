@@ -131,20 +131,21 @@ def ngram_containment_pairs(
     ).filter(F.col("containment") >= threshold)
 
 
-def anchor_containment_pairs(
+def _anchor_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    k_anchors: int = 16,
-    max_anchor_freq: int | None = 1000,
-    verify_semi_join: bool = False,
+    n: int,
+    k_anchors: int,
+    max_anchor_freq: int | None,
+    verify_semi_join: bool,
 ) -> DataFrame:
-    """Two-tier sub-document containment — the CORPUS-SCALE path that
-    replaces ``ngram_containment_pairs``'s all-shared-shingles
-    candidate stream (the exact generator's candidate volume grows
-    with shingle doc-frequencies; see SCALE.md's 100× boundary):
+    """Shared candidate+verify core of the anchor-sketch similarity
+    joins (``anchor_containment_pairs`` / ``anchor_jaccard_pairs``):
+    ``(id_a, id_b, n_common, n_a, n_b)`` — bottom-k anchor candidates,
+    exact intersection verify. See ``anchor_containment_pairs`` for
+    the recall/skew analysis; only the final score formula differs
+    between consumers:
 
     1. CANDIDATES: each document samples its ``k_anchors`` smallest
        60-bit md5 shingle hashes (a bottom-k sketch = uniform sample
@@ -242,12 +243,35 @@ def anchor_containment_pairs(
     # broadcast hint (the same rule as remove_boilerplate below: let
     # AQE pick broadcast when the stats say it fits; a forced hint is
     # a hard job failure at 10^9 docs). Round-8 VERDICT fix.
-    inter = inter.join(
+    return inter.join(
         sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
         "id_a",
     ).join(
         sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
         "id_b",
+    )
+
+
+def anchor_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k_anchors: int = 16,
+    max_anchor_freq: int | None = 1000,
+    verify_semi_join: bool = False,
+) -> DataFrame:
+    """Two-tier sub-document containment — the CORPUS-SCALE path that
+    replaces ``ngram_containment_pairs``'s all-shared-shingles
+    candidate stream (the exact generator's candidate volume grows
+    with shingle doc-frequencies; see SCALE.md's 100× boundary).
+    Candidates + exact verify in ``_anchor_pair_counts`` above;
+    containment = n_common / min(|A|,|B|) is EXACT for every emitted
+    pair; the miss probability for a true pair is ≤ (1-c')^k (~1.5e-5
+    at k=16, threshold 0.5)."""
+    inter = _anchor_pair_counts(
+        df, id_col, text_col, n, k_anchors, max_anchor_freq, verify_semi_join
     )
     cont = F.col("n_common").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
@@ -255,6 +279,44 @@ def anchor_containment_pairs(
     return inter.select(
         "id_a", "id_b", cont.alias("containment")
     ).filter(F.col("containment") >= threshold)
+
+
+def anchor_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    k_anchors: int = 16,
+    max_anchor_freq: int | None = 1000,
+    verify_semi_join: bool = False,
+) -> DataFrame:
+    """Bounded exact-score n-gram Jaccard join — the CORPUS-SCALE
+    default for ``ngram_jaccard_pairs``'s semantics (round 11,
+    retiring the last documented 100× exclusion): the exact self-join
+    generator's candidate stream grows with Σ df(shingle)², which no
+    cap on df alone keeps single-task-safe at corpus scale; the
+    bottom-k anchor sketch bounds per-doc candidate fan-out at
+    k_anchors × max_anchor_freq regardless of corpus size.
+
+    Same two tiers as ``anchor_containment_pairs``: bottom-k anchor
+    candidates (inverted-index join on the anchor hash, df-capped),
+    then an exact intersection verify restricted to candidates.
+    Jaccard = n_common / (|A| + |B| - n_common) is EXACT for every
+    emitted pair; a true pair at Jaccard j is missed with probability
+    ≤ (1-j')^(2k) (both docs sample anchors; j' is the overlap
+    restricted to sub-cap shingles) — ≤ 1e-6 at k=16, threshold 0.35.
+    md5-derived hashes keep candidates + scores engine-portable for
+    the DuckDB oracle."""
+    inter = _anchor_pair_counts(
+        df, id_col, text_col, n, k_anchors, max_anchor_freq, verify_semi_join
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return inter.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _ngram_pair_counts(

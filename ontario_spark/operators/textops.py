@@ -862,6 +862,169 @@ def quality_gates(
     )
 
 
+#: Unit separator: joins BPE symbol sequences into one string column.
+#: Never appears in whitespace-tokenized text, and both engines fold
+#: over the same delimited representation byte-for-byte.
+_BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, rounds: int = 8
+) -> DataFrame:
+    """Iterated BPE tokenizer training (round 11, VERDICT r10 task 4):
+    ``rounds`` full merge rounds — each round counts adjacent symbol
+    pairs over the corpus, picks the argmax (count desc, then
+    lexicographic (left,right) — fully deterministic), APPLIES that
+    merge greedily left-to-right/non-overlapping to every word's
+    symbol sequence, and recounts. Returns the merge table
+    ``(merge_rank, left_sym, right_sym, merged, pair_count)`` —
+    exactly what a BPE tokenizer persists as its vocab-build artifact.
+    ``bpe_merge_candidates`` above is the single-round top-k profile;
+    this is the real training loop.
+
+    Scale shape: like that single round, the corpus collapses FIRST to
+    the distinct-word frequency table (vocabulary is sublinear in
+    corpus size — the classic BPE-training trick), so every round is
+    one hash aggregate over unique words plus a broadcast of the ONE
+    argmax row; the merge application is a map-only fold. ``rounds``
+    is fixed (not convergence-probed) and lineage is pinned per round
+    (the pagerank/label-propagation discipline), so a DuckDB oracle
+    can unroll the identical rounds (``bpe_train_sql``) and
+    hash-match the merge table.
+
+    The greedy merge is a string fold over the SEP-delimited symbol
+    sequence: acc starts as the first symbol; each next symbol either
+    fuses with a trailing ``left`` (when it equals ``right``) or
+    appends. A fused symbol is ``left||right`` ≠ ``left``, so it can
+    never re-fuse in the same round — exactly textbook left-to-right
+    non-overlapping semantics, pinned by a hand-computed pytest."""
+    from ontario_spark.operators.graph import _pin
+
+    wf = _pin(
+        spread(df)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.lower(F.col("w")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.array_join(F.split(F.col("w"), ""), _BPE_SEP).alias("seq"),
+            "f",
+        )
+    )
+    sep = F.lit(_BPE_SEP)
+    best_rows = []
+    for rnd in range(1, rounds + 1):
+        syms = F.split(F.col("seq"), _BPE_SEP)
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        )
+        best = (
+            wf.filter(F.size(syms) >= 2)
+            .select(F.explode(pair_structs).alias("p"), "f")
+            .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(1)
+            .select(
+                F.lit(rnd).alias("merge_rank"), "left_sym", "right_sym", "cnt"
+            )
+        )
+        best_rows.append(best)
+        if rnd == rounds:
+            break  # the last merge is reported but needn't be applied
+        l, r = F.col("left_sym"), F.col("right_sym")
+
+        def step(acc, s):
+            hit = ((acc == l) | acc.endswith(F.concat(sep, l))) & (s == r)
+            return F.when(
+                hit,
+                F.concat(
+                    F.substring(acc, 1, F.length(acc) - F.length(l)), l, r
+                ),
+            ).otherwise(F.concat(acc, sep, s))
+
+        syms2 = F.split(F.col("seq"), _BPE_SEP)
+        folded = F.aggregate(
+            F.slice(syms2, 2, F.greatest(F.size(syms2) - 1, F.lit(0))),
+            F.element_at(syms2, 1),
+            step,
+        )
+        # every pinned round stays alive until the caller executes the
+        # returned union (each b{n} reads its own wf{n-1}); the held
+        # frames are distinct-VOCAB tables — sublinear in corpus size —
+        # so ≤ rounds copies is a bounded cost, and releasing a
+        # localCheckpoint early would truncate lineage out from under
+        # the not-yet-collected argmax rows
+        wf = _pin(
+            wf.crossJoin(F.broadcast(best)).select(folded.alias("seq"), "f")
+        )
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )
+
+
+def bpe_train_sql(source: str, text_col: str, rounds: int = 8) -> str:
+    """The unrolled DuckDB replay of ``bpe_train_merges`` — identical
+    tokenization, pair counts, argmax tiebreak, and greedy fold
+    (``list_reduce`` over the same SEP-delimited sequences)."""
+    parts = [
+        f"""WITH tok AS (
+  SELECT lower(unnest(regexp_split_to_array(trim({text_col}), '\\s+'))) AS w
+  FROM {source}
+), wf0 AS (
+  SELECT array_to_string(regexp_split_to_array(w, ''), chr(31)) AS seq,
+         COUNT(*) AS f
+  FROM tok WHERE length(w) >= 2 GROUP BY w
+)"""
+    ]
+    for n in range(1, rounds + 1):
+        prev = f"wf{n - 1}"
+        parts.append(
+            f""", p{n} AS (
+  SELECT unnest(list_transform(range(1, array_length(sy)),
+                i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS p, f
+  FROM (SELECT string_to_array(seq, chr(31)) AS sy, f FROM {prev})
+), b{n} AS (
+  SELECT {n} AS merge_rank, p.l AS left_sym, p.r AS right_sym,
+         SUM(f) AS cnt
+  FROM p{n} GROUP BY p.l, p.r ORDER BY cnt DESC, p.l, p.r LIMIT 1
+)"""
+        )
+        if n < rounds:
+            parts.append(
+                f""", wf{n} AS (
+  SELECT list_reduce(string_to_array(seq, chr(31)),
+    (acc, s) -> CASE
+      WHEN (acc = b.left_sym OR suffix(acc, chr(31) || b.left_sym))
+           AND s = b.right_sym
+      THEN substr(acc, 1, length(acc) - length(b.left_sym))
+           || b.left_sym || b.right_sym
+      ELSE acc || chr(31) || s END) AS seq, f
+  FROM {prev}, b{n} AS b
+)"""
+            )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM b{n}" for n in range(1, rounds + 1))
+    parts.append(
+        f"""
+SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
+       left_sym || right_sym AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
 def bpe_merge_candidates(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
     """One byte-pair-encoding merge round over the corpus: the top-k
     adjacent character pairs by corpus frequency — the inner loop of

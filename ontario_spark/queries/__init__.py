@@ -109,7 +109,13 @@ DRIVER_SURFACE = [
     # verification never covered: the corpus-scale anchors containment
     # path, week-cohort retention, cross-corpus novelty, epoch
     # shuffling, and the skewed-key join profile.
-    "dedup_containment_anchors",
+    # round-11: dedup_containment_anchors (green r8-r10; the anchor
+    # candidate+verify machinery stays pytest-gated incl. the new
+    # anchor_jaccard recall pins) → dedup_ngram_jaccard, whose
+    # registry plan was REWRITTEN this round onto high-recall 2-row
+    # banded-verified candidates (retiring the last 100× exclusion) —
+    # the rewrite needs external verification
+    "dedup_ngram_jaccard",
     "semantic_dedup",
     # round-10: minhash_lsh_pairs (green r1-r9, the longest-green row;
     # banded-LSH candidate generation stays surface-verified via
@@ -131,10 +137,18 @@ DRIVER_SURFACE = [
     # round 9, never externally verified — the oracle-able complement
     # of the k-means IVF tier)
     "emb_cluster_assign",
-    "events_retention_cohorts",
+    # round-11: events_retention_cohorts (green r8-r10; cohort windows
+    # stay pytest-gated, events family keeps five surface rows) →
+    # label-propagation communities (round-10, never externally
+    # verified)
+    "events_communities",
     # text family: metrics rotated out round-8 (green r3-r7; the
     # family keeps perplexity + pii + novelty + chunks)
-    "text_novelty",
+    # round-11: text_novelty (green r8-r10; cross-corpus novelty stays
+    # pytest-gated, text family keeps quality_gates + regex_tokens) →
+    # interpolated bigram LM scoring (round-10, never externally
+    # verified)
+    "text_bigram_lm",
     # round-10: text_pii_scan (green r6-r9; scan-shape text analysis
     # stays repped by text_novelty + text_quality_gates) → GPT-2-style
     # regex token counting (round-9, never externally verified)
@@ -150,7 +164,11 @@ DRIVER_SURFACE = [
     # fusion, which STRICTLY CONTAINS it (the same bm25_topk call is
     # its lexical leg, plus the dense cosine leg and the fusion join)
     "retrieval_rrf_fusion",
-    "sample_epoch_order",
+    # round-11: sample_epoch_order (green r8-r10; epoch shuffling
+    # stays pytest-gated, sampling family keeps sample_weighted_topk)
+    # → in-batch negative pair sampling (round-10, never externally
+    # verified)
+    "sample_negative_pairs",
     # round-10 continuation: mm_decode_stats (green r1-r9, the
     # longest-green multimodal row; its Arrow-batched decode plumbing
     # stays pytest-gated) → real image container parsing with the
@@ -165,9 +183,17 @@ DRIVER_SURFACE = [
     # family stays surface-represented by events_scd2_history) — its
     # slot goes to the skewed-key join profile, a relational shape
     # external verification never covered
-    "q_skew_suppkey",
+    # round-11: q_skew_suppkey (green r8-r10; the salted skew-join
+    # profile stays pytest-gated, relational family keeps four rows)
+    # → PIVOT by segment×priority (round-10, never externally
+    # verified)
+    "q_pivot_segment_priority",
     # structured streaming (previously outside the checked set)
-    "stream_click_purchase",
+    # round-11: stream_click_purchase (green r4-r10) → its LEFT-OUTER
+    # interval-join widening (r9 task 8's deliverable — same join plus
+    # watermark-timed unmatched-click emission; round-10, never
+    # externally verified)
+    "stream_click_purchase_outer",
     # round-10: stream_dedup (green r4-r9; exact-dedup semantics are
     # the surface's most-repped family and the watermarked stream form
     # stays pytest-gated) → the token-budget stream cut, round 9's
@@ -198,8 +224,16 @@ DRIVER_SURFACE = [
     # sparql_group_concat (the aggregate family stays represented on
     # the surface by sparql_group_by_expr; sparql_aggregate and
     # sparql_agg_distinct sit post-cap since the round-8 swaps)
-    "sparql_named_graph",
-    "sparql_subquery",
+    # round-11: sparql_named_graph (green r4-r10; GRAPH scoping stays
+    # pytest-gated and named-graph reads ride every lslod_* surface
+    # row's catalog) → point-in-time training features (round-10,
+    # never externally verified)
+    "train_pit_features",
+    # round-11: sparql_subquery (green r5-r10; nested-SELECT
+    # compilation stays pytest-gated, SPARQL family keeps ten rows) →
+    # daily gap-fill interpolation (round-10, never externally
+    # verified)
+    "events_daily_gapfill",
     # round-6: the SPARQL 1.1 term-function tail (STRDT/STRLANG/TZ/...,
     # round-5 work never externally verified; slot from
     # sparql_agg_distinct — aggregates stay represented by
@@ -215,8 +249,14 @@ DRIVER_SURFACE = [
     # work, never externally verified); the plain inline form (green
     # r1-r7, IN-list pushdown mechanics) leads the post-cap registry
     # and stays pytest-gated
-    "sparql_values_undef",
-    "sparql_minus_setop",
+    # round-11: sparql_values_undef (green r8-r10; §10.2 UNDEF
+    # wildcard joins stay pytest-gated and surface-exercised by
+    # sparql_optional-family rows) → A/B lift z-test (round-10, never
+    # externally verified); sparql_minus_setop (green r5-r10; MINUS
+    # stays pytest-gated, negation family keeps sparql_exists_filter)
+    # → reciprocal-rank eval (round-10, never externally verified)
+    "eval_ab_lift",
+    "eval_retrieval_mrr",
     "sparql_exists_filter",
     # round-10: sparql_federated_join (green r1-r9; the SQL-wrapper
     # federation leg is strictly contained in lslod_cq6_trisource's
@@ -256,7 +296,12 @@ DRIVER_SURFACE = [
     # surface-represented by sparql_group_by_expr) → the double-OPTIONAL
     # unbound-wildcard re-join, driver signal for the round's
     # maybe_null/_join_compat §10.2 semantics
-    "sparql_optional_compat",
+    # round-11: sparql_optional_compat (green r8-r10; the §10.2
+    # unbound-wildcard re-join stays pytest-gated and OPTIONAL stays
+    # surface-verified via lslod_cq5_optional_star + lslod_cq6) →
+    # ANN recall readout vs the exact oracle (round-10, never
+    # externally verified)
+    "eval_ann_recall",
     "sparql_nested_iterator",
     # round-9 swap: sparql_describe (green r5-r8; DESCRIBE stays
     # pytest-gated and its s/p/o graph shape is driver-checked via
@@ -274,7 +319,11 @@ DRIVER_SURFACE = [
     # sparql_date_filter_bind; date/BIND stays in the filter-functions
     # family). The displaced rows lead the post-cap registry
     # (near_cap) and stay under the pytest golden gate.
-    "events_scd2_history",
+    # round-11: events_scd2_history (green r5-r10; SCD2 versioning
+    # stays pytest-gated) → MERGE-style changelog apply, the same
+    # lakehouse-maintenance family's round-10 row, never externally
+    # verified
+    "events_apply_changelog",
     # round-10 continuation: fuzzy_part_names (green r6-r9) →
     # Fellegi-Sunter record linkage, which STRICTLY WIDENS it (the
     # same q-gram blocking + Levenshtein verify is the name feature,
@@ -290,7 +339,12 @@ DRIVER_SURFACE = [
     # (quality gates + URL canonicalization + near-dup in one plan)
     "pipeline_web_curation",
     # relational shapes not evidenced by the SPARQL/pipeline entries
-    "q1_pricing_summary",
+    # round-11: q1_pricing_summary (green r1-r10, the longest-green
+    # row; the scan+agg shape stays surface-verified via
+    # q_cube_flag_status below and the full TPC-H pytest suite) → the
+    # composed training-set pipeline (round-10, never externally
+    # verified)
+    "pipeline_training_set",
     # round-10 continuation session: q3_shipping_priority (green
     # r1-r9; the filtered join+agg+topn shape stays covered by q1 +
     # q_skew_suppkey + q_rollup_flag_status on the surface and the
@@ -302,7 +356,10 @@ DRIVER_SURFACE = [
     # and sample_weighted_topk's ordered selection) → Z-order layout
     # keys, round 9's storage-layout row, never externally verified
     "q_zorder_layout",
-    "q_rollup_flag_status",
+    # round-11: q_rollup_flag_status (green r7-r10) → its CUBE
+    # widening (ROLLUP's grouping sets are a strict subset of CUBE's;
+    # round-10, never externally verified)
+    "q_cube_flag_status",
 ]
 
 

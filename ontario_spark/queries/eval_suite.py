@@ -391,8 +391,16 @@ def eval_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0)).alias("n_t"),
         F.sum(F.when(F.col("variant") == "treatment", F.col("converted")).otherwise(0)).alias("x_t"),
     )
-    p_c = F.col("x_c").cast("double") / F.col("n_c").cast("double")
-    p_t = F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    # degenerate-split guard (round-11 ADVICE): an empty variant on a
+    # tiny/skewed fixture must yield 0.0 rates in BOTH engines, not an
+    # engine-specific NULL/NaN from x/0 — same convention as z_stat's
+    # se > 0 guard
+    p_c = F.when(
+        F.col("n_c") > 0, F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    ).otherwise(F.lit(0.0))
+    p_t = F.when(
+        F.col("n_t") > 0, F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    ).otherwise(F.lit(0.0))
     p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
         F.col("n_c") + F.col("n_t")
     ).cast("double")
@@ -436,22 +444,27 @@ WITH pu AS (
     CAST(SUM(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS x_t
   FROM v
 )
+, r AS (
+  SELECT n_c, x_c, n_t, x_t,
+    CASE WHEN n_c > 0 THEN CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+         ELSE 0.0 END AS p_c,
+    CASE WHEN n_t > 0 THEN CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+         ELSE 0.0 END AS p_t,
+    CASE WHEN n_c > 0 AND n_t > 0 THEN
+      sqrt((CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+           * (1.0 - CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+           * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE)))
+      ELSE 0.0 END AS se
+  FROM c
+)
 SELECT n_c AS n_control, x_c AS conv_control,
        n_t AS n_treatment, x_t AS conv_treatment,
-       ROUND(CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9) AS rate_control,
-       ROUND(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE), 9) AS rate_treatment,
-       ROUND(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
-             - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 9) AS abs_lift,
-       CASE WHEN sqrt((CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
-                 * (1.0 - CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
-                 * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))) > 0
-            THEN ROUND((CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
-                        - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
-             / sqrt((CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
-                    * (1.0 - CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
-                    * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE))), 9)
+       ROUND(p_c, 9) AS rate_control,
+       ROUND(p_t, 9) AS rate_treatment,
+       ROUND(p_t - p_c, 9) AS abs_lift,
+       CASE WHEN se > 0 THEN ROUND((p_t - p_c) / se, 9)
             ELSE 0.0 END AS z_stat
-FROM c
+FROM r
 """
 
 

@@ -217,45 +217,35 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_doc_freq is the corpus-scale skew guard (a shingle in d docs
-    # fans out d² candidate rows on one join key); 1000 is far above any
-    # real shingle frequency in the fixture, so results here are exact —
-    # the oracle replicates the cap so the contract is checked end-to-end.
-    return dedup.ngram_jaccard_pairs(
+    """Bounded HIGH-RECALL n-gram Jaccard join (round 11, retiring the
+    last 100× exclusion): 24 two-row MinHash bands generate
+    similarity-selective candidates, each verified with TRUE n-gram
+    Jaccard — recall 1-(1-J²)²⁴ (95.7% at the 0.35 threshold, >99.9%
+    at the J ≥ 0.5 pairs dedup acts on) vs ``dedup_lsh_verified``'s
+    standard 16/8 tier (64% at 0.35); scores exact for every emitted
+    pair. Why not the other bounded generators (measured on the
+    10×/50k-doc probe corpus, SCALE.md round-11 section): single-
+    shared-shingle candidacy — the exact self-join AND the bottom-k
+    anchor sketch (``dedup.anchor_jaccard_pairs``) — is doc-frequency-
+    driven and quadratic under a fixed vocabulary (46.8M anchor
+    candidates = 937/doc; disk-full at 10×), and 1-row banding
+    degenerates the same way (15.6M); 2-row banding held at 281k
+    candidates = 5.6/doc. The exact tier stays a pytest fixture op;
+    anchors stay the long-tail-corpus/near-total-recall tier,
+    recall-pinned in pytest."""
+    return dedup.lsh_verified_jaccard_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=3,
         threshold=0.35,
-        max_doc_freq=1000,
+        num_hashes=48,
+        bands=24,
     )
 
 
-DEDUP_JACCARD_SQL = """
-WITH sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, GREATEST(array_length(w) - 1, 1)),
-           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
-        FROM documents)
-), ex AS (
-  SELECT doc_id, array_length(shingles) AS n_sh, unnest(shingles) AS shingle
-  FROM sh
-), rare AS (
-  SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 1000
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common,
-         ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
-  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  JOIN rare r ON a.shingle = r.shingle
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT id_a, id_b,
-       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
-FROM pairs
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
-"""
+# DEDUP_JACCARD_SQL is assigned below, after _lsh_verified_sql (the
+# shared generator both verified-LSH rows unroll from) is defined.
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,10 +1018,13 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_lsh_verified_sql() -> str:
+def _lsh_verified_sql(k: int, bands: int, threshold: float) -> str:
+    """Shared unrolled replay of ``dedup.lsh_verified_jaccard_pairs``
+    for any (num_hashes, bands) configuration — used by both the
+    standard-recall row (``dedup_lsh_verified``, 16/8) and the
+    high-recall row (``dedup_ngram_jaccard``, 48/24, round 11)."""
     from ontario_spark.operators.dedup import _MERSENNE, _seed_coeffs
 
-    k, bands = 16, 8
     r = k // bands
     mins = ",\n    ".join(
         f"MIN((h * {a} + {b}) % {_MERSENNE}) AS mh{i}"
@@ -1079,11 +1072,12 @@ WITH sh AS (
 SELECT id_a, id_b,
        CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
 FROM pairs
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.35
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {threshold}
 """
 
 
-DEDUP_LSH_VERIFIED_SQL = _dedup_lsh_verified_sql()
+DEDUP_LSH_VERIFIED_SQL = _lsh_verified_sql(16, 8, 0.35)
+DEDUP_JACCARD_SQL = _lsh_verified_sql(48, 24, 0.35)
 
 
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1301,6 +1295,26 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
        pair, CAST(pair_count AS BIGINT) AS pair_count
 FROM (SELECT * FROM agg ORDER BY pair_count DESC, pair LIMIT 20)
 """
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight iterated BPE merge rounds (round 11): each round's argmax
+    pair is APPLIED to every word's symbol sequence before the next
+    count — real tokenizer training, not the single-round candidate
+    profile (operators/textops.py::bpe_train_merges; greedy-fold
+    semantics hand-pinned in pytest)."""
+    from ontario_spark.operators.textops import bpe_train_merges
+
+    return bpe_train_merges(table(spark, sf_dir, "documents"), "text", rounds=8)
+
+
+def _bpe_train_sql() -> str:
+    from ontario_spark.operators.textops import bpe_train_sql
+
+    return bpe_train_sql("documents", "text", rounds=8)
+
+
+TEXT_BPE_MERGES_SQL = _bpe_train_sql()
 
 
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2246,8 +2260,13 @@ def text_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 rem == 0,
                 F.concat(
-                    F.lit(" Copyright (c) 20"),
-                    (F.col("doc_id") % 30).cast("string"),
+                    # 2000 + doc_id%30 is ALWAYS four digits, so every
+                    # rem==0 plant is visible to the \d{4} copyright
+                    # pattern (round-11 ADVICE: '20' || residue yielded
+                    # 3-digit years for single-digit residues, silently
+                    # halving n_copyright's data-dependence)
+                    F.lit(" Copyright (c) "),
+                    (F.col("doc_id") % 30 + 2000).cast("string"),
                     F.lit(" Example Corp. All rights reserved."),
                 ),
             )
@@ -2304,7 +2323,7 @@ TEXT_LICENSE_SCAN_SQL = """
 WITH planted AS (
   SELECT doc_id, source,
          text || CASE doc_id % 5
-           WHEN 0 THEN ' Copyright (c) 20' || CAST(doc_id % 30 AS VARCHAR)
+           WHEN 0 THEN ' Copyright (c) ' || CAST(doc_id % 30 + 2000 AS VARCHAR)
                        || ' Example Corp. All rights reserved.'
            WHEN 1 THEN ' SPDX-License-Identifier: MIT'
            WHEN 2 THEN ' This work is licensed under a Creative Commons'
@@ -2865,19 +2884,14 @@ def _bm25_sql() -> str:
 BM25_TOPK_SQL = _bm25_sql()
 
 
-def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image container parsing over synthesized payloads (round
-    10 — the image sibling of mm_audio/mm_video): each document
-    becomes a PNG, JPEG, GIF, or TIFF whose dimensions derive from
-    doc_id (every 5th payload is corrupt text bytes that must yield
-    NULLs); parse_image_header recovers format + dims from raw bytes —
-    PNG IHDR (big-endian), JPEG SOF scan, GIF logical screen
-    descriptor (little-endian), TIFF IFD walk under BOTH byte orders
-    (alternating II/MM by doc_id — the EXIF container) — and the
-    oracle recomputes them arithmetically, verifying the byte
-    roundtrip end-to-end."""
+def _synth_image_media(docs: DataFrame) -> DataFrame:
+    """Documents → synthesized image payloads (media_id, media_type,
+    payload): each doc becomes a PNG / JPEG / GIF / TIFF whose
+    dimensions derive from doc_id, every 5th payload corrupt text
+    bytes. Shared by ``mm_image_metadata`` and the round-11
+    ``pipeline_image_text_curation`` row so both parse the SAME real
+    container bytes."""
     from ontario_spark.operators.multimodal import (
-        image_metadata,
         synth_gif,
         synth_jpeg,
         synth_png,
@@ -2926,9 +2940,25 @@ def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = docs.mapInPandas(synth, media_schema)
-    return image_metadata(media)
+    return docs.select("doc_id", "text").mapInPandas(synth, media_schema)
+
+
+def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image container parsing over synthesized payloads (round
+    10 — the image sibling of mm_audio/mm_video): each document
+    becomes a PNG, JPEG, GIF, or TIFF whose dimensions derive from
+    doc_id (every 5th payload is corrupt text bytes that must yield
+    NULLs); parse_image_header recovers format + dims from raw bytes —
+    PNG IHDR (big-endian), JPEG SOF scan, GIF logical screen
+    descriptor (little-endian), TIFF IFD walk under BOTH byte orders
+    (alternating II/MM by doc_id — the EXIF container) — and the
+    oracle recomputes them arithmetically, verifying the byte
+    roundtrip end-to-end."""
+    from ontario_spark.operators.multimodal import image_metadata
+
+    return image_metadata(
+        _synth_image_media(table(spark, sf_dir, "documents"))
+    )
 
 
 MM_IMAGE_METADATA_SQL = """
@@ -3376,6 +3406,97 @@ SELECT doc_id, CAST(n_words AS INT) AS n_words,
         AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
         AND (alpha_frac >= 0.8) AND (stop_hits >= 2)) AS pass_all
 FROM m
+"""
+
+
+def pipeline_image_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text pair curation (round 11, VERDICT r10 task 5) — the
+    standard pre-CLIP-training filter chain over (image, caption)
+    pairs, all engine-portable expressions in ONE lazy plan: the
+    image leg REALLY parses the synthesized container bytes
+    (``_synth_image_media`` → ``image_metadata``, the
+    mm_image_metadata machinery) and gates on parse success, minimum
+    dimension (≥64px), and aspect ratio (longest side ≤ 3× the
+    shortest — integer arithmetic, no division); the caption leg runs
+    the Gopher quality gates; the two join on the pair id and the
+    output is the per-source cumulative funnel every curation run
+    reports. The oracle recomputes the image columns arithmetically
+    (verifying the byte roundtrip) and replays the caption gates."""
+    docs = table(spark, sf_dir, "documents")
+    from ontario_spark.operators.multimodal import image_metadata
+
+    img = image_metadata(_synth_image_media(docs)).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("format").isNotNull().alias("__parsed"),
+        ((F.col("width") >= 64) & (F.col("height") >= 64)).alias("__size_ok"),
+        (
+            (F.col("width") <= 3 * F.col("height"))
+            & (F.col("height") <= 3 * F.col("width"))
+        ).alias("__aspect_ok"),
+    )
+    cap = textops.quality_gates(docs, "doc_id", "text").select(
+        "doc_id", F.col("pass_all").alias("__cap_ok")
+    )
+    pairs = (
+        docs.select("doc_id", "source")
+        .join(img, "doc_id")
+        .join(cap, "doc_id")
+    )
+    i1 = F.col("__parsed")
+    i2 = i1 & F.col("__size_ok")
+    i3 = i2 & F.col("__aspect_ok")
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(i1.cast("int")).cast("long").alias("n_img_parsed"),
+        F.sum(i2.cast("int")).cast("long").alias("n_img_sized"),
+        F.sum(i3.cast("int")).cast("long").alias("n_img_ok"),
+        F.sum(F.col("__cap_ok").cast("int")).cast("long").alias("n_caption_ok"),
+        F.sum((i3 & F.col("__cap_ok")).cast("int")).cast("long").alias("n_kept"),
+    )
+
+
+PIPELINE_IMAGE_TEXT_CURATION_SQL = r"""
+WITH img AS (
+  SELECT doc_id, source,
+         (doc_id % 5 <> 4) AS parsed,
+         CASE WHEN doc_id % 5 = 4 THEN NULL
+              ELSE 16 + (doc_id * 7) % 1000 END AS width,
+         CASE WHEN doc_id % 5 = 4 THEN NULL
+              ELSE 16 + (doc_id * 13) % 800 END AS height
+  FROM documents
+), gates AS (
+  SELECT doc_id,
+         (n_words >= 20 AND n_words <= 100000
+          AND mean_wl >= 3.0 AND mean_wl <= 10.0
+          AND alpha_frac >= 0.8 AND stop_hits >= 2) AS cap_ok
+  FROM (
+    SELECT doc_id,
+           array_length(toks) AS n_words,
+           CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                AS DOUBLE) / array_length(toks) AS mean_wl,
+           CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                AS DOUBLE) / array_length(toks) AS alpha_frac,
+           len(list_filter(toks, w -> lower(w) IN
+               ('the','be','to','of','and','that','have','with'))) AS stop_hits
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents)
+  )
+), flags AS (
+  SELECT source,
+         parsed AS i1,
+         (parsed AND width >= 64 AND height >= 64) AS i2,
+         (parsed AND width >= 64 AND height >= 64
+          AND width <= 3 * height AND height <= 3 * width) AS i3,
+         cap_ok
+  FROM img JOIN gates USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN i1 THEN 1 ELSE 0 END) AS BIGINT) AS n_img_parsed,
+       CAST(SUM(CASE WHEN i2 THEN 1 ELSE 0 END) AS BIGINT) AS n_img_sized,
+       CAST(SUM(CASE WHEN i3 THEN 1 ELSE 0 END) AS BIGINT) AS n_img_ok,
+       CAST(SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_ok,
+       CAST(SUM(CASE WHEN i3 AND cap_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flags GROUP BY source
 """
 
 
@@ -4151,6 +4272,7 @@ QUERIES = {
     "corpus_source_overlap": corpus_source_overlap,
     "text_tfidf_terms": text_tfidf_terms,
     "vocab_merge_candidates": vocab_merge_candidates,
+    "text_bpe_merges": text_bpe_merges,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
@@ -4185,6 +4307,7 @@ QUERIES = {
     "text_novelty": text_novelty,
     "pipeline_corpus_curation": pipeline_corpus_curation,
     "pipeline_web_curation": pipeline_web_curation,
+    "pipeline_image_text_curation": pipeline_image_text_curation,
     "pipeline_decontaminated_corpus": pipeline_decontaminated_corpus,
     "pack_doc_sequences": pack_doc_sequences,
     "mm_decode_stats": mm_decode_stats,
@@ -4243,6 +4366,7 @@ ORACLE = {
     "corpus_source_overlap": CORPUS_SOURCE_OVERLAP_SQL,
     "text_tfidf_terms": TEXT_TFIDF_SQL,
     "vocab_merge_candidates": VOCAB_MERGE_SQL,
+    "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
@@ -4275,6 +4399,7 @@ ORACLE = {
     "text_novelty": TEXT_NOVELTY_SQL,
     "pipeline_corpus_curation": PIPELINE_CURATION_SQL,
     "pipeline_web_curation": PIPELINE_WEB_CURATION_SQL,
+    "pipeline_image_text_curation": PIPELINE_IMAGE_TEXT_CURATION_SQL,
     "pipeline_decontaminated_corpus": PIPELINE_DECONTAM_SQL,
     "pack_doc_sequences": PACK_DOC_SEQUENCES_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,

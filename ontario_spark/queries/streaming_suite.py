@@ -140,7 +140,12 @@ def stream_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     across both inputs of (max event time − 2h delay), and an
     unmatched click surfaces only when click_ts + 1h falls strictly
     behind it — the final click of the replay stays correctly held in
-    state, so the batch oracle must hold it back too."""
+    state, so the batch oracle must hold it back too. The STRICT ``<``
+    here vs the rollup oracle's ``<=`` is deliberate: Spark evicts
+    join state strictly but emits windows whose end EQUALS the
+    watermark — both comparators are pinned on-the-boundary by
+    tests/test_streaming.py::
+    test_watermark_boundary_emission_conventions (round-11 ADVICE)."""
     stream = read_event_stream(spark, sf_dir)
     return run_available_now(
         interval_join(stream, how="left_outer"),
@@ -268,7 +273,10 @@ def stream_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained_daily_rollup). The oracle replays the append-mode cutoff:
     a daily window emits once the watermark (max event ts − 2h) passes
     its end, so the final partial day is correctly held in state and
-    the batch SQL must hold it back too."""
+    the batch SQL must hold it back too. Window ends emit ON equality
+    (``<=``), unlike join-state eviction's strict ``<`` — both pinned
+    by tests/test_streaming.py::
+    test_watermark_boundary_emission_conventions (round-11 ADVICE)."""
     stream = read_event_stream(spark, sf_dir)
     return run_available_now(
         chained_daily_rollup(stream),

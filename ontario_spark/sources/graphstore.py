@@ -185,6 +185,47 @@ def executor_from_graph(
     return execr
 
 
+def interpreter_bolt_driver(graph):
+    """In-process bolt TRANSPORT: speaks the neo4j driver's exact
+    session surface (``driver.session(database=...)`` context manager,
+    ``run(cypher)`` yielding records with ``.data()``), backed by the
+    tested Cypher interpreter — so the catalog (and therefore the
+    bench row ``sparql_cypher_join``) routes through
+    ``bolt_executor``'s production call path without the wheel
+    (round 11, VERDICT r10 task 6; the Derby/spark_doc_executor
+    pattern). ``graph`` is a node dict or a zero-arg callable resolved
+    lazily per ``run()`` so parquet loads stay deferred."""
+
+    class _Record:
+        __slots__ = ("_row",)
+
+        def __init__(self, row: dict):
+            self._row = row
+
+        def data(self) -> dict:
+            return dict(self._row)
+
+    class _Session:
+        def __init__(self, database):
+            self.database = database
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def run(self, cypher: str):
+            g = graph() if callable(graph) else graph
+            return [_Record(r) for r in run_cypher(cypher, g)]
+
+    class _Driver:
+        def session(self, database=None):
+            return _Session(database)
+
+    return _Driver()
+
+
 def bolt_executor(
     uri: str | None = None,
     auth: "tuple[str, str] | None" = None,

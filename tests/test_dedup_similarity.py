@@ -91,6 +91,76 @@ def test_bucketed_topk_recall_vs_bruteforce(spark, sf_small):
     assert all(1 <= r.rank <= 3 for r in bk)
 
 
+def test_anchor_jaccard_recall_and_exact_scores(spark, sf_small):
+    """The round-11 bounded registry tier: anchor-candidate Jaccard
+    must emit a SUBSET of the exact self-join's pairs (candidates can
+    only miss, never invent) with IDENTICAL scores on shared pairs,
+    and at the default k=16 the miss probability per true pair is
+    ≤1e-6 — so on this fixture the recall is exactly 1."""
+    docs = table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35, max_doc_freq=1000
+        ).collect()
+    }
+    anch = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in dedup.anchor_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35
+        ).collect()
+    }
+    assert exact  # fixture must contain near-dups or this test is vacuous
+    assert anch == exact  # full recall AND exact scores at fixture scale
+
+
+def test_anchor_jaccard_tight_k_still_subset(spark, sf_small):
+    """Starving the sketch (k=1) degrades recall but NEVER correctness:
+    every emitted pair is still exact-verified, so scores match the
+    exact join's on whatever survives."""
+    docs = table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35, max_doc_freq=1000
+        ).collect()
+    }
+    tight = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in dedup.anchor_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35, k_anchors=1
+        ).collect()
+    }
+    assert set(tight) <= set(exact)
+    assert all(exact[p] == s for p, s in tight.items())
+
+
+def test_highrecall_banded_jaccard_vs_exact(spark, sf_small):
+    """The round-11 registry tier for dedup_ngram_jaccard: 24 two-row
+    bands + exact verify. Candidates can only miss, never invent —
+    emitted pairs are a subset of the exact join's with IDENTICAL
+    scores — and at 1-(1-J²)²⁴ the measured recall on the fixture's
+    pair population must clear 0.9 (it is 1.0 on this fixture)."""
+    docs = table(spark, sf_small, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35, max_doc_freq=1000
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+        for r in dedup.lsh_verified_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.35,
+            num_hashes=48, bands=24,
+        ).collect()
+    }
+    assert exact
+    assert set(banded) <= set(exact)
+    assert all(exact[p] == s for p, s in banded.items())
+    assert len(banded) / len(exact) >= 0.9
+
+
 def test_prefix_jaccard_complete_vs_exact(spark, sf_small):
     """The prefix-filtering theorem in practice: the candidate-pruned
     join must return EXACTLY the exact self-join's pairs (complete

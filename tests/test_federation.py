@@ -977,11 +977,17 @@ def test_cypher_join_through_bolt_executor_injected_transport(spark, sf_small):
         (r["name"], r["nname"])
         for r in SparqlEngine(spark, cat).query(sparql).collect()
     )
+    # interpreter-DIRECT baseline (round 11: the catalog itself now
+    # wires the bolt path, so rebuild the executor without it)
+    from ontario_spark.sources.graphstore import executor_from_graph
+
+    cat2 = tpch_cypher_catalog(sf_small)
+    cat2.executors["remote_graph"] = executor_from_graph(
+        lambda: {"Customer": load("customer")}
+    )
     want = sorted(
         (r["name"], r["nname"])
-        for r in SparqlEngine(spark, tpch_cypher_catalog(sf_small))
-        .query(sparql)
-        .collect()
+        for r in SparqlEngine(spark, cat2).query(sparql).collect()
     )
     assert got == want and len(got) > 0
     # the executor used the injected transport correctly: a session per

@@ -63,6 +63,34 @@ def test_all_oracles_match_at_sf01(spark):
         assert_match(q[name](spark, sf), run_oracle(o[name], sf), name)
 
 
+def test_bpe_train_merges_hand_computed(spark):
+    """Pin the iterated loop's semantics on a corpus small enough to
+    run BPE by hand — argmax tiebreak, greedy left-to-right
+    non-overlapping application, and merged symbols feeding the next
+    round's counts."""
+    from ontario_spark.operators.textops import bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aab")], ["doc_id", "text"]
+    )
+    # word freqs: aaab=2, aab=1
+    # r1 pairs: aaab -> (a,a)x2, (a,b) each x2; aab -> (a,a), (a,b)
+    #   (a,a)=5, (a,b)=3 -> merge (a,a)
+    #   greedy: aaab -> [aa,a,b]; aab -> [aa,b]
+    # r2 pairs: (aa,a)=2, (a,b)=2, (aa,b)=1 -> tie 2/2 broken
+    #   lexicographically: (a,b) < (aa,a) -> merge (a,b)
+    #   aaab -> [aa,ab]; aab -> [aa,b] (no a before b any more? aab is
+    #   [aa,b]: pair (aa,b) untouched)
+    # r3 pairs: (aa,ab)=2, (aa,b)=1 -> merge (aa,ab)
+    out = {
+        r.merge_rank: (r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in bpe_train_merges(df, "text", rounds=3).collect()
+    }
+    assert out[1] == ("a", "a", "aa", 5)
+    assert out[2] == ("a", "b", "ab", 2)
+    assert out[3] == ("aa", "ab", "aaab", 2)
+
+
 def test_bpe_merge_candidates_hand_counted(spark):
     from ontario_spark.operators.textops import bpe_merge_candidates
 

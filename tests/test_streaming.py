@@ -526,3 +526,89 @@ def test_chained_daily_rollup_holds_back_open_day(spark, sf_small):
     }
     closed = {d for d in all_days if d + datetime.timedelta(days=1) <= cutoff}
     assert emitted_days == closed
+
+
+def test_watermark_boundary_emission_conventions(spark, tmp_path):
+    """Pin Spark's ON-THE-BOUNDARY emission semantics that the replay
+    oracles encode (round-11 ADVICE: the two oracles use different
+    comparators — prove both match the engine rather than unifying
+    them wrongly). Empirically, with the final watermark landing
+    EXACTLY on the cutoff:
+
+    - windowed aggregation (append): a window whose END == watermark
+      IS emitted → the rollup oracle's ``window_end <= wm`` is right;
+    - outer stream–stream join: an unmatched left row whose interval
+      end (l_ts + within) == watermark is NOT emitted (state eviction
+      is strict) → the outer-join oracle's ``l_ts + within < wm`` is
+      right.
+    """
+    import os
+
+    import pandas as pd
+
+    from ontario_spark.streaming.events import (
+        EVENT_SCHEMA,
+        chained_daily_rollup,
+        interval_join,
+        run_available_now,
+    )
+
+    def write_events(d, rows):
+        os.makedirs(d, exist_ok=True)
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(f"{d}/events.parquet", coerce_timestamps="us")
+
+    def stream(d):
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+        )
+
+    # max ts 02:00:00 → wm = day-02 00:00:00 == end of the day-01 window
+    d1 = str(tmp_path / "agg_on")
+    write_events(d1, [
+        (1, "2024-01-01 05:00:00", 1, "click", 1.0, ""),
+        (2, "2024-01-01 23:30:00", 1, "click", 2.0, ""),
+        (3, "2024-01-02 02:00:00", 1, "click", 4.0, ""),
+    ])
+    out = run_available_now(
+        chained_daily_rollup(stream(d1)), "wm_bound_agg", output_mode="append"
+    )
+    days = {str(r["day"])[:10] for r in out.collect()}
+    assert "2024-01-01" in days  # emit-on-equality for window ends
+    assert "2024-01-02" not in days  # open day held in state
+
+    # wm = min(max_l, max_r) - 2h = 11:00 == unmatched click's ts + 1h
+    d2 = str(tmp_path / "join_on")
+    write_events(d2, [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, ""),
+        (2, "2024-01-01 13:00:00", 7, "purchase", 1.0, ""),
+        (3, "2024-01-01 13:00:00", 8, "click", 1.0, ""),
+    ])
+    out2 = run_available_now(
+        interval_join(stream(d2), how="left_outer"),
+        "wm_bound_join",
+        output_mode="append",
+    )
+    unmatched = {r["l_event"] for r in out2.collect() if r["r_event"] is None}
+    assert 1 not in unmatched  # strict eviction: equality still held
+
+    # one second past the boundary the same click DOES surface
+    d3 = str(tmp_path / "join_past")
+    write_events(d3, [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, ""),
+        (2, "2024-01-01 13:00:01", 7, "purchase", 1.0, ""),
+        (3, "2024-01-01 13:00:01", 8, "click", 1.0, ""),
+    ])
+    out3 = run_available_now(
+        interval_join(stream(d3), how="left_outer"),
+        "wm_past_join",
+        output_mode="append",
+    )
+    unmatched3 = {r["l_event"] for r in out3.collect() if r["r_event"] is None}
+    assert 1 in unmatched3
