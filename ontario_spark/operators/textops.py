@@ -898,6 +898,46 @@ def bpe_train_merges(
     appends. A fused symbol is ``left||right`` ≠ ``left``, so it can
     never re-fuse in the same round — exactly textbook left-to-right
     non-overlapping semantics, pinned by a hand-computed pytest."""
+    best_rows, _ = _bpe_train_core(df, text_col, rounds, apply_last=False)
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_rank",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )
+
+
+def _bpe_fold(seq_col: Column, l: Column, r: Column) -> Column:
+    """One greedy left-to-right non-overlapping merge application over
+    a SEP-delimited symbol sequence (the fold both engines share)."""
+    sep = F.lit(_BPE_SEP)
+
+    def step(acc, s):
+        hit = ((acc == l) | acc.endswith(F.concat(sep, l))) & (s == r)
+        return F.when(
+            hit,
+            F.concat(F.substring(acc, 1, F.length(acc) - F.length(l)), l, r),
+        ).otherwise(F.concat(acc, sep, s))
+
+    syms = F.split(seq_col, _BPE_SEP)
+    return F.aggregate(
+        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+        F.element_at(syms, 1),
+        step,
+    )
+
+
+def _bpe_train_core(
+    df: DataFrame, text_col: str, rounds: int, apply_last: bool
+):
+    """Shared BPE training loop: returns (per-round argmax frames,
+    final word→sequence vocab frame ``(w, seq, f)``). ``apply_last``
+    controls whether the last round's merge is folded into the vocab —
+    training only reports it; encoding must apply it."""
     from ontario_spark.operators.graph import _pin
 
     wf = _pin(
@@ -908,11 +948,11 @@ def bpe_train_merges(
         .agg(F.count(F.lit(1)).alias("f"))
         .filter(F.length("w") >= 2)
         .select(
+            "w",
             F.array_join(F.split(F.col("w"), ""), _BPE_SEP).alias("seq"),
             "f",
         )
     )
-    sep = F.lit(_BPE_SEP)
     best_rows = []
     for rnd in range(1, rounds + 1):
         syms = F.split(F.col("seq"), _BPE_SEP)
@@ -935,25 +975,8 @@ def bpe_train_merges(
             )
         )
         best_rows.append(best)
-        if rnd == rounds:
+        if rnd == rounds and not apply_last:
             break  # the last merge is reported but needn't be applied
-        l, r = F.col("left_sym"), F.col("right_sym")
-
-        def step(acc, s):
-            hit = ((acc == l) | acc.endswith(F.concat(sep, l))) & (s == r)
-            return F.when(
-                hit,
-                F.concat(
-                    F.substring(acc, 1, F.length(acc) - F.length(l)), l, r
-                ),
-            ).otherwise(F.concat(acc, sep, s))
-
-        syms2 = F.split(F.col("seq"), _BPE_SEP)
-        folded = F.aggregate(
-            F.slice(syms2, 2, F.greatest(F.size(syms2) - 1, F.lit(0))),
-            F.element_at(syms2, 1),
-            step,
-        )
         # every pinned round stays alive until the caller executes the
         # returned union (each b{n} reads its own wf{n-1}); the held
         # frames are distinct-VOCAB tables — sublinear in corpus size —
@@ -961,30 +984,62 @@ def bpe_train_merges(
         # localCheckpoint early would truncate lineage out from under
         # the not-yet-collected argmax rows
         wf = _pin(
-            wf.crossJoin(F.broadcast(best)).select(folded.alias("seq"), "f")
+            wf.crossJoin(F.broadcast(best)).select(
+                "w",
+                _bpe_fold(
+                    F.col("seq"), F.col("left_sym"), F.col("right_sym")
+                ).alias("seq"),
+                "f",
+            )
         )
-    out = best_rows[0]
-    for b in best_rows[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "merge_rank",
-        "left_sym",
-        "right_sym",
-        F.concat("left_sym", "right_sym").alias("merged"),
-        F.col("cnt").cast("long").alias("pair_count"),
+    return best_rows, wf
+
+
+def bpe_encode_stats(
+    df: DataFrame, id_col: str, text_col: str, rounds: int = 8
+) -> DataFrame:
+    """Tokenizer APPLICATION (round 11): train ``rounds`` BPE merges on
+    the corpus, apply them all, and report per-document token stats —
+    ``(id, n_words, n_chars, n_tokens)`` where n_tokens counts the
+    BPE symbols each word ends with. The word-level work rides the
+    distinct-word VOCAB (sublinear in corpus size); documents join
+    back to it on the word — the standard tokenize-by-vocab-join
+    shape. Words the trainer never saw (length < 2) count 1 token;
+    n_chars counts lowercased word characters (whitespace excluded),
+    so n_tokens/n_chars is the compression the learned merges buy."""
+    _, vocab = _bpe_train_core(df, text_col, rounds, apply_last=True)
+    n_sym = F.size(F.split(F.col("seq"), _BPE_SEP))
+    v = vocab.select("w", n_sym.alias("__n_sym"))
+    words = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(id_col, F.lower(F.col("w")).alias("w"))
+    )
+    return (
+        words.join(v, "w", "left_outer")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.coalesce(F.col("__n_sym"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
     )
 
 
-def bpe_train_sql(source: str, text_col: str, rounds: int = 8) -> str:
-    """The unrolled DuckDB replay of ``bpe_train_merges`` — identical
-    tokenization, pair counts, argmax tiebreak, and greedy fold
-    (``list_reduce`` over the same SEP-delimited sequences)."""
+def _bpe_sql_ctes(
+    source: str, text_col: str, rounds: int, apply_last: bool
+) -> str:
+    """The WITH-chain both BPE oracles share: tok → wf0 → per-round
+    (p{n} pair counts, b{n} argmax, wf{n} merge-applied vocab) —
+    mirroring ``_bpe_train_core`` CTE-for-frame."""
     parts = [
         f"""WITH tok AS (
   SELECT lower(unnest(regexp_split_to_array(trim({text_col}), '\\s+'))) AS w
   FROM {source}
 ), wf0 AS (
-  SELECT array_to_string(regexp_split_to_array(w, ''), chr(31)) AS seq,
+  SELECT w, array_to_string(regexp_split_to_array(w, ''), chr(31)) AS seq,
          COUNT(*) AS f
   FROM tok WHERE length(w) >= 2 GROUP BY w
 )"""
@@ -1002,10 +1057,10 @@ def bpe_train_sql(source: str, text_col: str, rounds: int = 8) -> str:
   FROM p{n} GROUP BY p.l, p.r ORDER BY cnt DESC, p.l, p.r LIMIT 1
 )"""
         )
-        if n < rounds:
+        if n < rounds or apply_last:
             parts.append(
                 f""", wf{n} AS (
-  SELECT list_reduce(string_to_array(seq, chr(31)),
+  SELECT w, list_reduce(string_to_array(seq, chr(31)),
     (acc, s) -> CASE
       WHEN (acc = b.left_sym OR suffix(acc, chr(31) || b.left_sym))
            AND s = b.right_sym
@@ -1015,14 +1070,45 @@ def bpe_train_sql(source: str, text_col: str, rounds: int = 8) -> str:
   FROM {prev}, b{n} AS b
 )"""
             )
+    return "".join(parts)
+
+
+def bpe_train_sql(source: str, text_col: str, rounds: int = 8) -> str:
+    """The unrolled DuckDB replay of ``bpe_train_merges`` — identical
+    tokenization, pair counts, argmax tiebreak, and greedy fold
+    (``list_reduce`` over the same SEP-delimited sequences)."""
     union = "\nUNION ALL\n".join(f"SELECT * FROM b{n}" for n in range(1, rounds + 1))
-    parts.append(
-        f"""
+    return (
+        _bpe_sql_ctes(source, text_col, rounds, apply_last=False)
+        + f"""
 SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
        left_sym || right_sym AS merged, CAST(cnt AS BIGINT) AS pair_count
 FROM ({union})"""
     )
-    return "".join(parts)
+
+
+def bpe_encode_sql(
+    source: str, id_col: str, text_col: str, rounds: int = 8
+) -> str:
+    """The unrolled DuckDB replay of ``bpe_encode_stats``: the same
+    training chain with every merge APPLIED, then documents tokenize
+    by joining the final vocab."""
+    return (
+        _bpe_sql_ctes(source, text_col, rounds, apply_last=True)
+        + f""", vocab AS (
+  SELECT w, array_length(string_to_array(seq, chr(31))) AS n_sym
+  FROM wf{rounds}
+), dw AS (
+  SELECT {id_col},
+         lower(unnest(regexp_split_to_array(trim({text_col}), '\\s+'))) AS w
+  FROM {source}
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       CAST(SUM(COALESCE(n_sym, 1)) AS BIGINT) AS n_tokens
+FROM dw LEFT JOIN vocab USING (w)
+GROUP BY {id_col}"""
+    )
 
 
 def bpe_merge_candidates(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:

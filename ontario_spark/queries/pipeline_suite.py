@@ -1317,6 +1317,28 @@ def _bpe_train_sql() -> str:
 TEXT_BPE_MERGES_SQL = _bpe_train_sql()
 
 
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application (round 11): the 8 trained merges applied
+    to every document via the distinct-word vocab join; per-doc word /
+    char / BPE-token counts (operators/textops.py::bpe_encode_stats) —
+    the token-budget accounting a training-data pipeline runs with the
+    tokenizer it just trained."""
+    from ontario_spark.operators.textops import bpe_encode_stats
+
+    return bpe_encode_stats(
+        table(spark, sf_dir, "documents"), "doc_id", "text", rounds=8
+    )
+
+
+def _bpe_encode_sql() -> str:
+    from ontario_spark.operators.textops import bpe_encode_sql
+
+    return bpe_encode_sql("documents", "doc_id", "text", rounds=8)
+
+
+TEXT_BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF,
     round-then-rank deterministic (see retrieval.tfidf_top_terms)."""
@@ -4273,6 +4295,7 @@ QUERIES = {
     "text_tfidf_terms": text_tfidf_terms,
     "vocab_merge_candidates": vocab_merge_candidates,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
@@ -4367,6 +4390,7 @@ ORACLE = {
     "text_tfidf_terms": TEXT_TFIDF_SQL,
     "vocab_merge_candidates": VOCAB_MERGE_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
+    "text_bpe_encode": TEXT_BPE_ENCODE_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

@@ -340,6 +340,11 @@ def user_event_gaps(stream: DataFrame, watermark: str = "24 hours") -> DataFrame
     )
 
 
+#: Executed physical plan of the most recent run_available_now query's
+#: last micro-batch (None when unavailable) — read by tools/plan_audit.
+LAST_STREAM_EXPLAIN: str | None = None
+
+
 def run_available_now(
     result: DataFrame,
     name: str,
@@ -380,6 +385,16 @@ def run_available_now(
                 .start()
             )
             q.awaitTermination()
+            # Executed PHYSICAL plan of the last micro-batch, kept for
+            # tools/plan_audit.py (round 11: streaming rows were
+            # invisible to the audit because their plans only exist
+            # inside the running StreamingQuery). Best-effort: a plan
+            # string is diagnostics, never worth failing the query.
+            global LAST_STREAM_EXPLAIN
+            try:
+                LAST_STREAM_EXPLAIN = q._jsq.explainInternal(False)
+            except Exception:
+                LAST_STREAM_EXPLAIN = None
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -90,6 +90,18 @@ def test_bpe_train_merges_hand_computed(spark):
     assert out[2] == ("a", "b", "ab", 2)
     assert out[3] == ("aa", "ab", "aaab", 2)
 
+    # encoding with all 3 merges applied: aaab -> [aaab] (1 token),
+    # aab -> [aa, b] (2: merge 2's (a,b) can't fire — the 'a' fused
+    # into 'aa' in round 1; merge 3 needs 'ab' on the right)
+    from ontario_spark.operators.textops import bpe_encode_stats
+
+    enc = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+        for r in bpe_encode_stats(df, "doc_id", "text", rounds=3).collect()
+    }
+    assert enc[1] == (2, 8, 2)
+    assert enc[2] == (1, 3, 2)
+
 
 def test_bpe_merge_candidates_hand_counted(spark):
     from ontario_spark.operators.textops import bpe_merge_candidates

@@ -10,8 +10,9 @@ the automated version of the pinned spot-checks in tests/test_plans.py:
   once per consumer)
 
 Prints one line per query with findings; exits 1 if any unexpected
-marker appears. Streaming queries are skipped (their plans only exist
-inside the running StreamingQuery).
+marker appears. Streaming queries are audited via the EXECUTED
+physical plan of the availableNow replay's last micro-batch (captured
+by streaming.events.run_available_now — round 11; previously skipped).
 
 Usage: python tools/plan_audit.py [--sf /root/testdata/sf0.001]
 """
@@ -96,7 +97,7 @@ def main() -> int:
     spark = get_spark("ontario-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    bad = audited = skipped = errors = 0
+    bad = audited = streamed = errors = 0
     registry = all_queries()
     if args.names:
         unknown = sorted(set(args.names) - set(registry))
@@ -105,16 +106,27 @@ def main() -> int:
             return 1
         registry = {n: registry[n] for n in args.names}
     for name, fn in sorted(registry.items()):
-        if name.startswith("stream_"):
-            skipped += 1
-            continue
         try:
-            df = fn(spark, args.sf)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "simple"
+            if name.startswith("stream_"):
+                # round 11: streaming plans only exist inside the
+                # running StreamingQuery, so RUN the availableNow
+                # replay (cheap at sf0.001) and audit the captured
+                # last-batch EXECUTED physical plan
+                from ontario_spark.streaming import events as sev
+
+                sev.LAST_STREAM_EXPLAIN = None
+                fn(spark, args.sf)
+                plan = sev.LAST_STREAM_EXPLAIN
+                if plan is None:
+                    raise RuntimeError("no streaming plan captured")
+                streamed += 1
+            else:
+                df = fn(spark, args.sf)
+                plan = df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "simple"
+                    )
                 )
-            )
         except Exception as ex:  # audit must cover the rest either way
             print(f"ERROR {name}: {type(ex).__name__}: {ex}")
             bad += 1
@@ -145,8 +157,8 @@ def main() -> int:
             bad += 1
             print(f"{name}: {', '.join(unexpected)}")
     print(
-        f"audited {audited} (skipped {skipped} streaming, {errors} errored); "
-        f"{bad} queries with findings"
+        f"audited {audited} ({streamed} streaming via executed last-batch "
+        f"plans, {errors} errored); {bad} queries with findings"
     )
     return 1 if bad else 0
 

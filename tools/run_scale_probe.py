@@ -107,6 +107,12 @@ PROBE_QUERIES = [
     "stream_user_sessions",
     "stream_budget_cut",
     "stream_daily_rollup",
+    "stream_click_purchase",
+    "stream_click_purchase_outer",
+    "stream_dedup",
+    "stream_enriched_segments",
+    "stream_user_gaps",
+    "stream_trending_topk",
     # composed pipelines
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
