@@ -409,3 +409,72 @@ WHERE CAST({weight_expr} AS DOUBLE) > 0
 ORDER BY sort_key DESC, {key} ASC
 LIMIT {n}
 """
+
+
+def token_packing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stratum: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (round 11) — the GPT-style
+    pretraining data layout: documents are concatenated in a
+    deterministic order and the token stream is cut into fixed
+    ``seq_len`` sequences; each document reports which packs it lands
+    in. Packing runs independently PER ``stratum`` (source/shard), the
+    way real pipelines pack per input shard — the running token sum is
+    a window partitioned by the stratum, so no global single-task sort
+    exists and strata pack in parallel at any scale.
+
+    Returns ``(id, stratum, n_tokens, pack_first, pack_last, pack_offset)``
+    per document: the first/last ``seq_len``-token pack the document's
+    tokens occupy and its byte-free integer offset inside the first.
+    Whitespace token counts (1 for an empty document — the ``[""]``
+    tokenization edge both engines share) keep every column exact
+    integer arithmetic for the oracle."""
+    from pyspark.sql.window import Window
+
+    from ontario_spark.operators.textops import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    first_tok = cum - n_tok
+    return df.select(
+        F.col(id_col),
+        F.col(stratum),
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor(first_tok / seq_len).cast("long").alias("pack_first"),
+        F.floor((cum - 1) / seq_len).cast("long").alias("pack_last"),
+        (first_tok % seq_len).cast("long").alias("pack_offset"),
+    )
+
+
+def token_packing_sql(
+    table: str, id_col: str, text_col: str, stratum: str, seq_len: int = 2048
+) -> str:
+    """DuckDB replay of ``token_packing`` — identical tokenization,
+    per-stratum running sum, and integer pack arithmetic."""
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {stratum},
+         array_length(regexp_split_to_array(trim({text_col}), '\\s+'))
+           AS n_tokens
+  FROM {table}
+), c AS (
+  SELECT {id_col}, {stratum}, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY {stratum} ORDER BY {id_col}
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT {id_col}, {stratum}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {seq_len}) AS BIGINT) AS pack_first,
+       CAST(FLOOR((cum - 1) / {seq_len}) AS BIGINT) AS pack_last,
+       CAST((cum - n_tokens) % {seq_len} AS BIGINT) AS pack_offset
+FROM c
+"""

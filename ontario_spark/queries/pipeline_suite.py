@@ -1339,6 +1339,29 @@ def _bpe_encode_sql() -> str:
 TEXT_BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def train_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (round 11): per
+    SOURCE (the shard unit — strata pack in parallel, no global sort),
+    documents concatenate in doc_id order and the token stream cuts
+    into 2048-token packs; each doc reports its pack span and offset
+    (operators/sampling.py::token_packing)."""
+    from ontario_spark.operators.sampling import token_packing
+
+    return token_packing(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        seq_len=2048,
+    )
+
+
+def _token_packing_sql() -> str:
+    from ontario_spark.operators.sampling import token_packing_sql
+
+    return token_packing_sql("documents", "doc_id", "text", "source", 2048)
+
+
+TRAIN_TOKEN_PACKING_SQL = _token_packing_sql()
+
+
 def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF,
     round-then-rank deterministic (see retrieval.tfidf_top_terms)."""
@@ -4296,6 +4319,7 @@ QUERIES = {
     "vocab_merge_candidates": vocab_merge_candidates,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
+    "train_token_packing": train_token_packing,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
@@ -4391,6 +4415,7 @@ ORACLE = {
     "vocab_merge_candidates": VOCAB_MERGE_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "text_bpe_encode": TEXT_BPE_ENCODE_SQL,
+    "train_token_packing": TRAIN_TOKEN_PACKING_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

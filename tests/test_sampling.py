@@ -315,3 +315,24 @@ def test_group_split_is_group_atomic(spark, sf_small):
     assert tagged.count() == docs.count()
     sides = {r["split"] for r in tagged.select("split").distinct().collect()}
     assert sides <= {"train", "test"} and "train" in sides
+
+
+def test_token_packing_hand_computed(spark):
+    """Pin concat-and-chunk semantics: docs (3, 2, 4 tokens) in one
+    stratum at seq_len=4 — the 2-token doc spans the first pack
+    boundary, the 4-token doc starts at offset 1 of pack 1."""
+    from ontario_spark.operators.sampling import token_packing
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e", "s"), (3, "f g h i", "s"),
+         (4, "x y", "t")],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.pack_first, r.pack_last, r.pack_offset)
+        for r in token_packing(df, "doc_id", "text", "source", seq_len=4).collect()
+    }
+    assert out[1] == (3, 0, 0, 0)
+    assert out[2] == (2, 0, 1, 3)   # tokens 3..4 cross the pack edge
+    assert out[3] == (4, 1, 2, 1)
+    assert out[4] == (2, 0, 0, 0)   # stratum 't' packs independently
