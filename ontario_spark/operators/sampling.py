@@ -422,7 +422,10 @@ def token_packing(
     pretraining data layout: documents are concatenated in a
     deterministic order and the token stream is cut into fixed
     ``seq_len`` sequences; each document reports which packs it lands
-    in. Packing runs independently PER ``stratum`` (source/shard), the
+    in. The split-allowed complement of ``packing.pack_doc_sequences``
+    (whole-doc bin packing: a doc never crosses a bin) — here docs DO
+    span pack boundaries, the way causal-LM pretraining consumes them.
+    Packing runs independently PER ``stratum`` (source/shard), the
     way real pipelines pack per input shard — the running token sum is
     a window partitioned by the stratum, so no global single-task sort
     exists and strata pack in parallel at any scale.

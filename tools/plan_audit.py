@@ -78,6 +78,9 @@ EXPECTED = {
     "events_daily_gapfill": {"BNLJ:BuildLeft"},
 
     "pipeline_web_curation": {"lambda-in-Filter"},  # the quality GATE
+    # round 11: the image leg's synth+parse is the mm_* Arrow-batched
+    # decode stage, declared by design for this composed pipeline
+    "pipeline_image_text_curation": {"MapInPandas"},
 }
 
 
