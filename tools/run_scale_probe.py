@@ -100,6 +100,10 @@ PROBE_QUERIES = [
     "events_apply_changelog",
     "pipeline_training_set",
     "text_license_scan",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "train_token_packing",
+    "pipeline_image_text_curation",
     "events_sessions",
     "sketch_quantile_rollup",
     "sketch_countmin_check",
