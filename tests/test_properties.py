@@ -356,3 +356,69 @@ def test_canonical_url_is_idempotent(spark, tail):
     b = twice.collect()[0]["c"]
     if a is not None:
         assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_bpe_train_matches_textbook_reference(spark, words, rounds):
+    """The distributed BPE trainer against a ~20-line pure-Python
+    textbook implementation (count adjacent symbol pairs over word
+    frequencies, argmax with (count desc, pair asc) tiebreak, greedy
+    left-to-right non-overlapping apply, recount) on random tiny
+    corpora — merges AND counts must agree round-for-round. The tiny
+    'ab' alphabet maximizes chained-merge/tiebreak collisions, the
+    cases a hand-picked fixture misses."""
+    from collections import Counter
+
+    from ontario_spark.operators.textops import bpe_train_merges
+
+    freq = Counter(w for w in words if len(w) >= 2)
+    seqs = {w: tuple(w) for w in freq}
+
+    def ref_merges():
+        out = []
+        nonlocal seqs
+        for _ in range(rounds):
+            pc: Counter = Counter()
+            for w, syms in seqs.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += freq[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((l, r, c))
+            nxt = {}
+            for w, syms in seqs.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nxt[w] = tuple(merged)
+            seqs = nxt
+        return out
+
+    want = ref_merges()
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train_merges(df, "text", rounds=rounds)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    # the distributed form emits one row per round even when the pair
+    # table empties (it reports no row then); truncate to the shorter
+    assert got[: len(want)] == want
+    assert len(got) <= rounds
