@@ -793,6 +793,56 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user features (round 11): for every event,
+    the count and exact value sum of the same user's events in the
+    preceding hour (inclusive) — a RANGE (value-based) frame over
+    whole-second epochs, so events sharing a timestamp are frame PEERS
+    in both engines; a ROWS frame would be arrival-order-
+    nondeterministic under duplicate timestamps. The point-in-time
+    trailing-feature shape feature stores serve, as one user-keyed
+    window pass (interval frames need no self-join)."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    secs = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        * F.lit(86400)
+        + F.hour("ts") * F.lit(3600)
+        + F.minute("ts") * F.lit(60)
+        + F.second("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__secs")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", secs.alias("__secs"), "value"
+    ).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("value_trailing_1h"),
+    )
+
+
+EVENTS_TRAILING_WINDOW_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS value_trailing_1h
+FROM (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS secs, value
+      FROM events WHERE user_id IS NOT NULL)
+WINDOW w AS (PARTITION BY user_id ORDER BY secs
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 EVENTS_SESSIONS_SQL = """
 WITH g AS (
   SELECT user_id, ts, event_id,
@@ -1296,6 +1346,7 @@ QUERIES = {
     "sketch_countmin_check": sketch_countmin_check,
     "events_funnel": events_funnel,
     "events_sessions": events_sessions,
+    "events_trailing_window": events_trailing_window,
     "events_retention_cohorts": events_retention_cohorts,
 }
 
@@ -1318,6 +1369,7 @@ ORACLE = {
     "sketch_countmin_check": SKETCH_COUNTMIN_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
+    "events_trailing_window": EVENTS_TRAILING_WINDOW_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_SQL,
     "events_attribution": EVENTS_ATTRIBUTION_SQL,
     "events_communities": EVENTS_COMMUNITIES_SQL,

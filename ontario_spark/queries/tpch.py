@@ -472,6 +472,45 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (round 11) — the general form CUBE and
+    ROLLUP are shorthands for, with an ASYMMETRIC set list neither
+    shorthand can express: (flag, status) cells, status-only margins,
+    and the grand total — no flag-only margin. GROUPING() flags
+    disambiguate real NULL keys from subtotal rows, the part of the
+    spec COALESCE labeling can't cover. One partial-aggregating pass:
+    Spark expands grouping sets map-side, lineitem scans once."""
+    from ontario_spark.operators.textops import spread
+
+    spread(table(spark, sf_dir, "lineitem")).createOrReplaceTempView(
+        "__gs_lineitem"
+    )
+    return spark.sql(
+        f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+  COALESCE(l_linestatus, 'ALL') AS status,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+  {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')},
+  COUNT(*) AS n_items
+FROM __gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+    )
+
+
+Q_GROUPING_SETS_MIXED_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+  COALESCE(l_linestatus, 'ALL') AS status,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+  {_sql_dsum('(l_extendedprice * (1 - l_discount))', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
 def q_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (round 10): order counts per market segment, one column
     per order priority — the wide report layout every BI export wants.
@@ -514,6 +553,7 @@ GROUP BY c_mktsegment
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_cube_flag_status": q_cube_flag_status,
+    "q_grouping_sets_mixed": q_grouping_sets_mixed,
     "q_pivot_segment_priority": q_pivot_segment_priority,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -534,6 +574,7 @@ QUERIES = {
 ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q_cube_flag_status": Q_CUBE_FLAG_STATUS_SQL,
+    "q_grouping_sets_mixed": Q_GROUPING_SETS_MIXED_SQL,
     "q_pivot_segment_priority": Q_PIVOT_SEGMENT_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

@@ -95,6 +95,8 @@ PROBE_QUERIES = [
     "eval_retrieval_mrr",
     "eval_ann_recall",
     "q_cube_flag_status",
+    "q_grouping_sets_mixed",
+    "events_trailing_window",
     "q_pivot_segment_priority",
     "events_daily_gapfill",
     "events_apply_changelog",
