@@ -511,6 +511,121 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 """
 
 
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (round 11) — the dbt-test /
+    Great-Expectations shape run before anything downstream trusts a
+    lake drop: primary-key uniqueness, foreign-key orphans (anti-join
+    counts), null violations, and range violations across
+    orders/customer/lineitem, ONE summary row. The synthetic fixture
+    is clean (every check would be a constant 0 and the oracle match
+    vacuous), so violations are PLANTED deterministically by key
+    residue — duplicated pk rows, custkeys pointed at a guaranteed-
+    absent id, negated prices/quantities, out-of-range discounts,
+    lineitems remapped to absent orders — identically in both engines
+    (the text_license_scan/pii discipline): every output count is
+    data-dependent and each detector is proven against known-injected
+    rows. Each check is an aggregate/anti-join the optimizer plans
+    independently; the single-row combine is free."""
+    base_o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    base_li = table(spark, sf_dir, "lineitem")
+    ok = F.col("o_orderkey")
+    o = base_o.select(
+        "o_orderkey",
+        F.when(ok % 89 == 0, F.lit(None).cast("long"))
+        .when(ok % 97 == 0, F.lit(-1))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(ok % 101 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    o = o.unionByName(o.filter(ok % 103 == 0))  # re-inserted pk dups
+    lk = F.col("l_orderkey")
+    li = base_li.select(
+        F.when(lk % 109 == 0, -lk).otherwise(lk).alias("l_orderkey"),
+        F.when(lk % 113 == 0, -F.col("l_quantity")).otherwise(F.col("l_quantity")).alias("l_quantity"),
+        F.when(lk % 127 == 0, F.lit(1.5)).otherwise(F.col("l_discount")).alias("l_discount"),
+    )
+    pk = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_orderkeys"),
+        F.sum(F.col("o_custkey").isNull().cast("int"))
+        .cast("long")
+        .alias("null_custkeys"),
+        F.sum((F.col("o_totalprice") <= 0).cast("int"))
+        .cast("long")
+        .alias("nonpositive_totalprice"),
+    )
+    fk_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_orders"))
+    )
+    fk_l = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_lineitems"))
+    )
+    rng = li.agg(
+        F.sum((F.col("l_quantity") <= 0).cast("int"))
+        .cast("long")
+        .alias("nonpositive_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("int")
+        )
+        .cast("long")
+        .alias("bad_discounts"),
+    )
+    return (
+        pk.crossJoin(F.broadcast(fk_o))
+        .crossJoin(F.broadcast(fk_l))
+        .crossJoin(F.broadcast(rng))
+    )
+
+
+Q_DQ_CONSTRAINTS_SQL = """
+WITH o0 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN NULL
+              WHEN o_orderkey % 97 = 0 THEN -1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), o AS (
+  SELECT * FROM o0
+  UNION ALL SELECT * FROM o0 WHERE o_orderkey % 103 = 0
+), l AS (
+  SELECT CASE WHEN l_orderkey % 109 = 0 THEN -l_orderkey
+              ELSE l_orderkey END AS l_orderkey,
+         CASE WHEN l_orderkey % 113 = 0 THEN -l_quantity
+              ELSE l_quantity END AS l_quantity,
+         CASE WHEN l_orderkey % 127 = 0 THEN 1.5
+              ELSE l_discount END AS l_discount
+  FROM lineitem
+)
+SELECT
+  CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM o) AS BIGINT)
+    AS dup_orderkeys,
+  CAST((SELECT COUNT(*) FROM o WHERE o_custkey IS NULL) AS BIGINT)
+    AS null_custkeys,
+  CAST((SELECT COUNT(*) FROM o WHERE o_totalprice <= 0) AS BIGINT)
+    AS nonpositive_totalprice,
+  CAST((SELECT COUNT(*) FROM o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    AS orphan_orders,
+  CAST((SELECT COUNT(*) FROM l
+        WHERE NOT EXISTS (SELECT 1 FROM o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    AS orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM l WHERE l_quantity <= 0) AS BIGINT)
+    AS nonpositive_qty,
+  CAST((SELECT COUNT(*) FROM l
+        WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    AS bad_discounts
+"""
+
+
 def q_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (round 10): order counts per market segment, one column
     per order priority — the wide report layout every BI export wants.
@@ -554,6 +669,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q_cube_flag_status": q_cube_flag_status,
     "q_grouping_sets_mixed": q_grouping_sets_mixed,
+    "q_dq_constraints": q_dq_constraints,
     "q_pivot_segment_priority": q_pivot_segment_priority,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -575,6 +691,7 @@ ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q_cube_flag_status": Q_CUBE_FLAG_STATUS_SQL,
     "q_grouping_sets_mixed": Q_GROUPING_SETS_MIXED_SQL,
+    "q_dq_constraints": Q_DQ_CONSTRAINTS_SQL,
     "q_pivot_segment_priority": Q_PIVOT_SEGMENT_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

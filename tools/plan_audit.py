@@ -81,6 +81,9 @@ EXPECTED = {
     # round 11: the image leg's synth+parse is the mm_* Arrow-batched
     # decode stage, declared by design for this composed pipeline
     "pipeline_image_text_curation": {"MapInPandas"},
+    # the DQ summary combines four ONE-ROW check aggregates via
+    # broadcast crosses — the single-row combine class
+    "q_dq_constraints": {"BNLJ:BuildRight"},
 }
 
 

@@ -96,6 +96,7 @@ PROBE_QUERIES = [
     "eval_ann_recall",
     "q_cube_flag_status",
     "q_grouping_sets_mixed",
+    "q_dq_constraints",
     "events_trailing_window",
     "q_pivot_segment_priority",
     "events_daily_gapfill",
