@@ -17,6 +17,7 @@ from ontario_spark.streaming.events import (
     interval_join,
     read_event_stream,
     run_available_now,
+    scd2_enrich,
     user_event_gaps,
     user_sessions,
     windowed_counts,
@@ -176,6 +177,55 @@ WHERE NOT EXISTS (
 """
 
 
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static point-in-time enrichment (round 11): streaming
+    purchases join the SCD2 episode dimension (built batch-side from
+    the NON-purchase events) valid at each purchase's event time —
+    ``valid_from <= ts < valid_to``. The late-event-gets-the-
+    version-that-was-true-then pattern; no join state, the static dim
+    re-plans per micro-batch (streaming/events.py::scd2_enrich)."""
+    from ontario_spark.operators.asof import scd2_from_changelog
+    from ontario_spark.data import table as batch_table
+
+    dim = scd2_from_changelog(
+        batch_table(spark, sf_dir, "events").filter(
+            F.col("event_type") != "purchase"
+        ),
+        key="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+    )
+    stream = read_event_stream(spark, sf_dir)
+    return run_available_now(
+        scd2_enrich(stream, dim),
+        "stream_scd2_enrich_sink",
+        output_mode="append",
+    )
+
+
+STREAM_SCD2_ENRICH_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events WHERE event_type <> 'purchase'
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev IS DISTINCT FROM event_type
+), dim AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM changes
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       d.event_type AS state_type, d.valid_from
+FROM events p JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.valid_from <= p.ts
+ AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """State-store streaming dedup — the streaming face of the exact-
     dedup pipeline operator; append mode emits each key once."""
@@ -301,6 +351,7 @@ QUERIES = {
     "stream_daily_rollup": stream_daily_rollup,
     "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup": stream_dedup,
+    "stream_scd2_enrich": stream_scd2_enrich,
     "stream_enriched_segments": stream_enriched_segments,
     "stream_events_hourly": stream_events_hourly,
     "stream_user_sessions": stream_user_sessions,
@@ -314,6 +365,7 @@ ORACLE = {
     "stream_daily_rollup": STREAM_DAILY_ROLLUP_SQL,
     "stream_click_purchase_outer": STREAM_CLICK_PURCHASE_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_scd2_enrich": STREAM_SCD2_ENRICH_SQL,
     "stream_enriched_segments": STREAM_ENRICHED_SEGMENTS_SQL,
     "stream_events_hourly": STREAM_EVENTS_HOURLY_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,

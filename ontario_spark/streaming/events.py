@@ -222,6 +222,43 @@ def interval_join(
     )
 
 
+def scd2_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Stream-static POINT-IN-TIME enrichment against a versioned
+    (SCD2) dimension (round 11): each streaming ``event_type`` event
+    joins the dimension episode valid AT its event time —
+    ``valid_from <= ts < valid_to`` (open current episodes have NULL
+    valid_to). The dimension-correctness pattern streaming pipelines
+    get wrong by joining the CURRENT version: a late-replayed event
+    must attach the version that was true then. Stream-static inner
+    joins need no watermark or join state — the static side is
+    re-planned per micro-batch (at scale: broadcast when the dim fits,
+    shuffle otherwise — the optimizer's call per batch), so this
+    composes freely with downstream stateful operators."""
+    p = stream.filter(F.col("event_type") == event_type).select(
+        "event_id",
+        F.col("user_id").alias("u"),
+        "ts",
+        "value",
+    )
+    cond = (
+        (p["u"] == dim["user_id"])
+        & (dim["valid_from"] <= p["ts"])
+        & (dim["valid_to"].isNull() | (p["ts"] < dim["valid_to"]))
+    )
+    return p.join(dim, cond, "inner").select(
+        "event_id",
+        F.col("u").alias("user_id"),
+        "ts",
+        "value",
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+    )
+
+
 def dedup_events(
     stream: DataFrame,
     keys: list[str] | None = None,

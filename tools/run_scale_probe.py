@@ -120,6 +120,7 @@ PROBE_QUERIES = [
     "stream_enriched_segments",
     "stream_user_gaps",
     "stream_trending_topk",
+    "stream_scd2_enrich",
     # composed pipelines
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
