@@ -422,3 +422,39 @@ def test_bpe_train_matches_textbook_reference(spark, words, rounds):
     # table empties (it reports no row then); truncate to the shorter
     assert got[: len(want)] == want
     assert len(got) <= rounds
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=4, max_size=30),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_banded_verified_jaccard_subset_of_exact(spark, texts):
+    """The high-recall registry tier's safety property on random
+    corpora: banded-verified pairs are ALWAYS a subset of the exact
+    self-join's pairs with identical scores (banding can miss, the
+    exact verify can never invent or mis-score) — including degenerate
+    docs (all-space, repeated words, shared shingles everywhere)."""
+    from ontario_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 10)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.35
+        ).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 10)
+        for r in dedup.lsh_verified_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.35,
+            num_hashes=48, bands=24,
+        ).collect()
+    }
+    assert set(banded) <= set(exact)
+    assert all(exact[p] == s for p, s in banded.items())
