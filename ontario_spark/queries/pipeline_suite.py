@@ -1339,6 +1339,57 @@ def _bpe_encode_sql() -> str:
 TEXT_BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer FERTILITY (round 11) — the multilingual
+    tokenizer-quality readout (tokens/word; chars/token) for the BPE
+    vocab just trained: completes the train → apply → evaluate story
+    (`text_bpe_merges` → `text_bpe_encode` → this). A tokenizer that
+    fragments one language 2× more than another silently halves that
+    language's effective context — this is the table that catches it.
+    Exact integer sums joined per doc to `lang`, one bounded
+    per-language aggregate."""
+    from ontario_spark.operators.textops import bpe_encode_stats
+
+    docs = table(spark, sf_dir, "documents")
+    enc = bpe_encode_stats(docs, "doc_id", "text", rounds=8)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    from ontario_spark.operators.textops import bpe_encode_sql
+
+    enc = bpe_encode_sql("documents", "doc_id", "text", rounds=8)
+    return f"""
+WITH enc AS ({enc})
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_words), 6)
+         AS tokens_per_word,
+       ROUND(CAST(SUM(enc.n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+         AS chars_per_token
+FROM enc JOIN documents USING (doc_id)
+GROUP BY lang
+"""
+
+
+TEXT_TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql()
+
+
 def train_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing (round 11): per
     SOURCE (the shard unit — strata pack in parallel, no global sort),
@@ -4320,6 +4371,7 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "train_token_packing": train_token_packing,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_bucketed": ann_topk_bucketed,
     "ann_topk_int8": ann_topk_int8,
@@ -4416,6 +4468,7 @@ ORACLE = {
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "text_bpe_encode": TEXT_BPE_ENCODE_SQL,
     "train_token_packing": TRAIN_TOKEN_PACKING_SQL,
+    "text_tokenizer_fertility": TEXT_TOKENIZER_FERTILITY_SQL,
     "ann_topk_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_topk_bucketed": ANN_BUCKETED_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

@@ -105,6 +105,7 @@ PROBE_QUERIES = [
     "text_license_scan",
     "text_bpe_merges",
     "text_bpe_encode",
+    "text_tokenizer_fertility",
     "train_token_packing",
     "pipeline_image_text_curation",
     "events_sessions",
