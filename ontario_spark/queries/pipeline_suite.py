@@ -2980,6 +2980,26 @@ def _bm25_sql() -> str:
 BM25_TOPK_SQL = _bm25_sql()
 
 
+def _media_schema():
+    """(media_id, media_type, payload) — the one schema every
+    synthesized-media mapInPandas stage emits."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+
 def _synth_image_media(docs: DataFrame) -> DataFrame:
     """Documents → synthesized image payloads (media_id, media_type,
     payload): each doc becomes a PNG / JPEG / GIF / TIFF whose
@@ -2993,21 +3013,7 @@ def _synth_image_media(docs: DataFrame) -> DataFrame:
         synth_png,
         synth_tiff,
     )
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    media_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
-    )
+    media_schema = _media_schema()
 
     def synth(batches):
         import pandas as pd
@@ -3077,21 +3083,7 @@ def mm_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser recovers them. The oracle recomputes the same parameters
     arithmetically, so the byte roundtrip is verified end-to-end."""
     from ontario_spark.operators.multimodal import audio_metadata, synth_wav
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    media_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
-    )
+    media_schema = _media_schema()
 
     def synth(batches):
         import pandas as pd
@@ -3151,21 +3143,7 @@ def mm_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parser recovers them. The oracle recomputes the parameters
     arithmetically, verifying the byte roundtrip end-to-end."""
     from ontario_spark.operators.multimodal import synth_mp4, video_metadata
-    from pyspark.sql.types import (
-        BinaryType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    media_schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
-    )
+    media_schema = _media_schema()
 
     def synth(batches):
         import pandas as pd
