@@ -458,3 +458,47 @@ def test_banded_verified_jaccard_subset_of_exact(spark, texts):
     }
     assert set(banded) <= set(exact)
     assert all(exact[p] == s for p, s in banded.items())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab cd", min_size=0, max_size=20),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_token_packing_invariants(spark, rows, seq_len):
+    """Concat-and-chunk invariants on random corpora: per stratum the
+    token stream is covered exactly once (offsets chain: each doc
+    starts where the previous ended, mod nothing), offsets live in
+    [0, seq_len), pack spans are contiguous and non-decreasing, and
+    the final pack index equals floor((total-1)/seq_len)."""
+    from ontario_spark.operators.sampling import token_packing
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        ["doc_id", "text", "source"],
+    )
+    out = sorted(
+        token_packing(df, "doc_id", "text", "source", seq_len=seq_len).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    by_stratum: dict = {}
+    for r in out:
+        by_stratum.setdefault(r["source"], []).append(r)
+    for docs in by_stratum.values():
+        pos = 0
+        for r in docs:
+            assert 0 <= r["pack_offset"] < seq_len
+            assert r["pack_first"] == pos // seq_len
+            assert r["pack_offset"] == pos % seq_len
+            end = pos + r["n_tokens"]
+            assert r["pack_last"] == (end - 1) // seq_len
+            assert r["pack_last"] >= r["pack_first"]
+            pos = end
+        assert docs[-1]["pack_last"] == (pos - 1) // seq_len
