@@ -310,6 +310,25 @@ def tpch_cypher_catalog(sf_dir: str) -> Catalog:
     )
 
 
+def tpch_drill_catalog(sf_dir: str) -> Catalog:
+    """Federation-shaped catalog with the Customer molecule served by
+    an Apache-Drill-dialect source over Drill's HTTP REST protocol
+    (round 11): the star translates with backtick quoting
+    (``DIALECTS['drill']``) and executes through
+    ``drillrest.drill_rest_executor`` — a real POST /query.json
+    round-trip against the embedded DuckDB drillbit stand-in.
+    Reference: ``ontario/wrappers/drill/sparql2drill.py:94-150``."""
+    from ontario_spark.sources.drillrest import (
+        drill_rest_executor,
+        duckdb_drillbit,
+    )
+
+    return _serve_remote(
+        tpch_catalog(sf_dir), "CustomerMap", "remote_drill", "drill",
+        drill_rest_executor(duckdb_drillbit(sf_dir)),
+    )
+
+
 def tpch_split_catalog(sf_dir: str) -> Catalog:
     """ChEBI-style variant: Customer predicates split across TWO triple
     maps sharing one subject template — exercises the multi-map star

@@ -211,7 +211,7 @@ _DEFS: dict[str, tuple[str, str, str]] = {
              FILTER (STRSTARTS(?nname, "NATION_1"))
              OPTIONAL { ?c ex:acctbal ?bal } }""",
         """SELECT c_name AS name, s_name AS sname, n_name AS nname,
-                  CAST(c_acctbal AS VARCHAR) AS bal
+                  CAST(c_acctbal AS DOUBLE) AS bal
            FROM customer
            JOIN nation ON c_nationkey = n_nationkey
            JOIN supplier ON s_nationkey = n_nationkey

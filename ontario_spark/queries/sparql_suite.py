@@ -17,6 +17,7 @@ from ontario_spark.catalog.tpch_rdf import (
     EX,
     tpch_catalog,
     tpch_cypher_catalog,
+    tpch_drill_catalog,
     tpch_federated_catalog,
     tpch_mongo_catalog,
     tpch_nested_catalog,
@@ -36,6 +37,7 @@ _CATALOGS = {
     "federated": lambda spark, sf: tpch_federated_catalog(sf),
     "mongo": lambda spark, sf: tpch_mongo_catalog(sf, spark),
     "cypher": lambda spark, sf: tpch_cypher_catalog(sf),
+    "drill": lambda spark, sf: tpch_drill_catalog(sf),
 }
 
 
@@ -585,6 +587,23 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
            WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
              AND c_acctbal > 8000.0 AND o_orderpriority = '1-URGENT'""",
         "mongo",
+    ),
+    "sparql_drill_join": (
+        # Drill-dialect federation over the REST seam (round 11): the
+        # Customer star translates with backtick quoting and executes
+        # through a REAL POST /query.json round-trip (sources/
+        # drillrest.py; pushed ?bal conjunct in the remote WHERE);
+        # joined Spark-side against the lake's Nation star
+        """SELECT ?name ?bal ?nname WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal ;
+                ex:nation ?n .
+             ?n a ex:Nation ; ex:name ?nname .
+             FILTER (?bal > 9000.0) }""",
+        """SELECT c_name AS name, c_acctbal AS bal, n_name AS nname
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+             AND n_name IS NOT NULL AND c_acctbal > 9000.0""",
+        "drill",
     ),
     "sparql_cypher_join": (
         # graph-store federation: Customer star translated to Cypher

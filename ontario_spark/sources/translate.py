@@ -873,7 +873,23 @@ def df_to_bframe(df, specs: list[ColSpec]):
     real = [s for s in specs if s.out]
     consts = [s for s in specs if not s.out]
     if real:
-        df = df.select(*[F.col(s.out).cast("string").alias(s.out) for s in real])
+        # TEMPLATE columns are raw join keys — cast to string so the
+        # template-format/extract machinery and §10.2 masks see one
+        # type regardless of the remote driver's integer width. Plain
+        # literal (REF) columns KEEP the remote schema's native type
+        # (round 11): a remote-served ?bal must surface as the same
+        # double the lake-served star yields, not its lexical form —
+        # the two paths must be indistinguishable to the query.
+        df = df.select(
+            *[
+                (
+                    F.col(s.out).cast("string")
+                    if s.kind == TEMPLATE
+                    else F.col(s.out)
+                ).alias(s.out)
+                for s in real
+            ]
+        )
     else:
         # zero projected columns (all-constant star, e.g. an ASK-shaped
         # probe): KEEP the remote row count — select() drops columns
@@ -900,7 +916,61 @@ def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
     real = [s for s in specs if s.out]
     cols = [s.out for s in real]
     data = [tuple(r.get(c) for c in cols) for r in rows]
-    schema = ", ".join(f"{c} string" for c in cols)
+
+    # Per-column type from the VALUES the executor returned (round 11):
+    # the production DataFrame path (sources/jdbc.py) carries the
+    # remote schema's real types, so the driver-side rows path must
+    # not flatten everything to string — a projected remote NUMERIC
+    # (e.g. ?bal served by the Drill/MySQL seam) has to surface as a
+    # number, and join keys keep the integer type the lake side has.
+    # All-NULL columns fall back to string (the untyped unknown).
+    import datetime
+    from decimal import Decimal
+
+    def col_type(i: int) -> str:
+        t = "missing"
+        rank = {"missing": 0, "boolean": 1, "long": 2, "double": 3,
+                "timestamp": 4, "string": 5}
+        for row in data:
+            v = row[i]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                c = "boolean"
+            elif isinstance(v, int):
+                c = "long"
+            elif isinstance(v, (float, Decimal)):
+                c = "double"
+            elif isinstance(v, datetime.datetime):
+                c = "timestamp"
+            else:
+                c = "string"
+            # numeric widening (long+double → double); any other mix,
+            # or any string, collapses to string
+            if t == "missing":
+                t = c
+            elif {t, c} == {"long", "double"}:
+                t = "double"
+            elif t != c:
+                t = "string"
+            if t == "string":
+                break
+        return "string" if t == "missing" else t
+
+    def coerce(v, t):
+        if v is None:
+            return None
+        if t == "double" and isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+            return float(v)
+        if t == "string" and not isinstance(v, str):
+            return str(v)
+        return v
+
+    types = [col_type(i) for i in range(len(cols))]
+    data = [
+        tuple(coerce(v, t) for v, t in zip(row, types)) for row in data
+    ]
+    schema = ", ".join(f"{c} {t}" for c, t in zip(cols, types))
     if not cols:
         # no projected columns: one row per REMOTE row (never a
         # fabricated singleton — an empty remote answer must stay empty)

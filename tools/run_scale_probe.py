@@ -137,6 +137,7 @@ PROBE_QUERIES = [
     "q_zorder_layout",
     # SPARQL engine (template-keyed joins + aggregation over the lake)
     "sparql_star_join",
+    "sparql_drill_join",
     "sparql_lineitem_star",
     "sparql_aggregate",
 ]
