@@ -323,9 +323,16 @@ def tpch_drill_catalog(sf_dir: str) -> Catalog:
         duckdb_drillbit,
     )
 
+    def run(sql: str) -> list[dict]:
+        # Resolve the drillbit URL at FIRST execution, not catalog
+        # construction (round-12 ADVICE): building a catalog must not
+        # start an HTTP server for a star that may never be queried.
+        # duckdb_drillbit caches per (sf_dir, tables), so repeated
+        # calls reuse one server.
+        return drill_rest_executor(duckdb_drillbit(sf_dir))(sql)
+
     return _serve_remote(
-        tpch_catalog(sf_dir), "CustomerMap", "remote_drill", "drill",
-        drill_rest_executor(duckdb_drillbit(sf_dir)),
+        tpch_catalog(sf_dir), "CustomerMap", "remote_drill", "drill", run
     )
 
 

@@ -139,6 +139,7 @@ def _anchor_pair_counts(
     k_anchors: int,
     max_anchor_freq: int | None,
     verify_semi_join: bool,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Shared candidate+verify core of the anchor-sketch similarity
     joins (``anchor_containment_pairs`` / ``anchor_jaccard_pairs``):
@@ -206,13 +207,56 @@ def _anchor_pair_counts(
         .filter(F.col("__rn") <= k_anchors)
         .select("id", "h")
     )
-    cand = (
+    cand_occ = (
         anchors.alias("a")
         .join(inv.alias("b"), "h")
         .filter(F.col("a.id") != F.col("b.id"))
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), "h")
+    )
+    if candidate_budget is not None:
+        # Per-doc candidate budget (round 12): rank each anchor-side
+        # doc's candidate partners by the RAREST shared anchor —
+        # (df(h), h) ascending, partner id as the final tie-break — and
+        # keep only the top ``candidate_budget`` per src doc. This
+        # bounds the verify stage at N × budget pairs on EVERY corpus
+        # class, including fixed-vocabulary corpora where shingle
+        # doc-frequencies saturate toward ``max_anchor_freq`` and the
+        # uncapped candidate set degenerates toward k × cap per doc
+        # (measured 46.8M pairs at the 10× probe; SCALE.md). The
+        # candidate OCCURRENCE stream stays linear (≤ N·k·cap rows) and
+        # flows through map-side-combinable aggregations only — the
+        # expensive exact-verify joins see just the budgeted pairs.
+        # Rarest-anchor ranking keeps the pairs a containment/Jaccard
+        # match actually explains (a truly-shared region shares the
+        # docs' rare shingles; partners met only through common
+        # shingles rank last and are the ones cut). A pair survives if
+        # EITHER endpoint keeps it within budget (the least/greatest
+        # union below), so the short contained side — whose anchors
+        # all hit the container — protects high-containment pairs.
+        # Every step is deterministic integer arithmetic on md5-derived
+        # hashes, replicated verbatim in the DuckDB oracles.
+        dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        best = (
+            cand_occ.join(dfreq, "h")
+            .groupBy("src", "dst")
+            .agg(F.min(F.struct("df", "h")).alias("best"))
+        )
+        cand_occ = (
+            best.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("src").orderBy(
+                        F.col("best.df"), F.col("best.h"), F.col("dst")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") <= candidate_budget)
+            .select("src", "dst")
+        )
+    cand = (
+        cand_occ.select(
+            F.least(F.col("src"), F.col("dst")).alias("id_a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("id_b"),
         )
         .distinct()
     )
@@ -261,6 +305,7 @@ def anchor_containment_pairs(
     k_anchors: int = 16,
     max_anchor_freq: int | None = 1000,
     verify_semi_join: bool = False,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Two-tier sub-document containment — the CORPUS-SCALE path that
     replaces ``ngram_containment_pairs``'s all-shared-shingles
@@ -269,9 +314,19 @@ def anchor_containment_pairs(
     Candidates + exact verify in ``_anchor_pair_counts`` above;
     containment = n_common / min(|A|,|B|) is EXACT for every emitted
     pair; the miss probability for a true pair is ≤ (1-c')^k (~1.5e-5
-    at k=16, threshold 0.5)."""
+    at k=16, threshold 0.5).
+
+    ``candidate_budget`` (round 12) additionally caps each document's
+    candidate partners at the top-``budget`` ranked by rarest shared
+    anchor, bounding verify work at N × budget pairs on every corpus
+    class — including fixed-vocabulary corpora, the uncapped
+    generator's adversarial case (SCALE.md). Recall on long-tail
+    corpora is unchanged at sane budgets (the cut pairs are the ones
+    sharing only common shingles); on saturated-vocabulary corpora the
+    trade is quantified in SCALE.md."""
     inter = _anchor_pair_counts(
-        df, id_col, text_col, n, k_anchors, max_anchor_freq, verify_semi_join
+        df, id_col, text_col, n, k_anchors, max_anchor_freq,
+        verify_semi_join, candidate_budget,
     )
     cont = F.col("n_common").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
@@ -290,6 +345,7 @@ def anchor_jaccard_pairs(
     k_anchors: int = 16,
     max_anchor_freq: int | None = 1000,
     verify_semi_join: bool = False,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Bounded exact-score n-gram Jaccard join — the CORPUS-SCALE
     default for ``ngram_jaccard_pairs``'s semantics (round 11,
@@ -307,9 +363,11 @@ def anchor_jaccard_pairs(
     ≤ (1-j')^(2k) (both docs sample anchors; j' is the overlap
     restricted to sub-cap shingles) — ≤ 1e-6 at k=16, threshold 0.35.
     md5-derived hashes keep candidates + scores engine-portable for
-    the DuckDB oracle."""
+    the DuckDB oracle. ``candidate_budget`` — see
+    ``anchor_containment_pairs``."""
     inter = _anchor_pair_counts(
-        df, id_col, text_col, n, k_anchors, max_anchor_freq, verify_semi_join
+        df, id_col, text_col, n, k_anchors, max_anchor_freq,
+        verify_semi_join, candidate_budget,
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")

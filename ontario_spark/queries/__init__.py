@@ -77,7 +77,10 @@ DRIVER_SURFACE = [
     # the sampling family keeps sample_epoch_order + the new weighted
     # row) → Efraimidis-Spirakis weighted sampling, new this round and
     # never externally verified
-    "sample_weighted_topk",
+    # round-12: sample_weighted_topk (green r9-r11; weighted sampling
+    # stays pytest-gated, sampling family keeps sample_negative_pairs)
+    # → token sequence packing (round-11, never externally verified)
+    "train_token_packing",
     # round-6 late swaps: dedup_exact (green r1-r5, family keeps five
     # rows) → text_perplexity (unigram-LM filter); stream_user_sessions
     # (green r4-r5, stream family keeps four rows) → events_pagerank
@@ -99,7 +102,10 @@ DRIVER_SURFACE = [
     # scale path of the same containment semantics) → the duplicated-
     # span profile (exact-substring dedup posture, new round 9, never
     # externally verified)
-    "dedup_dup_spans",
+    # round-12: dedup_dup_spans (green r9-r11; span profiling stays
+    # pytest-gated, dedup family keeps six surface rows) → BPE merge
+    # training (round-11, never externally verified)
+    "text_bpe_merges",
     # round-8 rotation (VERDICT r7 task 6): five rows green 3+ rounds
     # whose families keep other surface representatives rotate out
     # (sparql_star_join, sparql_optional, events_asof_join,
@@ -124,7 +130,11 @@ DRIVER_SURFACE = [
     # fingerprint overlap pairs (round-9, never externally verified;
     # strictly contains text_winnow_profile's fingerprint computation)
     "dedup_winnow_pairs",
-    "simhash_fingerprints",
+    # round-12: simhash_fingerprints (green r3-r11, nine rounds; the
+    # fingerprint family keeps dedup_winnow_pairs and banded SimHash
+    # stays recall-pinned in pytest) → BPE encoding stats (round-11,
+    # never externally verified)
+    "text_bpe_encode",
     # round-10 continuation: ann_topk_bucketed (green r4-r9; the
     # LSH-bucketed ANN plan stays pytest-gated and its bucketing is
     # surface-exercised inside semantic_dedup's LSH leg) → int8
@@ -136,7 +146,17 @@ DRIVER_SURFACE = [
     # scd2_history) → deterministic seeded embedding clustering (new
     # round 9, never externally verified — the oracle-able complement
     # of the k-means IVF tier)
-    "emb_cluster_assign",
+    # round-12: sparql_group_by_expr (green r3-r11, nine rounds;
+    # SPARQL aggregates stay pytest-gated and the grouped-agg shape is
+    # surface-verified by q_cube_flag_status + the incoming mixed
+    # GROUPING SETS row) → mixed GROUPING SETS (round-11, never
+    # externally verified)
+    "q_grouping_sets_mixed",
+    # round-12: emb_cluster_assign (green r9-r11; seeded clustering
+    # stays pytest-gated, similarity family keeps semantic_dedup +
+    # ann_topk_int8) → BPE train→apply→evaluate fertility (round-11,
+    # never externally verified)
+    "text_tokenizer_fertility",
     # round-11: events_retention_cohorts (green r8-r10; cohort windows
     # stay pytest-gated, events family keeps five surface rows) →
     # label-propagation communities (round-10, never externally
@@ -174,6 +194,11 @@ DRIVER_SURFACE = [
     # stays pytest-gated) → real image container parsing with the
     # synthesized PNG/JPEG/GIF roundtrip, new this round
     "mm_image_metadata",
+    # round-12: events_triangles (green r9-r11; the graph family keeps
+    # events_kcore + events_communities) → image-text pair curation
+    # (round-11, never externally verified; strictly widens the image
+    # container parsing above with Gopher caption gates)
+    "pipeline_image_text_curation",
     # round-10 continuation: sketch_hll_check (green r4-r9; the
     # derived-exactness HLL bound stays pytest-gated) → the mergeable
     # Count-Min rollup, new this round and never externally verified
@@ -219,7 +244,6 @@ DRIVER_SURFACE = [
     # SPARQL 1.1 extensions + federation
     # (sparql_negated_path and sparql_property_path sit just past the
     # cap — the path family stays represented by sparql_path_closure)
-    "sparql_group_by_expr",
     # GRAPH / named-graph scoping — round-4 family; slot from
     # sparql_group_concat (the aggregate family stays represented on
     # the surface by sparql_group_by_expr; sparql_aggregate and
@@ -242,7 +266,6 @@ DRIVER_SURFACE = [
     # the function-library family stays represented by
     # sparql_filter_functions) → degree-oriented triangle counting,
     # the graph family's second surface row beside events_pagerank
-    "events_triangles",
     "sparql_path_closure",
     # round-8 late swap: VALUES semantics row upgraded to the UNDEF
     # wildcard form (§10.2 compatibility — this round's headline join
@@ -269,12 +292,21 @@ DRIVER_SURFACE = [
     # OPTIONAL in ONE plan — the reference demo's topology); the
     # displaced row leads the post-cap registry
     "lslod_cq6_trisource",
-    "sparql_service_join",
+    # round-12: sparql_service_join (green r3-r11, nine rounds; the
+    # remote-SPARQL paging wrapper stays pytest-gated and the shared
+    # bound-join machinery rides lslod_cq6 + sparql_drill_join) →
+    # Xconstruct rotated BACK onto the surface (green r<=8, unverified
+    # externally for 6+ rounds — VERDICT r11 task 7)
+    "sparql_construct",
     # Cypher execution seam — round-5 rotation (VERDICT r4 task 5): its
     # oracle-backed query never fit the 50-slot surface before; slot
     # from sparql_ask (trivial-head family represented by every other
     # sparql_* row's SELECT head + pytest)
-    "sparql_cypher_join",
+    # round-12: sparql_cypher_join (green r5-r11, seven rounds; the
+    # Cypher seam stays bench-measured through bolt_executor and
+    # pytest-gated) → Xask rotated BACK onto the surface (same policy
+    # as sparql_construct above — VERDICT r11 task 7)
+    "sparql_ask",
     # SPARQL core (round-8: sparql_star_join + sparql_optional rotated
     # out after seven straight green rounds — star joins stay
     # driver-checked via sparql_federated_join and every other
@@ -287,11 +319,19 @@ DRIVER_SURFACE = [
     # offline-eval family's first surface row (integer-scaled
     # discounts, new this session, never externally verified)
     "eval_retrieval_ndcg",
-    "sparql_distinct_orderby_page",
+    # round-12: sparql_distinct_orderby_page (green r1-r11, the
+    # longest-green row; DISTINCT/ORDER BY/OFFSET modifiers stay
+    # pytest-gated at two scale factors) → planted-violation DQ audit
+    # (round-11, never externally verified)
+    "q_dq_constraints",
     # (sparql_string_functions moved just past the cap to make room for
     # bm25_topk — same fn-library family as sparql_filter_functions,
     # still first among the post-cap registry entries + pytest-gated)
-    "sparql_filter_functions",
+    # round-12: sparql_filter_functions (green r1-r11; the EBV functor
+    # library stays pytest-gated and FILTER stays surface-verified via
+    # sparql_exists_filter) → SCD2 point-in-time stream enrichment
+    # (round-11, never externally verified)
+    "stream_scd2_enrich",
     # round-8 late swap: sparql_aggregate (green r1-r7; aggregates stay
     # surface-represented by sparql_group_by_expr) → the double-OPTIONAL
     # unbound-wildcard re-join, driver signal for the round's
@@ -302,14 +342,23 @@ DRIVER_SURFACE = [
     # ANN recall readout vs the exact oracle (round-10, never
     # externally verified)
     "eval_ann_recall",
-    "sparql_nested_iterator",
+    # round-12: sparql_nested_iterator (green r1-r11; the XML/nested-
+    # struct wrapper stays pytest-gated at two scale factors, the
+    # evidence class the rotation policy accepted for the r9 head
+    # rotations) → the Drill REST federation seam (round-11, never
+    # externally verified — real HTTP POST /query.json execution)
+    "sparql_drill_join",
     # round-9 swap: sparql_describe (green r5-r8; DESCRIBE stays
     # pytest-gated and its s/p/o graph shape is driver-checked via
     # lslod shapes) → the multi-triple OPTIONAL cascade representative
     # of the round-9 LSLOD parity batch (CQ5's
     # foodInteraction/biotransformation posture, never externally
     # verified); the displaced row leads the post-cap registry
-    "lslod_cq5_optional_star",
+    # round-12: lslod_cq5_optional_star (green r9-r11; the OPTIONAL
+    # cascade stays pytest-gated and OPTIONAL stays surface-verified
+    # via lslod_cq6_trisource's OPTIONAL tail) → trailing RANGE-frame
+    # window (round-11, never externally verified)
+    "events_trailing_window",
     # round-5 rotation: rows green three straight rounds and
     # represented by surface siblings rotate out for families external
     # verification never covered — SCD2 dimension versioning (slot from
@@ -372,6 +421,21 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if missing:  # not assert: must survive python -O
         raise ValueError(f"DRIVER_SURFACE names not in registry: {missing}")
     near_cap = [
+        # round-12 rotated-out rows first (each green 3+ rounds with
+        # its family still surface-represented — see the DRIVER_SURFACE
+        # comments for the per-row containment argument)
+        "sample_weighted_topk",
+        "dedup_dup_spans",
+        "simhash_fingerprints",
+        "emb_cluster_assign",
+        "events_triangles",
+        "sparql_group_by_expr",
+        "lslod_cq5_optional_star",
+        "sparql_distinct_orderby_page",
+        "sparql_filter_functions",
+        "sparql_nested_iterator",
+        "sparql_service_join",
+        "sparql_cypher_join",
         # round-10 continuation-session rotated-out rows first (same
         # policy; containment arguments in the DRIVER_SURFACE comments)
         "sparql_source_union",
@@ -436,8 +500,8 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_distinct",
         "sparql_lineitem_star",
         "sparql_star_filter",
-        "sparql_construct",
-        "sparql_ask",
+        # (sparql_construct / sparql_ask rotated BACK onto the surface
+        # in round 12 — VERDICT r11 task 7)
         "sparql_date_filter_bind",
         "sparql_group_concat",
         "sparql_string_functions",

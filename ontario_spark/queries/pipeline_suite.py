@@ -334,7 +334,12 @@ def dedup_containment_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path containment (round 6): bottom-k anchor candidates +
     exact verify restricted to candidates — the 100×-safe variant of
     ``dedup_containment`` (miss probability ≤ 1.5e-5 per true pair at
-    these parameters; scores exact)."""
+    these parameters; scores exact). Round 12: the per-doc candidate
+    budget (rarest-shared-anchor top-64) bounds verify work at
+    N × 64 pairs on EVERY corpus class — including fixed-vocabulary
+    corpora, previously this row's only unprobed scale boundary
+    (SCALE.md); the budget is replicated verbatim in the DuckDB
+    oracle, and recall vs the exact tier is pinned in pytest."""
     return dedup.anchor_containment_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
@@ -343,6 +348,7 @@ def dedup_containment_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         k_anchors=16,
         max_anchor_freq=1000,
+        candidate_budget=64,
     )
 
 
@@ -368,10 +374,28 @@ WITH sh AS (
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
     FROM inv
   ) WHERE rn <= 16
+), dfreq AS (
+  SELECT h, COUNT(*) AS df FROM inv GROUP BY h
+), cand_occ AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, f.df, a.h
+  FROM anch a
+  JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+  JOIN dfreq f ON f.h = a.h
+), best AS (
+  SELECT src, dst, df, h FROM (
+    SELECT src, dst, df, h,
+           ROW_NUMBER() OVER (PARTITION BY src, dst ORDER BY df, h) AS rp
+    FROM cand_occ
+  ) WHERE rp = 1
+), kept AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY df, h, dst) AS rn
+    FROM best
+  ) WHERE rn <= 64
 ), cand AS (
-  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
-         GREATEST(a.doc_id, b.doc_id) AS id_b
-  FROM anch a JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+  SELECT DISTINCT LEAST(src, dst) AS id_a, GREATEST(src, dst) AS id_b
+  FROM kept
 ), inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_common
   FROM cand c

@@ -70,6 +70,36 @@ def drill_rest_executor(
     return run
 
 
+def _unbacktick(sql: str) -> str:
+    """Swap Drill's backtick identifier quoting to ANSI double quotes
+    WITHOUT touching backticks inside single-quoted string literals
+    (round-12 ADVICE: a pushed FILTER constant may legitimately carry
+    one). Walks the query once, tracking literal state; '' inside a
+    literal is the standard escaped quote and stays inside."""
+    out = []
+    in_lit = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_lit:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    out.append("''")
+                    i += 2
+                    continue
+                in_lit = False
+            out.append(ch)
+        elif ch == "'":
+            in_lit = True
+            out.append(ch)
+        elif ch == "`":
+            out.append('"')
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def duckdb_drillbit(sf_dir: str, tables: tuple[str, ...] = ("customer",)) -> str:
     """Start (or reuse) the in-process drillbit stand-in for
     ``sf_dir`` and return its base URL. DuckDB executes each query
@@ -93,7 +123,7 @@ def duckdb_drillbit(sf_dir: str, tables: tuple[str, ...] = ("customer",)) -> str
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n))
                     assert req.get("queryType") == "SQL", req
-                    sql = req["query"].replace("`", '"')
+                    sql = _unbacktick(req["query"])
                     import duckdb
 
                     con = duckdb.connect()

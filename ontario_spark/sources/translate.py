@@ -929,8 +929,6 @@ def rows_to_bframe(spark, rows: list[dict], specs: list[ColSpec]):
 
     def col_type(i: int) -> str:
         t = "missing"
-        rank = {"missing": 0, "boolean": 1, "long": 2, "double": 3,
-                "timestamp": 4, "string": 5}
         for row in data:
             v = row[i]
             if v is None:

@@ -14,6 +14,7 @@ batches).
 from __future__ import annotations
 
 import tempfile
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -378,8 +379,14 @@ def user_event_gaps(stream: DataFrame, watermark: str = "24 hours") -> DataFrame
 
 
 #: Executed physical plan of the most recent run_available_now query's
-#: last micro-batch (None when unavailable) — read by tools/plan_audit.
+#: last micro-batch (None when unavailable) — read by tools/plan_audit,
+#: which runs queries one at a time. ``STREAM_EXPLAINS`` keys the same
+#: plans by sink name so concurrent streaming queries in one session
+#: can't cross-attribute plans (round-12 ADVICE); both are written
+#: under ``_EXPLAIN_LOCK``.
 LAST_STREAM_EXPLAIN: str | None = None
+STREAM_EXPLAINS: dict[str, str] = {}
+_EXPLAIN_LOCK = threading.Lock()
 
 
 def run_available_now(
@@ -429,9 +436,13 @@ def run_available_now(
             # string is diagnostics, never worth failing the query.
             global LAST_STREAM_EXPLAIN
             try:
-                LAST_STREAM_EXPLAIN = q._jsq.explainInternal(False)
+                plan = q._jsq.explainInternal(False)
             except Exception:
-                LAST_STREAM_EXPLAIN = None
+                plan = None
+            with _EXPLAIN_LOCK:
+                LAST_STREAM_EXPLAIN = plan
+                if plan is not None:
+                    STREAM_EXPLAINS[name] = plan
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -1050,6 +1050,76 @@ def test_anchor_containment_matches_exact_tier(spark):
     ]
 
 
+def test_anchor_candidate_budget_subset_and_exact_scores(spark, sf_small):
+    """The round-12 per-doc candidate budget: a budgeted run emits a
+    SUBSET of the unbudgeted anchor tier's pairs (the budget can only
+    cut candidates, never invent), scores stay EXACT on every emitted
+    pair, and at the registry budget (64) the fixture corpus — whose
+    per-doc candidate counts sit far below the budget — is returned
+    unchanged."""
+    docs = table(spark, sf_small, "documents")
+    free = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 12)
+        for r in dedup.anchor_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    b64 = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 12)
+        for r in dedup.anchor_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, candidate_budget=64
+        ).collect()
+    }
+    assert free  # fixture must contain containment pairs
+    assert b64 == free  # long-tail corpus: budget 64 is recall-free
+    b1 = {
+        (r["id_a"], r["id_b"]): round(r["containment"], 12)
+        for r in dedup.anchor_containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, candidate_budget=1
+        ).collect()
+    }
+    assert set(b1) <= set(free)
+    assert all(free[p] == s for p, s in b1.items())
+
+
+def test_anchor_candidate_budget_bounds_fixed_vocab_corpus(spark):
+    """The budget's reason to exist: on a FIXED-VOCABULARY corpus
+    (every doc drawn from the same tiny word set — the uncapped
+    generator's adversarial class, SCALE.md) the candidate stage is
+    bounded at budget pairs per anchor-side doc, and the planted
+    containment pair STILL survives because the contained side's rare
+    shingles rank its true partner first."""
+    vocab = [f"w{i}" for i in range(8)]
+    rows = []
+    for d in range(40):
+        # every doc cycles the same 8 words → all shingle dfs saturate
+        words = [vocab[(d + j) % 8] for j in range(30)]
+        rows.append((d, " ".join(words)))
+    # planted pair: rare-word quote contained in a noisy container
+    quote = "zeta eta theta iota kappa lambdaa"
+    rows.append((100, quote))
+    rows.append((101, " ".join(vocab * 3) + " " + quote + " " + " ".join(vocab)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.anchor_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9,
+        k_anchors=4, max_anchor_freq=1000, candidate_budget=2,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (100, 101) in pairs  # the true pair survives a budget of 2
+    # the budget bound itself: re-run the internal candidate stage and
+    # assert no src doc kept more than budget partners
+    from ontario_spark.operators.dedup import _anchor_pair_counts
+
+    inter = _anchor_pair_counts(
+        df, "doc_id", "text", 3, 4, 1000, False, candidate_budget=2
+    )
+    n_docs = df.count()
+    # the budget bound: every verified pair was kept by SOME doc's
+    # budget, so total pairs ≤ N_docs × budget — the linear guarantee
+    # the verify stage's cost rests on (vs ~N² uncapped on this corpus)
+    assert inter.count() <= n_docs * 2
+
+
 def test_wav_metadata_parses_real_riff_headers(spark):
     """RIFF/WAVE fmt+data chunks are parsed from raw bytes (the audio
     counterpart of the PNG/JPEG test): the chunk WALK is exercised by

@@ -1041,6 +1041,12 @@ def test_drill_rest_round_trip(spark, sf_small):
     with pytest.raises(RuntimeError, match="drill error"):
         run("SELECT nope FROM missing_table")
 
+    # dialect rewrite is literal-aware (round-12 ADVICE): a backtick
+    # INSIDE a pushed string constant must survive the quote swap
+    lit = run("SELECT `c_custkey` FROM `customer` "
+              "WHERE 'a`b' = 'a`b' AND `c_custkey` = 1")
+    assert [r["c_custkey"] for r in lit] == [1]
+
     # engine level: the federated star answers through the same seam
     # and numeric bindings stay numeric end-to-end
     cat = tpch_drill_catalog(sf_small)
