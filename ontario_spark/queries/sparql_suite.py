@@ -605,6 +605,26 @@ _DEFS: dict[str, tuple[str, str | None, bool | str]] = {
              AND n_name IS NOT NULL AND c_acctbal > 9000.0""",
         "drill",
     ),
+    "sparql_drill_bound_join": (
+        # bound-join pushdown over the Drill REST seam (round 12,
+        # NestedHashJoinFilter posture — reference
+        # ontario/wrappers/drill/sparql2drill.py:94-150 +
+        # NestedHashJoinFilter.makeInstantiation:166-234): the lake's
+        # Nation star is filtered to ONE nation, so the engine pushes
+        # the observed ?n join keys as an IN-list into the SQL POSTed
+        # to /query.json — the remote Customer fetch is restricted to
+        # that nation's rows instead of the whole table (asserted by
+        # the POST spy in tests/test_federation.py)
+        """SELECT ?name ?bal WHERE {
+             ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal ;
+                ex:nation ?n .
+             ?n a ex:Nation ; ex:name 'NATION_1' . }""",
+        """SELECT c_name AS name, c_acctbal AS bal
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+             AND n_name = 'NATION_1'""",
+        "drill",
+    ),
     "sparql_cypher_join": (
         # graph-store federation: Customer star translated to Cypher
         # and executed through the graphstore interpreter (pushed

@@ -58,15 +58,72 @@ def _set(doc: dict, dotted: str, value) -> None:
     cur[parts[-1]] = value
 
 
+def _matches_array(arr: list, cond) -> bool:
+    """Mongo ARRAY-field match semantics (round 12, backing the
+    translator's $all sequence for multi-valued predicates — reference
+    ``sparql2mongo.py:144-180``): a document-level condition on an
+    intact array is element-CONTAINMENT — bare/``$eq`` values match if
+    any element equals, comparisons/``$regex`` if any element
+    satisfies, ``$ne`` only if NO element equals, and ``$all`` when
+    every listed value is present."""
+    if not isinstance(cond, dict):
+        return cond in arr
+    for op, arg in cond.items():
+        if op == "$all":
+            if any(x not in arr for x in arg):
+                return False
+        elif op == "$exists":
+            if not arg:
+                return False  # the array field IS present
+        elif op == "$eq":
+            if arg != arr and arg not in arr:
+                return False
+        elif op == "$ne":
+            if arg == arr or arg in arr:
+                return False
+        elif op == "$in":
+            whole = any(
+                arr == (list(a) if isinstance(a, tuple) else a) for a in arg
+            )
+            if not whole and not any(x in arr for x in arg):
+                return False
+        elif op == "$regex":
+            if not any(
+                x is not None and re.search(arg, str(x)) for x in arr
+            ):
+                return False
+        elif op in ("$lt", "$lte", "$gt", "$gte"):
+            cmp = {
+                "$lt": lambda x: x < arg,
+                "$lte": lambda x: x <= arg,
+                "$gt": lambda x: x > arg,
+                "$gte": lambda x: x >= arg,
+            }[op]
+            if not any(cmp(x) for x in arr if x is not None):
+                return False
+        else:
+            raise ValueError(f"unsupported $match operator {op}")
+    return True
+
+
 def _matches(doc: dict, spec: dict) -> bool:
     for field, cond in spec.items():
         v = _get(doc, field)
+        if isinstance(v, list):
+            if not _matches_array(v, cond):
+                return False
+            continue
         if not isinstance(cond, dict):
             if v != cond:
                 return False
             continue
         for op, arg in cond.items():
-            if op == "$exists":
+            if op == "$all":
+                # non-array field: matches only if it equals every
+                # listed value (Mongo's degenerate-scalar $all)
+                if any(x != v for x in arg):
+                    return False
+            elif op == "$exists":
                 if (v is not None) != arg:
                     return False
             elif op == "$eq":

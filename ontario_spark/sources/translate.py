@@ -557,6 +557,26 @@ def star_mongo(
                 if p not in unwinds:
                     unwinds.append(p)
 
+    def all_into(path: str, val):
+        # Constant object over a MULTI-VALUED reference path (round 12;
+        # reference sparql2mongo.py:144-180, the maxnumofobj>1 $all
+        # sequence): match the INTACT array at document level — Mongo's
+        # `field: v` on an array means "contains v", and several
+        # constants on one path merge into $all. Unwinding first would
+        # demand a SINGLE element equal every constant (unsatisfiable
+        # for two distinct values), and a lone constant would multiply
+        # sibling bindings once per array element.
+        f = _mongo_field(path).replace("/", ".")
+        cur = pre.get(f)
+        if cur is None:
+            pre[f] = {"$all": [val]}
+        elif isinstance(cur, dict):
+            alls = cur.setdefault("$all", [])
+            if val not in alls:
+                alls.append(val)
+        else:
+            pre[f] = {"$eq": cur, "$all": [val]}
+
     def bind(var: str, path: str, out: str, kind: str, tpl: str | None, ki: int = 0):
         f = _mongo_field(path).replace("/", ".")
         if var in bound and ki == 0:
@@ -602,13 +622,16 @@ def star_mongo(
     for t in triples:
         om = tm.pom[t.p.value]
         if om.kind == REFERENCE:
-            want_unwind(om.value)
             if t.o.is_var:
+                want_unwind(om.value)
                 bind(t.o.value, om.value, t.o.value, REFERENCE, None)
                 match_into(om.value, {"$exists": True, "$ne": None})
             else:
                 val = t.o.py if (not t.o.is_iri and t.o.py is not None) else t.o.value
-                match_into(om.value, val)
+                if "[*]" in om.value:
+                    all_into(om.value, val)
+                else:
+                    match_into(om.value, val)
         elif om.kind == TEMPLATE:
             tcols = list(om.template.columns)
             if t.o.is_var:

@@ -1060,4 +1060,68 @@ def test_drill_rest_round_trip(spark, sf_small):
         )
         .collect()
     )
-    assert got and all(isinstance(r["bal"], float) and r["bal"] > 9000.0 for r in got)
+    assert got and all(
+        isinstance(r["bal"], float) and r["bal"] > 9000.0 for r in got
+    )
+
+
+def test_drill_bound_join_pushes_in_list(spark, sf_small):
+    """Round 12 (VERDICT r11 task 5): a selective lake star restricts
+    the remote Drill fetch — the observed ?n join keys must appear as
+    an IN-list in the SQL actually POSTed to /query.json, and the
+    answer must equal the lake-only equivalent. Reference posture:
+    NestedHashJoinFilter.makeInstantiation."""
+    from ontario_spark.catalog.tpch_rdf import (
+        _serve_remote,
+        tpch_catalog,
+    )
+    from ontario_spark.sources.drillrest import (
+        drill_rest_executor,
+        duckdb_drillbit,
+    )
+
+    posted = []
+    inner = drill_rest_executor(duckdb_drillbit(sf_small))
+
+    def spy(sql: str):
+        posted.append(sql)
+        return inner(sql)
+
+    cat = _serve_remote(
+        tpch_catalog(sf_small), "CustomerMap", "remote_drill", "drill", spy
+    )
+    got = (
+        SparqlEngine(spark, cat)
+        .query(
+            PFX
+            + """SELECT ?name ?bal WHERE {
+                  ?c a ex:Customer ; ex:name ?name ; ex:acctbal ?bal ;
+                     ex:nation ?n .
+                  ?n a ex:Nation ; ex:name 'NATION_1' . }"""
+        )
+        .collect()
+    )
+    assert got  # NATION_1 customers exist at sf0.001
+    # exactly one nation survives the lake filter; its raw key must be
+    # the remote IN-list (not an unfiltered full-table fetch)
+    import duckdb
+
+    key = duckdb.connect().execute(
+        f"SELECT n_nationkey FROM '{sf_small}/nation.parquet' "
+        "WHERE n_name = 'NATION_1'"
+    ).fetchone()[0]
+    cust_sqls = [s for s in posted if "customer" in s.lower()]
+    assert cust_sqls, posted
+    assert any(
+        "IN (" in s.upper().replace("IN(", "IN (") and str(key) in s
+        for s in cust_sqls
+    ), cust_sqls
+    # the pushdown is transfer-only: the answer equals the lake truth
+    rows = duckdb.connect().execute(
+        "SELECT c_name, c_acctbal FROM "
+        f"'{sf_small}/customer.parquet' c JOIN '{sf_small}/nation.parquet' n"
+        " ON c_nationkey = n_nationkey WHERE n_name = 'NATION_1'"
+    ).fetchall()
+    assert sorted((r["name"], round(r["bal"], 6)) for r in got) == sorted(
+        (n, round(float(b), 6)) for n, b in rows
+    )

@@ -327,6 +327,128 @@ def test_mongo_contradictory_constants_match_nothing():
     assert run_pipeline(MONGO_DOCS, pipeline) == []
 
 
+# Multi-valued predicate fixtures (round 12 — the reference's
+# maxnumofobj>1 $all sequence, sparql2mongo.py:144-180): a DIRECT
+# array reference path, unlike MONGO_MAP's template-over-array orders.
+TAGS_DOCS = [
+    {"did": 1, "title": "t1", "tags": ["a", "b", "c"]},
+    {"did": 2, "title": "t2", "tags": ["a"]},
+    {"did": 3, "title": "t3", "tags": ["b", "c"]},
+    {"did": 4, "title": "t4", "tags": []},
+]
+
+TAGS_MAP = TripleMap(
+    name="MDoc",
+    source=LogicalSource(table="docs"),
+    subject=tpl(EX + "doc/{did}"),
+    subject_class=EX + "Doc",
+    predicates=(
+        (EX + "title", ref("title")),
+        (EX + "tag", ref("tags[*]")),
+    ),
+)
+
+
+def test_mongo_multivalued_constants_become_all_match():
+    """TWO constant objects on one multi-valued predicate translate to
+    a document-level $all containment match on the INTACT array — the
+    reference's maxnumofobj>1 sequence (sparql2mongo.py:144-180).
+    Unwinding first would demand a single element equal both constants
+    (unsatisfiable), and the naive per-element merge used to collapse
+    to match-nothing."""
+    star = star_of('SELECT * WHERE { ?d ex:tag "a" ; ex:tag "b" ; ex:title ?t }')
+    pipeline, _ = star_mongo(TAGS_MAP, star)
+    assert pipeline[0]["$match"]["tags"]["$all"] == ["a", "b"]
+    assert {"$unwind": "$tags"} not in pipeline  # no var on the array
+    rows = run_pipeline(TAGS_DOCS, pipeline)
+    assert rows == [{"d__k0": 1, "t": "t1"}]  # ONE row, not per-element
+
+
+def test_mongo_multivalued_constant_plus_variable():
+    """A constant AND a variable on the same multi-valued predicate:
+    the constant stays a document-level containment, the variable
+    still unwinds — ?x ranges over ALL elements of docs whose array
+    contains the constant (SPARQL join semantics: the triples share
+    only ?d)."""
+    star = star_of('SELECT * WHERE { ?d ex:tag "a" ; ex:tag ?x }')
+    pipeline, _ = star_mongo(TAGS_MAP, star)
+    assert pipeline[0]["$match"]["tags"]["$all"] == ["a"]
+    assert {"$unwind": "$tags"} in pipeline
+    rows = sorted(
+        (r["d__k0"], r["x"]) for r in run_pipeline(TAGS_DOCS, pipeline)
+    )
+    assert rows == [(1, "a"), (1, "b"), (1, "c"), (2, "a")]
+
+
+def test_mongo_multivalued_distributed_matches_driver(spark, tmp_path):
+    """The reference's :144-180 sequence end-to-end on the DISTRIBUTED
+    per-partition interpreter: $all containment + $unwind + a pushed
+    per-element FILTER produce exactly the driver interpreter's rows."""
+    from ontario_spark.sources.docstore import (
+        executor_from_collections,
+        spark_doc_executor,
+    )
+
+    spark.createDataFrame(
+        [(d["did"], d["title"], d["tags"]) for d in TAGS_DOCS],
+        "did long, title string, tags array<string>",
+    ).repartition(3).write.mode("overwrite").parquet(str(tmp_path / "docs.parquet"))
+
+    star = star_of(
+        'SELECT * WHERE { ?d ex:tag "a" ; ex:tag "b" ; ex:tag ?x ; ex:title ?t }'
+    )
+    conds = _conds_of('FILTER (?x != "c")')
+    pipeline, _ = star_mongo(TAGS_MAP, star, conditions=conds)
+    # the containment match AND the pushed per-element condition both
+    # ride the pipeline: $all before $unwind, $ne after
+    assert pipeline[0]["$match"]["tags"]["$all"] == ["a", "b"]
+    ui = pipeline.index({"$unwind": "$tags"})
+    post = [s["$match"] for s in pipeline[ui + 1:] if "$match" in s]
+    assert any(m.get("tags", {}).get("$ne") == "c" for m in post)
+
+    dist = spark_doc_executor(spark, str(tmp_path))("docs", pipeline)
+    got = sorted((r["d__k0"], r["x"], r["t"]) for r in dist.collect())
+    want = sorted(
+        (r["d__k0"], r["x"], r["t"])
+        for r in executor_from_collections({"docs": TAGS_DOCS})("docs", pipeline)
+    )
+    assert got == want == [(1, "a", "t1"), (1, "b", "t1")]
+
+
+def test_mongo_multivalued_engine_pushdown_spy(spark):
+    """Engine level: a SPARQL star over the multi-valued predicate
+    ships the $all containment inside the pipeline the executor
+    RECEIVES (whole-collection ship prevented) and answers through the
+    docstore seam."""
+    from ontario_spark.catalog.model import Catalog, DataSource
+    from ontario_spark.sources.docstore import executor_from_collections
+
+    inner = executor_from_collections({"docs": TAGS_DOCS})
+    seen = []
+
+    def spy(collection, pipeline):
+        seen.append((collection, pipeline))
+        return inner(collection, pipeline)
+
+    cat = Catalog()
+    cat.add(DataSource(name="docsrc", dstype="mongodb", base_path=""), TAGS_MAP)
+    cat.executors["docsrc"] = spy
+    got = (
+        SparqlEngine(spark, cat)
+        .query(
+            PFX
+            + """SELECT ?t WHERE {
+                  ?d a ex:Doc ; ex:tag 'a' ; ex:tag 'b' ; ex:title ?t }"""
+        )
+        .collect()
+    )
+    assert [r["t"] for r in got] == ["t1"]
+    assert seen, "executor never invoked"
+    coll, pipe = seen[0]
+    assert coll == "docs"
+    assert pipe[0]["$match"]["tags"]["$all"] == ["a", "b"]
+
+
 def test_cypher_filter_pushdown():
     star = star_of("SELECT * WHERE { ?c a ex:Customer ; ex:name ?n }")
     conds = _conds_of('FILTER (STRSTARTS(?n, "al") && ?n > "a")')

@@ -46,6 +46,7 @@ PROBE_QUERIES = [
     "contamination_bloom",
     "dedup_cdc_chunks",
     "dedup_url_canonical",
+    "dedup_containment_anchors",
     "fuzzy_part_names",
     "er_record_links",
     "dedup_dup_spans",
@@ -138,6 +139,7 @@ PROBE_QUERIES = [
     # SPARQL engine (template-keyed joins + aggregation over the lake)
     "sparql_star_join",
     "sparql_drill_join",
+    "sparql_drill_bound_join",
     "sparql_lineitem_star",
     "sparql_aggregate",
 ]
