@@ -140,6 +140,8 @@ def _anchor_pair_counts(
     max_anchor_freq: int | None,
     verify_semi_join: bool,
     candidate_budget: int | None = None,
+    inv_list_budget: int | None = None,
+    anchor_expand: int | None = None,
 ) -> DataFrame:
     """Shared candidate+verify core of the anchor-sketch similarity
     joins (``anchor_containment_pairs`` / ``anchor_jaccard_pairs``):
@@ -207,9 +209,54 @@ def _anchor_pair_counts(
         .filter(F.col("__rn") <= k_anchors)
         .select("id", "h")
     )
+    dfreq = None
+    if anchor_expand is not None:
+        # Expansion bound (round 12): only each doc's ``anchor_expand``
+        # RAREST anchors (by capped doc-frequency, then hash) generate
+        # candidates, shrinking the occurrence stream to N × R × L
+        # rows. Containment recall is preserved by construction: every
+        # anchor of a contained doc exists in its container, so the
+        # pair is reachable through the doc's rarest anchors too; the
+        # partners lost are those sharing ONLY the doc's commonest
+        # anchors — the same pairs the rarest-anchor candidate budget
+        # ranks last and cuts anyway. Deterministic, oracle-replicated.
+        dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        anchors = (
+            anchors.join(dfreq, "h")
+            .withColumn(
+                "__ar",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "h")
+                ),
+            )
+            .filter(F.col("__ar") <= anchor_expand)
+            .select("id", "h")
+        )
+    inv_b = inv
+    if inv_list_budget is not None:
+        # Inverted-list bound (round 12): each anchor hash expands to
+        # at most ``inv_list_budget`` partner docs (deterministic —
+        # first by doc id), so the candidate OCCURRENCE stream is hard-
+        # bounded at N × k × L rows even when every shingle's doc
+        # frequency saturates toward ``max_anchor_freq`` (the fixed-
+        # vocabulary class: uncapped, the stream is N × k × cap ≈ 8B
+        # rows at the 100× probe — the shuffle spill filled the disk).
+        # Unlike TIGHTENING the df cap — which drops a hot anchor
+        # entirely — the bound keeps the anchor matchable against L
+        # partners, strictly better recall at the same stream size. On
+        # long-tail corpora (df ≪ L) it is a no-op. Replicated
+        # verbatim in the DuckDB oracle.
+        inv_b = (
+            inv.withColumn(
+                "__ir",
+                F.row_number().over(Window.partitionBy("h").orderBy("id")),
+            )
+            .filter(F.col("__ir") <= inv_list_budget)
+            .select("id", "h")
+        )
     cand_occ = (
         anchors.alias("a")
-        .join(inv.alias("b"), "h")
+        .join(inv_b.alias("b"), "h")
         .filter(F.col("a.id") != F.col("b.id"))
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), "h")
     )
@@ -235,9 +282,18 @@ def _anchor_pair_counts(
         # all hit the container — protects high-containment pairs.
         # Every step is deterministic integer arithmetic on md5-derived
         # hashes, replicated verbatim in the DuckDB oracles.
-        dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        if dfreq is None:
+            dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        # ONE shuffle for the whole two-level ranking: hash(src)
+        # satisfies ClusteredDistribution for BOTH the (src, dst)
+        # groupBy and the per-src window, so after the explicit
+        # repartition neither re-shuffles — halving this stage's
+        # shuffle-spill footprint (the 100× probe's disk budget is the
+        # binding constraint; measured: the two-shuffle form exhausted
+        # local disk at 500k docs × saturated vocabulary).
         best = (
             cand_occ.join(dfreq, "h")
+            .repartition("src")
             .groupBy("src", "dst")
             .agg(F.min(F.struct("df", "h")).alias("best"))
         )
@@ -306,6 +362,8 @@ def anchor_containment_pairs(
     max_anchor_freq: int | None = 1000,
     verify_semi_join: bool = False,
     candidate_budget: int | None = None,
+    inv_list_budget: int | None = None,
+    anchor_expand: int | None = None,
 ) -> DataFrame:
     """Two-tier sub-document containment — the CORPUS-SCALE path that
     replaces ``ngram_containment_pairs``'s all-shared-shingles
@@ -326,7 +384,7 @@ def anchor_containment_pairs(
     trade is quantified in SCALE.md."""
     inter = _anchor_pair_counts(
         df, id_col, text_col, n, k_anchors, max_anchor_freq,
-        verify_semi_join, candidate_budget,
+        verify_semi_join, candidate_budget, inv_list_budget, anchor_expand,
     )
     cont = F.col("n_common").cast("double") / F.least(
         F.col("n_a"), F.col("n_b")
@@ -346,6 +404,8 @@ def anchor_jaccard_pairs(
     max_anchor_freq: int | None = 1000,
     verify_semi_join: bool = False,
     candidate_budget: int | None = None,
+    inv_list_budget: int | None = None,
+    anchor_expand: int | None = None,
 ) -> DataFrame:
     """Bounded exact-score n-gram Jaccard join — the CORPUS-SCALE
     default for ``ngram_jaccard_pairs``'s semantics (round 11,
@@ -367,7 +427,7 @@ def anchor_jaccard_pairs(
     ``anchor_containment_pairs``."""
     inter = _anchor_pair_counts(
         df, id_col, text_col, n, k_anchors, max_anchor_freq,
-        verify_semi_join, candidate_budget,
+        verify_semi_join, candidate_budget, inv_list_budget, anchor_expand,
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
@@ -1664,27 +1724,61 @@ def incremental_lsh_pairs(
     checks it. ``max_bucket_size`` drops over-cap CORPUS (band, bucket)
     groups (a bucket that hot is boilerplate exact-dedup should have
     removed; same documented trade as ``hot_bucket="drop"``)."""
+    bn = banded_signature_index(new, id_col, text_col, num_hashes, bands, n)
+    bc = _bounded_persist(
+        banded_signature_index(corpus, id_col, text_col, num_hashes, bands, n)
+    )
+    return probe_banded_index(
+        bn, bc, id_col, num_hashes, threshold, max_bucket_size
+    )
+
+
+def banded_signature_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """The corpus-side banded-signature INDEX of incremental near-dup
+    (factored out of ``incremental_lsh_pairs`` in round 12 so the
+    streaming ingest twin can persist it once and probe it per
+    micro-batch): one row per (doc, band) carrying the full minhash
+    signature and the band's bucket key."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     mh_cols = [f"mh{i}" for i in range(num_hashes)]
-
-    def banded(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-        keys = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(c) for c in mh_cols[b * r : (b + 1) * r]]
-                    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(c) for c in mh_cols[b * r : (b + 1) * r]]
                 )
-                for b in range(bands)
-            ]
-        )
-        return sig.withColumn("bk", keys).select(
-            id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket")
-        )
-    bn = banded(new)
-    bc = _bounded_persist(banded(corpus))
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.withColumn("bk", keys).select(
+        id_col, *mh_cols, F.posexplode("bk").alias("band", "bucket")
+    )
+
+
+def probe_banded_index(
+    bn: DataFrame,
+    bc: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    threshold: float = 0.4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Probe stage of incremental near-dup: banded NEW rows ``bn``
+    against the (persisted) corpus index ``bc`` — bucket-equi-join,
+    then the minhash-agreement estimate on candidate pairs. Identical
+    estimator to ``minhash_lsh_pairs`` (same md5-portable oracle
+    machinery)."""
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
     if max_bucket_size is not None:
         heavy = bc.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n")

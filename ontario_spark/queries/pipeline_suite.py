@@ -334,12 +334,15 @@ def dedup_containment_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path containment (round 6): bottom-k anchor candidates +
     exact verify restricted to candidates — the 100×-safe variant of
     ``dedup_containment`` (miss probability ≤ 1.5e-5 per true pair at
-    these parameters; scores exact). Round 12: the per-doc candidate
-    budget (rarest-shared-anchor top-64) bounds verify work at
-    N × 64 pairs on EVERY corpus class — including fixed-vocabulary
-    corpora, previously this row's only unprobed scale boundary
-    (SCALE.md); the budget is replicated verbatim in the DuckDB
-    oracle, and recall vs the exact tier is pinned in pytest."""
+    these parameters; scores exact). Round 12: three bounds make the
+    plan finite on EVERY corpus class — the expansion bound (only
+    each doc's 8 rarest anchors generate candidates), the
+    inverted-list budget (each anchor expands to ≤64 partners; the
+    occurrence stream is therefore ≤ N×8×64 rows), and the per-doc
+    candidate budget (rarest-shared-anchor top-64 partners per doc,
+    capping verify work at N×64 pairs). All previously-unprobed on
+    the fixed-vocabulary class (SCALE.md); all replicated verbatim in
+    the DuckDB oracle, recall pinned in pytest."""
     return dedup.anchor_containment_pairs(
         table(spark, sf_dir, "documents"),
         "doc_id",
@@ -349,6 +352,8 @@ def dedup_containment_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_anchors=16,
         max_anchor_freq=1000,
         candidate_budget=64,
+        inv_list_budget=64,
+        anchor_expand=8,
     )
 
 
@@ -368,7 +373,7 @@ WITH sh AS (
 ), inv AS (
   SELECT doc_id, h FROM hx
   WHERE h NOT IN (SELECT h FROM hx GROUP BY h HAVING COUNT(*) > 1000)
-), anch AS (
+), anch0 AS (
   SELECT doc_id, h FROM (
     SELECT doc_id, h,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
@@ -376,10 +381,23 @@ WITH sh AS (
   ) WHERE rn <= 16
 ), dfreq AS (
   SELECT h, COUNT(*) AS df FROM inv GROUP BY h
+), anch AS (
+  SELECT doc_id, h FROM (
+    SELECT a.doc_id, a.h,
+           ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                              ORDER BY f.df, a.h) AS ar
+    FROM anch0 a JOIN dfreq f ON f.h = a.h
+  ) WHERE ar <= 8
+), invb AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS ir
+    FROM inv
+  ) WHERE ir <= 64
 ), cand_occ AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, f.df, a.h
   FROM anch a
-  JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+  JOIN invb b ON a.h = b.h AND a.doc_id <> b.doc_id
   JOIN dfreq f ON f.h = a.h
 ), best AS (
   SELECT src, dst, df, h FROM (

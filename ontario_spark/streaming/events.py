@@ -553,6 +553,101 @@ def write_stream_exactly_once(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def run_incremental_neardup(
+    spark: SparkSession,
+    new_docs_dir: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.4,
+    name: str = "stream_incremental_neardup",
+) -> DataFrame:
+    """Streaming ingest near-dup (round 12, VERDICT r11 task 6): the
+    micro-batch twin of ``dedup.incremental_lsh_pairs`` — the shape a
+    production ingest dedup actually runs. The HISTORICAL corpus's
+    banded-signature index is built and persisted ONCE before the
+    stream starts (in production: a maintained table on storage);
+    documents then arrive as a file stream (``maxFilesPerTrigger=1``,
+    AvailableNow replay) and every micro-batch probes the index inside
+    ``foreachBatch`` — banding the batch, bucket-equi-joining the
+    index, and appending verified pairs to the sink. Per-doc
+    signatures are batch-independent, so the union over micro-batches
+    equals the one-shot batch operator's output exactly (same
+    md5-portable estimator → same DuckDB oracle).
+
+    Scale: probe cost per batch is batch×bands bucket lookups against
+    the persisted index — never corpus²; the index is the only state
+    and lives outside the stream (no unbounded state store growth).
+    The last batch's EXECUTED probe plan is recorded for
+    tools/plan_audit (same contract as run_available_now)."""
+    from ontario_spark.operators.dedup import (
+        _bounded_persist,
+        banded_signature_index,
+        probe_banded_index,
+    )
+    from ontario_spark.session import CONF_LOCK
+
+    index = _bounded_persist(
+        banded_signature_index(corpus, id_col, text_col, num_hashes, bands, n)
+    )
+    index.count()  # materialize the persisted index before the stream
+    base = tempfile.mkdtemp(prefix=f"{name}_")
+    sink, ckpt = f"{base}/out", f"{base}/ckpt"
+    schema = spark.read.parquet(new_docs_dir).schema
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        bn = banded_signature_index(
+            batch_df, id_col, text_col, num_hashes, bands, n
+        )
+        out = probe_banded_index(bn, index, id_col, num_hashes, threshold)
+        out = out.persist()
+        try:
+            out.count()  # execute so the captured plan is the FINAL one
+            plan = out._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+            global LAST_STREAM_EXPLAIN
+            with _EXPLAIN_LOCK:
+                LAST_STREAM_EXPLAIN = plan
+                STREAM_EXPLAINS[name] = plan
+            out.write.mode("append").parquet(sink)
+        finally:
+            out.unpersist()
+
+    with CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(new_docs_dir)
+                .writeStream.foreachBatch(_probe)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    index.unpersist()
+    try:
+        return spark.read.parquet(sink)
+    except Exception:
+        # zero batches produced pairs → no sink files; empty result
+        # with the operator's schema
+        return spark.createDataFrame(
+            [], f"id_new {dict(corpus.dtypes)[id_col]}, "
+                f"id_corpus {dict(corpus.dtypes)[id_col]}, "
+                "est_jaccard double",
+        )
+
+
 # n_seen (total events ever received for the key) is STRICTLY monotone
 # across a key's emitted rows — the selector consumers need to pick the
 # final state out of an update-mode sink that APPENDS one row per key
