@@ -346,8 +346,36 @@ GROUP BY date_trunc('day', ts), event_type
 """
 
 
+def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest near-dup (round 12): new documents (doc_id %
+    10 == 7, the ``pipeline_incremental_neardup`` split) REPLAYED as a
+    multi-file micro-batch stream, each batch probing the PERSISTED
+    banded-signature index of the historical corpus through
+    ``foreachBatch`` — the composition a production ingest dedup runs
+    (streaming/events.py::run_incremental_neardup). Per-doc signatures
+    are batch-independent, so the result equals the one-shot batch
+    operator's and shares its DuckDB oracle."""
+    import tempfile
+
+    from ontario_spark.data import table
+
+    docs = table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % 10) == 7
+    base = tempfile.mkdtemp(prefix="stream_incr_neardup_src_")
+    # 4 files → 4 micro-batches at maxFilesPerTrigger=1
+    docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(
+        f"{base}/new"
+    )
+    from ontario_spark.streaming.events import run_incremental_neardup
+
+    return run_incremental_neardup(
+        spark, f"{base}/new", docs.filter(~is_new), threshold=0.4
+    )
+
+
 QUERIES = {
     "stream_click_purchase": stream_click_purchase,
+    "stream_incremental_neardup": stream_incremental_neardup,
     "stream_daily_rollup": stream_daily_rollup,
     "stream_click_purchase_outer": stream_click_purchase_outer,
     "stream_dedup": stream_dedup,
@@ -360,8 +388,19 @@ QUERIES = {
     "stream_trending_topk": stream_trending_topk,
 }
 
+def _incr_neardup_oracle() -> str:
+    # the streaming replay computes exactly the batch operator's
+    # result, so it shares pipeline_incremental_neardup's oracle
+    from ontario_spark.queries.pipeline_suite import (
+        PIPELINE_INCR_NEARDUP_SQL,
+    )
+
+    return PIPELINE_INCR_NEARDUP_SQL
+
+
 ORACLE = {
     "stream_click_purchase": STREAM_CLICK_PURCHASE_SQL,
+    "stream_incremental_neardup": _incr_neardup_oracle(),
     "stream_daily_rollup": STREAM_DAILY_ROLLUP_SQL,
     "stream_click_purchase_outer": STREAM_CLICK_PURCHASE_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,

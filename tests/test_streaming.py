@@ -612,3 +612,41 @@ def test_watermark_boundary_emission_conventions(spark, tmp_path):
     )
     unmatched3 = {r["l_event"] for r in out3.collect() if r["r_event"] is None}
     assert 1 in unmatched3
+
+
+def test_incremental_neardup_stream_equals_batch_operator(spark, sf_small, tmp_path):
+    """Round 12 (VERDICT r11 task 6): the foreachBatch ingest near-dup
+    must (a) actually replay MULTIPLE micro-batches against the
+    persisted index, (b) record an executed probe plan for the audit,
+    and (c) return EXACTLY the one-shot batch operator's pairs — the
+    union-over-batches identity its oracle reuse rests on."""
+    from ontario_spark.operators import dedup
+    from ontario_spark.streaming import events as sev
+
+    docs = table(spark, sf_small, "documents")
+    is_new = (F.col("doc_id") % 10) == 7
+    new, corpus = docs.filter(is_new), docs.filter(~is_new)
+    src = str(tmp_path / "new")
+    new.repartition(3).write.parquet(src)
+
+    sev.LAST_STREAM_EXPLAIN = None
+    got = sorted(
+        (r["id_new"], r["id_corpus"], round(r["est_jaccard"], 12))
+        for r in sev.run_incremental_neardup(
+            spark, src, corpus, threshold=0.4
+        ).collect()
+    )
+    want = sorted(
+        (r["id_new"], r["id_corpus"], round(r["est_jaccard"], 12))
+        for r in dedup.incremental_lsh_pairs(
+            new, corpus, "doc_id", "text", threshold=0.4
+        ).collect()
+    )
+    assert want, "fixture must contain cross-split near-dups"
+    assert got == want
+    # executed probe plan captured for tools/plan_audit (bucket
+    # equi-join — never a cartesian or Python eval)
+    plan = sev.LAST_STREAM_EXPLAIN
+    assert plan is not None
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert sev.STREAM_EXPLAINS.get("stream_incremental_neardup") == plan

@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     "stream_user_gaps",
     "stream_trending_topk",
     "stream_scd2_enrich",
+    "stream_incremental_neardup",
     # composed pipelines
     "pipeline_decontaminated_corpus",
     "pipeline_incremental_ingest",
@@ -147,17 +148,30 @@ PROBE_QUERIES = [
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    names = (
-        sys.argv[2].split(",")
-        if len(sys.argv) > 2 and sys.argv[2]
-        else PROBE_QUERIES
-    )
+    arg = sys.argv[2] if len(sys.argv) > 2 and sys.argv[2] else ""
     scales = tuple(
         sys.argv[3].split(",") if len(sys.argv) > 3 else ("small", "big")
     )
     outfile = (
         "SCALE_PROBE.json" if scales == ("small", "big") else "SCALE_PROBE_100X.json"
     )
+    # round 12: the probe covers the FULL registry, not just the curated
+    # skew-sensitive families. ``all`` probes every registry row;
+    # ``missing`` probes only rows absent from the outfile (resumable
+    # full-coverage runs — results merge, so a crash loses one row).
+    if arg in ("all", "missing"):
+        from ontario_spark.queries import all_queries as _aq
+
+        names = sorted(_aq())
+        if arg == "missing":
+            path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                outfile,
+            )
+            done = set(json.load(open(path))) if os.path.exists(path) else set()
+            names = [n for n in names if n not in done]
+    else:
+        names = arg.split(",") if arg else PROBE_QUERIES
 
     from pyspark.sql import functions as F
 
@@ -188,25 +202,48 @@ def main() -> None:
     spark = fresh_session()
     queries = all_queries()
 
+    # Rows whose single upper-tier execution spills tens of GB of
+    # shuffle. Shuffle files are only reclaimed on context stop (or an
+    # eventual GC of the dependency), so the probe's 4 executions per
+    # scale ACCUMULATE spill inside one session — which exhausted /tmp
+    # on the 100x anchors tier (round 12, "Lost task" on the 4th run).
+    # For these rows the big/huge tier runs each variant ONCE in its
+    # own session: deterministic spill reclamation between runs, and on
+    # a multi-minute execution warmup noise is proportionally
+    # negligible. The record carries ``{scale}_runs`` so the
+    # methodology difference is visible in the JSON.
+    HEAVY_FRESH_SESSION = {"dedup_containment_anchors"}
+
     def probe(name: str, scale: str, rec: dict) -> None:
+        nonlocal spark
         spark.catalog.clearCache()
+        heavy = name in HEAVY_FRESH_SESSION and scale != "small"
+        runs = 1 if heavy else 2
         best, best_cnt, nrows = float("inf"), float("inf"), -1
-        for _ in range(2):  # best-of-2, like bench.py
+        for _ in range(runs):  # best-of-2, like bench.py
             t0 = time.perf_counter()
             nrows = len(queries[name](spark, f"{BASE}/{scale}").collect())
             best = min(best, time.perf_counter() - t0)
+            if heavy:
+                spark.stop()
+                spark = fresh_session()
         # count-only variant BY DEFAULT (round-9 VERDICT: the
         # EXISTS probe decomposed collect-vs-plan cost by hand;
         # every row now records both, so a collect-dominated
         # ratio — millions of rows serialized to the driver —
         # can't read as a plan regression)
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             queries[name](spark, f"{BASE}/{scale}").count()
             best_cnt = min(best_cnt, time.perf_counter() - t0)
+            if heavy:
+                spark.stop()
+                spark = fresh_session()
         rec[f"{scale}_sec"] = round(best, 3)
         rec[f"{scale}_count_sec"] = round(best_cnt, 3)
         rec[f"{scale}_rows"] = nrows
+        if heavy:
+            rec[f"{scale}_runs"] = runs
 
     out: dict[str, dict] = {}
     for name in names:
