@@ -3903,15 +3903,22 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate of the anchor is a FALSE negative that poisons a
     contrastive batch, the standard mining pitfall). Composition of
     two probed operators in one lazy plan: brute-force top-k over the
-    broadcast query set, anti-join against the near-dup pair set on
-    the (anchor, candidate) key, re-rank the survivors."""
+    broadcast query set (FIXED anchor count — linear in corpus),
+    anti-join against the near-dup pair set on the (anchor, candidate)
+    key, re-rank the survivors. Round 12: the near-dup leg carries the
+    same split-bucket cap as ``emb_neardup_pairs`` — uncapped it was
+    the registry's last quadratic LSH self-join (16 buckets → m²/2
+    pairs per bucket; 70× at the 10× probe); the cap bounds a bucket's
+    work to m·cap/2, and the oracle reuses ``_emb_cc_ctes`` verbatim
+    so both rows stay definitionally identical."""
     from pyspark.sql.window import Window
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     cand = similarity.brute_force_topk(emb, queries, k=20)
     pairs = similarity.neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.92, bits=4, dim=64
+        emb, "vec_id", "embedding", threshold=0.92, bits=4, dim=64,
+        max_bucket_size=200,
     )
     # near-dup pairs are (lo, hi); normalize the candidate edge the
     # same way so the anti-join hits regardless of direction
@@ -3938,20 +3945,18 @@ def train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hard_negatives_sql() -> str:
-    from ontario_spark.operators.similarity import hyperplane_bucket_sql
-
-    bucket = hyperplane_bucket_sql("v", dim=64, bits=4)
+    # the near-dup exclusion leg reuses emb_neardup_pairs' bucketing
+    # CTEs verbatim (bits=4, dim=64, split cap 200) — c0 is the raw
+    # vector table, cc the sub-bucketed one (round 12)
     return f"""
-WITH c AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-), q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+WITH {_emb_cc_ctes()},
+q AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         list_dot_product(q.qv, c.v)
+  SELECT q.query_id, c0.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c0.v)
            / (sqrt(list_dot_product(q.qv, q.qv))
-              * sqrt(list_dot_product(c.v, c.v))) AS score
-  FROM c, q WHERE c.vec_id != q.query_id
+              * sqrt(list_dot_product(c0.v, c0.v))) AS score
+  FROM c0, q WHERE c0.vec_id != q.query_id
 ), cand AS (
   SELECT query_id, neighbor_id, score FROM (
     SELECT query_id, neighbor_id, score,
@@ -3959,12 +3964,10 @@ scored AS (
                               ORDER BY score DESC, neighbor_id ASC) AS rank
     FROM scored) t
   WHERE rank <= 20
-), cb AS (
-  SELECT vec_id, v, {bucket} AS bucket FROM c
 ), dup AS (
   SELECT a.vec_id AS lo, b.vec_id AS hi
-  FROM cb a JOIN cb b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cc a JOIN cc b
+    ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
   WHERE list_dot_product(a.v, b.v)
           / (sqrt(list_dot_product(a.v, a.v))
              * sqrt(list_dot_product(b.v, b.v))) >= 0.92
