@@ -246,6 +246,20 @@ def main() -> None:
             "flat per-output-row throughput (count_ratio 46.7 vs "
             "100x output growth)"
         ),
+        # Exact containment tier (df-capped shingle self-join): on the
+        # saturating-vocab corpus the candidate stream OOM-killed the
+        # 16 GB JVM at 100x (measured — the first full-sweep run died
+        # here, stage 195, uncaught heap OOM). Same contract argument
+        # as the prefix tier: exactness IS the row's semantics. The
+        # 100x containment evidence is carried by the triple-bounded
+        # anchor tier (dedup_containment_anchors, ratio 37.7 at 100x,
+        # recall 1.0 measured on both corpora).
+        "dedup_containment": (
+            "exact containment tier; saturating-vocab candidates OOM a "
+            "16GB JVM at 100x (measured); dedup_containment_anchors "
+            "(triple-bounded, recall 1.0 measured) is the probed "
+            "scale path"
+        ),
     }
 
     # Beyond this row count, the collect() timing measures nothing but
@@ -291,7 +305,39 @@ def main() -> None:
         if heavy:
             rec[f"{scale}_runs"] = runs
 
-    out: dict[str, dict] = {}
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), outfile
+    )
+
+    def flush(name: str, rec: dict) -> None:
+        # per-ROW incremental write (round 12): a hard JVM death used
+        # to lose every completed row because the file was written only
+        # at the end; now a crash loses nothing, and `missing` mode
+        # resumes exactly where the previous invocation stopped.
+        merged: dict[str, dict] = {}
+        if os.path.exists(path):  # partial reruns update, not clobber
+            with open(path) as f:
+                merged = json.load(f)
+        merged[name] = rec
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+
+    def revive(name: str, scale: str, rec: dict, ex: Exception):
+        # a JVM that OOM-crashed (uncaught exception handler exits the
+        # process) can leave a gateway fresh_session() cannot talk to;
+        # record the row + flush BEFORE dying so an outer retry loop of
+        # `missing` runs skips it and still converges.
+        try:
+            return fresh_session()
+        except Exception:
+            rec[f"{scale}_err"] = (
+                f"{type(ex).__name__}: {ex}"[:200]
+                + " (JVM died; session rebuild failed)"
+            )
+            flush(name, rec)
+            print(json.dumps({name: rec}), flush=True)
+            raise
+
     for name in names:
         rec: dict[str, float | int | str | None] = {}
         for scale in scales:
@@ -308,14 +354,14 @@ def main() -> None:
                 # stream_user_sessions gap). Rebuild the session and
                 # re-run this probe once; only a second failure counts.
                 if context_dead(spark):
-                    spark = fresh_session()
+                    spark = revive(name, scale, rec, ex)
                     try:
                         probe(name, scale, rec)
                         continue
                     except Exception as ex2:
                         ex = ex2
                         if context_dead(spark):
-                            spark = fresh_session()
+                            spark = revive(name, scale, rec, ex)
                 rec[f"{scale}_err"] = f"{type(ex).__name__}: {ex}"[:200]
         a, b = f"{scales[0]}_sec", f"{scales[1]}_sec"
         if a in rec and b in rec:
@@ -323,19 +369,8 @@ def main() -> None:
         ca, cb = f"{scales[0]}_count_sec", f"{scales[1]}_count_sec"
         if ca in rec and cb in rec:
             rec["count_ratio"] = round(rec[cb] / max(rec[ca], 1e-9), 2)
-        out[name] = rec
+        flush(name, rec)
         print(json.dumps({name: rec}), flush=True)
-
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), outfile
-    )
-    merged: dict[str, dict] = {}
-    if os.path.exists(path):  # partial reruns update, not clobber
-        with open(path) as f:
-            merged = json.load(f)
-    merged.update(out)
-    with open(path, "w") as f:
-        json.dump(merged, f, indent=1)
     spark.stop()
 
 
