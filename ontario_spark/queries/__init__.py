@@ -381,7 +381,16 @@ DRIVER_SURFACE = [
     # round-9 continuation swap: dedup_keep_best (green r5-r8; priority
     # semantics stay pytest-gated) → content-defined chunk dedup, new
     # this round and never externally verified
-    "dedup_cdc_chunks",
+    # round-12 CORRECTION: the opening rotation dropped
+    # simhash_fingerprints while it was the simhash family's ONLY
+    # surface representative (the round-8 exemption the rotation
+    # policy pins and tests/test_driver_surface.py enforces — the
+    # full-suite run caught it). Restored here in place of
+    # dedup_cdc_chunks (green r9-r11, three rounds; the dedup family
+    # keeps ngram_jaccard + winnow + url_canonical on the surface and
+    # CDC chunking stays oracle-backed in the registry + probed at
+    # both tiers).
+    "simhash_fingerprints",
     # round-10: pipeline_decontaminated_corpus (green r6-r9;
     # decontamination stays surface-verified via contamination_bloom)
     # → the web-curation pipeline, round 9's composed-pipeline row
@@ -426,7 +435,10 @@ def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments for the per-row containment argument)
         "sample_weighted_topk",
         "dedup_dup_spans",
-        "simhash_fingerprints",
+        # (simhash_fingerprints was restored to the curated 50 — the
+        # round-12 correction above; dedup_cdc_chunks took its
+        # rotated-out slot)
+        "dedup_cdc_chunks",
         "emb_cluster_assign",
         "events_triangles",
         "sparql_group_by_expr",
