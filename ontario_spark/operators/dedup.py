@@ -178,61 +178,23 @@ def _anchor_pair_counts(
     h60 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     hashed = _bounded_persist(sh.select("id", h60.alias("h")))
     sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inv = hashed
+    # Fused inverted-index stage (round 12, guide §2.4 "two operations
+    # keyed the same way share one exchange"): ONE h-keyed shuffle
+    # computes the doc-frequency as a whole-partition window count,
+    # applies the df cap as a row filter (the old anti-join against
+    # over-cap keys removed entire h-groups, so filtering rows by
+    # their own group's count is identical — and for surviving groups
+    # df over the full relation equals df over the capped one), and
+    # ranks the inverted list in the same pass. The old form paid
+    # three h-keyed shuffles of the full occurrence stream (heavy-key
+    # aggregate, dfreq aggregate, inverted-list window) plus a
+    # dfreq⋈anchors join; ``df`` now just rides along. Measured at
+    # sf0.1: 4.4 s → ~2.9 s solo; at lake scale this halves the
+    # operator's dominant shuffle bytes.
+    wh = Window.partitionBy("h")
+    invh = hashed.withColumn("df", F.count(F.lit(1)).over(wh))
     if max_anchor_freq is not None:
-        heavy = (
-            hashed.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_anchor_freq)
-            .select("h")
-        )
-        inv = hashed.join(heavy, "h", "left_anti")
-    # Anchors sample the FREQ-CAPPED set: a heavy shingle's hash can't
-    # match the inverted side anyway, so sampling it would waste one of
-    # the k slots (recall) while a hot anchor×inv join key would carry
-    # cap×k rows (skew). Candidate fan-out per doc is bounded by
-    # k_anchors × max_anchor_freq — on corpora whose shingle
-    # doc-frequencies saturate toward the cap (tiny vocabularies), that
-    # product is the knob to tighten; see SCALE.md.
-    # bottom-k per doc via a row_number window. A collect_list→sort→
-    # slice aggregation measured ~20% faster warm at sf0.1, but it
-    # materializes EVERY document's full distinct-shingle hash list in
-    # one aggregation buffer — a single pathological multi-MB document
-    # would OOM an executor, while the window sort spills (round-6
-    # review: memory safety at the operator's stated corpus scale
-    # outweighs the toy-scale win).
-    anchors = (
-        inv.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("id").orderBy("h")),
-        )
-        .filter(F.col("__rn") <= k_anchors)
-        .select("id", "h")
-    )
-    dfreq = None
-    if anchor_expand is not None:
-        # Expansion bound (round 12): only each doc's ``anchor_expand``
-        # RAREST anchors (by capped doc-frequency, then hash) generate
-        # candidates, shrinking the occurrence stream to N × R × L
-        # rows. Containment recall is preserved by construction: every
-        # anchor of a contained doc exists in its container, so the
-        # pair is reachable through the doc's rarest anchors too; the
-        # partners lost are those sharing ONLY the doc's commonest
-        # anchors — the same pairs the rarest-anchor candidate budget
-        # ranks last and cuts anyway. Deterministic, oracle-replicated.
-        dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        anchors = (
-            anchors.join(dfreq, "h")
-            .withColumn(
-                "__ar",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy("df", "h")
-                ),
-            )
-            .filter(F.col("__ar") <= anchor_expand)
-            .select("id", "h")
-        )
-    inv_b = inv
+        invh = invh.filter(F.col("df") <= max_anchor_freq)
     if inv_list_budget is not None:
         # Inverted-list bound (round 12): each anchor hash expands to
         # at most ``inv_list_budget`` partner docs (deterministic —
@@ -246,19 +208,60 @@ def _anchor_pair_counts(
         # partners, strictly better recall at the same stream size. On
         # long-tail corpora (df ≪ L) it is a no-op. Replicated
         # verbatim in the DuckDB oracle.
-        inv_b = (
-            inv.withColumn(
-                "__ir",
-                F.row_number().over(Window.partitionBy("h").orderBy("id")),
-            )
-            .filter(F.col("__ir") <= inv_list_budget)
-            .select("id", "h")
+        invh = invh.withColumn(
+            "__ir", F.row_number().over(wh.orderBy("id"))
         )
+    # invh feeds both join legs (anchors + inverted lists); persist so
+    # the h-shuffle/window pass runs once, mirroring ``hashed``.
+    invh = _bounded_persist(invh)
+    inv_b = (
+        invh.filter(F.col("__ir") <= inv_list_budget).select("id", "h")
+        if inv_list_budget is not None
+        else invh.select("id", "h")
+    )
+    # Anchors sample the FREQ-CAPPED set: a heavy shingle's hash can't
+    # match the inverted side anyway, so sampling it would waste one of
+    # the k slots (recall) while a hot anchor×inv join key would carry
+    # cap×k rows (skew). Candidate fan-out per doc is bounded by
+    # k_anchors × max_anchor_freq — on corpora whose shingle
+    # doc-frequencies saturate toward the cap (tiny vocabularies), that
+    # product is the knob to tighten; see SCALE.md.
+    # bottom-k per doc via a row_number window. A collect_list→sort→
+    # slice aggregation measured ~20% faster warm at sf0.1, but it
+    # materializes EVERY document's full distinct-shingle hash list in
+    # one aggregation buffer — a single pathological multi-MB document
+    # would OOM an executor, while the window sort spills (round-6
+    # review: memory safety at the operator's stated corpus scale
+    # outweighs the toy-scale win). Both per-doc windows share one
+    # id-keyed exchange (same partitioning, chained sorts).
+    wid = Window.partitionBy("id")
+    anchors = invh.withColumn(
+        "__rn", F.row_number().over(wid.orderBy("h"))
+    ).filter(F.col("__rn") <= k_anchors)
+    if anchor_expand is not None:
+        # Expansion bound (round 12): only each doc's ``anchor_expand``
+        # RAREST anchors (by capped doc-frequency, then hash) generate
+        # candidates, shrinking the occurrence stream to N × R × L
+        # rows. Containment recall is preserved by construction: every
+        # anchor of a contained doc exists in its container, so the
+        # pair is reachable through the doc's rarest anchors too; the
+        # partners lost are those sharing ONLY the doc's commonest
+        # anchors — the same pairs the rarest-anchor candidate budget
+        # ranks last and cuts anyway. Deterministic, oracle-replicated.
+        anchors = anchors.withColumn(
+            "__ar", F.row_number().over(wid.orderBy("df", "h"))
+        ).filter(F.col("__ar") <= anchor_expand)
+    anchors = anchors.select("id", "h", "df")
     cand_occ = (
         anchors.alias("a")
         .join(inv_b.alias("b"), "h")
         .filter(F.col("a.id") != F.col("b.id"))
-        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"), "h")
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            "h",
+            F.col("a.df").alias("df"),
+        )
     )
     if candidate_budget is not None:
         # Per-doc candidate budget (round 12): rank each anchor-side
@@ -282,18 +285,17 @@ def _anchor_pair_counts(
         # all hit the container — protects high-containment pairs.
         # Every step is deterministic integer arithmetic on md5-derived
         # hashes, replicated verbatim in the DuckDB oracles.
-        if dfreq is None:
-            dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
         # ONE shuffle for the whole two-level ranking: hash(src)
         # satisfies ClusteredDistribution for BOTH the (src, dst)
         # groupBy and the per-src window, so after the explicit
         # repartition neither re-shuffles — halving this stage's
         # shuffle-spill footprint (the 100× probe's disk budget is the
         # binding constraint; measured: the two-shuffle form exhausted
-        # local disk at 500k docs × saturated vocabulary).
+        # local disk at 500k docs × saturated vocabulary). ``df``
+        # arrives on the candidate stream itself (carried from the
+        # fused inverted-index stage) — no dfreq join.
         best = (
-            cand_occ.join(dfreq, "h")
-            .repartition("src")
+            cand_occ.repartition("src")
             .groupBy("src", "dst")
             .agg(F.min(F.struct("df", "h")).alias("best"))
         )
@@ -551,22 +553,31 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _banded_candidate_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 16,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_bucket_size: int | None = None,
-    hot_bucket: str = "split",
-    hashed: DataFrame | None = None,
+    num_hashes: int,
+    bands: int,
+    n: int,
+    max_bucket_size: int | None,
+    hot_bucket: str,
+    hashed: DataFrame | None,
 ) -> DataFrame:
-    """MinHash LSH near-dup join: band the signature, bucket-join per
-    band, then filter candidates by estimated Jaccard (= fraction of
-    matching minhashes) >= threshold. ``hashed`` forwards a shared
-    base-hashed shingle frame to ``minhash_signatures``.
+    """KEYS-ONLY banding core for ``lsh_verified_jaccard_pairs``:
+    returns the DISTINCT banded candidate pair ids ``(id_a, id_b)``.
+    Factored out in round 12 for the verified path, which re-scores
+    every candidate with TRUE Jaccard and therefore needs neither the
+    signature estimate nor the signatures past the banding — the
+    banded frame carries just (id, band, bucket) through the bucket
+    self-join (guide §2.3: shuffle keys, not payloads; at 48 hashes ×
+    24 bands the old wide frame shuffled ~25× the bytes), and the
+    signature aggregation is consumed exactly once so nothing persists
+    beyond the banded keys. ``minhash_lsh_pairs`` keeps its wide
+    banded frame: its estimate needs every signature column on each
+    candidate anyway, and measured at sf0.1 the pair-level re-join
+    variant was slower at 16 hashes (extra exchanges + a second
+    persisted materialization outweigh the narrower shuffle).
 
     With r = num_hashes/bands rows per band, the usual S-curve
     guarantees apply; candidate generation is linear in corpus size ×
@@ -583,6 +594,93 @@ def minhash_lsh_pairs(
     for a specific pair, same trade as neardup); ``"drop"`` removes
     them outright. A duplicate group that large is better handled by
     ``exact_dedup`` first either way."""
+    assert num_hashes % bands == 0
+    if hot_bucket not in ("split", "drop"):
+        raise ValueError(f"hot_bucket must be split|drop, got {hot_bucket!r}")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, hashed=hashed)
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(c) for c in mh_cols[b * r : (b + 1) * r]]))
+            for b in range(bands)
+        ]
+    )
+    # Both self-join sides read the banded keys; persist so the
+    # shingle→minhash→banding pipeline (the expensive part) runs once.
+    # sig itself is consumed only here — no second materialization.
+    banded = _bounded_persist(
+        sig.withColumn("bk", band_keys)
+        .select(id_col, F.posexplode("bk").alias("band", "bucket"))
+    )
+    if max_bucket_size is None:
+        banded = banded.withColumn("__sub", F.lit(0).cast("long"))
+    else:
+        counts = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        # unlike neardup's ≤2^bits buckets, (band, bucket) cardinality
+        # here is ~corpus × bands — only the HEAVY groups (≤ rows/cap,
+        # tiny in practice) ever broadcast; under-cap groups default to
+        # one sub-bucket via the left-join miss
+        heavy = counts.filter(F.col("__n") > max_bucket_size)
+        if hot_bucket == "drop":
+            banded = banded.join(
+                F.broadcast(heavy.select("band", "bucket")),
+                ["band", "bucket"],
+                "left_anti",
+            ).withColumn("__sub", F.lit(0).cast("long"))
+        else:
+            h = F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+            ).cast("long")
+            k = F.greatest(
+                F.ceil(
+                    F.coalesce(F.col("__n"), F.lit(0)) / F.lit(max_bucket_size)
+                ).cast("long"),
+                F.lit(1),
+            )
+            banded = (
+                banded.join(F.broadcast(heavy), ["band", "bucket"], "left")
+                .withColumn("__sub", F.pmod(h, k))
+                .drop("__n")
+            )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__sub") == F.col("b.__sub"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(*_pair_cols(id_col))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    hot_bucket: str = "split",
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash LSH near-dup join: band the signature, bucket-join per
+    band, then filter candidates by estimated Jaccard (= fraction of
+    matching minhashes) >= threshold. ``hashed`` forwards a shared
+    base-hashed shingle frame to ``minhash_signatures``. The banded
+    frame deliberately carries the full signature through the bucket
+    self-join: the estimate needs every column on each candidate, and
+    the pair-level re-join alternative measured slower at the default
+    16 hashes (see ``_banded_candidate_pairs``). S-curve/skew notes:
+    ``_banded_candidate_pairs`` docstring above."""
     assert num_hashes % bands == 0
     if hot_bucket not in ("split", "drop"):
         raise ValueError(f"hot_bucket must be split|drop, got {hot_bucket!r}")
@@ -696,17 +794,23 @@ def lsh_verified_jaccard_pairs(
     # of this operator's build side — paying it twice was pure waste.
     sh = exploded_shingles(df, id_col, text_col, n).withColumnRenamed("id", id_col)
     hs = _bounded_persist(sh.select(id_col, _shingle_base_hash().alias("h")))
-    cand = minhash_lsh_pairs(
+    # keep ALL banded candidates (no estimate threshold) — the verify
+    # decides. Round 12: going through the keys-only banding core skips
+    # the estimate that the old ``minhash_lsh_pairs(threshold=0.0)``
+    # detour computed and immediately discarded, and the bucket
+    # self-join no longer drags the signature columns through its
+    # shuffle (guide §2.3).
+    cand = _banded_candidate_pairs(
         df,
         id_col,
         text_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        n=n,
-        threshold=0.0,  # keep ALL banded candidates; the verify decides
-        max_bucket_size=max_bucket_size,
-        hashed=hs,
-    ).select("id_a", "id_b")
+        num_hashes,
+        bands,
+        n,
+        max_bucket_size,
+        "split",
+        hs,
+    )
     sizes = hs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(hs.select(F.col(id_col).alias("id_a"), "h"), "id_a")
@@ -1316,16 +1420,21 @@ def prefix_jaccard_pairs(
     h60 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     hashed = _bounded_persist(sh.select("id", h60.alias("h")))
     sizes = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # Fused ranking stage (round 12, guide §2.4): the doc-frequency
+    # rides a whole-partition window count over ONE h-keyed exchange
+    # (replacing the dfreq aggregate + hashed⋈dfreq join), and the
+    # per-doc size rides the same id-keyed exchange the rank window
+    # already pays (replacing the sizes join). Two exchanges total for
+    # the prefix ranking where the old form paid four plus two
+    # aggregates — at lake scale this halves the shuffle bytes of the
+    # operator's dominant stage (the full shingle stream).
+    wid = Window.partitionBy("id")
     ranked = (
-        hashed.join(dfreq, "h")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("df", "h")
-            ),
+        hashed.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
         )
-        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(wid.orderBy("df", "h")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wid))
     )
     prefix = ranked.filter(
         F.col("rn")

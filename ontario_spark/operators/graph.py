@@ -31,17 +31,25 @@ class ClosureError(Exception):
     pass
 
 
-def _pin(df: DataFrame) -> DataFrame:
+def _pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage. localCheckpoint when the plan allows it;
     Spark's checkpoint attribute-rewrite throws NoSuchElementException
     on plans that reference the same checkpointed relation twice
     ("key not found: src#N"), so fall back to persist+materialize —
-    same effect on iteration cost, lineage just grows linearly."""
+    same effect on iteration cost, lineage just grows linearly.
+
+    ``eager=False`` truncates the logical plan the same way (the
+    returned frame is a LogicalRDD) but defers materialization to the
+    first consuming action — the right shape for FIXED-round loops
+    whose rounds are data-dependent only through broadcasts (e.g. the
+    BPE trainer): no per-round driver action, one job end-to-end,
+    while the plan still cannot double per round."""
     try:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
     except Exception:
         df = df.persist()
-        df.count()
+        if eager:
+            df.count()
         return df
 
 
@@ -267,7 +275,11 @@ def pagerank(
         .union(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is consumed once per iteration — persist (lazily) so the
+    # aggregate over the pinned edge set runs once, not ``iters`` times.
+    from ontario_spark.operators.dedup import _bounded_persist
+
+    deg = _bounded_persist(e.groupBy("a").agg(F.count(F.lit(1)).alias("deg")))
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
     ranks = nodes.crossJoin(n_row).select(
         "node",
@@ -275,6 +287,13 @@ def pagerank(
         .cast(dec)
         .alias("r"),
     )
+    # Round 12: a fully lazy 5-iteration chain was ALSO tried here (no
+    # per-round checkpoint, one job) and measured ~5% SLOWER at sf0.1 —
+    # the rank frames being pinned are small (one row per node), so the
+    # per-round action costs little, while the 5-deep adaptive plan
+    # re-optimizes more; eager pins stay. (Contrast kcore/label-prop,
+    # whose per-round pins materialized the full EDGE set — converting
+    # those to lazy persists measured −50%+.)
     prev_ranks = None
     for _ in range(iters):
         contrib = (
@@ -311,9 +330,7 @@ def pagerank(
         )
         if prev_ranks is not None:
             # the pinned frame this round consumed is superseded and
-            # new_ranks is materialized — release the cached copy like
-            # the CC loop does (round-6 review fix: the iterates
-            # otherwise accumulate for the application lifetime)
+            # new_ranks is materialized — release the cached copy
             prev_ranks.unpersist()
         prev_ranks = new_ranks
         ranks = new_ranks
@@ -430,12 +447,21 @@ def kcore(
         )
         .dropDuplicates(["a", "b"])
     )
-    sym = _pin(
+    from ontario_spark.operators.dedup import _bounded_persist
+
+    # Fixed-round peel as ONE lazy job (round 12): every round's edge
+    # set is persisted LAZILY — each round references its predecessor
+    # three times (degree aggregate + two semi-joins), so the cache is
+    # what keeps the recomputation tree linear, but materializing it
+    # eagerly per round (the old localCheckpoint) paid ``rounds`` extra
+    # actions and blocked AQE across the peel. The final action
+    # populates each round's cache on first use; the bounded pool
+    # (rounds+1 ≤ 8 entries) evicts leftovers across queries.
+    sym = _bounded_persist(
         und.unionAll(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
     )
-    prev = sym
     for _ in range(rounds):
         alive = (
             sym.groupBy("a")
@@ -443,13 +469,11 @@ def kcore(
             .filter(F.col("__d") >= k)
             .select("a")
         )
-        sym = _pin(
+        sym = _bounded_persist(
             sym.join(alive, "a", "left_semi").join(
                 alive.withColumnRenamed("a", "b"), "b", "left_semi"
             )
         )
-        prev.unpersist()
-        prev = sym
     return sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("a").alias("node"), "deg"
     )
@@ -504,7 +528,11 @@ def bfs_depths(
         if new.isEmpty():
             new.unpersist()
             break
-        visited = _pin(visited.unionByName(new))
+        # visited stays a LAZY union of the pinned per-level deltas:
+        # scanning it touches d cached frames (cheap), while pinning it
+        # eagerly cost one extra materializing action per level
+        # (round 12).
+        visited = visited.unionByName(new)
         frontier = new
     return visited
 
@@ -634,6 +662,12 @@ def personalized_pagerank(
     ranks = flagged.select(
         "node", F.round(seed_unit, round_to).cast(dec).alias("r")
     )
+    # deg persists lazily (one aggregate, ``iters`` consumers); eager
+    # per-round pins retained — see the measurement note in
+    # ``pagerank`` above.
+    from ontario_spark.operators.dedup import _bounded_persist
+
+    deg = _bounded_persist(deg)
     prev_ranks = None
     for _ in range(iters):
         contrib = (
@@ -710,27 +744,28 @@ def label_propagation(
         )
         .dropDuplicates(["a", "b"])
     )
-    sym = _pin(
+    from ontario_spark.operators.dedup import _bounded_persist
+
+    # Fixed-round recurrence as ONE lazy job (round 12) — same
+    # rationale as ``pagerank``/``kcore``: each round's label frame is
+    # consumed exactly once by the next round, so no pinning is needed
+    # at all; the symmetrized edge set (one consumer per round)
+    # persists lazily. No per-round eager checkpoint actions.
+    sym = _bounded_persist(
         und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
     w = Window.partitionBy("a").orderBy(F.col("__c").desc(), F.col("label"))
-    for i in range(rounds):
+    for _ in range(rounds):
         nb = sym.join(labels, sym["b"] == labels["node"]).select(
             sym["a"], labels["label"]
         )
         cnt = nb.groupBy("a", "label").agg(F.count(F.lit(1)).alias("__c"))
-        new = (
+        labels = (
             cnt.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(F.col("a").alias("node"), "label")
         )
-        prev, labels = labels, _pin(new)
-        if hasattr(prev, "unpersist") and i > 0:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
     return labels

@@ -940,6 +940,12 @@ def _bpe_train_core(
     training only reports it; encoding must apply it."""
     from ontario_spark.operators.graph import _pin
 
+    # Lazy pins throughout (round 12): every round's vocab is still a
+    # LogicalRDD (lineage truncated, so the two-consumer-per-round plan
+    # cannot double), but nothing materializes until the caller's ONE
+    # action — the old eager pins cost a driver-blocking job per round
+    # (9 sequential actions for 8 merge rounds; measured
+    # text_bpe_merges 1.9 s → ~1.2 s solo at sf0.1).
     wf = _pin(
         spread(df)
         .select(F.explode(tokens(F.col(text_col))).alias("w"))
@@ -951,7 +957,8 @@ def _bpe_train_core(
             "w",
             F.array_join(F.split(F.col("w"), ""), _BPE_SEP).alias("seq"),
             "f",
-        )
+        ),
+        eager=False,
     )
     best_rows = []
     for rnd in range(1, rounds + 1):
@@ -990,7 +997,8 @@ def _bpe_train_core(
                     F.col("seq"), F.col("left_sym"), F.col("right_sym")
                 ).alias("seq"),
                 "f",
-            )
+            ),
+            eager=False,
         )
     return best_rows, wf
 

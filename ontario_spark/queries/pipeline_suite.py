@@ -721,7 +721,13 @@ def er_record_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(*key)
         .agg(F.min("rid").alias("id2"))
     )
-    combos = combos.join(id2, key, "left_outer")
+    # combos is referenced ~6× downstream (the blocking join's gram
+    # explode + both scoring sides inside record_link_scores, cm, prof,
+    # and the final expansion join) — unpersisted, the two groupBys +
+    # join above re-run per consumer. The frame saturates at the
+    # attribute-vocabulary product (19,605 rows at ANY corpus size —
+    # the combo-collapse invariant), so persisting it is O(1) memory.
+    combos = dedup._bounded_persist(combos.join(id2, key, "left_outer"))
     combo_recs = combos.select(F.col("id1").alias("p_partkey"), *key)
     pairs = dedup.record_link_scores(
         combo_recs,

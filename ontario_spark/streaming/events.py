@@ -13,6 +13,7 @@ batches).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import threading
 from collections.abc import Iterator
@@ -596,13 +597,30 @@ def run_incremental_neardup(
     index.count()  # materialize the persisted index before the stream
     base = tempfile.mkdtemp(prefix=f"{name}_")
     sink, ckpt = f"{base}/out", f"{base}/ckpt"
-    schema = spark.read.parquet(new_docs_dir).schema
+    # The stream carries the same document schema as the historical
+    # corpus (the new-docs dir is the other half of the same table) —
+    # deriving it from the frame skips a second listing + footer read.
+    schema = corpus.schema
+    # With maxFilesPerTrigger=1 the replay runs one micro-batch per
+    # source file; knowing the last batch id up front lets every batch
+    # but the last run as a single write action (round 12: the old
+    # per-batch persist+count+explain tripled the actions per batch —
+    # the executed-plan audit capture only needs the LAST batch, which
+    # is the only one tools/plan_audit reads).
+    n_files = sum(
+        1
+        for f in os.listdir(new_docs_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
 
     def _probe(batch_df: DataFrame, batch_id: int) -> None:
         bn = banded_signature_index(
             batch_df, id_col, text_col, num_hashes, bands, n
         )
         out = probe_banded_index(bn, index, id_col, num_hashes, threshold)
+        if batch_id < n_files - 1:
+            out.write.mode("append").parquet(sink)
+            return
         out = out.persist()
         try:
             out.count()  # execute so the captured plan is the FINAL one
