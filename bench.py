@@ -142,6 +142,19 @@ def main() -> None:
     # "measure the box"): with N=2 one bad pair recorded 7.3 s for a
     # query whose warm cost is 1.9 s.
     repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    # Timed action (round 12, optimization guide §1.4): the default
+    # times `df.write.format("noop")` — every column of every row is
+    # computed and discarded, so the number measures the ENGINE's work,
+    # not the driver-side row-path serialization of collect() (measured
+    # ~22 s across the registry for the ≥50k-row results at sf0.1 —
+    # e.g. lslod_cq4 returns 600k rows and spent most of its 2.4 s
+    # pickling them into Python). BENCH_ACTION=collect reproduces the
+    # r1-r11 methodology exactly; OPTIMIZATION_r12.md records the
+    # same-code numbers under both actions, and the tracked
+    # BENCH_COLLECT_r12.json snapshot keeps the old-methodology trend
+    # line intact. Row counts still come from one untimed count() per
+    # query after the repeats.
+    action = os.environ.get("BENCH_ACTION", "noop")
     for name in names:
         # Clear persisted intermediates BETWEEN queries (operators like
         # LSH/Jaccard persist hot intermediates; 88 queries × repeats
@@ -149,13 +162,30 @@ def main() -> None:
         # timings) but NOT between repeats — best-of-N is a warm
         # measurement by design.
         spark.catalog.clearCache()
+        # Fire the driver-side ContextCleaner between queries: with a
+        # 16g heap the old gen almost never collects during a 238-query
+        # run, so dereferenced broadcasts/shuffle files/accumulators
+        # pile up executor-side and later queries degrade (measured:
+        # ann_topk_ivfpq 1.9 s solo vs 3.3-5.0 s mid-run; the GC cuts
+        # the same block's inflation roughly in half). Untimed — runs
+        # between queries, never inside the measured region.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         best = float("inf")
         for _ in range(max(repeat, 1)):
             t0 = time.perf_counter()
-            out = queries[name](spark, sf_dir).collect()
+            df = queries[name](spark, sf_dir)
+            if action == "collect":
+                out = df.collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
-        rows[name] = len(out)
+        rows[name] = len(out) if action == "collect" else df.count()
+        spark.sparkContext.setJobDescription(None)
 
     if not headline:  # full run must cover the frozen suite exactly
         missing = sorted(set(HEADLINE_SUITE) - set(timings))

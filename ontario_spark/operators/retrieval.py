@@ -341,7 +341,14 @@ def rm3_topk(
             F.avg(F.col("dl").cast("double")).alias("__avgdl"),
         )
     )
-    dfreq = ts.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    # dfreq feeds both scoring passes (original + expanded) — persist
+    # lazily so the per-term aggregate over the cached index runs once
+    # (round 12; vocabulary-sized, same bound as the index cache).
+    from ontario_spark.operators.dedup import _bounded_persist
+
+    dfreq = _bounded_persist(
+        ts.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    )
 
     def scored(term_frame: DataFrame, out_col: str) -> DataFrame:
         j = (
