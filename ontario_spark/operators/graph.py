@@ -53,6 +53,36 @@ def _pin(df: DataFrame, eager: bool = True) -> DataFrame:
         return df
 
 
+def _loop_shuffle_width(spark, n_rows: int):
+    """Context manager sizing the fixed-round loop's shuffle width to
+    the PINNED input (~1M rows/partition) — the connected_components
+    pattern (see its inline note: measured 4.7 s → <1 s at sf0.1)
+    generalized to the other eager per-round loops (round 12). Every
+    round pays fixed per-partition scheduling/provider overhead; on a
+    small pinned graph that overhead IS the cost, while on a
+    billion-edge graph the same formula yields thousands of partitions
+    — scale-adaptive by construction, never a local-only constant.
+    Only correct for loops that MATERIALIZE every shuffle inside the
+    ``with`` block (eager pins): a lazy loop plans its exchanges at
+    the caller's action, after the width is restored."""
+    from contextlib import contextmanager
+
+    from ontario_spark.session import CONF_LOCK
+
+    @contextmanager
+    def _ctx():
+        with CONF_LOCK:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            parts = max(1, min(int(prev), n_rows // 1_000_000 + 1))
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                yield
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _ctx()
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",
@@ -270,70 +300,78 @@ def pagerank(
             F.col("a").isNotNull() & F.col("b").isNotNull()
         )
     )
-    nodes = _pin(
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .distinct()
-    )
-    # deg is consumed once per iteration — persist (lazily) so the
-    # aggregate over the pinned edge set runs once, not ``iters`` times.
-    from ontario_spark.operators.dedup import _bounded_persist
+    # Every round's shuffles materialize eagerly inside the loop, so
+    # the CC-style width sizing applies (round 12; _loop_shuffle_width)
+    with _loop_shuffle_width(edges.sparkSession, e.count()):
+        nodes = _pin(
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        # deg is consumed once per iteration — persist (lazily) so the
+        # aggregate over the pinned edge set runs once, not ``iters``
+        # times.
+        from ontario_spark.operators.dedup import _bounded_persist
 
-    deg = _bounded_persist(e.groupBy("a").agg(F.count(F.lit(1)).alias("deg")))
-    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
-    ranks = nodes.crossJoin(n_row).select(
-        "node",
-        F.round(F.lit(1.0) / F.col("__n").cast("double"), round_to)
-        .cast(dec)
-        .alias("r"),
-    )
-    # Round 12: a fully lazy 5-iteration chain was ALSO tried here (no
-    # per-round checkpoint, one job) and measured ~5% SLOWER at sf0.1 —
-    # the rank frames being pinned are small (one row per node), so the
-    # per-round action costs little, while the 5-deep adaptive plan
-    # re-optimizes more; eager pins stay. (Contrast kcore/label-prop,
-    # whose per-round pins materialized the full EDGE set — converting
-    # those to lazy persists measured −50%+.)
-    prev_ranks = None
-    for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "a"), "a")
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.round(
-                    F.col("r").cast("double") / F.col("deg").cast("double"),
-                    round_to + 4,
-                )
-                .cast(cdec)
-                .alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+        deg = _bounded_persist(
+            e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         )
-        new_ranks = _pin(
-            nodes.join(contrib, "node", "left")
-            .crossJoin(n_row)
-            .select(
-                "node",
-                F.round(
-                    F.lit(teleport) / F.col("__n").cast("double")
-                    + F.lit(damping)
-                    * F.coalesce(
-                        F.col("inflow"), F.lit(0).cast(cdec)
-                    ).cast("double"),
-                    round_to,
-                )
-                .cast(dec)
-                .alias("r"),
-            )
+        n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+        ranks = nodes.crossJoin(n_row).select(
+            "node",
+            F.round(F.lit(1.0) / F.col("__n").cast("double"), round_to)
+            .cast(dec)
+            .alias("r"),
         )
-        if prev_ranks is not None:
-            # the pinned frame this round consumed is superseded and
-            # new_ranks is materialized — release the cached copy
-            prev_ranks.unpersist()
-        prev_ranks = new_ranks
-        ranks = new_ranks
+        # Round 12: a fully lazy 5-iteration chain was ALSO tried here
+        # (no per-round checkpoint, one job) and measured ~5% SLOWER at
+        # sf0.1 — the rank frames being pinned are small (one row per
+        # node), so the per-round action costs little, while the 5-deep
+        # adaptive plan re-optimizes more; eager pins stay. (Contrast
+        # kcore/label-prop, whose per-round pins materialized the full
+        # EDGE set — converting those to lazy persists measured −50%+.)
+        prev_ranks = None
+        for _ in range(iters):
+            contrib = (
+                e.join(ranks.withColumnRenamed("node", "a"), "a")
+                .join(deg, "a")
+                .select(
+                    F.col("b").alias("node"),
+                    F.round(
+                        F.col("r").cast("double")
+                        / F.col("deg").cast("double"),
+                        round_to + 4,
+                    )
+                    .cast(cdec)
+                    .alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            new_ranks = _pin(
+                nodes.join(contrib, "node", "left")
+                .crossJoin(n_row)
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(teleport) / F.col("__n").cast("double")
+                        + F.lit(damping)
+                        * F.coalesce(
+                            F.col("inflow"), F.lit(0).cast(cdec)
+                        ).cast("double"),
+                        round_to,
+                    )
+                    .cast(dec)
+                    .alias("r"),
+                )
+            )
+            if prev_ranks is not None:
+                # the pinned frame this round consumed is superseded
+                # and new_ranks is materialized — release the cached
+                # copy
+                prev_ranks.unpersist()
+            prev_ranks = new_ranks
+            ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))
 
 
@@ -506,34 +544,37 @@ def bfs_depths(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     e = _pin(e.dropDuplicates(["src", "dst"]))
-    visited = _pin(
-        seeds.select(F.col(node_col).alias("node"))
-        .dropDuplicates(["node"])
-        .withColumn("depth", F.lit(0))
-    )
-    frontier = visited
-    for d in range(1, max_depth + 1):
-        reached = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"))
+    # Every level's shuffles materialize eagerly inside the loop, so
+    # the CC-style width sizing applies (round 12; _loop_shuffle_width)
+    with _loop_shuffle_width(edges.sparkSession, e.count()):
+        visited = _pin(
+            seeds.select(F.col(node_col).alias("node"))
             .dropDuplicates(["node"])
+            .withColumn("depth", F.lit(0))
         )
-        new = _pin(
-            reached.join(visited, "node", "left_anti").withColumn(
-                "depth", F.lit(d)
+        frontier = visited
+        for d in range(1, max_depth + 1):
+            reached = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(F.col("dst").alias("node"))
+                .dropDuplicates(["node"])
             )
-        )
-        if frontier is not visited:
-            frontier.unpersist()
-        if new.isEmpty():
-            new.unpersist()
-            break
-        # visited stays a LAZY union of the pinned per-level deltas:
-        # scanning it touches d cached frames (cheap), while pinning it
-        # eagerly cost one extra materializing action per level
-        # (round 12).
-        visited = visited.unionByName(new)
-        frontier = new
+            new = _pin(
+                reached.join(visited, "node", "left_anti").withColumn(
+                    "depth", F.lit(d)
+                )
+            )
+            if frontier is not visited:
+                frontier.unpersist()
+            if new.isEmpty():
+                new.unpersist()
+                break
+            # visited stays a LAZY union of the pinned per-level
+            # deltas: scanning it touches d cached frames (cheap),
+            # while pinning it eagerly cost one extra materializing
+            # action per level (round 12).
+            visited = visited.unionByName(new)
+            frontier = new
     return visited
 
 
@@ -636,92 +677,101 @@ def personalized_pagerank(
         )
     )
     s = seeds.select(F.col(node_col).alias("node")).dropDuplicates(["node"])
-    nodes = _pin(
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .union(s.select("node"))
-        .distinct()
-    )
-    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    ns_row = F.broadcast(s.agg(F.count(F.lit(1)).alias("__ns")))
-    flagged = _pin(
-        nodes.join(s.select("node", F.lit(1).alias("__sflag")), "node", "left")
-        .crossJoin(ns_row)
-        .select(
-            "node",
-            F.col("__sflag").isNotNull().alias("__seed"),
-            F.col("__ns"),
+    # Every round's shuffles materialize eagerly inside the loop, so
+    # the CC-style width sizing applies (round 12; _loop_shuffle_width)
+    with _loop_shuffle_width(edges.sparkSession, e.count()):
+        nodes = _pin(
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .union(s.select("node"))
+            .distinct()
         )
-    )
-    seed_unit = F.when(
-        F.col("__seed"), F.lit(1.0) / F.col("__ns").cast("double")
-    ).otherwise(F.lit(0.0))
-    seed_tele = F.when(
-        F.col("__seed"), F.lit(teleport) / F.col("__ns").cast("double")
-    ).otherwise(F.lit(0.0))
-    ranks = flagged.select(
-        "node", F.round(seed_unit, round_to).cast(dec).alias("r")
-    )
-    # deg persists lazily (one aggregate, ``iters`` consumers); eager
-    # per-round pins retained — see the measurement note in
-    # ``pagerank`` above.
-    from ontario_spark.operators.dedup import _bounded_persist
-
-    deg = _bounded_persist(deg)
-    prev_ranks = None
-    for _ in range(iters):
-        # Sparse-frontier contribution join (round 12): PPR mass starts
-        # on the seeds only, so most nodes carry rank 0 for the first
-        # hops — a zero-rank source contributes round(0/deg) = 0 to the
-        # DECIMAL inflow sum, and a node whose only in-edges come from
-        # zero-rank sources gets sum = 0.0000, identical to the
-        # left-join miss's coalesce(NULL, 0). Filtering r != 0 before
-        # the edge join is therefore bit-exact (no float re-ordering —
-        # the sum grid is decimal) while pruning the join to the
-        # reachable frontier: the standard sparse PPR evaluation. At
-        # sf0.1 the fixture graph saturates within ~2 hops so the bench
-        # number is NEUTRAL (measured flat); the win case is seeds ≪
-        # nodes with bounded expansion — the 100 TB "accounts near
-        # these flagged ones" shape this operator exists for. Cost when
-        # dense: one extra predicate on a cached scan.
-        contrib = (
-            e.join(
-                ranks.filter(F.col("r") != 0).withColumnRenamed("node", "a"),
-                "a",
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        ns_row = F.broadcast(s.agg(F.count(F.lit(1)).alias("__ns")))
+        flagged = _pin(
+            nodes.join(
+                s.select("node", F.lit(1).alias("__sflag")), "node", "left"
             )
-            .join(deg, "a")
-            .select(
-                F.col("b").alias("node"),
-                F.round(
-                    F.col("r").cast("double") / F.col("deg").cast("double"),
-                    round_to + 4,
-                )
-                .cast(cdec)
-                .alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        new_ranks = _pin(
-            flagged.join(contrib, "node", "left")
+            .crossJoin(ns_row)
             .select(
                 "node",
-                F.round(
-                    seed_tele
-                    + F.lit(damping)
-                    * F.coalesce(F.col("inflow"), F.lit(0).cast(cdec)).cast(
-                        "double"
-                    ),
-                    round_to,
-                )
-                .cast(dec)
-                .alias("r"),
+                F.col("__sflag").isNotNull().alias("__seed"),
+                F.col("__ns"),
             )
         )
-        if prev_ranks is not None:
-            prev_ranks.unpersist()
-        prev_ranks = new_ranks
-        ranks = new_ranks
+        seed_unit = F.when(
+            F.col("__seed"), F.lit(1.0) / F.col("__ns").cast("double")
+        ).otherwise(F.lit(0.0))
+        seed_tele = F.when(
+            F.col("__seed"), F.lit(teleport) / F.col("__ns").cast("double")
+        ).otherwise(F.lit(0.0))
+        ranks = flagged.select(
+            "node", F.round(seed_unit, round_to).cast(dec).alias("r")
+        )
+        # deg persists lazily (one aggregate, ``iters`` consumers);
+        # eager per-round pins retained — see the measurement note in
+        # ``pagerank`` above.
+        from ontario_spark.operators.dedup import _bounded_persist
+
+        deg = _bounded_persist(deg)
+        prev_ranks = None
+        for _ in range(iters):
+            # Sparse-frontier contribution join (round 12): PPR mass
+            # starts on the seeds only, so most nodes carry rank 0 for
+            # the first hops — a zero-rank source contributes
+            # round(0/deg) = 0 to the DECIMAL inflow sum, and a node
+            # whose only in-edges come from zero-rank sources gets
+            # sum = 0.0000, identical to the left-join miss's
+            # coalesce(NULL, 0). Filtering r != 0 before the edge join
+            # is therefore bit-exact (no float re-ordering — the sum
+            # grid is decimal) while pruning the join to the reachable
+            # frontier: the standard sparse PPR evaluation. At sf0.1
+            # the fixture graph saturates within ~2 hops so the bench
+            # number is NEUTRAL (measured flat); the win case is seeds
+            # ≪ nodes with bounded expansion — the 100 TB "accounts
+            # near these flagged ones" shape this operator exists for.
+            # Cost when dense: one extra predicate on a cached scan.
+            contrib = (
+                e.join(
+                    ranks.filter(F.col("r") != 0).withColumnRenamed(
+                        "node", "a"
+                    ),
+                    "a",
+                )
+                .join(deg, "a")
+                .select(
+                    F.col("b").alias("node"),
+                    F.round(
+                        F.col("r").cast("double")
+                        / F.col("deg").cast("double"),
+                        round_to + 4,
+                    )
+                    .cast(cdec)
+                    .alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            new_ranks = _pin(
+                flagged.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        seed_tele
+                        + F.lit(damping)
+                        * F.coalesce(
+                            F.col("inflow"), F.lit(0).cast(cdec)
+                        ).cast("double"),
+                        round_to,
+                    )
+                    .cast(dec)
+                    .alias("r"),
+                )
+            )
+            if prev_ranks is not None:
+                prev_ranks.unpersist()
+            prev_ranks = new_ranks
+            ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))
 
 

@@ -24,6 +24,7 @@ double precision — JVM-side, deterministic left-to-right summation
 
 from __future__ import annotations
 
+import math
 import threading
 from weakref import WeakKeyDictionary
 
@@ -419,8 +420,11 @@ _QUANTIZER_CACHE_MAX_PER_CORPUS = 4
 def _coarse_quantizer(
     corpus: DataFrame, vec_col: str, n_lists: int, seed: int, id_col: str
 ) -> DataFrame:
-    """Fit (or fetch) the k-means coarse quantizer; returns the tiny
-    ``(cell, center)`` DataFrame that probe joins broadcast.
+    """Fit (or fetch) the k-means coarse quantizer; returns
+    ``(cdf, centers)`` — the tiny ``(cell, center)`` DataFrame that
+    probe joins broadcast, plus the same centroids as a plain Python
+    list (they are computed driver-side by the fit anyway), which the
+    corpus-assignment fast path embeds as in-plan literals (round 12).
     Lock-guarded + bounded like the sibling caches (round-5 review
     fix): two server threads must not both pay the driver-blocking
     k-means fit, and distinct param combos must not grow the dict
@@ -461,6 +465,7 @@ def _coarse_quantizer(
     cdf = corpus.sparkSession.createDataFrame(
         centers, schema="cell int, center array<double>"
     ).withColumn("center_norm", norm(F.col("center")))
+    entry = (cdf, centers)
     with _PQ_LOCK:
         per_corpus = _quantizer_cache.setdefault(corpus, {})
         cached = per_corpus.get(key)
@@ -468,8 +473,50 @@ def _coarse_quantizer(
             return cached
         while len(per_corpus) >= _QUANTIZER_CACHE_MAX_PER_CORPUS:
             per_corpus.pop(next(iter(per_corpus)))
-        per_corpus[key] = cdf
-    return cdf
+        per_corpus[key] = entry
+    return entry
+
+
+def _argmax_cell_expr(
+    centers: "list[tuple[int, list[float]]]", vec: str, vnorm: str
+) -> Column:
+    """Nearest-centroid cell id as ONE map-side expression over the
+    centroid literals (round 12): per-cell cosine = the exact
+    ``_staged_cosine`` arithmetic (same zip_with/aggregate fold order,
+    centroid norms pre-folded driver-side with the identical
+    left-to-right IEEE sequence), argmax via ``array_max`` over
+    ``struct(score, -cell, cell)`` — ties break to the SMALLER cell,
+    bit-for-bit the ``row_number() over (desc(score), asc(cell))``
+    rank-1 row of ``_nearest_cells``. Replaces the n=1 window path's
+    Exchange+Sort of (corpus × n_lists) rows with zero shuffles; one
+    parsed ``F.expr`` string (the hyperplane-LSH py4j lesson)."""
+    mat = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for _, c in centers
+        )
+        + ")"
+    )
+
+    def _fold_norm(c: "list[float]") -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    norms = (
+        "array("
+        + ", ".join(f"{_fold_norm(c)!r}D" for _, c in centers)
+        + ")"
+    )
+    return F.expr(
+        f"array_max(transform({mat}, (c, i) -> struct("
+        f"aggregate(zip_with(c, {vec}, (x, y) -> x * y), 0.0D,"
+        f" (acc, x) -> acc + x)"
+        f" / (element_at({norms}, i + 1) * {vnorm}) AS s,"
+        f" -i AS nc, i AS cell))).cell"
+    )
 
 
 def _nearest_cells(
@@ -516,7 +563,7 @@ _CELLS_CACHE_MAX_PER_CORPUS = 4
 
 def _corpus_cells(
     corpus: DataFrame,
-    cdf: DataFrame,
+    centers: "list[tuple[int, list[float]]]",
     id_col: str,
     vec_col: str,
     n_lists: int,
@@ -524,7 +571,12 @@ def _corpus_cells(
 ) -> DataFrame:
     """Cached persisted (id, cell) assignment of every corpus vector to
     its nearest coarse centroid — at 100 TB this is precomputed and
-    stored partitioned by cell; here the cache plays that role."""
+    stored partitioned by cell; here the cache plays that role.
+    Assignment is the ``_argmax_cell_expr`` map-only projection
+    (round 12): the old ``_nearest_cells(n=1)`` route paid an
+    id-keyed Exchange + Sort of the (corpus × n_lists) crossJoin just
+    to rank each id's n_lists candidate rows — a per-row argmax needs
+    no shuffle at all, and the scores/tie-breaks are bit-identical."""
     key = (id_col, vec_col, n_lists, seed)
     with _PQ_LOCK:
         per = _cells_cache.setdefault(corpus, {})
@@ -533,8 +585,15 @@ def _corpus_cells(
             per[key] = per.pop(key)  # refresh LRU
             return hit
     cells = (
-        _nearest_cells(corpus, cdf, id_col, vec_col, 1, "cell")
-        .select(F.col(id_col), "cell")
+        corpus.select(
+            F.col(id_col),
+            _dvec(F.col(vec_col)).alias("__vd"),
+            norm(F.col(vec_col)).alias("__vnorm"),
+        )
+        .select(
+            F.col(id_col),
+            _argmax_cell_expr(centers, "__vd", "__vnorm").alias("cell"),
+        )
         .persist()
     )
     evicted: list[DataFrame] = []
@@ -646,7 +705,7 @@ def ivf_topk(
     broadcast, the corpus is scanned once to assign cells (at scale this
     assignment is precomputed and stored partitioned-by-cell), and the
     probe join touches n_probe/n_lists of the data."""
-    cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
+    cdf, centers = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
 
     def nearest_cells(side: DataFrame, n: int, out: str) -> DataFrame:
         return _nearest_cells(side, cdf, id_col, vec_col, n, out)
@@ -654,7 +713,7 @@ def ivf_topk(
     # corpus side rides the cached stored-index assignment; only the
     # (small) query side computes nearest cells per call
     c = corpus.join(
-        _corpus_cells(corpus, cdf, id_col, vec_col, n_lists, seed), id_col
+        _corpus_cells(corpus, centers, id_col, vec_col, n_lists, seed), id_col
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -1174,9 +1233,9 @@ def ivfpq_topk(
     elif codes is None:
         codes = pq_encode(corpus, books, id_col, vec_col)
     m, kc = len(books), len(books[0])
-    cdf = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
+    cdf, centers = _coarse_quantizer(corpus, vec_col, n_lists, seed, id_col)
 
-    ccell = _corpus_cells(corpus, cdf, id_col, vec_col, n_lists, seed)
+    ccell = _corpus_cells(corpus, centers, id_col, vec_col, n_lists, seed)
     coded = codes.join(ccell, id_col)
     q_adc = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__uv")

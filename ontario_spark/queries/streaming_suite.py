@@ -361,7 +361,9 @@ def stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     is_new = (F.col("doc_id") % 10) == 7
-    base = tempfile.mkdtemp(prefix="stream_incr_neardup_src_")
+    from ontario_spark.streaming.events import scratch_dir
+
+    base = tempfile.mkdtemp(prefix="stream_incr_neardup_src_", dir=scratch_dir())
     # 4 files → 4 micro-batches at maxFilesPerTrigger=1
     docs.filter(is_new).repartition(4).write.mode("overwrite").parquet(
         f"{base}/new"

@@ -390,6 +390,27 @@ STREAM_EXPLAINS: dict[str, str] = {}
 _EXPLAIN_LOCK = threading.Lock()
 
 
+def scratch_dir() -> "str | None":
+    """Base directory for EPHEMERAL streaming scratch — the throwaway
+    checkpoints, replay source dirs and micro-batch sinks this module
+    creates with tempfile (all abandoned or deleted at the end of the
+    run; none carries durability semantics). Guide §6: a streaming
+    micro-batch pays offset-log + commit-log + state-delta fsyncs per
+    batch, and on a disk-backed /tmp that I/O is pure overhead for
+    scratch that is deleted seconds later. ``OSK_STREAM_SCRATCH``
+    overrides (a production pipeline sets its real, durable checkpoint
+    location explicitly and never goes through this helper); default
+    prefers the RAM-backed /dev/shm when present, else the tempfile
+    default. Returns a value suitable for tempfile's ``dir=``."""
+    base = os.environ.get("OSK_STREAM_SCRATCH")
+    if base:
+        return base
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None
+
+
 def run_available_now(
     result: DataFrame,
     name: str,
@@ -416,7 +437,9 @@ def run_available_now(
     # CONF_LOCK held for the whole set-run-restore cycle: interleaved
     # cycles from concurrent threads could pin the session at the
     # streaming partition count permanently (round-5 review fix)
-    with tempfile.TemporaryDirectory(prefix="osk-ckpt-") as ckpt, CONF_LOCK:
+    with tempfile.TemporaryDirectory(
+        prefix="osk-ckpt-", dir=scratch_dir()
+    ) as ckpt, CONF_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             if shuffle_partitions is not None:
@@ -595,7 +618,7 @@ def run_incremental_neardup(
         banded_signature_index(corpus, id_col, text_col, num_hashes, bands, n)
     )
     index.count()  # materialize the persisted index before the stream
-    base = tempfile.mkdtemp(prefix=f"{name}_")
+    base = tempfile.mkdtemp(prefix=f"{name}_", dir=scratch_dir())
     sink, ckpt = f"{base}/out", f"{base}/ckpt"
     # The stream carries the same document schema as the historical
     # corpus (the new-docs dir is the other half of the same table) —
