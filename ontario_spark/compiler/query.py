@@ -1479,6 +1479,15 @@ class SparqlEngine:
                 ]
             fields.append(f"`{var}` {t}")
         df = self.spark.createDataFrame(rows, schema=", ".join(fields))
+        # Explicit broadcast hint (round 12, guide §3.1): a
+        # createDataFrame frame is a LogicalRDD with UNKNOWN stats,
+        # which the planner treats as infinitely large — so the join
+        # against a VALUES block was building the hash (or nested-loop
+        # broadcast!) side from the PATTERN star: measured at sf0.1,
+        # sparql_values_undef broadcast the full 1.5M-row orders scan
+        # four times (once per compat-mask leg). The inline data block
+        # is bounded by the query text itself — always the build side.
+        df = F.broadcast(df)
         return BFrame(
             df,
             {var: TermMeta(LEXICAL) for var in v.variables},

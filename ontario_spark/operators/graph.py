@@ -606,21 +606,38 @@ def bipartite_cooccurrence(
         .filter(F.col("u").isNotNull() & F.col("i").isNotNull())
         .dropDuplicates(["u", "i"])
     )
+    # Eager pin kept (round 12): the lazy-persist variant was A/B'd —
+    # 1.88 s vs 1.45 s at sf0.1 — the pinned LogicalRDD lets AQE plan
+    # both consumers (deg, per-user stage) against known sizes, which
+    # beats saving the pin's materializing action here.
     ui = _pin(ui)
     deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("deg"))
+    # One u-keyed exchange serves the whole per-user stage (round 12):
+    # the power-user cap is a whole-partition window count (no lists
+    # materialized for the users it drops, so a monster key costs O(d)
+    # state, never O(d) payload), the survivors' item lists are
+    # collected by a groupBy("u") that REUSES the window's
+    # hashpartitioning(u) (ClusteredDistribution(u) is already
+    # satisfied — no second exchange), and the i<j pairs are generated
+    # map-side by a double explode over the ≤cap-item array. The old
+    # shape paid three u-exchanges of the full relation (heavy-user
+    # aggregate, anti-join, self-join legs) plus the join's hash-table
+    # build to emit the same pair multiset; per-pair rows now exist
+    # only in the generator feeding the partial aggregate.
     joinable = ui
     if max_items_per_user is not None:
-        heavy = (
-            ui.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("__d"))
-            .filter(F.col("__d") > max_items_per_user)
-            .select("u")
+        from pyspark.sql.window import Window
+
+        wd = Window.partitionBy("u")
+        joinable = (
+            ui.withColumn("__d", F.count(F.lit(1)).over(wd))
+            .filter(F.col("__d") <= max_items_per_user)
+            .drop("__d")
         )
-        joinable = ui.join(heavy, "u", "left_anti")
-    a = joinable.select("u", F.col("i").alias("item_a"))
-    b = joinable.select("u", F.col("i").alias("item_b"))
+    lists = joinable.groupBy("u").agg(F.collect_list("i").alias("__items"))
     pairs = (
-        a.join(b, "u")
+        lists.select(F.explode("__items").alias("item_a"), "__items")
+        .select("item_a", F.explode("__items").alias("item_b"))
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

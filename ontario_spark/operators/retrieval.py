@@ -228,13 +228,20 @@ def tfidf_top_terms(
     by, so ranking adds no extra shuffle."""
     ts = term_stats(df, id_col, text_col).select(id_col, "term", "tf")
     n_docs = F.broadcast(ts.agg(F.countDistinct(id_col).alias("__n")))
-    # ts is distinct per (id, term), so doc frequency = rows per term
-    dfreq = ts.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    # ts is distinct per (id, term), so doc frequency = rows per term —
+    # a whole-partition window count over the term key (round 12, the
+    # same §2.4 fusion as the anchor/prefix dedup rows): the separate
+    # ``dfreq`` aggregate re-executed the whole tokenize+explode+agg
+    # subtree and then joined it back, shuffling the term table by
+    # term a second time; the window computes the identical count on
+    # the one term-keyed exchange the scoring needs anyway.
     idf = F.log(
         (F.col("__n").cast("double") + 1.0) / (F.col("__df").cast("double") + 1.0)
     ) + F.lit(1.0)
     scored = (
-        ts.join(dfreq, "term")
+        ts.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(n_docs)
         .select(
             F.col(id_col),
