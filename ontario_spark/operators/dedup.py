@@ -1008,6 +1008,30 @@ def source_ngram_overlap(
     )
 
 
+def _shingle_set_sizes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-document distinct word-n-gram count as a MAP-ONLY pass:
+    ``size(array_distinct(...))`` over the zipped-slices gram array —
+    the scalar twin of ``exploded_shingles(distinct=True).groupBy(id)
+    .count()``, with zero shuffle. Tokens are whitespace-split so the
+    space-joined shingle string is injective on the token tuple:
+    struct-array distinctness == shingle-text distinctness (the same
+    equivalence ``repetition_stats`` relies on). Docs with fewer than
+    ``n`` tokens emit no row, matching the exploded form."""
+    from ontario_spark.operators.textops import spread, tokens
+
+    base = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    m = F.size("__toks") - (n - 1)
+    z = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
+    return base.select(
+        F.col(id_col),
+        F.size(F.array_distinct(z)).cast("long").alias("n_shingles"),
+    )
+
+
 def contamination_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1024,15 +1048,20 @@ def contamination_overlap(
 
     Scale design: the benchmark side (eval sets) is MBs while the
     corpus is TBs, so the benchmark's distinct shingle-hash set is
-    broadcast — the corpus shuffles only for its own per-doc aggregate,
-    never against the benchmark. Documents with fewer than ``n`` tokens
+    broadcast — the corpus NEVER crosses an exchange at shingle
+    granularity. The per-doc denominator (distinct-shingle count) is a
+    map-side array expression (``_shingle_set_sizes``), which frees the
+    exploded stream to feed ONLY the hit side: a broadcast left-SEMI
+    join drops every non-matching shingle executor-side, so the only
+    shuffles are a dedup + tiny aggregate over the HIT rows (usually a
+    sliver of the corpus) and the one-row-per-doc totals join.
+    Documents with fewer than ``n`` tokens
     emit no shingles and are OMITTED from the output (they cannot be
     contaminated at n-gram granularity; corpus-level stats derived from
     this output should count them separately). Membership is tested on xxhash64 of
-    the shingle (8 bytes/row through the join, not shingle text). A
-    left-semi pre-filter would lose the per-doc denominator, so the
-    broadcast join marks hits and ONE aggregate computes hit count and
-    set size together.
+    the shingle (8 bytes/row through the join, not shingle text); the
+    hit dedup keys on the shingle TEXT, so hash collisions cannot merge
+    distinct shingles any differently than the exploded form did.
     """
     from ontario_spark.operators.textops import exploded_shingles
 
@@ -1040,18 +1069,20 @@ def contamination_overlap(
         exploded_shingles(benchmark, id_col, text_col, n)
         .select(F.xxhash64("shingle").alias("k"))
         .dropDuplicates(["k"])
-        .select("k", F.lit(1).alias("__hit"))
     )
-    sh = exploded_shingles(corpus, id_col, text_col, n).select(
-        "id", F.xxhash64("shingle").alias("k")
-    )
-    per_doc = (
-        sh.join(bench_set, "k", "left")
+    totals = _shingle_set_sizes(corpus, id_col, text_col, n)
+    hits = (
+        exploded_shingles(corpus, id_col, text_col, n, distinct=False)
+        .withColumn("k", F.xxhash64("shingle"))
+        .join(bench_set, "k", "left_semi")
+        .dropDuplicates(["id", "shingle"])
         .groupBy(F.col("id").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
     )
     overlap = F.col("n_hits").cast("double") / F.col("n_shingles")
     return per_doc.select(
@@ -1677,9 +1708,13 @@ def bloom_contamination_overlap(
     # shiftleft wrapper takes only literal shift amounts)
     _mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
 
-    # bench_k feeds the bit-array build AND the confirm join; sh feeds
-    # the per-doc totals AND the candidate probe — persist both or the
-    # shingle explode (the dominant scan) runs twice per side
+    # bench_k feeds the bit-array build AND the confirm join — persist
+    # or the benchmark shingle explode runs twice. The CORPUS stream is
+    # deliberately NOT persisted (round 12): the per-doc totals are a
+    # map-side array expression (``_shingle_set_sizes``), so the
+    # exploded stream has exactly one consumer (the candidate probe) —
+    # at 100 TB materializing the full corpus shingle stream was the
+    # operator's dominant memory/spill cost, paid only to count rows.
     bench_k = _bounded_persist(
         exploded_shingles(benchmark, id_col, text_col, n)
         .select(F.xxhash64("shingle").alias("k"))
@@ -1695,12 +1730,7 @@ def bloom_contamination_overlap(
         F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("__bloom")
     )
 
-    sh = _bounded_persist(
-        exploded_shingles(corpus, id_col, text_col, n).select(
-            "id", F.xxhash64("shingle").alias("k")
-        )
-    )
-    totals = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    totals = _shingle_set_sizes(corpus, id_col, text_col, n)
 
     tests = []
     for i in range(k_hashes):
@@ -1712,11 +1742,27 @@ def bloom_contamination_overlap(
             f" != 0"
         )
     candidate = F.expr(" AND ".join(tests))
-    cand = sh.crossJoin(F.broadcast(bloom)).filter(candidate).select("id", "k")
-    hits = cand.join(bench_k, "k").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # multiset stream (distinct=False): the bloom probe is per-row and
+    # the post-confirm dedup keys on (id, shingle TEXT), so duplicate
+    # occurrences and hash collisions resolve exactly as the
+    # distinct-exploded form did — only the tiny candidate set pays the
+    # dedup + confirm shuffles
+    cand = (
+        exploded_shingles(corpus, id_col, text_col, n, distinct=False)
+        .withColumn("k", F.xxhash64("shingle"))
+        .crossJoin(F.broadcast(bloom))
+        .filter(candidate)
+        .select("id", "shingle", "k")
     )
-    per_doc = totals.join(hits, "id", "left").select(
+    hits = (
+        cand.join(bench_k, "k", "left_semi")
+        .dropDuplicates(["id", "shingle"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = totals.withColumnRenamed(id_col, "id").join(
+        hits, "id", "left"
+    ).select(
         F.col("id").alias(id_col),
         "n_shingles",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),

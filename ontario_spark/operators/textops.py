@@ -361,7 +361,9 @@ def frequent_terms(
     ).select("term", "rank", "n_occurrences", "n_docs")
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Intra-document repetition signals (the Gopher-style quality
     gates): the fraction of duplicate tokens / word-2-grams /
     word-3-grams within each document. Highly repetitive documents
@@ -375,7 +377,14 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     struct of n tokens; ``array_distinct`` dedups struct arrays
     directly) — all whole-stage-codegen expressions. The equivalent
     ``transform``-lambda form runs interpreted and is re-evaluated per
-    use (no CSE inside lambdas): measured 31 s vs <1 s at sf0.1."""
+    use (no CSE inside lambdas): measured 31 s vs <1 s at sf0.1.
+
+    ``keep`` names extra input columns to carry through unchanged —
+    the pass is map-only, so passthrough is free, and it lets a caller
+    that needs stats NEXT TO other attributes avoid a corpus-sized
+    self-join back on ``id_col`` (round 12: the decontamination
+    pipeline's rep-gate join was two full doc_id exchanges for columns
+    that were never apart)."""
 
     def zgrams(n: int):
         m = F.size("__toks") - (n - 1)
@@ -383,10 +392,13 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return F.when(F.size("__toks") >= n, z).otherwise(F.array())
 
     base = spread(df).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        tokens(F.col(text_col)).alias("__toks"),
     )
     g = base.select(
         id_col,
+        *keep,
         F.size("__toks").alias("nt"),
         F.size(F.array_distinct("__toks")).alias("dt"),
         *[F.size(zgrams(n)).alias(f"ng{n}") for n in (2, 3)],
@@ -404,6 +416,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     return g.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.col("nt").alias("n_tokens"),
         frac(F.col("nt"), F.col("dt")).alias("dup_token_frac"),
         frac(F.col("ng2"), F.col("dg2")).alias("dup_2gram_frac"),

@@ -2575,29 +2575,39 @@ def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     """The round-4 curation chain, end-to-end in ONE lazy plan:
     repetition gate (dup-3-gram fraction ≤ 0.2) → benchmark
     decontamination (anti-join on the contamination scan) → exact-dedup
-    canonical survivors → per-(source, lang) doc/token budget. The
-    contamination stage's benchmark side is broadcast; the anti-join
-    and semi-join both run on doc_id; no stage collects."""
+    canonical survivors → per-(source, lang) doc/token budget.
+
+    Round-12 shape: the rep stats ride the corpus scan (map-only
+    passthrough — no doc_id self-join to reunite columns that were
+    never apart), and "is canonical" is a min-over-md5(text) window on
+    the SAME narrow frame instead of the exact_dedup aggregate plus a
+    two-sided doc_id semi-join (a doc's id is unique, so id == group
+    min ⟺ id ∈ exact_dedup's canonical set). One content-hash
+    exchange of (doc_id, source, lang, n_tokens, frac, md5) carries
+    the whole gate; the contamination anti-join side stays the tiny
+    flagged set."""
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
 
-    keep_rep = (
-        textops.repetition_stats(corpus, "doc_id", "text")
-        .filter(F.col("dup_3gram_frac") <= 0.2)
-        .select("doc_id", "n_tokens")
-    )
     contam = dedup.contamination_overlap(
         corpus, bench, "doc_id", "text", n=3, threshold=0.08
     ).select("doc_id")
-    canon = dedup.exact_dedup(corpus, "doc_id", "text").select(
-        F.col("canonical_id").alias("doc_id")
-    )
+    rep = textops.repetition_stats(
+        corpus.withColumn("__h", F.md5("text")),
+        "doc_id",
+        "text",
+        keep=("source", "lang", "__h"),
+    ).select("doc_id", "source", "lang", "__h", "n_tokens", "dup_3gram_frac")
     kept = (
-        corpus.select("doc_id", "source", "lang")
-        .join(keep_rep, "doc_id")
+        rep.withColumn("__canon", F.min("doc_id").over(Window.partitionBy("__h")))
+        .filter(
+            (F.col("doc_id") == F.col("__canon"))
+            & (F.col("dup_3gram_frac") <= 0.2)
+        )
         .join(contam, "doc_id", "left_anti")
-        .join(canon, "doc_id", "left_semi")
     )
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
