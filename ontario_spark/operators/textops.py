@@ -168,10 +168,16 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality features: mean word length, stopword ratio,
     alpha ratio, and a composite score. Single-division doubles so a
-    SQL oracle reproduces values exactly."""
+    SQL oracle reproduces values exactly.
+
+    ``keep`` carries extra input columns through unchanged (the pass is
+    map-only, so passthrough is free and saves the caller a corpus-wide
+    rejoin on ``id_col``)."""
     text = F.col(text_col)
     toks = tokens(text)
     n_tokens = F.size(toks)
@@ -182,6 +188,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_ratio = n_alpha.cast("double") / F.length(text)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_tokens.alias("n_tokens"),
         mean_word_len.alias("mean_word_len"),
         stop_ratio.alias("stopword_ratio"),
@@ -189,7 +196,9 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Marker-word language ID: score = #tokens in each language's
     marker set; predict argmax (ties broken by language code order),
     'und' when all scores are zero.
@@ -198,10 +207,17 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     inside a single hash aggregate — everything whole-stage codegen.
     (A per-language ``F.filter`` higher-order lambda re-tokenizes the
     document per language and runs interpreted: measured ~10× slower.)
-    ``explode_outer`` keeps empty documents in the output."""
+    ``explode_outer`` keeps empty documents in the output.
+
+    ``keep`` columns ride the aggregate as extra group keys — they are
+    functionally determined by ``id_col``, so the groups (and the
+    partial-aggregation doc-granularity shuffle) are unchanged; this
+    saves the caller a corpus-wide rejoin on ``id_col``."""
     tok = spread(df).select(
-        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("w")
-    ).select(id_col, F.lower(F.col("w")).alias("w"))
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.explode_outer(tokens(F.col(text_col))).alias("w"),
+    ).select(id_col, *keep, F.lower(F.col("w")).alias("w"))
     langs = sorted(LANG_MARKERS)
     aggs = [
         F.count(F.when(F.col("w").isin(*LANG_MARKERS[lang]), 1))
@@ -209,7 +225,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias(f"s_{lang}")
         for lang in langs
     ]
-    hits = tok.groupBy(id_col).agg(*aggs)
+    hits = tok.groupBy(id_col, *keep).agg(*aggs)
     best = F.lit("und")
     best_score = F.lit(0)
     for lang in reversed(langs):  # reversed so earlier codes win ties
@@ -218,6 +234,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         best_score = F.greatest(best_score, s)
     return hits.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         best.alias("pred_lang"),
         best_score.alias("marker_hits"),
     )
@@ -830,6 +847,7 @@ def quality_gates(
     max_mean_word_len: float = 10.0,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1.2
     repetition/format rules adapted to this corpus): per-document
@@ -838,7 +856,9 @@ def quality_gates(
     of common-stopword evidence — plus the conjunctive ``pass_all``.
     Emitting the individual gate flags (not just the verdict) is the
     curation-pipeline contract: rejected-by-which-rule drives corpus
-    triage dashboards. Pure column expressions, map-only, no shuffle."""
+    triage dashboards. Pure column expressions, map-only, no shuffle.
+    ``keep`` carries extra input columns through unchanged (free for a
+    map-only pass; saves the caller a corpus-wide rejoin)."""
     toks = tokens(F.col(text_col))
     n_words = F.size(toks)
     # EXACT mean word length (sum of token lengths / count) — the
@@ -866,6 +886,7 @@ def quality_gates(
     g_stop = stop_hits >= min_stopword_hits
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         n_words.alias("n_words"),
         g_count.alias("gate_word_count"),
         g_wl.alias("gate_mean_word_len"),

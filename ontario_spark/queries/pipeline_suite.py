@@ -2670,28 +2670,34 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     language filter (en) → deterministic hash sample → per-source token
     budget report. Every stage is one of this engine's operators; the
     whole chain is shuffle-minimal (dedup agg, two metric aggs, final
-    group-by — the sample is a scan-stage predicate)."""
+    group-by — the sample is a scan-stage predicate).
+
+    Round-12 shape: canonicality is a min-over-md5(text) window on the
+    scan (doc_id unique ⇒ id == group min ⟺ id ∈ exact_dedup's
+    canonical set — the same equivalence the decontamination row
+    uses), the quality metrics ride that frame map-only (``keep``
+    passthrough), and lang-ID carries source/n_tokens as
+    functionally-dependent group keys. The three corpus-wide doc_id
+    joins are gone; the plan's only exchanges are the content-hash
+    window, lang-ID's doc-granularity partial aggregate, and the final
+    source group-by."""
     from ontario_spark.operators import sampling
+    from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
-    canon = dedup.exact_dedup(docs, "doc_id", "text").select(
-        F.col("canonical_id").alias("doc_id")
+    kept = (
+        docs.withColumn("__h", F.md5("text"))
+        .withColumn("__canon", F.min("doc_id").over(Window.partitionBy("__h")))
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .select("doc_id", "source", "text")
     )
-    kept = docs.join(canon, "doc_id")
-    quality = (
-        textops.quality_score(kept, "doc_id", "text")
-        .filter((F.col("alpha_ratio") >= 0.5) & (F.col("n_tokens") >= 5))
-        .select("doc_id", "n_tokens")
-    )
-    english = textops.lang_id(kept, "doc_id", "text").filter(
-        F.col("pred_lang") == "en"
-    ).select("doc_id")
-    sampled = sampling.hash_sample(
-        kept.join(quality, "doc_id").join(english, "doc_id"),
-        "doc_id",
-        0.5,
-        salt="curate",
-    )
+    quality = textops.quality_score(
+        kept, "doc_id", "text", keep=("source", "text")
+    ).filter((F.col("alpha_ratio") >= 0.5) & (F.col("n_tokens") >= 5))
+    english = textops.lang_id(
+        quality, "doc_id", "text", keep=("source", "n_tokens")
+    ).filter(F.col("pred_lang") == "en")
+    sampled = sampling.hash_sample(english, "doc_id", 0.5, salt="curate")
     return (
         sampled.groupBy("source")
         .agg(
@@ -3641,43 +3647,54 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate) → exact-dedup canonical survivors → per-(source, lang)
     doc/word budget report. Chunk-level stats join back on doc_id;
     chunk text never shuffles."""
-    docs = table(spark, sf_dir, "documents")
-    gates = textops.quality_gates(docs, "doc_id", "text").filter(
-        F.col("pass_all")
-    ).select("doc_id", "n_words")
+    from pyspark.sql.window import Window
 
-    # the (id, chunk-hash) frame feeds BOTH the doc-frequency aggregate
-    # and the per-doc rejoin — persist it once or the per-character CDC
-    # boundary scan (the plan's dominant cost) runs twice
-    ch = dedup._bounded_persist(
-        dedup.cdc_chunks(docs, "doc_id", "text").select(
-            "id", F.md5("chunk_text").alias("h")
+    docs = table(spark, sf_dir, "documents")
+    # Round-12 shape: the Gopher gates ride the scan map-only with
+    # source/lang/md5 carried through, and canonicality is a
+    # min-over-md5 window on that same narrow frame (id unique ⇒
+    # id == group min ⟺ id ∈ exact_dedup's canonical set) — the gate
+    # inner-join and the exact-dedup semi-join (two corpus-wide doc_id
+    # exchanges plus the content_hash aggregate) collapse into ONE
+    # content-hash exchange.
+    gated = (
+        textops.quality_gates(
+            docs.withColumn("__h", F.md5("text")),
+            "doc_id",
+            "text",
+            keep=("source", "lang", "__h"),
         )
+        .withColumn("__canon", F.min("doc_id").over(Window.partitionBy("__h")))
+        .filter(F.col("pass_all") & (F.col("doc_id") == F.col("__canon")))
+        .select("doc_id", "source", "lang", "n_words")
     )
-    docfreq = ch.groupBy("h").agg(
-        F.count_distinct("id").alias("__df")
-    )
+    # chunk doc-frequency as a whole-partition window on the one
+    # h-keyed exchange the rejoin needed anyway (guide §2.4, the same
+    # fusion as the anchor/tfidf rows). The operator only needs
+    # "shared by ≥2 DISTINCT docs", which is min(id)≠max(id) over the
+    # h-group — O(1) window state, no count_distinct, skew-safe on
+    # boilerplate chunks shared by millions of docs. With the
+    # docfreq-aggregate consumer gone the (id, h) frame has ONE
+    # consumer, so the round-9 persist (and its materialization cost)
+    # is deleted — the per-character CDC boundary scan still runs once.
+    wh = Window.partitionBy("h")
     dupfrac = (
-        ch.join(docfreq, "h")
+        dedup.cdc_chunks(docs, "doc_id", "text")
+        .select("id", F.md5("chunk_text").alias("h"))
+        .withColumn(
+            "__dup", (F.min("id").over(wh) != F.max("id").over(wh)).cast("int")
+        )
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("__df") >= 2).cast("int")).alias("n_dup_chunks"),
+            F.sum("__dup").alias("n_dup_chunks"),
         )
         .filter(
             F.col("n_dup_chunks").cast("double") / F.col("n_chunks") <= 0.5
         )
         .select("doc_id")
     )
-    canon = dedup.exact_dedup(docs, "doc_id", "text").select(
-        F.col("canonical_id").alias("doc_id")
-    )
-    kept = (
-        docs.select("doc_id", "source", "lang")
-        .join(gates, "doc_id")
-        .join(dupfrac, "doc_id", "left_semi")
-        .join(canon, "doc_id", "left_semi")
-    )
+    kept = gated.join(dupfrac, "doc_id", "left_semi")
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
