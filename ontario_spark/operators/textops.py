@@ -132,22 +132,38 @@ def exploded_shingles(
     a posexplode+lead-window variant costs a partitionBy shuffle —
     measured 2× slower at sf0.1).
 
-    ``distinct=True`` (per-document shingle SET, one extra shuffle) is
-    required by set-based consumers (n-gram Jaccard); min-aggregating
-    consumers (MinHash, fingerprint anchors) pass False —
-    min(multiset) == min(set), so dedup would be pure overhead."""
+    ``distinct=True`` (per-document shingle SET) is required by
+    set-based consumers (n-gram Jaccard); min-aggregating consumers
+    (MinHash, fingerprint anchors) pass False — min(multiset) ==
+    min(set), so dedup would be pure overhead.
+
+    Round 12 (guide §2.4, remove shuffles outright): the distinct is
+    PER DOCUMENT (id is part of the key), so it is computable inside
+    the row — ``array_distinct`` over the zipped-slices tuple array
+    BEFORE the explode — and the old global ``.distinct()``, which
+    shuffled the full (id, shingle TEXT) stream once per consumer
+    (text_novelty's plan paid that wide exchange twice), is gone.
+    Tokens are whitespace-split, so the space-joined shingle string is
+    injective on the token tuple: struct-tuple distinctness == shingle
+    -text distinctness — the same equivalence ``_shingle_set_sizes``
+    and ``repetition_stats`` already rely on, and exactly the oracle's
+    per-row ``list_distinct``. (A multi-MB document makes the per-row
+    distinct quadratic in the worst case, but such a document made the
+    OLD form a single-key straggler in the distinct exchange too; the
+    gram array for it already existed per-row either way.)"""
     base = spread(df).select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
     m = F.size("toks") - (n - 1)
-    slices = [F.slice("toks", i + 1, m) for i in range(n)]
-    out = base.select("id", F.explode(F.arrays_zip(*slices)).alias("z")).select(
+    z = F.arrays_zip(*[F.slice("toks", i + 1, m) for i in range(n)])
+    if distinct:
+        z = F.array_distinct(z)
+    return base.select("id", F.explode(z).alias("z")).select(
         "id",
         F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)]).alias(
             "shingle"
         ),
     )
-    return out.distinct() if distinct else out
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -582,8 +582,19 @@ def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = exploded_shingles(corpus, "doc_id", "text", 3)
     kn = sn.select(F.col("id").alias("doc_id"), F.xxhash64("shingle").alias("k"))
     kc = sc.select(F.col("id").alias("cid"), F.xxhash64("shingle").alias("k"))
-    nsz = kn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
-    csz = kc.groupBy("cid").agg(F.count(F.lit(1)).alias("n_b"))
+    # Set sizes as MAP-ONLY array expressions (round 12, guide §2.2):
+    # the old groupBy-count aggregates re-tokenized both halves AND
+    # paid an id-keyed shuffle each, purely to count rows the shingle
+    # arrays already knew the length of (``_shingle_set_sizes`` is the
+    # scalar twin of exploded_shingles(distinct=True).groupBy.count).
+    from ontario_spark.operators.dedup import _shingle_set_sizes
+
+    nsz = _shingle_set_sizes(new, "doc_id", "text", 3).select(
+        "doc_id", F.col("n_shingles").alias("n_a")
+    )
+    csz = _shingle_set_sizes(corpus, "doc_id", "text", 3).select(
+        F.col("doc_id").alias("cid"), F.col("n_shingles").alias("n_b")
+    )
     inter = kn.join(kc, "k").groupBy("doc_id", "cid").agg(
         F.count(F.lit(1)).alias("n_common")
     )
