@@ -61,7 +61,10 @@ EXPECTED = {
     "q_skew_suppkey": {"BNLJ:BuildRight"},
     "retrieval_rrf_fusion": {"BNLJ:BuildRight"},
     "sparql_optional_compat": {"BNLJ:BuildRight"},
-    "sparql_values_undef": {"BNLJ:BuildLeft"},
+    # round 12: the compat legs now build from the explicitly-broadcast
+    # VALUES block (query-text-bounded) instead of the pattern scan —
+    # the build side flipped Left -> Right with the batch-4 hint
+    "sparql_values_undef": {"BNLJ:BuildRight"},
     "text_perplexity": {"BNLJ:BuildRight"},
     "train_hard_negatives": {"BNLJ:BuildRight"},  # broadcast query set
     "text_tfidf_terms": {"BNLJ:BuildRight"},  # one corpus-size row
