@@ -1,11 +1,20 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 compact JSON line: {"metric": ..., "value": headline_sec, "unit": "sec",
-"queries": {}, "sf": ..., "n_queries": N, "full_value": ...,
-"full_n_queries": ..., "calibration": {...}}. The stdout "queries" dict
-is deliberately EMPTY (the driver captures only a 2000-char stdout
-tail); full per-query timings + row counts are written to BENCH.json
-next to this file.
+"queries": {name: centisec_int, ...}, "qunit": "cs", "action": ...,
+"sf": ..., "n_queries": N, "full_value": ..., "full_n_queries": ...,
+"calibration": {...}}. The stdout "queries" dict (round-13 verdict task
+1 — rounds 1-12 printed it empty and the driver's per-query/scaling
+analysis came back blank) carries the 50-row DRIVER_SURFACE — exactly
+the rows the driver independently verifies against the oracle — as
+CENTISECOND INTEGERS with compact separators: the driver captures only
+a 2000-char stdout tail, and the full 70-name headline map measures
+~2000 chars even at 1-centisecond precision (name bytes dominate),
+while the surface map stays ≤~1600 chars at 10x-slow-box values.
+Cross-run ratios (round-over-round, 32c/8c scaling) are unit-invariant,
+so centiseconds compare cleanly; "qunit" marks the unit and "action"
+the timed action. Full per-query float timings + row counts for ALL
+registry rows are still written to BENCH.json next to this file.
 
 Two suite numbers (round-9 verdict tasks 4+5):
 
@@ -194,25 +203,42 @@ def main() -> None:
     hl = [n for n in HEADLINE_SUITE if n in timings]
     total = round(sum(timings[n] for n in hl), 4)
     full_total = round(sum(timings.values()), 4)
+    # Driver-visible per-query map (see module docstring): the 50
+    # driver-verified rows as centisecond ints. On a BENCH_QUERIES
+    # subset run, whatever surface rows were timed are emitted.
+    from ontario_spark.queries import DRIVER_SURFACE
+
+    stdout_queries = {
+        n: int(round(timings[n] * 100)) for n in DRIVER_SURFACE if n in timings
+    }
     payload = {
         "metric": "headline-suite wall time",
         "value": total,
         "unit": "sec",
-        "queries": {},
+        "queries": stdout_queries,
+        "qunit": "cs",
+        "action": action,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(hl),
         "full_value": full_total,
         "full_n_queries": len(timings),
         "calibration": {n: timings[n] for n in CALIBRATION if n in timings},
     }
-    # Full detail (per-query timings + rows) goes to disk; stdout gets ONE
-    # tiny line. The driver captures only the last 2000 chars of stdout, so
-    # the final line must stay well under that — the per-query dict alone
-    # is ~2.7 KB at 90 queries and made rounds 1-3 unparseable.
+    # Full detail (per-query float timings + rows, all registry rows)
+    # goes to disk; stdout gets ONE line that must fit ENTIRELY inside
+    # the driver's 2000-char tail capture or the driver parses nothing
+    # (rounds 1-3 overflowed and were unparseable). 1900 is a
+    # deliberate ceiling: the surface map measures ~1550 chars at
+    # 10x-slow-box values, and the defensive trim below keeps a
+    # freak-stall run parseable instead of asserting the bench dead.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         json.dump({**payload, "queries": timings, "rows": rows}, f, indent=1)
-    line = json.dumps(payload)
-    assert len(line) < 400, f"bench stdout line too long: {len(line)}"
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) >= 1900 and stdout_queries:
+        stdout_queries.popitem()  # drop surface tail entries, never the totals
+        payload["queries"] = stdout_queries
+        line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, f"bench stdout line too long: {len(line)}"
     print(line)
     spark.stop()
 
