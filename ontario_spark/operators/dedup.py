@@ -1025,25 +1025,12 @@ def source_ngram_overlap(
 def _shingle_set_sizes(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Per-document distinct word-n-gram count as a MAP-ONLY pass:
-    ``size(array_distinct(...))`` over the zipped-slices gram array —
-    the scalar twin of ``exploded_shingles(distinct=True).groupBy(id)
-    .count()``, with zero shuffle. Tokens are whitespace-split so the
-    space-joined shingle string is injective on the token tuple:
-    struct-array distinctness == shingle-text distinctness (the same
-    equivalence ``repetition_stats`` relies on). Docs with fewer than
-    ``n`` tokens emit no row, matching the exploded form."""
-    from ontario_spark.operators.textops import spread, tokens
+    """Moved to ``textops.shingle_set_sizes`` (round 13, next to
+    ``exploded_shingles`` whose equivalence argument it shares); this
+    thin wrapper keeps the historical call sites in this module."""
+    from ontario_spark.operators.textops import shingle_set_sizes
 
-    base = spread(df).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).filter(F.size("__toks") >= n)
-    m = F.size("__toks") - (n - 1)
-    z = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
-    return base.select(
-        F.col(id_col),
-        F.size(F.array_distinct(z)).cast("long").alias("n_shingles"),
-    )
+    return shingle_set_sizes(df, id_col, text_col, n)
 
 
 def contamination_overlap(

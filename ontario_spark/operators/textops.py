@@ -137,6 +137,14 @@ def exploded_shingles(
     (MinHash, fingerprint anchors) pass False — min(multiset) ==
     min(set), so dedup would be pure overhead.
 
+    PRECONDITION for ``distinct=True``: ``id_col`` must be unique per
+    input row (one row per document). The dedup happens INSIDE each
+    row's gram array, so if the same id spanned multiple rows,
+    duplicate shingles across those rows would survive where a global
+    per-(id, shingle) distinct would have removed them. Every current
+    caller passes one-row-per-doc tables and the oracle's
+    ``list_distinct`` is per-row too.
+
     Round 12 (guide §2.4, remove shuffles outright): the distinct is
     PER DOCUMENT (id is part of the key), so it is computable inside
     the row — ``array_distinct`` over the zipped-slices tuple array
@@ -163,6 +171,33 @@ def exploded_shingles(
         F.concat_ws(" ", *[F.col("z").getField(str(i)) for i in range(n)]).alias(
             "shingle"
         ),
+    )
+
+
+def shingle_set_sizes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-document distinct word-n-gram count as a MAP-ONLY pass:
+    ``size(array_distinct(...))`` over the zipped-slices gram array —
+    the scalar twin of ``exploded_shingles(distinct=True).groupBy(id)
+    .count()``, with zero shuffle. Tokens are whitespace-split so the
+    space-joined shingle string is injective on the token tuple:
+    struct-array distinctness == shingle-text distinctness (the same
+    equivalence ``repetition_stats`` relies on). Docs with fewer than
+    ``n`` tokens emit no row, matching the exploded form. Same
+    one-row-per-id precondition as ``exploded_shingles``.
+
+    (Round 13: promoted here from ``dedup._shingle_set_sizes`` — it
+    belongs beside ``exploded_shingles``, whose consumers in dedup.py
+    and pipeline_suite.py both import it.)"""
+    base = spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    m = F.size("__toks") - (n - 1)
+    z = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
+    return base.select(
+        F.col(id_col),
+        F.size(F.array_distinct(z)).cast("long").alias("n_shingles"),
     )
 
 
